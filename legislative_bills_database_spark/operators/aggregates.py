@@ -1,0 +1,44 @@
+"""Aggregation operators: the reference's pivot-count family.
+
+The reference fills a legislator×session matrix imperatively
+(legislator_bill_counts_run.R:89-90,124,139-143); here it is
+groupBy().pivot().count() with explicit pivot values — explicit values
+matter: without them Spark runs an extra distinct job to discover columns,
+which is an avoidable full scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_count(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    pivot_values: list,
+    prefix: str = "",
+) -> DataFrame:
+    """COUNT(*) GROUP BY group, pivot — reshaped wide, nulls → 0."""
+    wide = (
+        df.groupBy(group_col)
+        .pivot(pivot_col, pivot_values)
+        .count()
+        .na.fill(0, [str(v) for v in pivot_values])
+    )
+    if prefix:
+        for v in pivot_values:
+            wide = wide.withColumnRenamed(str(v), f"{prefix}{v}")
+    return wide
+
+
+def row_total(df: DataFrame, cols: list[str], alias: str = "total") -> DataFrame:
+    """Horizontal sum across pivoted columns (rowSums,
+    legislator_bill_counts_run.R:141)."""
+    return df.withColumn(
+        alias, reduce(add, [F.coalesce(F.col(c), F.lit(0)) for c in cols])
+    )

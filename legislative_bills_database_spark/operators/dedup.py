@@ -1,0 +1,217 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Exact dedup generalizes the reference's keep-latest dedup
+(legislator_bill_counts_run.R:63-67); the near-dup family (MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine) is the LLM-training-data
+extension surface. Everything shuffles on hash/bucket keys — never on raw
+text — so partitions stay balanced at 100 TB, and candidate generation is
+strictly band-bucket joins (no O(n²) cross join on the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..functions.vectors import cosine
+
+
+def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
+    """Keep one row per distinct ``text_col`` (lowest ``order_col`` wins).
+
+    Partitions by sha2(text) rather than raw text so the shuffle key is
+    fixed-width and uniformly distributed — identical result, bounded key
+    size at 100 TB. Window+row_number (not dropDuplicates-after-orderBy,
+    which is nondeterministic in Spark).
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_latest(df: DataFrame, key: str, order_cols: list) -> DataFrame:
+    """Window-deterministic keep-first-after-sort (reference dedup,
+    legislator_bill_counts_run.R:63-67)."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: one min per seeded xxhash64 over distinct shingles.
+
+    One explode + one groupBy with ``num_hashes`` parallel min-aggregates —
+    a single shuffle on doc id, map-side partial mins do most of the work.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("__shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Scale path: signature → band hashes → explode → self-join on
+    (band, band_hash) buckets. Candidates are verified by signature
+    agreement (est_jaccard = fraction of matching minhashes), so no
+    second pass over raw text. Returns (id_a, id_b, est_jaccard).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                "bhash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("__band"),
+    ).select(
+        F.col(id_col),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.col("__band.band").alias("band"),
+        F.col("__band.bhash").alias("bhash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.02,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via the inverted-index join.
+
+    |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|. The join is
+    on the shingle value (inverted index), NOT a cross join — at scale,
+    paired work is proportional to shared shingles only. Hot shingles
+    (stopword n-grams) are the skew risk; AQE skew-join handles moderate
+    cases, and a document-frequency cap (drop shingles in >X% of docs)
+    is the standard mitigation, omitted here to match the exact oracle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("cnt"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= min_jaccard)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    Explodes (token × bit) then reassembles sign bits with shifts — all
+    integer builtins, one shuffle on (doc, bit) then one on doc.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    bit = tok.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("__h"),
+    ).withColumn("contrib", F.expr("(shiftright(__h, cast(b AS int)) & 1) * 2 - 1"))
+    return (
+        bit.groupBy(id_col, "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 AS bigint), cast(b AS int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    This is the CORRECTNESS baseline (oracle-checkable). The scale path is
+    :func:`legislative_bills_database_spark.operators.similarity.lsh_bucketed_pairs`
+    which buckets by random-hyperplane signature first.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= min_cosine)
+        .select("id_a", "id_b", F.round(F.col("cos"), 3).alias("cosine"))
+    )

@@ -1,0 +1,9 @@
+"""Declared query inventory (SURVEY.md §2) + DuckDB oracle twins.
+
+Importing this package populates the registry with every implemented
+query. ``__spark_entry__.py`` re-exports it as the driver contract.
+"""
+
+from .registry import ORACLE, QUERIES  # noqa: F401
+from . import reference_queries  # noqa: F401  (registers on import)
+from . import extension_queries  # noqa: F401  (registers on import)

@@ -1,0 +1,318 @@
+"""North-star extension queries (SURVEY.md §2.10 + training-data pipeline ops).
+
+Not in the reference; required by BASELINE.json's north star: dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + LSH-bucketed), text analysis (lang-ID,
+quality, token counts, fingerprints), multimodal plumbing, approximate
+aggregates, sessionization. Fixtures: documents, embeddings, events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.vectors import sql_cosine
+from ..io import load_table
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.sessionize import sessionize
+from ..operators.similarity import cosine_topk, lsh_bucketed_pairs
+from ..sources.multimodal import fake_image_features
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_exact_dedup",
+    "SELECT doc_id, lang, source, n_chars FROM documents"
+    " QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1",
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact text dedup: hash-partition on sha2(text), keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query("q_near_dedup")  # xxhash64 signatures are Spark-specific → rows-only
+def q_near_dedup(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (scale path: banded
+    signature buckets, no all-pairs join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.3
+    )
+
+
+@query("q_simhash")  # xxhash64 is Spark-specific → rows-only
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (near-dup fingerprint family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+_JACCARD_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS sh
+  FROM documents WHERE doc_id < 100
+), e AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM docs
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.02
+"""
+
+
+@query("q_ngram_jaccard", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs via inverted-index join (bounded to
+    doc_id<100 so the oracle's pair space stays small; the Spark plan is
+    the same shape at any scale)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.02)
+
+
+_COS = sql_cosine("a.embedding", "b.embedding")
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 3) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 500 AND b.vec_id < 500 AND {_COS} >= 0.4
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline,
+    bounded to 500 vectors; scale path = q_ann_lsh_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_COS = sql_cosine("q.embedding", "n.embedding")
+
+
+@query(
+    "q_cosine_topk",
+    f"""
+    SELECT q.vec_id AS qid, n.vec_id AS nid, ROUND({_TOPK_COS}, 3) AS cosine,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_TOPK_COS} DESC, n.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 10 query vectors —
+    the exact ANN baseline (broadcast queries, window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@query("q_ann_lsh_pairs")  # recall<1 by construction → rows-only
+def q_ann_lsh_pairs(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH buckets, exact cosine only
+    within buckets (see operators/similarity.py for the 100 TB story)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=8, min_cosine=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_text_stats",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,"
+    " len(list_distinct(string_split(text, ' '))) AS n_unique,"
+    " ROUND(CAST(list_sum(list_transform(string_split(text, ' '),"
+    " t -> length(t))) AS DOUBLE) / len(string_split(text, ' ')), 4)"
+    " AS avg_token_len FROM documents",
+)
+def q_text_stats(spark, sf_dir):
+    """Token-level stats per document (tokenize, distinct, mean length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(tok, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        F.round(total_len.cast("double") / F.size(tok), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_token_count",
+    f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text),"
+    f" '{T.TOKEN_REGEX}')) AS INTEGER) AS n_bpe_tokens FROM documents",
+)
+def q_token_count(spark, sf_dir):
+    """BPE-ish token counting with a regex lexer (letters/digits/punct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(T.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "q_lang_id",
+    "SELECT doc_id, lang AS labeled_lang, "
+    + T.sql_lang_id("string_split(lower(text), ' ')")
+    + " AS lang_guess FROM documents",
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (argmax over per-language marker hits,
+    deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(T.tokens(F.lower(F.col("text")))).alias("lang_guess"),
+    )
+
+
+@query(
+    "q_quality_score",
+    "SELECT doc_id, " + T.sql_quality_score("text") + " AS quality FROM documents",
+)
+def q_quality_score(spark, sf_dir):
+    """Heuristic quality score (length / charset / stopword-ratio blend)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_doc_fingerprint",
+    "SELECT doc_id, " + T.sql_fingerprint("text", 5) + " AS fingerprint"
+    " FROM documents",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: lexicographic-min MD5 over 5-token shingles
+    (1-permutation MinHash; rolling-hash analog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text"), 5).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate / events / multimodal
+# ---------------------------------------------------------------------------
+
+@query("q_approx_distinct")  # HLL sketch value is engine-specific → rows-only
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct over order customers (HLL sketch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) — batch twin of
+    session_window streaming."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    "SELECT event_type, event_id, value FROM events"
+    " QUALIFY row_number() OVER (PARTITION BY event_type"
+    " ORDER BY value DESC, event_id ASC) <= 3",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per event type (window top-k pattern)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@query(
+    "q_binary_meta",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+    " ascii(substr(text, 1, 1)) AS first_byte FROM documents",
+)
+def q_binary_meta(spark, sf_dir):
+    """Multimodal column plumbing (SQL-checkable part): treat payloads as
+    opaque binary + typed metadata; here text is encoded to bytes and
+    measured without ever decoding on the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_byte"),
+    )
+
+
+@query("q_multimodal_features")  # pandas-UDF pipeline → rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing over binary payloads via
+    mapInPandas (decoder is a clearly-marked deterministic stub — image
+    libs aren't in this container; the Spark-side schema/batching is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.col("n_chars").cast("long").alias("size_hint"),
+        ).alias("meta"),
+    )
+    return fake_image_features(payloads)

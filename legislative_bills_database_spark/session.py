@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults chosen for correctness-vs-oracle and 100 TB posture:
+
+- ``spark.sql.session.timeZone=UTC``: Spark timestamps are session-TZ;
+  the DuckDB oracle is UTC-naive. Pinning UTC makes them comparable.
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  — the local plan is the same plan a 1000-executor cluster would get.
+- ``spark.sql.shuffle.partitions`` sized to local cores here; on a real
+  cluster AQE's coalescePartitions makes the static number mostly moot.
+- Arrow enabled for any pandas-UDF path (vectorized batch transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "legislative-bills-engine",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's
+        # reader; read as long nanos, io.load_table converts to µs timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session
+    (the driver hands us one; memory/master are fixed by then)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — keep going
+    return spark
