@@ -111,7 +111,9 @@ def quality_score(text: Column | str) -> Column:
     """Heuristic document-quality score in [0,1].
 
     0.4·min(chars/500, 1) + 0.3·alnum-space ratio + 0.3·stopword ratio.
-    Pure integer counts → double divisions: bit-identical across engines.
+    Rounding is floor(x·10⁴ + 0.5)/10⁴ rather than ROUND: engine ROUNDs
+    disagree on half-way doubles (Spark HALF_UP vs DuckDB), while this
+    formula is the same IEEE-754 op sequence in both.
     """
     c = _c(text)
     tok = tokens(c)
@@ -119,23 +121,24 @@ def quality_score(text: Column | str) -> Column:
     clean = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
     n_tok = F.size(tok)
     stop = stopword_hits(tok, STOPWORDS)
-    return F.round(
+    raw = (
         0.4 * F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
         + 0.3 * (clean.cast("double") / n_chars)
-        + 0.3 * (stop.cast("double") / n_tok),
-        4,
+        + 0.3 * (stop.cast("double") / n_tok)
     )
+    return F.floor(raw * 10000.0 + 0.5) / 10000.0
 
 
 def sql_quality_score(text_expr: str) -> str:
     tok = f"string_split({text_expr}, ' ')"
     stop = sql_stopword_hits(tok, STOPWORDS)
-    return (
-        f"ROUND(0.4 * least(CAST(length({text_expr}) AS DOUBLE) / 500.0, 1.0)"
+    raw = (
+        f"(0.4 * least(CAST(length({text_expr}) AS DOUBLE) / 500.0, 1.0)"
         f" + 0.3 * (CAST(length(regexp_replace({text_expr}, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
         f" / length({text_expr}))"
-        f" + 0.3 * (CAST({stop} AS DOUBLE) / len({tok})), 4)"
+        f" + 0.3 * (CAST({stop} AS DOUBLE) / len({tok})))"
     )
+    return f"(FLOOR({raw} * 10000.0 + 0.5) / 10000.0)"
 
 
 def fingerprint(text: Column | str, n: int = 5) -> Column:

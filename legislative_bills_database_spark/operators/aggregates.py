@@ -22,8 +22,28 @@ def pivot_count(
     pivot_col: str,
     pivot_values: list,
     prefix: str = "",
+    strict: bool = True,
 ) -> DataFrame:
-    """COUNT(*) GROUP BY group, pivot — reshaped wide, nulls → 0."""
+    """COUNT(*) GROUP BY group, pivot — reshaped wide, nulls → 0.
+
+    ``strict`` (default): a pivot value outside the declared list raises at
+    runtime instead of being silently dropped — explicit values skip the
+    discovery scan, but must not silently lose out-of-range rows. The check
+    is embedded in the pivot expression itself so the optimizer can't prune
+    it away.
+    """
+    if strict:
+        checked = F.when(
+            F.col(pivot_col).isin(pivot_values), F.col(pivot_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pivot value of '{pivot_col}' outside declared values: "),
+                    F.col(pivot_col).cast("string"),
+                )
+            )
+        )
+        df = df.withColumn(pivot_col, checked)
     wide = (
         df.groupBy(group_col)
         .pivot(pivot_col, pivot_values)

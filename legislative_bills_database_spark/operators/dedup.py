@@ -10,6 +10,9 @@ strictly band-bucket joins (no O(n²) cross join on the scale path).
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -168,30 +171,30 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 
-    Explodes (token × bit) then reassembles sign bits with shifts — all
-    integer builtins, one shuffle on (doc, bit) then one on doc.
+    One explode to token rows, then a SINGLE groupBy(doc) computing all
+    ``bits`` per-bit sign sums as parallel conditional aggregates — no
+    (doc, bit) explode (which would be a ``bits``× row amplification
+    pre-shuffle) and only one shuffle, with map-side partial aggregation
+    doing most of the work. Bit assembly afterwards is a pure projection.
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).withColumn("__h", F.xxhash64(F.col("__t")))
-    bit = tok.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("__h"),
-    ).withColumn("contrib", F.expr("(shiftright(__h, cast(b AS int)) & 1) * 2 - 1"))
-    return (
-        bit.groupBy(id_col, "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 AS bigint), cast(b AS int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+    aggs = [
+        F.sum(F.expr(f"(shiftright(__h, {b}) & 1) * 2 - 1")).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*aggs)
+    assembled = reduce(
+        add,
+        [
+            F.when(
+                F.col(f"__s{b}") > 0, F.expr(f"shiftleft(cast(1 AS bigint), {b})")
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
     )
+    return per_bit.select(F.col(id_col), assembled.alias("simhash"))
 
 
 def embedding_neardup_pairs(
@@ -199,13 +202,28 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     min_cosine: float = 0.4,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs O(n²)).
 
     This is the CORRECTNESS baseline (oracle-checkable). The scale path is
     :func:`legislative_bills_database_spark.operators.similarity.lsh_bucketed_pairs`
     which buckets by random-hyperplane signature first.
+
+    ``max_rows`` guards against unbounded invocation: the all-pairs theta
+    join is quadratic, so the operator refuses inputs larger than the bound
+    (checked with a ``limit(n+1).count()`` probe — cost capped at reading
+    ``max_rows + 1`` rows). Pass ``max_rows=None`` only when the caller has
+    already bounded the input some other way.
     """
+    if max_rows is not None:
+        probe = df.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is an all-pairs O(n²) join; input "
+                f"exceeds max_rows={max_rows}. Use similarity.lsh_bucketed_pairs "
+                f"for large inputs, or raise max_rows explicitly."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))

@@ -47,11 +47,16 @@ def fallback_join(
     drop the row. Implemented as two left joins + COALESCE + null filter —
     one broadcast dimension read, no driver loop, no shuffle when the
     dimension broadcasts.
+
+    The dimension keys are DISTINCTed first: the semantics is a membership
+    test, and a duplicate-key dimension must not fan out fact rows. The
+    distinct is cheap — the dimension is broadcast-sized by contract.
     """
-    p = (F.broadcast(dim) if broadcast_dim else dim).select(
+    keys = dim.select(F.col(dim_key)).distinct()
+    p = (F.broadcast(keys) if broadcast_dim else keys).select(
         F.col(dim_key).alias("__p_match")
     )
-    f = (F.broadcast(dim) if broadcast_dim else dim).select(
+    f = (F.broadcast(keys) if broadcast_dim else keys).select(
         F.col(dim_key).alias("__f_match")
     )
     out = (

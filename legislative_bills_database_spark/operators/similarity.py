@@ -63,40 +63,117 @@ def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
     return sig
 
 
+def lsh_bucket_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) assignments for banded multi-table hyperplane LSH.
+
+    Each of ``n_tables`` independent tables hashes the vector with its own
+    ``n_planes`` hyperplanes (2^n_planes buckets per table). More planes →
+    smaller buckets (less quadratic work); more tables → higher recall.
+    Rule of thumb: n_planes ≈ log2(n_rows / target_bucket_size), so at
+    100 TB you raise n_planes, not the bucket cap.
+    """
+    tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec_col, planes).alias("bucket"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*tables)).alias("__tb")
+    ).select(
+        F.col(id_col),
+        F.col("__tb.table").alias("table"),
+        F.col("__tb.bucket").alias("bucket"),
+    )
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     n_planes: int = 8,
+    n_tables: int = 8,
     min_cosine: float = 0.4,
+    bucket_cap: int = 1000,
     seed: int = 42,
 ) -> DataFrame:
-    """Scale-path near-neighbor pairs: bucket by hyperplane signature, then
-    exact cosine only within buckets.
+    """Scale-path near-neighbor pairs: banded multi-table hyperplane LSH.
 
-    At 100 TB the all-pairs join is impossible; this shuffles once on the
-    signature (16..64 buckets per plane count, tune n_planes so buckets fit
-    in an executor), and the quadratic blowup is confined to each bucket.
-    Recall < 1.0 by construction (pairs split across buckets are missed) —
-    raise recall with multiple signature tables (repeat with different
-    seeds, union, dropDuplicates).
+    At 100 TB the all-pairs join is impossible. This computes ``n_tables``
+    independent bucket assignments, drops buckets larger than
+    ``bucket_cap`` (hot buckets are low-information directions; dropping
+    them bounds the intra-bucket quadratic work — the documented recall
+    tradeoff), joins candidate IDs only (slim shuffle payload: the vectors
+    do NOT travel through the bucket join), dedups candidate pairs across
+    tables, then verifies each surviving pair with one exact cosine via two
+    id-joins back to the vectors.
+
+    Recall < 1.0 by construction; measure it with :func:`lsh_recall` on a
+    bounded sample. Raise ``n_tables`` for recall, ``n_planes`` for scale.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(vec_col, planes).alias("bucket")
+    assign = lsh_bucket_assignments(df, id_col, vec_col, dim, n_planes, n_tables, seed)
+    if bucket_cap is not None:
+        w = Window.partitionBy("table", "bucket")
+        assign = (
+            assign.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    a, b = assign.alias("a"), assign.alias("b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
-    )
-    cos = cosine(F.col("va"), F.col("vb"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= min_cosine)
         .select("id_a", "id_b", F.round(F.col("cos"), 3).alias("cosine"))
     )
+
+
+def lsh_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.4,
+    **lsh_kwargs,
+) -> float:
+    """Recall of :func:`lsh_bucketed_pairs` vs the exact all-pairs answer.
+
+    Run on a BOUNDED sample only (the exact side is O(n²)). Returns
+    |lsh ∩ exact| / |exact| (1.0 when there are no exact pairs).
+    """
+    from .dedup import embedding_neardup_pairs
+
+    exact = embedding_neardup_pairs(
+        df, id_col, vec_col, min_cosine=min_cosine
+    ).select("id_a", "id_b")
+    approx = lsh_bucketed_pairs(
+        df, id_col, vec_col, dim, min_cosine=min_cosine, **lsh_kwargs
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 1.0
+    n_hit = exact.join(approx, ["id_a", "id_b"], "left_semi").count()
+    return n_hit / n_exact

@@ -138,11 +138,14 @@ def q_cosine_topk(spark, sf_dir):
 
 @query("q_ann_lsh_pairs")  # recall<1 by construction → rows-only
 def q_ann_lsh_pairs(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane LSH buckets, exact cosine only
-    within buckets (see operators/similarity.py for the 100 TB story)."""
+    """Scale-path ANN: banded multi-table hyperplane LSH (8 tables × 8
+    planes), bucket-size cap bounding intra-bucket quadratic work, exact
+    cosine verification of candidates only (see operators/similarity.py
+    for the 100 TB story; recall measured in tests/test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(
-        emb, "vec_id", "embedding", dim=64, n_planes=8, min_cosine=0.3
+        emb, "vec_id", "embedding", dim=64, n_planes=8, n_tables=8,
+        min_cosine=0.3, bucket_cap=1000,
     )
 
 

@@ -36,7 +36,9 @@ from .registry import query
 
 # The fixture orders span 1995..2001 (TESTDATA.md, seed=42); the pivot
 # declares its values explicitly — discovery-by-distinct is an extra full
-# scan at 100 TB (see operators/aggregates.py).
+# scan at 100 TB (see operators/aggregates.py). pivot_count(strict=True)
+# RAISES on a year outside this list rather than silently dropping rows,
+# so a fixture change fails loudly instead of corrupting row totals.
 YEARS = list(range(1995, 2002))
 SESSIONS = [(f"{y}-{y + 1}", i + 1) for i, y in enumerate([1995, 1997, 1999, 2001])]
 
