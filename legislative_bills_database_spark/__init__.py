@@ -15,7 +15,9 @@ Layout:
   io.py         fixture-table loaders
   functions/    scalar expression builders (text, vectors, compat)
   operators/    composite dataflow operators (joins, dedup, similarity, ...)
-  sources/      ingestion layer (REST, documents, extraction, multimodal, sinks)
+  sources/      ingestion layer (rest, documents, extract, multimodal,
+                sinks, cache — driver-side HTTP, JSON document model,
+                PDF/HTML extraction UDFs, CSV sinks, staging/manifest)
   plans/        the declared query inventory + DuckDB oracle twins
   pipelines/    the three reference pipelines end-to-end
   streaming/    Structured Streaming variants of the batch operators

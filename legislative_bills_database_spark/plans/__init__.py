@@ -7,3 +7,4 @@ query. ``__spark_entry__.py`` re-exports it as the driver contract.
 from .registry import ORACLE, QUERIES  # noqa: F401
 from . import reference_queries  # noqa: F401  (registers on import)
 from . import extension_queries  # noqa: F401  (registers on import)
+from . import pipeline_queries  # noqa: F401  (registers on import)

@@ -492,12 +492,20 @@ def q_literal_table(spark, sf_dir):
     " WHERE o_orderstatus = 'F'",
 )
 def q_csv_sink(spark, sf_dir):
-    """The frame written by the run-id CSV sink (legiscan_main.R:237;
-    write itself exercised in sources/sinks.py tests)."""
+    """Run-id-named CSV sink (legiscan_main.R:237): the projection is
+    WRITTEN via sources.sinks.write_csv_report (to a temp dir — the write
+    itself is part of the exercised operator), then returned for the
+    value check."""
+    import tempfile
+
+    from ..sources.sinks import write_csv_report
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderstatus") == "F").select(
+    out = orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
+    write_csv_report(out, tempfile.mkdtemp(prefix="lbd_sink_"), "orders_f")
+    return out
 
 
 # ---------------------------------------------------------------------------

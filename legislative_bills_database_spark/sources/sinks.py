@@ -1,0 +1,45 @@
+"""Report sinks: run-id-named CSV outputs.
+
+The reference writes ``output/<uuid>_<name>.csv`` per run
+(legiscan_main.R:237; legiscan_search_all_bills.R:99;
+legislator_bill_counts_run.R:156-157). Spark's CSV sink writes a
+directory of part files; for the reference's report-sized outputs we
+coalesce to one partition so each report is a single readable CSV part —
+a deliberate small-output choice, NOT the default for large sinks
+(``single_file=False`` keeps full write parallelism and supports
+``partition_by`` for the per-term report family).
+"""
+
+from __future__ import annotations
+
+import uuid
+from pyspark.sql import DataFrame
+
+
+def new_run_id() -> str:
+    """Per-run UUID prefixing output names (legiscan_main.R:196)."""
+    return str(uuid.uuid4())
+
+
+def write_csv_report(
+    df: DataFrame,
+    out_dir: str,
+    name: str,
+    run_id: str | None = None,
+    single_file: bool = True,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write ``<out_dir>/<run_id>_<name>`` as header'd CSV; returns the path.
+
+    ``partition_by`` gives one subdirectory per key value — the scale
+    analog of the reference's one-CSV-per-search-term loop
+    (legiscan_main.R:237): a single distributed write instead of N jobs.
+    """
+    run_id = run_id or new_run_id()
+    path = f"{out_dir}/{run_id}_{name}"
+    out = df.coalesce(1) if single_file and partition_by is None else df
+    writer = out.write.option("header", True).mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+    return path

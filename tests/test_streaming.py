@@ -1,0 +1,103 @@
+"""Batch/stream agreement tests (SURVEY §2.8): the streaming queries must
+produce the same answers as their batch twins when fed the same bounded
+data via the file source with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.io import load_table
+from legislative_bills_database_spark.operators.sessionize import sessionize
+from legislative_bills_database_spark.streaming import (
+    dedup_within_watermark,
+    session_counts,
+    stream_events_from_files,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, tmp_path_factory) -> str:
+    """The events fixture re-landed as a JSON file directory (the
+    streaming file source needs files arriving in a directory)."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "json")
+    events = load_table(spark, SF_DIR, "events")
+    # two files so the source sees multiple splits
+    events.repartition(2).write.json(out)
+    return out
+
+
+def _run_available_now(stream_df, name: str, output_mode: str):
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_batch_stream_agreement(spark, events_json_dir):
+    stream = stream_events_from_files(spark, events_json_dir)
+    got = _run_available_now(
+        tumbling_counts(stream), "t_tumbling", "complete"
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """Duplicate event_ids inside the watermark are dropped exactly-once."""
+    src = str(tmp_path / "dups")
+    events = load_table(spark, SF_DIR, "events").limit(50)
+    events.unionByName(events).repartition(1).write.json(src)  # every id twice
+    stream = stream_events_from_files(spark, src)
+    got = _run_available_now(
+        dedup_within_watermark(stream), "t_dedup", "append"
+    )
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
+
+
+def test_session_window_agrees_with_batch_sessionize(spark, events_json_dir):
+    """session_window session count per user == the batch lag/cumsum
+    sessionizer's (same 30-minute gap)."""
+    stream = stream_events_from_files(spark, events_json_dir)
+    got = (
+        _run_available_now(session_counts(stream), "t_sessions", "complete")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    batch = sessionize(load_table(spark, SF_DIR, "events"), "user_id", "ts", 30)
+    expected = batch.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions")
+    )
+    cols = ["user_id", "n_sessions"]
+    assert _canon(got, cols) == _canon(expected, cols)
