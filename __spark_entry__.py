@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they are ordered LAST, keeping every distinct operator family (and the
 # composed pipeline queries) inside the driver-checked window.
 _DEFER_LAST = [
+    "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
     "q_projection_rename",
     "q_drop_columns",
     "q_equality_filter",

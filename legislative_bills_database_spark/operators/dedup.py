@@ -136,21 +136,31 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard: float = 0.02,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via the inverted-index join.
 
     |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|. The join is
     on the shingle value (inverted index), NOT a cross join — at scale,
     paired work is proportional to shared shingles only. Hot shingles
-    (stopword n-grams) are the skew risk; AQE skew-join handles moderate
-    cases, and a document-frequency cap (drop shingles in >X% of docs)
-    is the standard mitigation, omitted here to match the exact oracle.
+    (stopword n-grams) are the skew risk: AQE skew-join handles moderate
+    cases, and ``max_doc_freq`` applies the standard mitigation — drop
+    shingles appearing in more than that many documents from the JOIN
+    side only (a hot shingle contributes O(df²) candidate pairs but
+    almost no Jaccard signal). Sizes keep every shingle, so the result
+    under-counts intersections only through dropped hot shingles;
+    ``None`` (default) computes exactly — matching the DuckDB oracle.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("s"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("__df") > max_doc_freq), "s", "left_anti")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

@@ -1,0 +1,133 @@
+"""IVF (inverted-file) approximate nearest neighbors.
+
+The second ANN scale path beside hyperplane LSH
+(operators/similarity.py): partition the vector space with k-means
+centroids, assign every vector to its nearest centroid's posting list,
+and search only the ``nprobe`` nearest lists per query.
+
+Scale story: centroids are TRAINED ON A BOUNDED SAMPLE (driver-side
+k-means over ≤ ``max_train_rows`` vectors — the standard IVF recipe; at
+100 TB you never cluster the full corpus) and then BROADCAST as a numpy
+constant inside one Arrow-batched assignment UDF, so indexing is one
+linear pass, searching shuffles only on centroid id, and the quadratic
+work is confined to (query × posting-list) within a bucket. Recall is
+tunable with ``nprobe``; measure with :func:`ivf_recall`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    max_train_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """(k, dim) k-means centroids trained on a bounded sample.
+
+    Uses pyspark.ml KMeans with a fixed seed — deterministic for a given
+    input. ``max_train_rows`` caps the training set (limit, not full-scan
+    sample, so the bound is strict); the fit is the only non-streaming
+    step and its input is O(max_train_rows) regardless of corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col)).alias("features")).limit(
+        max_train_rows
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+    return np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, centroid) posting-list assignments: the ``nprobe`` nearest
+    centroids by L2 distance, via one numpy matmul per Arrow batch
+    (same vectorization rationale as lsh_bucket_assignments)."""
+    cents = np.ascontiguousarray(centroids.astype(np.float64))
+    cent_sq = (cents**2).sum(axis=1)  # ‖c‖² term of ‖v−c‖²
+    nprobe = min(nprobe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def _nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        # argmin ‖v−c‖² = argmin ‖c‖² − 2·v·c  (‖v‖² constant per row)
+        dist = cent_sq[None, :] - 2.0 * (mat @ cents.T)
+        idx = np.argsort(dist, axis=1)[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return df.select(
+        F.col(id_col), F.explode(_nearest(F.col(vec_col))).alias("centroid")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: queries probe their ``nprobe``
+    nearest posting lists; exact cosine + window top-k within the probed
+    lists only. Output schema matches similarity.cosine_topk
+    (qid, nid, cosine, rank) so the exact/IVF paths are drop-in swaps."""
+    v_assign = ivf_assignments(vectors, id_col, vec_col, centroids, nprobe=1)
+    q_assign = ivf_assignments(queries, id_col, vec_col, centroids, nprobe=nprobe)
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")).join(
+        v_assign.select(F.col(id_col).alias("nid"), "centroid"), "nid"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).join(
+        q_assign.select(F.col(id_col).alias("qid"), "centroid"), "qid"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round(F.col("cos"), 3).alias("cosine"), "rank")
+    )
+
+
+def ivf_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    k: int = 5,
+) -> float:
+    """Fraction of the exact top-k neighbor pairs the IVF search recovers
+    (run on bounded inputs — the exact side is brute force)."""
+    from .similarity import cosine_topk
+
+    exact = cosine_topk(vectors, queries, id_col, vec_col, k=k).select("qid", "nid")
+    approx = ivf_topk(
+        vectors, queries, id_col, vec_col, centroids, nprobe=nprobe, k=k
+    ).select("qid", "nid")
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 1.0
+    return exact.join(approx, ["qid", "nid"], "left_semi").count() / n_exact

@@ -136,6 +136,20 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+@query("q_ann_ivf_topk")  # k-means buckets, recall<1 → rows-only
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5 neighbors for 10 query vectors: sample-fit
+    k-means centroids (broadcast), nprobe=2 posting-list search, exact
+    cosine inside probed lists only (operators/ivf.py — the second ANN
+    scale path beside hyperplane LSH)."""
+    from ..operators.ivf import ivf_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb, "embedding", k=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, "vec_id", "embedding", centroids, nprobe=2, k=5)
+
+
 @query("q_ann_lsh_pairs")  # recall<1 by construction → rows-only
 def q_ann_lsh_pairs(spark, sf_dir):
     """Scale-path ANN: banded multi-table hyperplane LSH (8 tables × 8

@@ -1,0 +1,84 @@
+"""Physical-plan audits: the 100 TB posture as regression tests.
+
+Correct answers are necessary but not sufficient — these tests pin the
+PLAN SHAPE: broadcast joins where a dimension is bounded (a silent flip
+to sort-merge is a full-cluster shuffle at scale), filter pushdown and
+column pruning reaching the parquet scan, and shuffle counts that match
+the operator's design notes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from legislative_bills_database_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_pivot_count", "q_semi_join", "q_lookup_join", "q_fallback_join",
+     "q_derived_key_join", "q_pipeline_legislator_counts"],
+)
+def test_bounded_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q_equality_filter")
+    assert "o_orderstatus" in plan and "1-URGENT" in plan
+    # pushed into the scan, not a post-scan Filter-only plan
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderstatus" in l for l in scan_lines)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q_text_stats touches only (doc_id, text) — the scan must not read
+    lang/source/n_chars."""
+    plan = _plan(spark, "q_text_stats")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "doc_id" in scan and "text" in scan
+    assert "n_chars" not in scan and "lang" not in scan
+
+
+def test_keyword_search_pipeline_is_shuffle_free(spark):
+    """search_all_bills core: one scan, OR-filter folded into it, ZERO
+    exchanges (SURVEY §3.2: 'single stage, no shuffle')."""
+    plan = _plan(spark, "q_pipeline_keyword_search")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Contains(text" in plan  # filter folded into the scan stage
+
+
+def test_pivot_is_two_phase_hash_agg(spark):
+    """Pivot = two hash aggregates ((group,pivot) then group) — partial
+    map-side aggregation on both, and never a sort-based fallback."""
+    plan = _plan(spark, "q_pivot_count")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortAggregate" not in plan
+
+
+def test_near_dedup_has_no_cross_join(spark):
+    """MinHash LSH candidates come from a bucket equi-join — any
+    nested-loop/cartesian product here is the O(n²) scale killer."""
+    plan = _plan(spark, "q_near_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_has_no_cross_join(spark):
+    plan = _plan(spark, "q_ann_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "q_exact_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
