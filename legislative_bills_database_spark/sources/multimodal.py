@@ -70,3 +70,69 @@ def fake_image_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage: (doc_id, payload) → (doc_id, width, height,
+    payload) — 1→1 mapInPandas, bytes never leave the executor.
+
+    DETERMINISTIC FAKE resize (PIL absent in this container): the output
+    payload is a content-derived stand-in sized width·height·3 — the real
+    deployment swaps ``_fake_resize`` for PIL's ``Image.resize`` with the
+    identical plumbing (schema, batching, partitioning).
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        digest = hashlib.sha256(payload).digest()
+        need = width * height * 3
+        return (digest * (need // len(digest) + 1))[:need]
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [_fake_resize(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(stage, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    payloads: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling stage: one binary video payload → N frame
+    rows (doc_id, frame_idx, ts_ms, frame) — the 1→N mapInPandas shape
+    (row amplification happens AFTER the scan, inside executors, so a
+    100 TB video corpus never materializes frames in storage).
+
+    DETERMINISTIC FAKE decoder (ffmpeg absent): frame count derives from
+    payload length, frame bytes from a per-index sha256 — real plumbing,
+    stubbed codec, same contract as a real extractor.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = min(max_frames, max(1, len(data) // 64))
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append(
+                        hashlib.sha256(data + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(stage, FRAME_SCHEMA)

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schema/batch contracts of the decode,
+resize, and frame-sample mapInPandas stages (decoders are deterministic
+fakes — the container has no PIL/ffmpeg — the Spark-side plumbing is
+what's under test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.sources.multimodal import (
+    FEATURE_DIM,
+    fake_image_features,
+    resize_images,
+    sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _payloads(spark, n=20):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(n)
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.col("n_chars").cast("long").alias("size_hint"),
+        ).alias("meta"),
+    )
+
+
+def test_feature_extraction_contract(spark):
+    out = fake_image_features(_payloads(spark))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+
+
+def test_resize_contract(spark):
+    out = resize_images(_payloads(spark).select("doc_id", "payload"), 4, 3)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(bytes(r["payload"])) == 4 * 3 * 3 for r in rows)
+    assert all((r["width"], r["height"]) == (4, 3) for r in rows)
+
+
+def test_frame_sample_one_to_many(spark):
+    src = _payloads(spark, n=5).select("doc_id", "payload")
+    out = sample_frames(src, every_ms=500, max_frames=4)
+    rows = out.collect()
+    assert len(rows) > 5  # 1→N amplification happened
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    for frames in per_doc.values():
+        assert len(frames) <= 4
+        assert sorted(frames) == [(i, i * 500) for i in range(len(frames))]
+    # determinism: same input → same frame bytes
+    again = sample_frames(src, every_ms=500, max_frames=4).collect()
+    assert sorted(bytes(r["frame"]) for r in rows) == sorted(
+        bytes(r["frame"]) for r in again
+    )
