@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # composed pipeline queries) inside the driver-checked window.
 _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
+    "q_regexp_replace",  # regexp_replace exercised by q_pipeline_keyword_search
     "q_projection_rename",
     "q_drop_columns",
     "q_equality_filter",

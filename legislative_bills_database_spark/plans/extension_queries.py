@@ -242,6 +242,20 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.fingerprint(F.col("text"), 5).alias("fingerprint"))
 
 
+@query(
+    "q_salted_count",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def q_salted_count(spark, sf_dir):
+    """Skew-mitigated two-phase salted count (operators/skew.py): the hot
+    key is split across 16 salt partitions pre-aggregation, then merged —
+    verified IDENTICAL to the plain GROUP BY oracle."""
+    from ..operators.skew import salted_count
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count(events, ["event_type"], n_salts=16)
+
+
 # ---------------------------------------------------------------------------
 # Approximate / events / multimodal
 # ---------------------------------------------------------------------------

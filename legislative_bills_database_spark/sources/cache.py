@@ -34,6 +34,33 @@ def memo_parquet(
     return spark.read.parquet(path)
 
 
+def stage_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+) -> DataFrame:
+    """Stage a table bucketed (and sorted) by its join/group key.
+
+    Two tables bucketed the same way on the same key equi-join WITHOUT
+    any Exchange — the co-located join that matters most at 100 TB, where
+    re-shuffling the fact table per query is the dominant cost. The
+    staging write pays the shuffle once; every downstream join reuses the
+    layout (verified by plan assertion in tests/test_bucketing.py).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
 def new_against_manifest(
     candidates: DataFrame,
     manifest: DataFrame,
