@@ -37,10 +37,14 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_cosine_topk",
     "q_ann_lsh_pairs",
+    "q_ann_ivf_topk",
     "q_text_stats",
     "q_quality_score",
     "q_sessionize",
     "q_tumbling_window_batch",
+    "q_salted_count",
+    "q_pipeline_legislator_counts",
+    "q_pipeline_keyword_search",
 ]
 
 

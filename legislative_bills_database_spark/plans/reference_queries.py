@@ -508,6 +508,27 @@ def q_csv_sink(spark, sf_dir):
     return out
 
 
+@query(
+    "q_base64_roundtrip",
+    "SELECT doc_id, base64(encode(text)) AS b64,"
+    " (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok"
+    " FROM documents",
+)
+def q_base64_roundtrip(spark, sf_dir):
+    """base64 → binary decode (legiscan_data_pull.R:61; legiscan_main.R:175)
+    as expressions: encode → base64 → unbase64 → decode roundtrip.
+    Spark's base64 MIME-chunks long output with CRLF every 76 chars while
+    DuckDB emits one line — the compared column strips the line breaks
+    (content identical); unbase64 consumes the chunked form directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode("text", "utf-8"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(b64, "\r\n", "").alias("b64"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 sorts / dedup / array position
 # ---------------------------------------------------------------------------

@@ -152,6 +152,31 @@ def read_bills(
     )
 
 
+def stage_document_model(
+    spark: SparkSession,
+    data_root: str,
+    staging_dir: str,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(bills, people) from parquet staging, built from the JSON tree on
+    first use (sources.cache.memo_parquet).
+
+    This is the 100 TB entry point: the JSON tree (millions of small
+    files) is read ONCE, landed as columnar parquet with footer stats,
+    and every query thereafter scans the staging tables — the engine twin
+    of the reference's RDS memo-cache (legiscan_data_pull.R:17-35) minus
+    its stale-path bug."""
+    from .cache import memo_parquet
+
+    bills = memo_parquet(
+        spark, f"{staging_dir}/bills", lambda: read_bills(spark, data_root), force
+    )
+    people = memo_parquet(
+        spark, f"{staging_dir}/people", lambda: read_people(spark, data_root), force
+    )
+    return bills, people
+
+
 def read_people(
     spark: SparkSession,
     data_root: str,

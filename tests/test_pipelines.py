@@ -205,6 +205,35 @@ def test_budget_bill_pipeline_relational_core(spark, data_root):
     assert {r["doc_id"] for r in rows} == {23}  # LAST texts entry
 
 
+def test_legislator_counts_golden_csv(spark, data_root, tmp_path):
+    """Full run to a golden CSV (SURVEY §5 item 3): tree → staging
+    parquet → pipeline → run-id CSV, byte-compared."""
+    import glob
+    from pathlib import Path
+
+    from legislative_bills_database_spark.sources.documents import (
+        stage_document_model,
+    )
+    from legislative_bills_database_spark.sources.sinks import write_csv_report
+
+    bills, people = stage_document_model(
+        spark, data_root, str(tmp_path / "staging")
+    )
+    counts, _ = legislator_bill_counts(bills, people, SESSIONS)
+    path = write_csv_report(
+        counts.orderBy("Name"), str(tmp_path), "all_legislators", run_id="RID"
+    )
+    got = Path(glob.glob(f"{path}/part-*.csv")[0]).read_text()
+    golden = (
+        "Chamber,Name,District,2021-2022 Regular Session,"
+        "2023-2024 Regular Session,Total,Years in Data,Bills per Year\n"
+        "Asm,Alice,AD-09,0,2,2,2,1.0\n"
+        "Sen,Bill Dodd,SD-03,1,1,2,4,0.5\n"
+        "Asm,Bob,AD-11,1,1,2,4,0.5\n"
+    )
+    assert got == golden
+
+
 def test_search_html_reports(spark):
     html_docs = spark.createDataFrame(
         [
