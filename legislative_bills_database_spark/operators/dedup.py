@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, l2_norm
 
 
 def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
@@ -234,9 +234,19 @@ def embedding_neardup_pairs(
                 f"exceeds max_rows={max_rows}. Use similarity.lsh_bucketed_pairs "
                 f"for large inputs, or raise max_rows explicitly."
             )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # norms are computed ONCE per row before the pair join — inside the
+    # join each of the O(n²) pairs costs one dot product, not three folds
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, l2_norm
 
 
 def ivf_centroids(
@@ -30,6 +30,7 @@ def ivf_centroids(
     k: int = 16,
     max_train_rows: int = 10_000,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> np.ndarray:
     """(k, dim) k-means centroids trained on a bounded sample.
 
@@ -44,7 +45,9 @@ def ivf_centroids(
     train = df.select(array_to_vector(F.col(vec_col)).alias("features")).limit(
         max_train_rows
     )
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+    # posting-list quality saturates after a few iterations — bucketing
+    # only needs approximate centroids, not converged ones
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     return np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
 
@@ -90,17 +93,23 @@ def ivf_topk(
     (qid, nid, cosine, rank) so the exact/IVF paths are drop-in swaps."""
     v_assign = ivf_assignments(vectors, id_col, vec_col, centroids, nprobe=1)
     q_assign = ivf_assignments(queries, id_col, vec_col, centroids, nprobe=nprobe)
-    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")).join(
-        v_assign.select(F.col(id_col).alias("nid"), "centroid"), "nid"
-    )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).join(
-        q_assign.select(F.col(id_col).alias("qid"), "centroid"), "qid"
-    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("__nn"),
+    ).join(v_assign.select(F.col(id_col).alias("nid"), "centroid"), "nid")
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).join(q_assign.select(F.col(id_col).alias("qid"), "centroid"), "qid")
     scored = (
         F.broadcast(q)
         .join(v, "centroid")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

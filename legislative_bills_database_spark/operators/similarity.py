@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import dot, l2_norm
 
 
 def cosine_topk(
@@ -33,13 +33,25 @@ def cosine_topk(
     per-query window top-k, no shuffle of the big side beyond the window.
     Deterministic tie-break: (cosine desc, neighbor id asc).
     """
+    # per-side norms precomputed: each of the |q|×|n| pairs costs one dot
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    n = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    n = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("__nn"),
+    )
     scored = (
         q.join(n, F.col("qid") != F.col("nid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -155,12 +167,22 @@ def lsh_bucketed_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+        )
         .filter(F.col("cos") >= min_cosine)
         .select("id_a", "id_b", F.round(F.col("cos"), 3).alias("cosine"))
     )
