@@ -88,31 +88,34 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                "bhash"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_cols)).alias("__band"),
-    ).select(
+    # Signatures as one array column: the banded bucket join below carries
+    # ONLY (id, band, bhash) — the 16 minhash values do not travel through
+    # the explode/shuffle; they re-join per candidate id afterwards.
+    sig = sig.select(
         F.col(id_col),
-        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    slim = sig.select(
+        F.col(id_col),
         F.col("__band.band").alias("band"),
         F.col("__band.bhash").alias("bhash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    pairs = (
+    sigs_only = sig.select(F.col(id_col), "__sig").dropDuplicates([id_col])
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -122,12 +125,27 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs_only.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sigs_only.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             (agree.cast("double") / num_hashes).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

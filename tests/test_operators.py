@@ -87,6 +87,37 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1
 
 
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """max_doc_freq removes join-side hot shingles: candidate pairs that
+    share ONLY a hot shingle disappear; surviving pairs under-count by
+    exactly the dropped shingles (documented semantics)."""
+    from legislative_bills_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dog"),
+            (2, "the quick brown fox jumps over dog"),
+            (3, "the quick brown cat sleeps on mat"),
+            (4, "completely different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert exact == {(1, 2): 1.0, (1, 3): 0.1111, (2, 3): 0.1111}
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_doc_freq=2
+        ).collect()
+    }
+    # 'the quick brown' (df=3) dropped → 1–3/2–3 vanish; 1–2 under-counts
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] < 1.0
+
+
 def test_lsh_recall_measured(spark):
     """Banded multi-table LSH recall vs the exact baseline on sf0.001.
 
