@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # spill-aware split sizing: scan partitions stay ~128 MB so a
+        # 100 TB table fans out to ~800k well-sized tasks rather than
+        # fewer oversized ones that spill; override per-deployment
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         # fixture events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's
         # reader; read as long nanos, io.load_table converts to µs timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -13,3 +13,4 @@ from .events import (  # noqa: F401
     stream_events_from_files,
     tumbling_counts,
 )
+from .stateful import running_user_totals  # noqa: F401

@@ -86,6 +86,36 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 50
 
 
+def test_stateful_running_totals_match_batch(spark, events_json_dir):
+    """applyInPandasWithState running totals: after consuming the whole
+    (bounded) stream, the final per-user state equals the batch aggregate."""
+    from legislative_bills_database_spark.streaming import running_user_totals
+
+    stream = stream_events_from_files(spark, events_json_dir)
+    got = _run_available_now(
+        running_user_totals(stream), "t_running", "update"
+    )
+    # update mode emits one row per user per micro-batch — keep the last
+    final = (
+        got.withColumn("__idx", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by("n_events", "__idx").alias("n_events"),
+             F.max_by("total_value", "__idx").alias("total_value"))
+    )
+    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+         for r in final.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+         for r in batch.collect()}
+    assert set(g) == set(b)
+    assert all(g[k][0] == b[k][0] for k in b)
+    # float accumulation order differs batch vs incremental → tolerance
+    assert all(abs(g[k][1] - b[k][1]) < 1e-6 for k in b)
+
+
 def test_session_window_agrees_with_batch_sessionize(spark, events_json_dir):
     """session_window session count per user == the batch lag/cumsum
     sessionizer's (same 30-minute gap)."""
