@@ -10,11 +10,16 @@ Each composes the operator layer over the JSON document model:
   PDF-sourced bill lists and HTML bill texts (legiscan_main.R:65-237).
 """
 
-from .legislator_bill_counts import legislator_bill_counts  # noqa: F401
-from .search_all_bills import search_all_bills  # noqa: F401
+from .legislator_bill_counts import (  # noqa: F401
+    legislator_bill_counts,
+    run_legislator_bill_counts,
+)
+from .search_all_bills import run_search_all_bills, search_all_bills  # noqa: F401
 from .budget_bill_search import (  # noqa: F401
     budget_bill_numbers,
     budget_bills_with_data,
     chaptered_doc_ids,
+    fetch_chaptered_html,
+    run_budget_bill_search,
     search_html_reports,
 )

@@ -19,7 +19,9 @@ Re-expresses /root/reference/src/legiscan_main.R:65-237 in stages:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import session_label_for_year
@@ -70,6 +72,67 @@ def chaptered_doc_ids(bills_joined: DataFrame) -> DataFrame:
         "bill",
         "doc_key",
         F.element_at(F.col("texts.doc_id"), -1).alias("doc_id"),
+    )
+
+
+def fetch_chaptered_html(client, chaptered: DataFrame, dest_dir: str) -> int:
+    """Driver-side ingestion of chaptered bill texts (legiscan_main.R:163-175):
+    getBillText per doc_id → base64-decoded HTML → '<year>_<BILLNO>.html',
+    skipping files already on disk (the reference's don't-over-tax guard).
+
+    The chaptered-budget-bill list is BOUNDED (dozens per year) by
+    construction, so collecting (year, doc_key, doc_id) to the driver is a
+    metadata transfer, not a data-scan collect — same posture as the REST
+    client itself. Returns the number of files written.
+    """
+    from ..sources.rest import fetch_bill_text_html
+
+    dest = Path(dest_dir)
+    dest.mkdir(parents=True, exist_ok=True)
+    written = 0
+    for row in chaptered.select("year", "doc_key", "doc_id").collect():
+        target = dest / f"{row['year']}_{row['doc_key']}.html"
+        if target.exists():
+            continue
+        target.write_bytes(fetch_bill_text_html(client, row["doc_id"]))
+        written += 1
+    return written
+
+
+def run_budget_bill_search(
+    spark: SparkSession,
+    client,
+    bills: DataFrame,
+    pdf_lines: DataFrame,
+    downloads_dir: str,
+    out_dir: str,
+    terms: list[str],
+    run_id: str | None = None,
+) -> str:
+    """The whole legiscan_main.R flow (:65-237) as one call: budget-bill
+    numbers from PDF lines → parity session lookup → chaptered doc ids →
+    driver-side HTML fetch (skip-if-exists) → full-text term search →
+    ONE partitioned CSV write (the reference's per-term CSV loop as a
+    single distributed write). Returns the report path."""
+    from ..sources.extract import read_html_docs
+    from ..sources.sinks import write_csv_report
+
+    numbers = budget_bill_numbers(pdf_lines)
+    joined = budget_bills_with_data(numbers, bills)
+    chaptered = chaptered_doc_ids(joined)
+    fetch_chaptered_html(client, chaptered, downloads_dir)
+    # the search scans whatever the downloads dir holds (the reference's
+    # list.files at legiscan_main.R:196-199 — prior runs' files included);
+    # a fresh dir with zero chaptered bills yields an empty report, not a
+    # PATH_NOT_FOUND from the binaryFile source
+    if any(Path(downloads_dir).glob("*.html")):
+        html_docs = read_html_docs(spark, f"{downloads_dir}/*.html")
+    else:
+        html_docs = spark.createDataFrame([], "path string, text string")
+    report = search_html_reports(html_docs, terms)
+    return write_csv_report(
+        report, out_dir, "budget_bill_search", run_id=run_id,
+        single_file=False, partition_by=["term"],
     )
 
 

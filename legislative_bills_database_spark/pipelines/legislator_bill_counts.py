@@ -24,6 +24,52 @@ from ..operators.aggregates import pivot_count
 from ..operators.dedup import keep_latest
 
 
+def run_legislator_bill_counts(
+    spark,
+    data_root: str,
+    out_dir: str,
+    sessions: list[str] | None = None,
+    all_bills: bool = True,
+    special_people_id: int | None = 16285,
+    run_id: str | None = None,
+) -> tuple[str, str | None]:
+    """The whole legislator_bill_counts_run.R flow (:51-157) as one call:
+    session catalog → JSON document model → counts pipeline → two run-id
+    CSVs ('all_legislators' + the special side table). ``sessions`` None
+    derives the list from the data_root directory names matching
+    '^[0-9]{4}' — the reference's list.files catalog (:54), a metadata
+    operation. Returns (counts_path, special_path)."""
+    import re
+    from pathlib import Path
+
+    from ..sources.documents import read_bills, read_people
+    from ..sources.sinks import new_run_id, write_csv_report
+
+    if sessions is None:
+        sessions = sorted(
+            p.name
+            for p in Path(data_root).iterdir()
+            if p.is_dir() and re.match(r"^[0-9]{4}", p.name)
+        )
+    bills = read_bills(spark, data_root, sessions)
+    people = read_people(spark, data_root, sessions)
+    counts, special = legislator_bill_counts(
+        bills, people, sessions, all_bills, special_people_id
+    )
+    run_id = run_id or new_run_id()
+    counts_path = write_csv_report(
+        counts.orderBy("Name"), out_dir,
+        f"all_bills_{all_bills}_all_legislators", run_id=run_id,
+    )
+    special_path = None
+    if special is not None:
+        special_path = write_csv_report(
+            special.orderBy("session", "bill"), out_dir,
+            f"all_bills_{all_bills}_special_bills", run_id=run_id,
+        )
+    return counts_path, special_path
+
+
 def resolve_sponsors(bills: DataFrame, legislator_ids: DataFrame) -> DataFrame:
     """(bill, matched legislator) pairs per the reference's two-step rule
     (legislator_bill_counts_run.R:114-122):

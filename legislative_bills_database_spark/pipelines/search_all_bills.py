@@ -19,6 +19,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def run_search_all_bills(
+    spark,
+    data_root: str,
+    out_dir: str,
+    terms: list[str],
+    session_years: list[int],
+    save_name: str = "search",
+    run_id: str | None = None,
+) -> str:
+    """The whole legiscan_search_all_bills.R flow (:48-99) as one call:
+    configured sessions (start years, odd) → partition-pruned document
+    read → multi-term search → run-id CSV. Returns the report path."""
+    from ..sources.documents import read_bills, session_title
+    from ..sources.sinks import write_csv_report
+
+    sessions = [session_title(y) for y in session_years]
+    bills = read_bills(spark, data_root, sessions)
+    result = search_all_bills(bills, terms)
+    return write_csv_report(
+        result.orderBy("session", "bill_number"), out_dir, save_name, run_id=run_id
+    )
+
+
 def search_all_bills(bills: DataFrame, terms: list[str]) -> DataFrame:
     """Bills whose title OR description contains ANY term.
 
