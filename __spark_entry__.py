@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
     "q_regexp_replace",  # regexp_replace exercised by q_pipeline_keyword_search
+    "q_regexp_extract",  # regexp_extract exercised by q_dir_catalog
+    "q_year_extract",  # year() exercised by the pivot/session family
     "q_array_first",  # same collect_list+element_at plan as q_array_last
     "q_projection_rename",
     "q_drop_columns",

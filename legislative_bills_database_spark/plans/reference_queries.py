@@ -508,6 +508,61 @@ def q_csv_sink(spark, sf_dir):
     return out
 
 
+_PDF_LINES = [
+    "AB 128  Budget Act of 2021",
+    "SB 129  Budget Act of 2021",
+    "Committee on Budget and Fiscal Review",
+]
+
+
+@query(
+    "q_pdf_text_source",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{ln}')" for ln in _PDF_LINES)
+    + ") AS t(line)",
+)
+def q_pdf_text_source(spark, sf_dir):
+    """PDF text source (legiscan_main.R:84-87): a deterministic fixture
+    PDF is written to a temp dir, scanned via the binaryFile source,
+    extracted by the pandas UDF and exploded to lines — the full
+    distributed extraction path, hash-verified against the known content."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.extract import make_simple_pdf, read_pdf_lines
+
+    d = tempfile.mkdtemp(prefix="lbd_pdf_")
+    Path(d, "2021_Budget_Bills.pdf").write_bytes(make_simple_pdf(_PDF_LINES))
+    return read_pdf_lines(spark, f"{d}/*.pdf").filter(
+        F.col("line") != ""
+    ).select("line")
+
+
+_HTML_DOC = (
+    "<html><head><style>p{x}</style></head><body>"
+    "<p>Budget &amp; Housing appropriations</p>"
+    "<script>ignored()</script></body></html>"
+)
+
+
+@query(
+    "q_html_text_source",
+    "SELECT 'Budget & Housing appropriations' AS text",
+)
+def q_html_text_source(spark, sf_dir):
+    """HTML text source (legiscan_main.R:212): markup stripped, entities
+    decoded, script/style dropped — binaryFile scan + pandas-UDF
+    extraction, hash-verified against the known text content."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.extract import read_html_docs
+
+    d = tempfile.mkdtemp(prefix="lbd_html_")
+    Path(d, "2021_AB128.html").write_text(_HTML_DOC)
+    return read_html_docs(spark, f"{d}/*.html").select("text")
+
+
 @query(
     "q_base64_roundtrip",
     "SELECT doc_id, base64(encode(text)) AS b64,"

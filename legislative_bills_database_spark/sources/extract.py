@@ -136,6 +136,40 @@ def _fallback_pdf_text(payload: bytes) -> str:
     return b"".join(chunks).decode("latin-1", errors="replace")
 
 
+def make_simple_pdf(lines: list[str]) -> bytes:
+    """Minimal single-page uncompressed-text PDF (one Tj per line).
+
+    Fixture builder for tests and the q_pdf_text_source self-check — a
+    standard PDF skeleton (catalog → pages → page → content stream) with
+    one show-text operator per line, parseable by any reader including
+    the fallback extractor above.
+    """
+    content = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
+        b"(" + ln.encode("latin-1") + b") Tj 0 -14 Td" for ln in lines
+    ) + b" ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, 1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + obj + b"\nendobj\n")
+    xref = out.tell()
+    out.write(f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode())
+    for off in offsets:
+        out.write(f"{off:010d} 00000 n \n".encode())
+    out.write(
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref}\n%%EOF".encode()
+    )
+    return out.getvalue()
+
+
 def pdf_to_text(payload: bytes) -> str:
     """Whole-document text: pypdf when present, built-in fallback otherwise."""
     if pypdf is not None:

@@ -158,32 +158,7 @@ def test_read_html_docs(spark, tmp_path):
     assert len(out) == 1 and "Budget & Housing" in out[0]["text"]
 
 
-def _make_pdf(lines: list[str]) -> bytes:
-    """Minimal single-page uncompressed-text PDF (one Tj per line)."""
-    content = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
-        b"(" + ln.encode("latin-1") + b") Tj 0 -14 Td" for ln in lines
-    ) + b" ET"
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
-        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
-        + content + b"\nendstream",
-    ]
-    out = io.BytesIO()
-    out.write(b"%PDF-1.4\n")
-    offsets = []
-    for i, obj in enumerate(objs, 1):
-        offsets.append(out.tell())
-        out.write(f"{i} 0 obj\n".encode() + obj + b"\nendobj\n")
-    xref = out.tell()
-    out.write(f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode())
-    for off in offsets:
-        out.write(f"{off:010d} 00000 n \n".encode())
-    out.write(
-        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\nstartxref\n{xref}\n%%EOF".encode()
-    )
-    return out.getvalue()
+from legislative_bills_database_spark.sources.extract import make_simple_pdf as _make_pdf
 
 
 def test_pdf_to_text_fallback():
