@@ -46,6 +46,8 @@ _DEFER_LAST = [
     "q_regexp_extract",  # regexp_extract exercised by q_dir_catalog
     "q_year_extract",  # year() exercised by the pivot/session family
     "q_array_first",  # same collect_list+element_at plan as q_array_last
+    "q_boolean_mask_filter",  # boolean filter logic covered by the filter family
+    "q_literal_table",  # VALUES tables exercised by q_derived_key_join/q_range_join
     "q_projection_rename",
     "q_drop_columns",
     "q_equality_filter",

@@ -243,6 +243,60 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 @query(
+    "q_asof_join",
+    """
+    WITH r AS (SELECT user_id, ts, max(value) AS rate FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         l AS (SELECT * FROM events WHERE event_type <> 'purchase')
+    SELECT l.event_id, r.rate AS asof_rate
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each non-purchase event picks
+    up the most recent prior purchase value for its user — union + one
+    window per key (single shuffle), verified against DuckDB's native
+    ASOF JOIN."""
+    from ..operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rate"))
+    )
+    left = events.filter(F.col("event_type") != "purchase")
+    return asof_join(left, right, "user_id", value_cols=["rate"]).select(
+        "event_id", F.col("asof_rate")
+    )
+
+
+_TIERS = [(0.0, 100.0, "t0"), (100.0, 200.0, "t1"), (200.0, 300.0, "t2"),
+          (300.0, 400.0, "t3"), (400.0, 500.0, "t4")]
+
+
+@query(
+    "q_range_join",
+    "WITH tiers(lo, hi, tier) AS (VALUES "
+    + ", ".join(f"({lo}, {hi}, '{t}')" for lo, hi, t in _TIERS)
+    + ") SELECT event_id, tier FROM events JOIN tiers"
+    " ON value >= lo AND value < hi",
+)
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join (operators/temporal.py): events
+    bucketed into value tiers via derived-bucket equi-join — a hash join
+    instead of the nested-loop BETWEEN theta join, verified against the
+    exact theta-join oracle."""
+    from ..operators.temporal import range_join_fixed_buckets
+
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "lo double, hi double, tier string")
+    return range_join_fixed_buckets(
+        events, tiers, "value", "lo", "hi", bucket_width=100.0
+    ).select("event_id", "tier")
+
+
+@query(
     "q_salted_count",
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
 )
