@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # composed pipeline queries) inside the driver-checked window.
 _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
+    "q_union_all",  # unionByName exercised inside asof_join / pipelines
     "q_regexp_replace",  # regexp_replace exercised by q_pipeline_keyword_search
     "q_regexp_extract",  # regexp_extract exercised by q_dir_catalog
     "q_year_extract",  # year() exercised by the pivot/session family

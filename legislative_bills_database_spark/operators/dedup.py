@@ -225,6 +225,79 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return per_bit.select(F.col(id_col), assembled.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) labels from near-duplicate pairs — iterative
+    min-label propagation (each node ends with the smallest id reachable
+    from it). The step is one join + one aggregate, all distributed; the
+    DRIVER only runs the loop and a per-iteration convergence count —
+    O(log n) iterations for typical near-dup clusters (tiny diameters).
+
+    ``pairs``: (id_a, id_b) undirected edges; ``ids``: one ``id_col``
+    column with every node (isolated docs keep their own label).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias(id_col), "component")
+    finally:
+        edges.unpersist()
+
+
+def dedup_by_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level near-dup removal: keep ONE representative (the lowest
+    id) per connected component of the near-duplicate pair graph — the
+    step that turns pair detection into an actual deduplicated training
+    corpus."""
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    keep = comps.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -15,6 +15,7 @@ from ..functions import text as T
 from ..functions.vectors import sql_cosine
 from ..io import load_table
 from ..operators.dedup import (
+    dedup_by_near_duplicates,  # noqa: F401  (re-export for pipelines)
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -51,6 +52,23 @@ def q_near_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.3
+    )
+
+
+@query("q_near_dedup_corpus")  # LSH pairs + iterative CC → rows-only
+def q_near_dedup_corpus(spark, sf_dir):
+    """End-to-end near-dup removal: MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → keep the lowest-id
+    representative per cluster — the full pairs-to-clean-corpus step of
+    a training-data pipeline (operators/dedup.py)."""
+    from ..operators.dedup import dedup_by_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.5
+    )
+    return dedup_by_near_duplicates(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 

@@ -87,6 +87,32 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1
 
 
+def test_connected_components_and_corpus_dedup(spark):
+    """Min-label propagation: chains collapse to the smallest id; isolated
+    nodes keep their own label; corpus dedup keeps one doc per cluster."""
+    from legislative_bills_database_spark.operators.dedup import (
+        connected_components,
+        dedup_by_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 9)], "doc_id long, text string"
+    )
+    # chain 1-2-3, pair 4-5, isolated 9
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, docs.select("doc_id")).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+    kept = {
+        r["doc_id"] for r in dedup_by_near_duplicates(docs, pairs).collect()
+    }
+    assert kept == {1, 4, 9}
+
+
 def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     """max_doc_freq removes join-side hot shingles: candidate pairs that
     share ONLY a hot shingle disappear; surviving pairs under-count by
