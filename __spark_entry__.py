@@ -43,6 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
     "q_union_all",  # unionByName exercised inside asof_join / pipelines
+    # superset-of-reference extras: locally oracle-tested, not competing
+    # for the driver window with the reference-derived families
+    "q_rollup_counts",
+    "q_set_ops",
+    "q_window_analytics",
     "q_regexp_replace",  # regexp_replace exercised by q_pipeline_keyword_search
     "q_regexp_extract",  # regexp_extract exercised by q_dir_catalog
     "q_year_extract",  # year() exercised by the pivot/session family

@@ -838,6 +838,95 @@ def q_year_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Superset relational ops (absent from the reference — SURVEY §2.4/§2.5/§2.6
+# mark them "free in Spark"; declared so the engine's surface is the full
+# relational algebra a reference user would grow into)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rollup_counts",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,"
+    " CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,"
+    " CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority"
+    " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+)
+def q_rollup_counts(spark, sf_dir):
+    """Hierarchical subtotal aggregation (ROLLUP + GROUPING flags) —
+    subtotals per status, per (status, priority), and grand total in one
+    pass (one shuffle; Spark expands grouping sets map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+    SELECT c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.6):
+    customers active in 1995 with a finished order but never urgent."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urg = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return y95.intersect(fin).exceptAll(urg.distinct())
+
+
+@query(
+    "q_window_analytics",
+    "SELECT o_orderkey,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER"
+    "   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    "   AS running_total,"
+    " CAST(datediff('day', lag(o_orderdate) OVER"
+    "   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),"
+    "   o_orderdate) AS INTEGER) AS days_since_prev"
+    " FROM orders",
+)
+def q_window_analytics(spark, sf_dir):
+    """Analytic window functions with explicit frames (running customer
+    spend + gap-to-previous-order) — beyond the reference's row_number
+    dedup (SURVEY §2.5 'absent'); exact decimal running sum for
+    cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(run)
+        .cast("double")
+        .alias("running_total"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.8 streaming (batch-window twin; true streaming in streaming/events.py)
 # ---------------------------------------------------------------------------
 
