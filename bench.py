@@ -43,6 +43,9 @@ HEADLINE = [
     "q_sessionize",
     "q_tumbling_window_batch",
     "q_salted_count",
+    "q_asof_join",
+    "q_range_join",
+    "q_near_dedup_corpus",
     "q_pipeline_legislator_counts",
     "q_pipeline_keyword_search",
 ]
