@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
     "q_union_all",  # unionByName exercised inside asof_join / pipelines
+    "q_sort_desc",  # total-order sort exercised by every window/top-k query
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

@@ -225,6 +225,74 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return per_bit.select(F.col(id_col), assembled.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Pigeonhole banding: two hashes within ``max_hamming`` bit flips must
+    agree EXACTLY on at least one of ``bands`` disjoint bit-bands whenever
+    ``max_hamming < bands`` — so candidates come from equi-joins on
+    (band, band_bits), never an all-pairs scan, and each candidate is
+    verified with one ``bit_count(xor)``. Same slim-join shape as the
+    MinHash path: only (id, band, key) travels through the bucket join.
+    Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, bits)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(
+        F.col(id_col), F.col("__b.band").alias("band"), F.col("__b.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,

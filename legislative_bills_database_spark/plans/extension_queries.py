@@ -79,6 +79,17 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "doc_id", "text")
 
 
+@query("q_simhash_pairs")  # xxhash64-based → rows-only
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded hamming-distance candidates with the
+    pigeonhole guarantee (hamming<bands ⇒ one band agrees exactly), one
+    bit_count(xor) verification per candidate (operators/dedup.py)."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
 _JACCARD_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS sh

@@ -87,6 +87,44 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1
 
 
+def test_simhash_pairs_banded_hamming(spark):
+    """Identical docs pair at hamming 0; unrelated docs don't pair; the
+    pigeonhole banding finds every pair an all-pairs scan would at the
+    same threshold."""
+    from legislative_bills_database_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about database engines and spark"),
+            (4, "another very different document concerning music theory"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert all(p == (1, 2) for p in pairs)  # no spurious pairs at <=3
+    # banding finds exactly the brute-force pairs at the same threshold
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert set(pairs) == brute
+    with _pytest.raises(ValueError, match="max_hamming < bands"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+
+
 def test_connected_components_and_corpus_dedup(spark):
     """Min-label propagation: chains collapse to the smallest id; isolated
     nodes keep their own label; corpus dedup keeps one doc per cluster."""
