@@ -44,6 +44,13 @@ _DEFER_LAST = [
     "q_ci_substring_filter",  # subsumed by q_pipeline_keyword_search's filter
     "q_union_all",  # unionByName exercised inside asof_join / pipelines
     "q_sort_desc",  # total-order sort exercised by every window/top-k query
+    # deferred in round 3 to make window room for q_ann_recall /
+    # q_neardup_precision / q_multimodal_{resize,frames} — each a
+    # single-expression variant of an operator already hash-checked:
+    "q_regex_filter",  # rlike filter: q_multiterm_or_filter is the composite
+    "q_split_explode",  # split+explode is the core of q_ngram_jaccard's plan
+    "q_conditional_expr",  # CASE WHEN exercised by q_fallback_join/q_quality_score
+    "q_array_last",  # same collect_list+element_at plan as q_special_case_collect
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

@@ -5,8 +5,11 @@ Prints exactly ONE JSON line on stdout:
    "queries": {"q_...": sec, ...}, "sf": <scale factor>}
 
 Everything else (Spark logs, progress) goes to stderr. Each query is
-materialized with .count() — full plan execution, no driver collect of
-row data. Run:  python bench.py
+materialized with count(hash(*)) — count() alone would let Catalyst
+column-prune projection-only plans down to a bare scan (the scored
+expressions of e.g. q_quality_score would never execute); hashing every
+output column forces full expression evaluation while still collecting
+only one row. Run:  python bench.py
 """
 
 from __future__ import annotations
@@ -63,10 +66,18 @@ def main() -> None:
     # timed query doesn't absorb session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
+        df = QUERIES[name](spark, SF_DIR)
+        # hash(*cols) defeats column pruning: every output expression must
+        # actually evaluate. hash() never returns NULL, so the count is
+        # still the exact row count.
+        n = df.agg(
+            F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
+        ).collect()[0]["n"]
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)

@@ -30,16 +30,30 @@ def pivot_count(
     runtime instead of being silently dropped — explicit values skip the
     discovery scan, but must not silently lose out-of-range rows. The check
     is embedded in the pivot expression itself so the optimizer can't prune
-    it away.
+    it away. A NULL pivot value gets its own dedicated error (``isin``
+    yields NULL for NULL input, which would otherwise fall into the
+    out-of-range branch with a NULL-concatenated message).
     """
     if strict:
-        checked = F.when(
-            F.col(pivot_col).isin(pivot_values), F.col(pivot_col)
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"pivot value of '{pivot_col}' outside declared values: "),
-                    F.col(pivot_col).cast("string"),
+        checked = (
+            F.when(
+                F.col(pivot_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"pivot value of '{pivot_col}' is NULL; strict pivot "
+                        f"refuses NULLs — filter them or pass strict=False"
+                    )
+                ),
+            )
+            .when(F.col(pivot_col).isin(pivot_values), F.col(pivot_col))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"pivot value of '{pivot_col}' outside declared values: "
+                        ),
+                        F.col(pivot_col).cast("string"),
+                    )
                 )
             )
         )

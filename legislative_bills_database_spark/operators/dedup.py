@@ -299,14 +299,27 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
 ) -> DataFrame:
-    """(id, component) labels from near-duplicate pairs — iterative
-    min-label propagation (each node ends with the smallest id reachable
-    from it). The step is one join + one aggregate, all distributed; the
-    DRIVER only runs the loop and a per-iteration convergence count —
-    O(log n) iterations for typical near-dup clusters (tiny diameters).
+    """(id, component) labels from near-duplicate pairs — min-label
+    propagation WITH pointer jumping (each round every node takes the
+    smallest label among itself and its neighbors, then shortcuts to its
+    label's label). Plain propagation converges in O(diameter) rounds —
+    a 50-doc near-dup chain would need 50; the label-of-label shortcut
+    halves remaining chain length every round, so convergence is
+    O(log diameter) and ``max_iter=20`` covers diameters up to ~2^20.
+
+    Scale posture: each round is two key-joins + one aggregate, all
+    distributed; the driver runs only the loop and a convergence count.
+    Labels are ``localCheckpoint``-ed every round so lineage is TRUNCATED
+    — without it each round layers join+agg plan on the last and a deep
+    corpus grows the plan tree unboundedly (planning time/stack, not
+    compute).
 
     ``pairs``: (id_a, id_b) undirected edges; ``ids``: one ``id_col``
     column with every node (isolated docs keep their own label).
+
+    Raises ``RuntimeError`` instead of returning silently-unconverged
+    labels (which would split one component and keep duplicate
+    "representatives" downstream) if ``max_iter`` rounds don't converge.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -318,7 +331,7 @@ def connected_components(
     )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).persist()
+    ).localCheckpoint(eager=True)
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -326,16 +339,29 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_component"))
             )
+            prop = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            # pointer jumping: component ← label(component). Labels only
+            # ever shrink (label(x) ≤ x), so the shortcut is monotone and
+            # every component value is itself a node id present in `prop`.
+            lut = prop.select(
+                F.col("node").alias("__ln"), F.col("component").alias("__lc")
+            )
             new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                prop.alias("p")
+                .join(lut, F.col("p.component") == F.col("__ln"), "left")
                 .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                    ).alias("component"),
+                    F.col("p.node").alias("node"),
+                    F.coalesce(F.col("__lc"), F.col("p.component")).alias(
+                        "component"
+                    ),
                 )
-                .persist()
+                .localCheckpoint(eager=True)  # truncate lineage each round
             )
             changed = (
                 new_labels.alias("n")
@@ -343,10 +369,15 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                f"{changed} labels still changing. Raise max_iter (pointer "
+                f"jumping needs ~log2(component diameter) rounds)."
+            )
         return labels.select(F.col("node").alias(id_col), "component")
     finally:
         edges.unpersist()

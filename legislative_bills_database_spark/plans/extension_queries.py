@@ -170,13 +170,95 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-5 neighbors for 10 query vectors: sample-fit
     k-means centroids (broadcast), nprobe=2 posting-list search, exact
     cosine inside probed lists only (operators/ivf.py — the second ANN
-    scale path beside hyperplane LSH)."""
-    from ..operators.ivf import ivf_centroids, ivf_topk
+    scale path beside hyperplane LSH). Centroids are memoized per
+    (sf_dir, params) — the index is fit once, not per query invocation."""
+    from ..operators.ivf import ivf_centroids_cached, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb, "embedding", k=16)
+    centroids = ivf_centroids_cached(emb, "embedding", (sf_dir, "full"), k=16)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, "vec_id", "embedding", centroids, nprobe=2, k=5)
+
+
+def _hit_stats(exact, approx, keys, method):
+    """One-row (method, n_exact, n_recovered, recall) from two pair sets —
+    a single left-join + aggregate, no driver-side counting."""
+    marked = approx.select(*keys).withColumn("__hit", F.lit(1))
+    return (
+        exact.select(*keys)
+        .join(marked, list(keys), "left")
+        .agg(
+            F.lit(method).alias("method"),
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_recovered"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0))
+                / F.greatest(F.count("*"), F.lit(1)),
+                3,
+            ).alias("recall"),
+        )
+    )
+
+
+@query("q_ann_recall")  # seeded LSH/IVF vs exact — recall engine-specific → rows-only
+def q_ann_recall(spark, sf_dir):
+    """ANN quality, driver-visible: recall of BOTH approximate paths
+    (hyperplane LSH pairs, IVF top-k) against their exact baselines on the
+    bounded embeddings slice. Fully deterministic (fixed hyperplane /
+    k-means seeds); one row per method — a regression in ANN quality shows
+    up as a changed value here instead of only in pytest
+    (operators/similarity.py:lsh_recall, operators/ivf.py:ivf_recall are
+    the float twins asserted ≥0.9 in tests)."""
+    from ..operators.ivf import ivf_centroids_cached, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    # the fixture's planted near-dup pairs live at cos ≈ 0.4; hyperplane
+    # collision probability per table is (1 − θ/π)^n_planes, so this
+    # regime needs the few-planes/many-tables operating point (4×16 →
+    # per-pair hit ≈ 1−(1−0.65⁴)^16 ≈ 0.95 at cos 0.45). At corpus scale
+    # raise n_planes AND n_tables together to keep buckets small.
+    exact_pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
+    lsh_pairs = lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=16,
+        min_cosine=0.4, bucket_cap=1000,
+    )
+    lsh_row = _hit_stats(exact_pairs, lsh_pairs, ("id_a", "id_b"), "lsh_pairs")
+
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact_topk = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    centroids = ivf_centroids_cached(emb, "embedding", (sf_dir, "lt500"), k=8)
+    approx_topk = ivf_topk(
+        emb, queries_df, "vec_id", "embedding", centroids, nprobe=4, k=5
+    )
+    ivf_row = _hit_stats(exact_topk, approx_topk, ("qid", "nid"), "ivf_topk")
+    return lsh_row.unionByName(ivf_row)
+
+
+@query("q_neardup_precision")  # xxhash64 MinHash est. → rows-only (self-validating)
+def q_neardup_precision(spark, sf_dir):
+    """Cross-validates the rows-only MinHash family against the EXACT
+    oracle-backed n-gram Jaccard operator: precision of MinHash-LSH
+    candidate pairs (est_jaccard ≥ 0.3) against exact 3-gram Jaccard
+    ≥ 0.2 on the doc_id<100 slice. One row (n_candidates, n_true,
+    precision) — deterministic, so a MinHash regression flips this value
+    in CORRECTNESS instead of hiding behind a rows-only count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    est = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.3
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, min_jaccard=0.2
+    ).select("doc_a", "doc_b")
+    truth = exact.withColumn("__true", F.lit(1))
+    return est.join(truth, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_candidates"),
+        F.coalesce(F.sum("__true"), F.lit(0)).alias("n_true"),
+        F.round(
+            F.coalesce(F.sum("__true"), F.lit(0))
+            / F.greatest(F.count("*"), F.lit(1)),
+            3,
+        ).alias("precision"),
+    )
 
 
 @query("q_ann_lsh_pairs")  # recall<1 by construction → rows-only
@@ -415,13 +497,11 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")  # pandas-UDF pipeline → rows-only
-def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode/feature-extract plumbing over binary payloads via
-    mapInPandas (decoder is a clearly-marked deterministic stub — image
-    libs aren't in this container; the Spark-side schema/batching is real)."""
+def _doc_payloads(spark, sf_dir):
+    """(doc_id, payload binary, meta struct) fixture: deterministic binary
+    payloads derived from document text — the multimodal input shape."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
+    return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.struct(
@@ -429,4 +509,64 @@ def q_multimodal_features(spark, sf_dir):
             F.col("n_chars").cast("long").alias("size_hint"),
         ).alias("meta"),
     )
-    return fake_image_features(payloads)
+
+
+@query("q_multimodal_features")  # pandas-UDF pipeline → rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing over binary payloads via
+    mapInPandas (decoder is a clearly-marked deterministic stub — image
+    libs aren't in this container; the Spark-side schema/batching is real).
+
+    Output is projected to driver-hashable scalars (the raw
+    ``array<double>`` features column breaks value-canonicalization
+    downstream): per-row feature digest + count instead of the array.
+    """
+    feats = fake_image_features(_doc_payloads(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.sha2(F.to_json(F.col("features")), 256).alias("feature_digest"),
+    )
+
+
+@query("q_multimodal_resize")  # pandas-UDF 1→1 stage → rows-only
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize stage plumbing (sources/multimodal.py:resize_images):
+    1→1 mapInPandas over binary payloads, deterministic fake resize
+    (PIL absent). Output projected to hashable scalars: resized payload
+    digest + byte count pin the stage's contract (width·height·3 bytes)."""
+    from ..sources.multimodal import resize_images
+
+    resized = resize_images(
+        _doc_payloads(spark, sf_dir).select("doc_id", "payload"),
+        width=16, height=16,
+    )
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_digest"),
+    )
+
+
+@query("q_multimodal_frames")  # pandas-UDF 1→N stage → rows-only
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling stage plumbing (sources/multimodal.py:
+    sample_frames): the 1→N row-amplification mapInPandas shape — frames
+    materialize inside executors AFTER the scan, never in storage. Output
+    projected to hashable scalars (frame digest per (doc_id, frame_idx))."""
+    from ..sources.multimodal import sample_frames
+
+    frames = sample_frames(
+        _doc_payloads(spark, sf_dir).select("doc_id", "payload"),
+        every_ms=1000, max_frames=4,
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.sha2(F.col("frame"), 256).alias("frame_digest"),
+    )

@@ -67,10 +67,13 @@ def q_pipeline_legislator_counts(spark, sf_dir):
     wide = pivot_count(matches, "o_custkey", "o_year", YEARS, prefix="y")
     total = reduce(add, [F.col(c) for c in _YCOLS])
     active = reduce(add, [F.when(F.col(c) > 0, 1).otherwise(0) for c in _YCOLS])
+    # no broadcast hint on `wide`: it is a FACT-DERIVED aggregate (one row
+    # per active custkey — dimension-cardinality, growing with scale) whose
+    # size the planner can't know up front. Both sides are custkey-keyed,
+    # so this is one dim-sized exchange per side; AQE converts it to a
+    # broadcast at runtime when the aggregate measures small.
     return (
-        customer.join(
-            F.broadcast(wide), customer.c_custkey == wide.o_custkey, "left"
-        )
+        customer.join(wide, customer.c_custkey == wide.o_custkey, "left")
         .na.fill(0, _YCOLS)
         .filter(F.col("c_nationkey") != 3)
         .select(

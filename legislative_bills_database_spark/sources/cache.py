@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -28,8 +29,13 @@ def memo_parquet(
     if not force:
         try:
             return spark.read.parquet(path)
-        except Exception:
-            pass  # not staged yet — compute below
+        except AnalysisException as e:
+            # ONLY path-not-found means "not staged yet". A corrupt or
+            # partially-written staging table must surface, not silently
+            # trigger recompute-and-overwrite (which would also mask
+            # transient storage failures).
+            if "PATH_NOT_FOUND" not in (e.getCondition() or str(e)):
+                raise
     compute().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -185,9 +185,11 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
 def test_lsh_recall_measured(spark):
     """Banded multi-table LSH recall vs the exact baseline on sf0.001.
 
-    The embeddings fixture plants near-duplicate clusters; at cosine ≥ 0.8
-    (the near-dup regime LSH is designed for) the 8×8 config must recover
-    most planted pairs. The number is printed so bench/CI logs carry it.
+    The fixture's planted near-dup pairs sit at cosine ≈ 0.4 (there are
+    ZERO pairs above 0.5, so a 0.8-threshold check passes vacuously —
+    round-2 bug). At this angle the per-table collision probability
+    (1 − θ/π)^n_planes demands the few-planes/many-tables operating
+    point: 4×16 must recover ≥90% of exact pairs. Printed for CI logs.
     """
     emb = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -195,7 +197,86 @@ def test_lsh_recall_measured(spark):
     )
     recall = lsh_recall(
         emb, "vec_id", "embedding", dim=64,
-        min_cosine=0.8, n_planes=8, n_tables=8, bucket_cap=1000,
+        min_cosine=0.4, n_planes=4, n_tables=16, bucket_cap=1000,
     )
-    print(f"lsh_recall@cos0.8 = {recall:.3f}")
-    assert recall >= 0.5
+    print(f"lsh_recall@cos0.4 = {recall:.3f}")
+    assert recall >= 0.9
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 50-node path graph has diameter 49: plain min-label propagation
+    needs ~49 rounds, pointer jumping needs ~log2(49) ≈ 6. max_iter=10
+    converging proves the shortcut works (and localCheckpoint keeps the
+    plan tree bounded while it does)."""
+    from legislative_bills_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 50
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, ids, max_iter=10).collect()
+    }
+    assert comps == {i: 0 for i in range(n)}
+
+
+def test_connected_components_unconverged_raises(spark):
+    """Hitting max_iter without convergence must raise — silently
+    returning split components would keep duplicate 'representatives'
+    downstream (round-2 advisory)."""
+    import pytest as _pytest
+
+    from legislative_bills_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, ids, max_iter=1)
+
+
+def test_strict_pivot_null_value_dedicated_error(spark):
+    """NULL pivot values get their own error message (isin yields NULL for
+    NULL input; without the explicit branch the message itself concats to
+    NULL — round-2 advisory)."""
+    import pytest as _pytest
+
+    rows = spark.createDataFrame(
+        [(1, 2020), (2, None)], "k int, yr int"
+    )
+    with _pytest.raises(Exception, match="is NULL"):
+        pivot_count(rows, "k", "yr", [2020, 2021]).collect()
+
+
+def test_declared_ann_recall_values(spark):
+    """q_ann_recall (driver-visible ANN quality) must report high recall
+    for both approximate paths at sf0.001 — a drop here is an ANN quality
+    regression, caught locally before the driver sees it."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = {
+        r["method"]: r.asDict()
+        for r in QUERIES["q_ann_recall"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"lsh_pairs", "ivf_topk"}
+    assert rows["lsh_pairs"]["n_exact"] > 0, "vacuous recall check"
+    assert rows["lsh_pairs"]["recall"] >= 0.9
+    assert rows["ivf_topk"]["recall"] >= 0.7
+
+
+def test_declared_neardup_precision(spark):
+    """q_neardup_precision cross-validates MinHash-LSH candidates against
+    exact n-gram Jaccard: most est_jaccard≥0.3 candidates must be true
+    ≥0.2 Jaccard pairs."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    row = QUERIES["q_neardup_precision"](spark, SF_DIR).collect()[0]
+    assert row["n_candidates"] > 0, "vacuous precision check"
+    assert row["precision"] >= 0.9

@@ -24,12 +24,27 @@ def _plan(spark, name: str) -> str:
 @pytest.mark.parametrize(
     "name",
     ["q_pivot_count", "q_semi_join", "q_lookup_join", "q_fallback_join",
-     "q_derived_key_join", "q_pipeline_legislator_counts"],
+     "q_derived_key_join"],
 )
 def test_bounded_dimension_joins_broadcast(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
     assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_legislator_counts_no_broadcast_hint_on_fact_aggregate(spark):
+    """The customer ⟕ pivoted-orders join must NOT carry an explicit
+    broadcast HINT on the fact-derived aggregate (its size is unknowable
+    at plan time and grows with scale — round-2 verdict). Without the
+    hint the planner sizes it from stats: tiny at sf0.001 (broadcast is
+    then its own choice, and AQE re-checks at runtime), sort-merge once
+    the estimate crosses the threshold at scale."""
+    df = QUERIES["q_pipeline_legislator_counts"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed, (
+        "fact-derived aggregate carries a broadcast hint again"
+    )
+    assert "AdaptiveSparkPlan" in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_pushdown_reaches_scan(spark):

@@ -218,3 +218,24 @@ def test_new_against_manifest(spark):
     manifest = spark.createDataFrame([("f2",)], "path string")
     out = {r["path"] for r in new_against_manifest(cand, manifest, "path").collect()}
     assert out == {"f1", "f3"}
+
+
+def test_memo_parquet_corrupt_staging_raises(spark, tmp_path):
+    """A corrupt staging table must SURFACE, not silently trigger
+    recompute-and-overwrite (round-2 advisory: only path-not-found means
+    'not staged yet')."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "staged")
+    (tmp_path / "staged").mkdir()
+    (tmp_path / "staged" / "part-00000.parquet").write_bytes(b"not a parquet")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(3)
+
+    with _pytest.raises(Exception) as exc:
+        memo_parquet(spark, p, compute).count()
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+    assert not calls, "corrupt staging silently recomputed"
