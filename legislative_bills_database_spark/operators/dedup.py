@@ -321,6 +321,11 @@ def connected_components(
     labels (which would split one component and keep duplicate
     "representatives" downstream) if ``max_iter`` rounds don't converge.
     """
+    # persist pairs BEFORE the symmetrize union: Spark does not reuse the
+    # common subplan across union legs (verified: 0 ReusedExchange, double
+    # FileScan), so an expensive pair-generation lineage (e.g. the full
+    # MinHash-LSH pipeline) would otherwise execute twice
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -389,6 +394,7 @@ def connected_components(
         return labels.select(F.col("node").alias(id_col), "component")
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def dedup_by_near_duplicates(
