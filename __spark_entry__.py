@@ -51,6 +51,8 @@ _DEFER_LAST = [
     "q_split_explode",  # split+explode is the core of q_ngram_jaccard's plan
     "q_conditional_expr",  # CASE WHEN exercised by q_fallback_join/q_quality_score
     "q_array_last",  # same collect_list+element_at plan as q_special_case_collect
+    "q_rowwise_total",  # rowSums verified inside q_pipeline_legislator_counts
+    "q_active_sessions",  # years-active arithmetic verified inside the same pipeline
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

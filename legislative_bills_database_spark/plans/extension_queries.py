@@ -422,6 +422,105 @@ def q_salted_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus hygiene: benchmark decontamination + PII redaction
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({T.sql_shingles("string_split(text, ' ')", 5)}) AS s
+  FROM documents WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, unnest({T.sql_shingles("string_split(text, ' ')", 5)}) AS s
+  FROM documents WHERE doc_id % 97 <> 0
+), contaminated AS (
+  SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (s)
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 97 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@query("q_decontaminate", _DECON_ORACLE)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-corpus hygiene step: drop
+    every training document sharing ANY 5-gram with the (deterministic
+    doc_id%97) benchmark set. Scale shape: the benchmark side is bounded
+    by contract, so its distinct shingle set BROADCASTS; the training
+    side streams through one explode + broadcast semi-join + anti-join —
+    the fact table is never shuffled. At 100 TB you additionally hash the
+    shingles to fixed-width keys (kept as raw strings here for oracle
+    parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    from ..functions.text import shingles, tokens
+
+    bench_sh = bench.select(
+        F.explode(shingles(tokens(F.col("text")), 5)).alias("s")
+    ).distinct()
+    train_sh = train.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("s")
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || ' reach user' || doc_id ||
+         '@example.com or +1-555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+@query("q_pii_redact", _PII_ORACLE)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction — scrub email/phone patterns from document text
+    (fixtures carry no PII, so a deterministic email+phone is synthesized
+    per row first; the redaction expressions are the operator). Pure JVM
+    regexp expression tree: zero UDF, zero shuffle, fully pushdown-
+    friendly — the shape a 100 TB scrub pass needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate / events / multimodal
 # ---------------------------------------------------------------------------
 
