@@ -53,6 +53,14 @@ _DEFER_LAST = [
     "q_array_last",  # same collect_list+element_at plan as q_special_case_collect
     "q_rowwise_total",  # rowSums verified inside q_pipeline_legislator_counts
     "q_active_sessions",  # years-active arithmetic verified inside the same pipeline
+    # deferred for the round-3 sampling/packing/ranking/repetition family —
+    # each a variant of a plan already hash-checked in-window:
+    "q_ratio_aggregate",  # conditional-sum ratio: q_pivot_count + q_quality_score cover
+    "q_boolean_any_agg",  # bool_or agg: q_special_case_collect is the composite
+    "q_nested_projection",  # nested-field access exercised by q_json_scan
+    "q_array_contains",  # array membership is the core of q_multiterm_or_filter
+    "q_dedup_keep_latest",  # same row_number window plan as q_topk_per_group
+    "q_binary_meta",  # binary length/meta covered by the multimodal family
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

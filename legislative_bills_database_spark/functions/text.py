@@ -70,6 +70,26 @@ def sql_shingles(tokens_expr: str, n: int) -> str:
     )
 
 
+def ngrams_all(tok: Column | str, n: int) -> Column:
+    """ALL n-token grams in order (duplicates kept — the repetition
+    signal needs multiplicity, unlike :func:`shingles`). Docs shorter
+    than ``n`` tokens yield their single full token join."""
+    t = _c(tok)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def sql_ngrams_all(tokens_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`ngrams_all`."""
+    return (
+        f"list_transform("
+        f"generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)),"
+        f" i -> array_to_string(({tokens_expr})[i:i+{n - 1}], ' '))"
+    )
+
+
 def stopword_hits(tok: Column | str, words: tuple[str, ...]) -> Column:
     """Number of tokens that are in the given stopword list."""
     return F.size(F.filter(_c(tok), lambda t: t.isin(*words)))

@@ -1,0 +1,119 @@
+"""Deterministic corpus sampling: stratified rates + target-mixture resampling.
+
+Training-data pipelines constantly sample — downweight an over-represented
+language, rebalance sources toward a target mixture, carve held-out slices.
+At 100 TB the non-negotiables are (a) NO extra shuffle — sampling must be a
+per-row filter that composes with scan pushdown, and (b) determinism — the
+same row set on every run and every retry of a lost task, which rules out
+``df.sample`` / ``rand()`` (per-task RNG, changes under re-execution and
+partition re-planning).
+
+Both operators therefore derive a uniform in [0,1) from a multiplicative
+hash of the row id (Knuth 2654435761 mod 2^32): pure integer expression,
+identical in Spark and DuckDB (which is what lets the oracle check the
+exact row set), equidistributed for the sequential ids the fixtures use.
+Production corpora with arbitrary string keys would swap in
+``xxhash64(key) & mask`` — same shape, still one expression, no shuffle.
+
+Generalizes the reference's fixed-fraction row filtering (session subsets
+at legiscan_main.R:118-131) to per-stratum rates and target mixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
+M32 = 4294967296  # 2^32
+
+
+def unit_hash(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform in [0,1) from an integer id — bigint-exact
+    ``((id * KNUTH + seed) % 2^32) / 2^32``, reproducible across engines,
+    tasks, and retries (unlike ``rand()``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        (c.cast("bigint") * F.lit(KNUTH) + F.lit(seed)) % F.lit(M32)
+    ).cast("double") / F.lit(float(M32))
+
+
+def sql_unit_hash(id_expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`unit_hash`."""
+    return (
+        f"(CAST((CAST({id_expr} AS BIGINT) * {KNUTH} + {seed}) % {M32}"
+        f" AS DOUBLE) / {M32}.0)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability — one deterministic
+    per-row filter, zero shuffle, composes with column pruning.
+
+    ``rates`` maps stratum value → keep probability; unlisted strata get
+    ``default_rate``.
+    """
+    rate: Column = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(unit_hash(id_col, seed) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample toward a target mixture: stratum ``s`` keeps rate
+    ``min(1, weights[s] * target_total / count[s])`` so the expected output
+    composition matches ``weights`` at ~``target_total`` rows (strata too
+    small for their target keep everything — rates cap at 1).
+
+    Scale shape: per-stratum counts are ONE partial-aggregated shuffle
+    whose output is stratum-cardinality (a handful of rows — bounded by
+    the dimension, not the fact table), broadcast back onto the fact
+    side; the sample itself is then a pure per-row filter. The fact table
+    is scanned twice but never shuffled — at 100 TB you'd persist or
+    reuse a catalog-level count instead of the first scan.
+    """
+    rate_when: Column = F.lit(None).cast("double")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    for value, w in weights.items():
+        rate_when = F.when(
+            F.col(strata_col) == value,
+            F.least(
+                F.lit(1.0), F.lit(float(w)) * F.lit(float(target_total)) / F.col("__n")
+            ),
+        ).otherwise(rate_when)
+    rates = counts.select(
+        strata_col, F.coalesce(rate_when, F.lit(0.0)).alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(unit_hash(id_col, seed) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def sql_mixture_rate(
+    strata_expr: str, weights: dict[str, float], target_total: int
+) -> str:
+    """DuckDB twin of the per-stratum rate in :func:`mixture_sample`
+    (``__n`` must be the stratum count column in scope)."""
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN least(1.0, {float(w)!r} * {float(target_total)!r} / __n)"
+        for v, w in weights.items()
+    )
+    return f"(COALESCE(CASE {whens} END, 0.0))"

@@ -22,6 +22,9 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from ..operators import sampling as Sa
+from ..operators.packing import first_fit_pack, pack_chunks, pack_stats
+from ..operators.ranking import bm25_topk, sql_bm25_topk
 from ..operators.sessionize import sessionize
 from ..operators.similarity import cosine_topk, lsh_bucketed_pairs
 from ..sources.multimodal import fake_image_features
@@ -517,6 +520,180 @@ def q_pii_redact(spark, sf_dir):
             _PHONE_RE,
             "<PHONE>",
         ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling / mixture, sequence packing, ranking, repetition
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 0.25, "es": 0.75, "fr": 1.0, "de": 0.1, "zh": 0.5}
+
+_STRAT_ORACLE = (
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE "
+    + Sa.sql_unit_hash("doc_id")
+    + " < (CASE "
+    + " ".join(f"WHEN lang = '{v}' THEN {r!r}" for v, r in _STRAT_RATES.items())
+    + " ELSE 1.0 END)"
+)
+
+
+@query("q_stratified_sample", _STRAT_ORACLE)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — per-language keep rates via a
+    multiplicative-hash uniform, so the kept row SET is exactly
+    reproducible across engines, tasks, and retries (``rand()`` is none
+    of those). Pure per-row filter: zero shuffle, composes with scan
+    pushdown — the corpus-rebalancing primitive at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Sa.stratified_sample(docs, "lang", _STRAT_RATES, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "es": 0.15, "fr": 0.15, "de": 0.15, "zh": 0.15}
+_MIX_TOTAL = 300
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS __n FROM documents GROUP BY lang
+), kept AS (
+  SELECT d.lang FROM documents d JOIN counts c USING (lang)
+  WHERE {Sa.sql_unit_hash("d.doc_id")} <
+        {Sa.sql_mixture_rate("d.lang", _MIX_WEIGHTS, _MIX_TOTAL)}
+), s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled FROM kept GROUP BY lang
+)
+SELECT c.lang, c.__n AS n_orig, COALESCE(s.n_sampled, 0) AS n_sampled
+FROM counts c LEFT JOIN s USING (lang)
+"""
+
+
+@query("q_data_mixture", _MIX_ORACLE)
+def q_data_mixture(spark, sf_dir):
+    """Target-mixture resampling: downsample each language stratum to
+    ``min(1, weight·target/count)`` so the output composition approaches
+    the target weights. The per-stratum rate table is stratum-cardinality
+    (dimension-bounded, safely broadcast); the fact side is filtered,
+    never shuffled. Output is the per-stratum before/after census."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    kept = Sa.mixture_sample(docs, "lang", _MIX_WEIGHTS, _MIX_TOTAL, "doc_id")
+    s = kept.groupBy("lang").agg(F.count("*").alias("__ns"))
+    return counts.join(s, "lang", "left").select(
+        "lang",
+        "n_orig",
+        F.coalesce(F.col("__ns"), F.lit(0)).alias("n_sampled"),
+    )
+
+
+_PACK_ORACLE = """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS grp,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), w AS (
+  SELECT *, COALESCE(SUM(n_tok) OVER (
+      PARTITION BY grp ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM b
+)
+SELECT grp, doc_id, n_tok,
+       CAST(floor(cb / 512.0) AS BIGINT) AS start_chunk,
+       CAST(floor((cb + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) AS end_chunk
+FROM w
+"""
+
+
+@query("q_pack_chunks", _PACK_ORACLE)
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the GPT pretraining layout):
+    within each pack group, documents are concatenated in id order and
+    cut into 512-token blocks; each doc reports the chunk span it covers.
+    ONE shuffle on the group key + an in-partition window cumsum — the
+    group count scales with the cluster, no cross-group state
+    (operators/packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(
+        docs, "doc_id", F.size(T.tokens(F.col("text"))), n_groups=32, chunk_len=512
+    )
+
+
+@query("q_seq_pack")  # greedy per-group FFD state → not window-SQL; rows-only
+def q_seq_pack(spark, sf_dir):
+    """Whole-document first-fit-decreasing bin packing (no doc splits)
+    via one Arrow-batched applyInPandas per pack group, summarized to
+    per-group (docs, bins, tokens, fill%). Deterministic ordering; the
+    greedy bin state is sequential only WITHIN a group — groups are the
+    distributed unit (operators/packing.py). Invariants (capacity,
+    exactly-once, fill ≥ naive) pinned in tests/test_packing.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = first_fit_pack(
+        docs, "doc_id", F.size(T.tokens(F.col("text"))), capacity=256, n_groups=32
+    )
+    return pack_stats(packed, capacity=256)
+
+
+_BM25_TERMS = ["table", "spark", "customer", "window", "stream"]
+
+
+@query("q_bm25_rank", sql_bm25_topk(_BM25_TERMS, k=20))
+def q_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval of the top-20 documents for a seed-term
+    query — corpus stats (N, avgdl, per-term df) are one partial-agg
+    pass broadcast back; scoring is a pure codegen expression tree and
+    top-k is TakeOrderedAndProject, so the corpus is never shuffled
+    (operators/ranking.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+_REP_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, unnest({T.sql_ngrams_all("string_split(text, ' ')", 2)}) AS gram
+  FROM documents
+), c AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(max(n) AS BIGINT) AS top_bigram_n,
+       floor(CAST(max(n) AS DOUBLE) / sum(n) * 10000.0 + 0.5) / 10000.0
+         AS top_frac,
+       floor(CAST(count(*) AS DOUBLE) / sum(n) * 10000.0 + 0.5) / 10000.0
+         AS distinct_frac
+FROM c GROUP BY doc_id
+"""
+
+
+@query("q_repetition", _REP_ORACLE)
+def q_repetition(spark, sf_dir):
+    """Repetition quality signal (the Gopher-style dup-n-gram filter):
+    per document, the most frequent word bigram's share of all bigrams
+    and the distinct-bigram ratio — high top_frac / low distinct_frac
+    flags boilerplate and degenerate repetition. One explode + two-phase
+    hash agg; n-grams keep multiplicity (functions/text.ngrams_all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(T.ngrams_all(T.tokens(F.col("text")), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        (
+            F.floor(
+                F.max("n").cast("double") / F.sum("n") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("top_frac"),
+        (
+            F.floor(
+                F.count("*").cast("double") / F.sum("n") * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("distinct_frac"),
     )
 
 
