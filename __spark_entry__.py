@@ -61,6 +61,9 @@ _DEFER_LAST = [
     "q_array_contains",  # array membership is the core of q_multiterm_or_filter
     "q_dedup_keep_latest",  # same row_number window plan as q_topk_per_group
     "q_binary_meta",  # binary length/meta covered by the multimodal family
+    # rows-only entries whose quality is pinned by an in-window composite:
+    "q_simhash",  # q_simhash_pairs (banded+verify) is the driver-visible composite
+    "q_near_dedup",  # validated by q_neardup_precision + consumed by q_near_dedup_corpus
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

@@ -36,6 +36,33 @@ def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus: drop incoming
+    rows whose exact text is already present, and dedup within the batch
+    (lowest ``order_col`` wins) — the shape of every append-only ingest.
+
+    Both sides join on sha2(text) (fixed-width, uniform shuffle key); the
+    existing side is projected to the hash column only before the
+    anti-join, so at 100 TB you ship a 32-byte-per-doc hash index, not
+    the corpus — and in production that index is materialized once and
+    reused per batch instead of recomputed (see sources/cache.memo_parquet
+    for the staging pattern).
+    """
+    h = F.sha2(F.col(text_col), 256)
+    seen = existing.select(h.alias("__h")).distinct()
+    return (
+        exact_dedup(incoming, text_col, order_col)
+        .withColumn("__h", h)
+        .join(seen, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
 def keep_latest(df: DataFrame, key: str, order_cols: list) -> DataFrame:
     """Window-deterministic keep-first-after-sort (reference dedup,
     legislator_bill_counts_run.R:63-67)."""

@@ -697,6 +697,104 @@ def q_repetition(spark, sf_dir):
     )
 
 
+_INCR_ORACLE = """
+WITH inc AS (
+  SELECT * FROM documents WHERE source = 'src0'
+), batch_deduped AS (
+  SELECT * FROM inc
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), ex AS (
+  SELECT DISTINCT text FROM documents WHERE source <> 'src0'
+)
+SELECT b.doc_id, b.lang, b.source, b.n_chars
+FROM batch_deduped b ANTI JOIN ex e ON b.text = e.text
+"""
+
+
+@query("q_incremental_dedup", _INCR_ORACLE)
+def q_incremental_dedup(spark, sf_dir):
+    """Append-only ingest dedup: clean a NEW batch (source=src0) against
+    the already-ingested corpus — dedup within the batch, then anti-join
+    on sha2(text) against the corpus's 32-byte hash index (the corpus
+    text never travels; at scale the index is materialized once per
+    corpus, not recomputed per batch). operators/dedup.incremental_dedup."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("source") == "src0")
+    existing = docs.filter(F.col("source") != "src0")
+    return incremental_dedup(existing, incoming, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_FILTER_ORACLE = f"""
+WITH rep AS (
+  SELECT doc_id, floor(CAST(max(n) AS DOUBLE) / sum(n) * 10000.0 + 0.5) / 10000.0
+           AS top_frac
+  FROM (
+    SELECT doc_id, gram, count(*) AS n
+    FROM (
+      SELECT doc_id,
+             unnest({T.sql_ngrams_all("string_split(text, ' ')", 2)}) AS gram
+      FROM documents
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       {T.sql_quality_score("d.text")} AS quality, r.top_frac
+FROM documents d JOIN rep r USING (doc_id)
+WHERE {T.sql_quality_score("d.text")} >= 0.5
+  AND r.top_frac <= 0.06
+  AND len(string_split(d.text, ' ')) >= 20
+  AND {T.sql_lang_id("string_split(lower(d.text), ' ')")} <> 'und'
+"""
+
+
+@query("q_corpus_filter_pipeline", _FILTER_ORACLE)
+def q_corpus_filter_pipeline(spark, sf_dir):
+    """The composed corpus cleaning pass — what a user actually runs:
+    quality score ≥ 0.5 AND top-bigram share ≤ 0.06 AND ≥ 20 tokens AND
+    language identified, in ONE pipeline. The scalar gates (quality,
+    length, lang-ID) are pure codegen expressions evaluated in the scan
+    stage; only the repetition signal needs its explode + two-phase agg,
+    joined back on doc_id — so the whole pass is one shuffle pair over
+    the corpus regardless of how many scalar filters stack on."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(T.ngrams_all(T.tokens(F.col("text")), 2)).alias("gram"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(F.max("n").cast("double") / F.sum("n") * 10000.0 + 0.5)
+                / 10000.0
+            ).alias("top_frac")
+        )
+    )
+    tok = T.tokens(F.col("text"))
+    return (
+        docs.join(rep, "doc_id")
+        .filter(
+            (T.quality_score(F.col("text")) >= 0.5)
+            & (F.col("top_frac") <= 0.06)
+            & (F.size(tok) >= 20)
+            & (T.lang_id(T.tokens(F.lower(F.col("text")))) != "und")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            T.quality_score(F.col("text")).alias("quality"),
+            "top_frac",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate / events / multimodal
 # ---------------------------------------------------------------------------

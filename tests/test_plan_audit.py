@@ -97,3 +97,43 @@ def test_ann_lsh_has_no_cross_join(spark):
 def test_exact_dedup_single_shuffle(spark):
     plan = _plan(spark, "q_exact_dedup")
     assert plan.count("Exchange hashpartitioning") == 1
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Deterministic sampling is a per-row filter — ANY exchange here
+    means the operator stopped composing with scan pushdown."""
+    plan = _plan(spark, "q_stratified_sample")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """The per-stratum rate table is dimension-bounded; the fact side
+    must join it via broadcast, never sort-merge."""
+    plan = _plan(spark, "q_data_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_chunks_single_group_shuffle(spark):
+    """Concat-and-chunk = ONE exchange on the pack-group key feeding the
+    window cumsum; a second exchange means the group key stopped being
+    reused between the shuffle and the window."""
+    plan = _plan(spark, "q_pack_chunks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set is bounded by contract and must reach
+    the training side as a broadcast; the training fact table must not
+    be exchanged for the semi-join."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_joins_on_hash_not_text(spark):
+    """The batch-vs-corpus anti-join must key on sha2(text) (fixed-width
+    shuffle key), never raw text."""
+    plan = _plan(spark, "q_incremental_dedup")
+    assert "sha2" in plan
+    assert "CartesianProduct" not in plan

@@ -205,3 +205,30 @@ def test_ngrams_all_keeps_duplicates(spark):
         T.ngrams_all(T.tokens(F.col("text")), 2).alias("g")
     ).collect()[0]["g"]
     assert grams == ["a a", "a a", "a a"]
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_semantics(spark):
+    from legislative_bills_database_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha"),  # exact dup of corpus → dropped
+            (11, "gamma"),  # new → kept
+            (12, "gamma"),  # within-batch dup, higher id → dropped
+            (13, "delta"),  # new → kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(existing, incoming, "text", "doc_id").collect()
+    )
+    assert out == [11, 13]
