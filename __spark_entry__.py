@@ -64,6 +64,7 @@ _DEFER_LAST = [
     # rows-only entries whose quality is pinned by an in-window composite:
     "q_simhash",  # q_simhash_pairs (banded+verify) is the driver-visible composite
     "q_near_dedup",  # validated by q_neardup_precision + consumed by q_near_dedup_corpus
+    "q_approx_distinct",  # rows-only HLL single-value; plan covered by agg family
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

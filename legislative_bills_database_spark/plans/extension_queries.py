@@ -795,6 +795,35 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     )
 
 
+@query(
+    "q_partitioned_sink",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def q_partitioned_sink(spark, sf_dir):
+    """Directory-partitioned parquet sink + partition-pruned read-back:
+    documents written partitionBy(lang), sorted by doc_id within
+    partitions (row-group stat clustering), then read with a lang filter
+    that prunes whole directories before any file opens — the layout
+    move that turns a 100 TB scan into a per-partition read. Pruning is
+    pinned in tests/test_plan_audit.py (PartitionFilters on the scan)."""
+    import tempfile
+
+    from ..sources.sinks import write_partitioned_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = write_partitioned_parquet(
+        docs.select("doc_id", "n_chars", "lang"),
+        tempfile.mkdtemp(prefix="lbd_part_") + "/documents_by_lang",
+        partition_by=["lang"],
+        sort_within=["doc_id"],
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.col("lang").cast("string").alias("lang"), "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate / events / multimodal
 # ---------------------------------------------------------------------------

@@ -43,3 +43,27 @@ def write_csv_report(
         writer = writer.partitionBy(*partition_by)
     writer.csv(path)
     return path
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_within: list[str] | None = None,
+) -> str:
+    """Directory-partitioned parquet sink — the table layout that makes
+    100 TB reads cheap: a filter on a partition column prunes whole
+    directories before any file is opened (PartitionFilters in the scan),
+    and ``sort_within`` clusters rows so parquet min/max row-group stats
+    prune within files.
+
+    The repartition on the partition keys colocates each key's rows so a
+    key writes ONE file instead of one-per-task (small-file control);
+    for skewed keys add a salt column to ``partition_by``-adjacent
+    repartitioning upstream — the layout contract is unchanged.
+    """
+    out = df.repartition(*[df[c] for c in partition_by])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("error").partitionBy(*partition_by).parquet(path)
+    return path

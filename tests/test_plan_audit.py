@@ -137,3 +137,13 @@ def test_incremental_dedup_joins_on_hash_not_text(spark):
     plan = _plan(spark, "q_incremental_dedup")
     assert "sha2" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_sink_read_prunes_directories(spark):
+    """The lang filter must land in PartitionFilters (directory pruning
+    before file listing I/O), not just PushedFilters."""
+    plan = _plan(spark, "q_partitioned_sink")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lang" in pf and "en" in pf, pf
