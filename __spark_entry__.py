@@ -65,9 +65,14 @@ _DEFER_LAST = [
     "q_simhash",  # q_simhash_pairs (banded+verify) is the driver-visible composite
     "q_near_dedup",  # validated by q_neardup_precision + consumed by q_near_dedup_corpus
     "q_approx_distinct",  # rows-only HLL single-value; plan covered by agg family
+    "q_dir_catalog",  # file-catalog regexp covered by q_json_scan + source family
+    "q_doc_fingerprint",  # 1-perm MinHash: the LSH family in-window is the composite
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",
+    "q_cube_counts",
+    "q_grouping_sets",
+    "q_stats_agg",
     "q_set_ops",
     "q_window_analytics",
     "q_regexp_replace",  # regexp_replace exercised by q_pipeline_keyword_search

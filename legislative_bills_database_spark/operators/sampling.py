@@ -117,3 +117,46 @@ def sql_mixture_rate(
         for v, w in weights.items()
     )
     return f"(COALESCE(CASE {whens} END, 0.0))"
+
+
+def group_split(
+    group_key: Column | str,
+    splits: dict[str, float],
+    seed: int = 0,
+) -> Column:
+    """Leakage-safe train/val/test assignment: the split is a function of
+    the GROUP key (source, domain, cluster id), never the row, so near-
+    duplicate or same-origin rows can't straddle splits and leak eval
+    data into training. Returns a label Column to attach via ``select``/
+    ``withColumn`` — zero shuffle, zero join.
+
+    ``splits`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the last label). The group key must be numeric here (the
+    cross-engine-reproducible multiplicative hash); for arbitrary string
+    keys use ``F.xxhash64(key)`` as the input — same shape, engine-
+    specific values.
+    """
+    u = unit_hash(group_key, seed)
+    labels = list(splits)
+    bounds: list[float] = []
+    acc = 0.0
+    for lab in labels[:-1]:
+        acc += float(splits[lab])
+        bounds.append(acc)
+    expr = F.lit(labels[-1])
+    for lab, hi in reversed(list(zip(labels[:-1], bounds))):
+        expr = F.when(u < hi, F.lit(lab)).otherwise(expr)
+    return expr
+
+
+def sql_group_split(
+    group_expr: str, splits: dict[str, float], seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`group_split`."""
+    u = sql_unit_hash(group_expr, seed)
+    labels = list(splits)
+    whens, acc = [], 0.0
+    for lab in labels[:-1]:
+        acc += float(splits[lab])
+        whens.append(f"WHEN {u} < {acc!r} THEN '{lab}'")
+    return f"(CASE {' '.join(whens)} ELSE '{labels[-1]}' END)"

@@ -824,6 +824,68 @@ def q_partitioned_sink(spark, sf_dir):
     )
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_SPLIT_ORACLE = f"""
+SELECT {Sa.sql_group_split("CAST(regexp_extract(source, '[0-9]+') AS BIGINT)", _SPLITS)}
+         AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+
+@query("q_train_val_split", _SPLIT_ORACLE)
+def q_train_val_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment hashes the SOURCE
+    (group) key, never the row, so same-origin near-duplicates cannot
+    straddle splits and leak eval data into training. Zero shuffle for
+    the assignment itself (one label expression); the output census is
+    one agg. operators/sampling.group_split; production string keys use
+    xxhash64 — the numeric fixture key keeps the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("bigint")
+    return (
+        docs.withColumn("split", Sa.group_split(src_num, _SPLITS))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query("q_compact_files")  # file-count result is layout, not SQL → rows-only
+def q_compact_files(spark, sf_dir):
+    """Small-file compaction: explode documents into a many-tiny-file
+    directory, compact to ⌈rows/200⌉ evenly sized files via one
+    round-robin repartition + maxRecordsPerFile, and report
+    before/after file counts from the filesystem — the table-maintenance
+    op that keeps scan listing costs flat at 100 TB
+    (sources/sinks.compact_parquet)."""
+    import glob
+    import tempfile
+
+    from ..sources.sinks import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="lbd_compact_")
+    frag, packed = f"{base}/frag", f"{base}/packed"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.repartition(64).write.parquet(frag)  # simulate tiny-file ingest
+    compact_parquet(spark, frag, packed, target_rows_per_file=200)
+
+    def _count(p):
+        return len(glob.glob(f"{p}/part-*.parquet"))
+
+    n_rows = docs.count()
+    return spark.createDataFrame(
+        [(n_rows, _count(frag), _count(packed))],
+        "n_rows bigint, files_before int, files_after int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate / events / multimodal
 # ---------------------------------------------------------------------------

@@ -926,6 +926,79 @@ def q_window_analytics(spark, sf_dir):
     )
 
 
+@query(
+    "q_cube_counts",
+    "SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,"
+    " COUNT(*) AS n,"
+    " CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,"
+    " CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year"
+    " FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))",
+)
+def q_cube_counts(spark, sf_dir):
+    """Full CUBE over (status, year): every subtotal combination in one
+    pass — like ROLLUP, Spark expands the grouping sets map-side, so it
+    stays a single shuffle regardless of how many sets the cube implies."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return orders.cube("o_orderstatus", "order_year").agg(
+        F.count("*").alias("n"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("order_year").cast("int").alias("g_year"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n"
+    " FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    independent per-status and per-priority subtotals plus the grand
+    total, one shuffle, no self-union of three aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_stats_agg",
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+    "   / count(*) AS DOUBLE) AS mean_price,"
+    " sqrt(greatest((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))"
+    "   * CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+    "   - CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+    "     * CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*))"
+    "   / (count(*) - 1), 0.0)) AS std_price,"
+    " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price"
+    " FROM orders GROUP BY o_orderstatus",
+)
+def q_stats_agg(spark, sf_dir):
+    """Distributional statistics per group (n/mean/stddev/min/max) with
+    EXACT decimal partial sums — ``stddev_samp`` on doubles is shuffle-
+    order-dependent; sum and sum-of-squares in decimal are associative
+    and exact, so mean/std derive deterministically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(28,6)")
+    s = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    n = F.count("*")
+    return orders.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        (s / n).cast("double").alias("mean_price"),
+        F.sqrt(
+            F.greatest((s2 - s * s / n) / (n - 1), F.lit(0.0))
+        ).alias("std_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 streaming (batch-window twin; true streaming in streaming/events.py)
 # ---------------------------------------------------------------------------

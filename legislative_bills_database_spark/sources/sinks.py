@@ -67,3 +67,31 @@ def write_partitioned_parquet(
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode("error").partitionBy(*partition_by).parquet(path)
     return path
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> int:
+    """Small-file compaction — the table-maintenance pass that keeps a
+    100 TB lake scannable: re-write a directory into ⌈rows/target⌉
+    evenly sized files. Listing overhead and per-file open cost, not
+    bytes, are what kill scans over millions of tiny files.
+
+    Row count comes from parquet footer metadata (a metadata-only job,
+    no data read); the rewrite is one round-robin repartition — no key,
+    so no skew — plus ``maxRecordsPerFile`` as the hard ceiling per
+    written file. Returns the file count target.
+    """
+    src = spark.read.parquet(src_path)
+    n_rows = src.count()  # parquet count(*) is footer-metadata only
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        src.repartition(n_files)
+        .write.mode("error")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_path)
+    )
+    return n_files

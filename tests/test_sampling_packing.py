@@ -232,3 +232,50 @@ def test_incremental_dedup_semantics(spark):
         for r in incremental_dedup(existing, incoming, "text", "doc_id").collect()
     )
     assert out == [11, 13]
+
+
+# ------------------------------------------------------ split / compaction
+
+
+def test_group_split_never_leaks_groups(spark):
+    from legislative_bills_database_spark.operators.sampling import (
+        group_split,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src_num = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("bigint")
+    labeled = docs.withColumn(
+        "split", group_split(src_num, {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    # leakage-safety: every source maps to exactly ONE split
+    per_src = labeled.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_src.filter(F.col("k") != 1).count() == 0
+    # all three labels exist over 20 sources, train is the plurality
+    counts = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from legislative_bills_database_spark.sources.sinks import compact_parquet
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    frag = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(frag)
+    n_before = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_before == 40
+    packed = str(tmp_path / "packed")
+    compact_parquet(spark, frag, packed, target_rows_per_file=200)
+    n_after = len(glob.glob(f"{packed}/part-*.parquet"))
+    n_rows = docs.count()
+    assert n_after == max(1, -(-n_rows // 200))
+    # content preserved
+    assert spark.read.parquet(packed).exceptAll(docs).count() == 0
+    assert docs.exceptAll(spark.read.parquet(packed)).count() == 0
