@@ -67,6 +67,17 @@ _DEFER_LAST = [
     "q_approx_distinct",  # rows-only HLL single-value; plan covered by agg family
     "q_dir_catalog",  # file-catalog regexp covered by q_json_scan + source family
     "q_doc_fingerprint",  # 1-perm MinHash: the LSH family in-window is the composite
+    # deferred in round 3 to make window room for oracle-hash-checked
+    # composites (q_global_index / q_salted_join / q_unigram_score /
+    # q_boilerplate_strip / q_upsert_partition / q_quantiles) — each
+    # deferral is a variant of a family still driver-visible:
+    "q_token_count",  # text family keeps text_stats/lang_id/quality in-window
+    "q_pack_chunks",  # q_seq_pack is the driver-visible packing composite
+    "q_salted_count",  # q_salted_join is the stronger salting composite
+    "q_ann_lsh_pairs",  # rows-only; LSH quality driver-visible via q_ann_recall
+    "q_multimodal_resize",  # 1→1 stage; q_multimodal_frames pins the 1→N shape
+    "q_stratified_sample",  # per-stratum rates: train_val_split + data_mixture cover
+    "q_orc_roundtrip",  # format roundtrip; parquet/CSV/JSON sources in-window
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

@@ -1,0 +1,191 @@
+"""Corpus-level text statistics: two-pass operators whose per-document
+score depends on the WHOLE corpus (global token frequencies, cross-
+document repeated lines). Single-pass scalar scoring lives in
+functions/text.py; these are the ops that need a corpus aggregate fed
+back into a per-row pass — the shape that matters at 100 TB is keeping
+that feedback edge a BROADCAST of a bounded summary, never a re-shuffle
+of the corpus.
+
+Generalizes the reference's per-bill keyword statistics (term loops at
+CSA_Resolutions_Analysis.R via search_all_bills) to corpus-informed
+scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Mean corpus frequency of each document's tokens — a cheap unigram
+    language-model proxy: documents dominated by corpus-rare tokens
+    (boilerplate IDs, foreign text, OCR noise) score low; fluent in-
+    domain text scores high.
+
+    Two passes over the tokenized corpus:
+    1. global token counts → keep the TOP ``vocab_size`` by count
+       (ties broken by token so the vocab is deterministic). Bounding
+       the vocab is what makes pass 2 a broadcast join at any corpus
+      size — the full vocabulary of a 100 TB corpus is itself huge, the
+       top-K is constant-sized. Out-of-vocab tokens count as frequency
+       0 (they are, definitionally, rare).
+    2. tokens ⟕ broadcast(vocab) → per-doc mean frequency.
+
+    The score stays integer-exact until one final division (IEEE-exact
+    in every engine), so results hash-match the SQL oracle bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(vocab_size)
+    )
+
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("freq"), F.lit(0))).alias("sum_freq"),
+        )
+        .withColumn(
+            "mean_freq",
+            F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def sql_unigram_score(vocab_size: int = 1000) -> str:
+    """DuckDB twin of :func:`unigram_score` over the ``documents`` view."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), toks_nonempty AS (
+  SELECT * FROM toks WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS freq FROM toks_nonempty
+  GROUP BY token ORDER BY freq DESC, token ASC LIMIT {vocab_size}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(COALESCE(v.freq, 0)) AS BIGINT) AS sum_freq,
+       CAST(sum(COALESCE(v.freq, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_freq
+FROM toks_nonempty t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Remove text segments that repeat across ≥ ``min_doc_freq``
+    documents — headers, footers, nav chrome, license blocks. The
+    standard corpus-cleaning pass a per-document filter can't express:
+    a segment is boilerplate only relative to the whole corpus.
+
+    Segmentation here is non-overlapping ``chunk_tokens``-token windows
+    (deterministic, alignment-stable for copied text); web corpora with
+    real line structure swap in ``split('\\n')`` — every downstream step
+    is segmentation-agnostic.
+
+    Scale shape: the document-frequency aggregate shuffles
+    ``sha2(chunk)`` digests (fixed-width keys), never chunk text; the
+    boilerplate set surviving ``min_doc_freq`` is small by construction
+    (each member appears in ≥ N docs → at most corpus_chunks / N of
+    them) and flows back as a BROADCAST left join. Reassembly is the one
+    unavoidable text shuffle: one groupBy(doc) with order restored by
+    ``array_sort`` on (pos, chunk) structs — no window, no second pass.
+
+    Returns (id_col, n_chunks_kept, n_chunks_dropped, clean_sha) — the
+    cleaned text travels as a sha256 digest so downstream checks are
+    O(1)-width; swap the digest for the ``array_join`` itself to
+    materialize the text.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    chunks = docs.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).withColumn("chunk_sha", F.sha2(F.col("chunk"), 256))
+
+    boiler = (
+        chunks.groupBy("chunk_sha")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("chunk_sha")
+    )
+
+    flagged = chunks.join(
+        F.broadcast(boiler).withColumn("__boiler", F.lit(True)),
+        "chunk_sha",
+        "left",
+    ).withColumn("__keep", F.col("__boiler").isNull())
+
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__keep"), F.struct(F.col("pos"), F.col("chunk")))
+            )
+        ),
+        lambda s: s["chunk"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.col("__keep").cast("bigint")).alias("n_chunks_kept"),
+        F.sum((~F.col("__keep")).cast("bigint")).alias("n_chunks_dropped"),
+        F.sha2(F.array_join(kept_sorted, " "), 256).alias("clean_sha"),
+    )
+
+
+def sql_strip_boilerplate(chunk_tokens: int = 8, min_doc_freq: int = 2) -> str:
+    """DuckDB twin of :func:`strip_boilerplate` over ``documents``."""
+    k = chunk_tokens
+    n_chunks = f"greatest(CAST(ceil(len(l) / {k}.0) AS BIGINT) - 1, 0)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), chunks AS (
+  -- DuckDB has no WITH ORDINALITY; parallel unnests zip positionally
+  SELECT doc_id,
+         unnest(generate_series(0, {n_chunks})) AS pos,
+         unnest([array_to_string(l[i * {k} + 1 : i * {k} + {k}], ' ')
+                 FOR i IN generate_series(0, {n_chunks})]) AS chunk
+  FROM toks
+), boiler AS (
+  SELECT chunk FROM chunks
+  GROUP BY chunk HAVING count(DISTINCT doc_id) >= {min_doc_freq}
+)
+SELECT c.doc_id,
+       CAST(sum(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chunks_kept,
+       CAST(sum(CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_chunks_dropped,
+       sha256(COALESCE(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                                  ' ' ORDER BY c.pos), ''))
+         AS clean_sha
+FROM chunks c LEFT JOIN boiler b USING (chunk)
+GROUP BY c.doc_id
+"""

@@ -1,0 +1,85 @@
+"""Distributed global ordering: a total sort index without a global window.
+
+Training pipelines need a stable global position — curriculum ordering by
+quality score, reproducible corpus shards, resumable cursors. The naive
+``row_number() OVER (ORDER BY ...)`` collapses to ONE partition (Spark
+plans a single-partition window for an empty PARTITION BY), which is a
+non-starter at 100 TB. ``zipWithIndex`` solves it RDD-side; this is the
+DataFrame-native equivalent:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys —
+   partitions are ordered ranges, rows ordered within each.
+2. ``localCheckpoint`` — pins partition boundaries AND materializes
+   ``monotonically_increasing_id`` / ``spark_partition_id`` so the two
+   downstream jobs (per-partition stats, final projection) see identical
+   assignments. Without the checkpoint, each job re-samples range
+   boundaries and the offsets would not line up.
+3. A per-partition (count, min_id) aggregate — ONE tiny shuffle of
+   #partitions rows — collected to the driver (bounded by the partition
+   count, never by data size) and turned into cumulative offsets.
+4. A broadcast join of the offsets back on partition id:
+   ``global_idx = offset[pid] + (mono_id - min_id[pid])``.
+
+Total cost beyond the sort itself: one #partitions-row aggregate and one
+broadcast hash join — no second full-data shuffle, no Python. The only
+contract used from ``monotonically_increasing_id`` is its documented
+guarantee: increasing in row order within a partition (the bit layout is
+NOT assumed; per-partition minima are measured, not derived).
+
+The index is deterministic iff the order keys are a total order — pass a
+unique tiebreaker (the fixtures use doc_id). Range boundary sampling is
+itself nondeterministic, but boundaries only decide WHERE partitions cut,
+not the total order, so the resulting index is stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_sort_index(
+    df: DataFrame,
+    order_by: list[Column],
+    index_col: str = "global_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 0-based dense global index in ``order_by`` order.
+
+    ``order_by`` must totally order the rows (include a unique
+    tiebreaker); ties would make the index nondeterministic across runs.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+
+    pinned = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin boundaries + id assignment
+    )
+
+    # one row per partition — driver footprint is O(#partitions)
+    stats = sorted(
+        pinned.groupBy("__pid")
+        .agg(F.count("*").alias("n"), F.min("__mid").alias("min_mid"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append((r["__pid"], acc, r["min_mid"]))
+        acc += r["n"]
+    offsets_df = spark.createDataFrame(
+        offsets, "__pid int, __offset bigint, __min_mid bigint"
+    )
+
+    return (
+        pinned.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(
+            index_col, F.col("__offset") + (F.col("__mid") - F.col("__min_mid"))
+        )
+        .drop("__pid", "__mid", "__offset", "__min_mid")
+    )

@@ -54,3 +54,37 @@ def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame
         {"n": (F.count("*"), F.sum("n").cast("bigint"))},
         n_salts=n_salts,
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: Column | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: split each hot fact key across ``n_salts``
+    shuffle partitions by salting the fact side, and replicate the dim
+    side once per salt so every (key, salt) bucket still finds its match.
+    Result rows are identical to ``fact.join(dim, key, how)``.
+
+    This is the manual fallback for the cases AQE's skew-join can't fix:
+    a single hot key too large for any one task even after AQE splits
+    (AQE subdivides partitions, not keys, when the build side can't
+    broadcast), or a sort-merge join where one key's row block alone
+    exceeds executor memory.
+
+    The salt is ``pmod(xxhash64(salt_on), n_salts)`` over a high-
+    cardinality fact column — deterministic (stable under task retry and
+    partition re-planning, unlike ``rand()``) and uniform, so the hot
+    key spreads evenly. Cost: the dim shuffles ``n_salts``× bigger —
+    explode of a literal sequence, rows only duplicated in the exchange.
+    Keep ``n_salts`` ≈ (hot-key rows / target task rows), not larger.
+    """
+    s = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    salted_fact = fact.withColumn("__salt", F.pmod(F.xxhash64(s), F.lit(n_salts)))
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return salted_fact.join(replicated_dim, [key, "__salt"], how).drop("__salt")

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import compat as C
 from ..functions import text as T
+from ..operators import corpus as Co
 from ..functions.vectors import sql_cosine
-from ..io import load_table
+from ..io import load_table, load_tables
 from ..operators.dedup import (
     dedup_by_near_duplicates,  # noqa: F401  (re-export for pipelines)
     embedding_neardup_pairs,
@@ -422,6 +424,37 @@ def q_salted_count(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return salted_count(events, ["event_type"], n_salts=16)
+
+
+@query(
+    "q_salted_join",
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"
+    f" {C.sql_exact_sum('o_totalprice')} AS total_price"
+    " FROM orders JOIN customer ON o_custkey = c_custkey"
+    " GROUP BY c_mktsegment",
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-safe manual salted join (operators/skew.salted_join): the
+    fact side is salted with pmod(xxhash64(orderkey), 16) and the dim
+    replicated 16×, so a single hot custkey spreads across 16 shuffle
+    partitions — the fallback for when AQE can't split a key and the
+    dim can't broadcast. Verified IDENTICAL to the plain equi-join."""
+    from ..operators.skew import salted_join
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    joined = salted_join(
+        orders,
+        customer.select("c_custkey", "c_mktsegment").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ),
+        key="o_custkey",
+        salt_on="o_orderkey",
+        n_salts=16,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        C.exact_sum("o_totalprice").alias("total_price"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -884,6 +917,124 @@ def q_compact_files(spark, sf_dir):
         [(n_rows, _count(frag), _count(packed))],
         "n_rows bigint, files_before int, files_after int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Global ordering / corpus-level text statistics / upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_global_index",
+    "SELECT doc_id, n_chars,"
+    " CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)"
+    "   AS global_idx"
+    " FROM documents",
+)
+def q_global_index(spark, sf_dir):
+    """Distributed global sort index (curriculum order: longest docs
+    first). ``row_number() OVER (ORDER BY ...)`` would collapse to ONE
+    partition; operators/ordering.global_sort_index instead range-
+    partitions, pins boundaries with a localCheckpoint, collects one
+    (count, min_id) row PER PARTITION, and broadcast-joins the
+    cumulative offsets back — no single-partition stage, no second
+    full-data shuffle, driver state bounded by the partition count."""
+    from ..operators.ordering import global_sort_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_sort_index(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], "global_idx"
+    )
+
+
+@query("q_unigram_score", Co.sql_unigram_score())
+def q_unigram_score(spark, sf_dir):
+    """Corpus-frequency unigram scoring (operators/corpus.unigram_score):
+    pass 1 builds the top-1000 token vocabulary, pass 2 broadcast-joins
+    it back for a per-doc mean-frequency score — the bounded-vocab shape
+    that keeps the corpus→row feedback edge a broadcast at 100 TB.
+    Integer-exact until one final IEEE division, so it hash-matches the
+    SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Co.unigram_score(docs)
+
+
+@query("q_boilerplate_strip", Co.sql_strip_boilerplate())
+def q_boilerplate_strip(spark, sf_dir):
+    """Cross-document boilerplate removal (operators/corpus.
+    strip_boilerplate): 8-token chunks appearing in ≥2 docs are dropped;
+    document-frequency shuffles sha2 digests only, the small surviving
+    boilerplate set broadcasts back, and cleaned text is rebuilt with
+    one order-restoring groupBy — verified against the SQL oracle down
+    to the sha256 of the reassembled text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Co.strip_boilerplate(docs)
+
+
+_UPSERT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {C.sql_exact_sum(
+           "CASE WHEN year(o_orderdate) = 1996"
+           " THEN o_totalprice * 2 ELSE o_totalprice END"
+       )} AS total_price
+FROM orders WHERE year(o_orderdate) < 1997
+GROUP BY 1
+"""
+
+
+@query("q_upsert_partition", _UPSERT_ORACLE)
+def q_upsert_partition(spark, sf_dir):
+    """Partition-level upsert (sources/sinks.upsert_partitions): seed a
+    year-partitioned orders table (<1997), then re-ingest 1996 with
+    doubled prices via dynamic partition overwrite — ONLY the 1996
+    directory is swapped, other partitions' files are untouched. The
+    read-back census must match an oracle that applies the update
+    relationally, proving the swap replaced exactly one partition."""
+    import tempfile
+
+    from ..sources.sinks import upsert_partitions
+
+    base = tempfile.mkdtemp(prefix="lbd_upsert_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    orders.filter(F.col("order_year") < 1997).write.partitionBy(
+        "order_year"
+    ).parquet(base)
+
+    updates = orders.filter(F.col("order_year") == 1996).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    upsert_partitions(spark, base, updates, ["order_year"])
+
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            C.exact_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_orc_roundtrip",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink roundtrip: write the documents metadata columns
+    as ORC (Spark's second columnar builtin — zlib striped, predicate-
+    pushdown-capable like parquet), read them back, and verify content
+    parity against the parquet-backed oracle."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lbd_orc_") + "/docs"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.orc(path)
+    return spark.read.orc(path)
 
 
 # ---------------------------------------------------------------------------

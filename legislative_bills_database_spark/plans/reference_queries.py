@@ -999,6 +999,31 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+@query(
+    "q_quantiles",
+    "SELECT o_orderstatus,"
+    " quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,"
+    " quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS p50,"
+    " quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75"
+    " FROM orders GROUP BY o_orderstatus",
+)
+def q_quantiles(spark, sf_dir):
+    """Exact per-group percentiles (linear interpolation, matching
+    DuckDB's ``quantile_cont``). ``percentile`` buffers each group's
+    values in the aggregation state — exact answers are inherently
+    memory-bound per group, which is fine for bounded-cardinality
+    grouping (3 statuses here) and the reason the 100 TB default is
+    ``approx_percentile`` (KLL/GK sketch, fixed-size state, mergeable
+    map-side); this query pins the exact semantics the sketch
+    approximates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 streaming (batch-window twin; true streaming in streaming/events.py)
 # ---------------------------------------------------------------------------

@@ -69,6 +69,42 @@ def write_partitioned_parquet(
     return path
 
 
+def upsert_partitions(
+    spark,
+    base_path: str,
+    updates: DataFrame,
+    partition_by: list[str],
+) -> str:
+    """Partition-level upsert: replace exactly the partitions present in
+    ``updates``, leave every other partition's files untouched — the
+    idempotent reprocess/backfill primitive for a partitioned lake
+    (re-ingest one day/session without rewriting 100 TB).
+
+    Implemented with Spark's dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic`` + ``mode("overwrite")``): the
+    writer stages the new partition directories and swaps only those, a
+    metadata operation per partition. This is PARTITION-granular (hive
+    semantics), not row-granular MERGE — row-level upsert composes this
+    with ``dedup_keep_latest`` inside each replaced partition, which is
+    how the incremental-ingest pipeline uses it.
+
+    The session config is set per-write and restored, so callers'
+    sessions keep their (safer) ``static`` default.
+    """
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            updates.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(base_path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return base_path
+
+
 def compact_parquet(
     spark,
     src_path: str,
