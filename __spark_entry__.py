@@ -78,6 +78,14 @@ _DEFER_LAST = [
     "q_multimodal_resize",  # 1→1 stage; q_multimodal_frames pins the 1→N shape
     "q_stratified_sample",  # per-stratum rates: train_val_split + data_mixture cover
     "q_orc_roundtrip",  # format roundtrip; parquet/CSV/JSON sources in-window
+    # deferred for the round-3 PQ/semdedup/novelty/shard batch — keeps the
+    # multimodal + pipeline families in-window; each deferral's semantics
+    # stay driver-visible through a stronger in-window composite:
+    "q_pq_topk",  # PQ quality driver-visible via q_pq_recall's one-row summary
+    "q_simhash_pairs",  # rows-only; banded==brute-force pinned in pytest
+    "q_lookup_join",  # same broadcast-lookup shape inside q_salted_join/pipelines
+    "q_lang_id",  # text family keeps text_stats + quality_score in-window
+    "q_compact_files",  # rows-only census; compaction invariants pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

@@ -51,6 +51,16 @@ HEADLINE = [
     "q_near_dedup_corpus",
     "q_pipeline_legislator_counts",
     "q_pipeline_keyword_search",
+    # round-3 additions: global ordering, skew join, corpus statistics,
+    # semantic dedup, PQ search, shard export
+    "q_global_index",
+    "q_salted_join",
+    "q_unigram_score",
+    "q_boilerplate_strip",
+    "q_ngram_novelty",
+    "q_semdedup",
+    "q_pq_topk",
+    "q_shard_manifest",
 ]
 
 
@@ -72,19 +82,30 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    # min of N_RUNS full executions per query = steady-state throughput.
+    # A single pass is hostage to one-off noise (JIT/codegen compilation
+    # of a first-seen plan, GC pauses, CPU contention from co-tenant
+    # processes) — measured 2×+ run-to-run swings on the iterative CC
+    # query with identical plans. The min is the standard repeated-
+    # measurement estimator for "how fast does this plan actually run".
+    N_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        # hash(*cols) defeats column pruning: every output expression must
-        # actually evaluate. hash() never returns NULL, so the count is
-        # still the exact row count.
-        n = df.agg(
-            F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-        ).collect()[0]["n"]
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best = None
+        n = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            # hash(*cols) defeats column pruning: every output expression
+            # must actually evaluate. hash() never returns NULL, so the
+            # count is still the exact row count.
+            n = df.agg(
+                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
+            ).collect()[0]["n"]
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

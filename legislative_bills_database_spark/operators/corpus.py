@@ -88,6 +88,93 @@ GROUP BY t.doc_id
 """
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document originality: the fraction of a document's distinct
+    ``shingle_n``-gram shingles that appear in NO other document. The
+    inverse signal of :func:`strip_boilerplate` — that one removes what
+    is shared, this one scores what is unique, the diversity metric used
+    to prioritize novel content when a training mixture over-samples.
+
+    Scale shape: the cross-document edge is a single shingle-digest
+    aggregate producing BOTH facts needed per gram — its document
+    frequency and (for df=1 grams) its sole owner via ``min(doc)``.
+    Unique grams are then credited to their owner with one doc-keyed
+    aggregate, and the final assembly joins two doc-cardinality tables.
+    Nothing corpus-sized is broadcast or joined back to the gram level —
+    unlike boilerplate's small broadcast set, the unique-gram set is
+    MOST of the corpus, so a gram-level join-back would re-shuffle
+    everything; routing through ``min(doc)`` avoids it entirely.
+
+    Returns (id_col, n_grams, n_unique, novelty) with
+    ``novelty = n_unique / n_grams`` (one IEEE division, hash-exact).
+    """
+    from ..functions import text as T
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(T.shingles(T.tokens(F.col(text_col)), shingle_n)).alias(
+            "gram"
+        ),
+    ).withColumn("gram_sha", F.sha2(F.col("gram"), 256))
+
+    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+    unique_per_owner = (
+        grams.groupBy("gram_sha")
+        .agg(
+            F.count_distinct(id_col).alias("df"),
+            F.min(id_col).alias("owner"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias(id_col))
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+    return (
+        per_doc.join(unique_per_owner, id_col, "left")
+        .na.fill(0, ["n_unique"])
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_unique"),
+            (
+                F.col("n_unique").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def sql_ngram_novelty(shingle_n: int = 3) -> str:
+    """DuckDB twin of :func:`ngram_novelty` over ``documents``."""
+    from ..functions.text import sql_shingles
+
+    grams_expr = sql_shingles("string_split(text, ' ')", shingle_n)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest({grams_expr}) AS gram FROM documents
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+         AS novelty
+FROM per_doc p LEFT JOIN (
+  SELECT doc_id, count(*) AS n_unique
+  FROM (SELECT gram, count(DISTINCT doc_id) AS df, min(doc_id) AS doc_id
+        FROM grams GROUP BY gram) g
+  WHERE df = 1 GROUP BY doc_id
+) u USING (doc_id)
+"""
+
+
 def strip_boilerplate(
     docs: DataFrame,
     text_col: str = "text",

@@ -47,6 +47,16 @@ def ivf_centroids(
     """
     sample = df.select(F.col(vec_col)).limit(max_train_rows).collect()
     mat = np.array([r[0] for r in sample], dtype=np.float64)
+    return lloyd_kmeans(mat, k, seed=seed, max_iter=max_iter)
+
+
+def lloyd_kmeans(
+    mat: np.ndarray, k: int, seed: int = 42, max_iter: int = 8
+) -> np.ndarray:
+    """Seeded numpy Lloyd's k-means with k-means++ init over an
+    in-memory (n, dim) sample — the shared bounded-fit kernel behind the
+    IVF coarse quantizer and the PQ subspace codebooks
+    (operators/quantize.py). Deterministic for a given (mat, k, seed)."""
     rng = np.random.default_rng(seed)
 
     # k-means++ seeding: spread initial centroids by squared-distance

@@ -185,6 +185,62 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, "vec_id", "embedding", centroids, nprobe=2, k=5)
 
 
+@query("q_pq_topk")  # quantized scores are codebook-specific → rows-only
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/quantize.py): embeddings
+    compressed to 16 one-byte subspace codes (16× smaller than float32),
+    searched with asymmetric distance — per query one (m×k) LUT, per
+    vector m lookups, no raw floats read at scan time. Codebooks are
+    sample-fit driver-side and memoized per sf_dir; deterministic given
+    the seed. Recall vs exact cosine is asserted in
+    tests/test_quantize.py and surfaced in q_pq_recall."""
+    from ..operators.quantize import pq_adc_topk, pq_codebooks_cached, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_cached(emb, "embedding", (sf_dir, "full"), m=16, k=128)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(codes, queries_df, "vec_id", "embedding", books, k=5)
+
+
+@query("q_pq_recall")  # seeded PQ vs exact — recall engine-specific → rows-only
+def q_pq_recall(spark, sf_dir):
+    """PQ quality, driver-visible (same contract as q_ann_recall): one
+    row (method, n_exact, n_recovered, recall) comparing ADC top-5 over
+    8-byte codes against exact cosine top-5 for 10 queries."""
+    from ..operators.quantize import pq_adc_topk, pq_codebooks_cached, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    books = pq_codebooks_cached(emb, "embedding", (sf_dir, "lt500"), m=16, k=128)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact_topk = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    approx_topk = pq_adc_topk(
+        codes, queries_df, "vec_id", "embedding", books, k=5
+    )
+    return _hit_stats(exact_topk, approx_topk, ("qid", "nid"), "pq_adc_topk")
+
+
+@query("q_semdedup")  # k-means clusters are engine-specific → rows-only
+def q_semdedup(spark, sf_dir):
+    """Semantic deduplication (operators/semdedup.py — the SemDeDup
+    recipe): k-means-cluster the embeddings (bounded driver-side fit,
+    shared with IVF), then inside each cluster drop every vector with an
+    earlier same-cluster vector at cosine ≥ 0.35 (the fixture's planted
+    semantic dups live at cos 0.3–0.5). Returns the dropped rows
+    (vec_id, cluster, witness) — deterministic for the fixed seed;
+    keep-set = anti-join, verified against per-cluster brute force in
+    tests/test_semdedup.py."""
+    from ..operators.ivf import ivf_centroids_cached
+    from ..operators.semdedup import semdedup_drops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids_cached(emb, "embedding", (sf_dir, "full"), k=16)
+    return semdedup_drops(
+        emb, "vec_id", "embedding", centroids, threshold=0.35, cluster_cap=20_000
+    )
+
+
 def _hit_stats(exact, approx, keys, method):
     """One-row (method, n_exact, n_recovered, recall) from two pair sets —
     a single left-join + aggregate, no driver-side counting."""
@@ -969,6 +1025,52 @@ def q_boilerplate_strip(spark, sf_dir):
     to the sha256 of the reassembled text."""
     docs = load_table(spark, sf_dir, "documents")
     return Co.strip_boilerplate(docs)
+
+
+@query("q_ngram_novelty", Co.sql_ngram_novelty())
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document originality (operators/corpus.ngram_novelty): the
+    fraction of a doc's distinct 3-gram shingles appearing in no other
+    document. The cross-document edge is one shingle-digest aggregate
+    that yields df AND owner together, so unique grams route to their
+    doc through min(doc) — no gram-level join-back, nothing corpus-sized
+    broadcast. Integer-exact until one division → hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Co.ngram_novelty(docs)
+
+
+_SHARD_ORACLE = f"""
+WITH sharded AS (
+  SELECT CAST(floor({Sa.sql_unit_hash("doc_id")} * 8) AS INTEGER) AS shard,
+         sha256(concat_ws('|', CAST(doc_id AS VARCHAR), text)) AS h
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       sha256(string_agg(h, '' ORDER BY h)) AS content_sha
+FROM sharded GROUP BY shard
+"""
+
+
+@query("q_shard_manifest", _SHARD_ORACLE)
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic shard export + integrity manifest
+    (sources/sinks.shard_export): documents written as 8 hash-assigned
+    shard directories (one task per shard — file count O(n_shards)),
+    manifest computed from the READ-BACK files: per-shard row count and
+    an order-independent sha256-of-sorted-row-digests. Hash-matching the
+    relational oracle proves the written shards carry exactly the
+    assigned rows — a lost, duplicated, or corrupted row flips the
+    digest."""
+    import tempfile
+
+    from ..sources.sinks import shard_export
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lbd_shards_") + "/docs"
+    return shard_export(
+        spark, docs, path, n_shards=8, id_col="doc_id",
+        digest_cols=["doc_id", "text"],
+    )
 
 
 _UPSERT_ORACLE = f"""

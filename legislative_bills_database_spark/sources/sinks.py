@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import uuid
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def new_run_id() -> str:
@@ -103,6 +104,60 @@ def upsert_partitions(
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return base_path
+
+
+def shard_export(
+    spark,
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    digest_cols: list[str],
+) -> DataFrame:
+    """Export a corpus as ``n_shards`` deterministic shards plus a
+    verifiable manifest — the handoff format a training job consumes
+    (each data-loader rank reads shard ``rank % n_shards``; the manifest
+    lets it verify integrity before burning GPU hours).
+
+    Shard assignment is the multiplicative row hash from
+    operators/sampling.unit_hash — deterministic across runs, retries,
+    AND engines (so the manifest is SQL-oracle-checkable), unlike
+    ``pmod(hash(...))`` whose value is engine-private. Rows land via one
+    ``repartition(n_shards, shard)`` + ``partitionBy(shard)`` write:
+    each shard directory is written by exactly one task, so file count
+    stays O(n_shards), not O(n_shards × upstream partitions).
+
+    Returns the manifest, computed from the WRITTEN FILES (read-back,
+    not the input lineage): (shard, n_rows, content_sha) where
+    ``content_sha`` is the sha256 of the shard's sorted per-row sha256
+    digests over ``digest_cols`` — order-independent, so it is stable
+    under task scheduling, and any lost/duplicated/corrupted row flips
+    it.
+    """
+    from ..operators.sampling import unit_hash
+
+    shard = F.floor(unit_hash(id_col) * n_shards).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard")
+        .parquet(path)
+    )
+
+    row_sha = F.sha2(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in digest_cols]), 256
+    )
+    return (
+        spark.read.parquet(path)
+        .select(F.col("shard").cast("int").alias("shard"), row_sha.alias("__h"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sha2(
+                F.array_join(F.array_sort(F.collect_list("__h")), ""), 256
+            ).alias("content_sha"),
+        )
+    )
 
 
 def compact_parquet(

@@ -147,3 +147,54 @@ def test_partitioned_sink_read_prunes_directories(spark):
     assert "PartitionFilters" in scan
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "lang" in pf and "en" in pf, pf
+
+
+def test_global_index_no_global_window_single_data_shuffle(spark):
+    """global_sort_index must never plan a single-partition Window (the
+    naive row_number-over-everything), and beyond the range-partition
+    sort it adds only a broadcast join — no second full-data exchange."""
+    plan = _plan(spark, "q_global_index")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # offsets agg only
+
+
+def test_salted_join_replicates_dim_not_fact(spark):
+    """The salted join must explode (replicate) only the dim side and
+    join on the composite (key, salt) — never broadcast or replicate the
+    fact, never a cartesian fallback."""
+    plan = _plan(spark, "q_salted_join")
+    assert "Generate explode" in plan  # dim replication is an explode
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_broadcasts_boiler_set(spark):
+    """The surviving boilerplate set is small by construction and must
+    come back to the chunk stream as a broadcast, not a shuffle."""
+    plan = _plan(spark, "q_boilerplate_strip")
+    assert "BroadcastHashJoin" in plan
+    assert "sha2" in plan  # df aggregate keys on digests, not chunk text
+
+
+def test_unigram_vocab_broadcasts(spark):
+    """The bounded top-K vocabulary must broadcast back to the token
+    stream (the corpus→row feedback edge must never be a shuffle join)."""
+    plan = _plan(spark, "q_unigram_score")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pairs_stay_within_clusters(spark):
+    """SemDeDup's pair join must be an equi-join on the cluster id —
+    no cross-cluster cartesian anywhere in the plan."""
+    plan = _plan(spark, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_novelty_no_gram_level_join_back(spark):
+    """Novelty joins two DOC-cardinality aggregates; the gram-level
+    table must feed aggregates only (no join whose both inputs are the
+    exploded gram stream)."""
+    plan = _plan(spark, "q_ngram_novelty")
+    # one doc-keyed join, gram stream appears only under aggregates
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1

@@ -131,3 +131,67 @@ def test_session_window_agrees_with_batch_sessionize(spark, events_json_dir):
     )
     cols = ["user_id", "n_sessions"]
     assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_json_dir):
+    from legislative_bills_database_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "passive"), ("purchase", "convert")],
+        "event_type string, kind string",
+    )
+    stream = stream_events_from_files(spark, events_json_dir)
+    got = _run_available_now(
+        enrich_stream(stream, dim, "event_type").select(
+            "event_id", "event_type", "kind"
+        ),
+        "t_enrich",
+        "append",
+    )
+    batch = load_table(spark, SF_DIR, "events").join(
+        dim, "event_type", "left"
+    )
+    assert _canon(got, ["event_id", "kind"]) == _canon(
+        batch, ["event_id", "kind"]
+    )
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, events_json_dir):
+    from legislative_bills_database_spark.streaming.joins import (
+        correlate_streams,
+    )
+
+    stream = stream_events_from_files(spark, events_json_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    joined = correlate_streams(
+        clicks, purchases, "user_id", left_ts="ts", right_ts="buy_ts",
+        within="2 hours", watermark="4 hours",
+    ).select(F.col("l.click_id"), F.col("r.buy_id"))
+    got = _run_available_now(joined, "t_corr", "append")
+
+    batch = load_table(spark, SF_DIR, "events")
+    b_clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    b_buys = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+    )
+    expected = b_clicks.join(
+        b_buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("ts"))
+        & (F.col("buy_ts") <= F.col("ts") + F.expr("INTERVAL 2 hours")),
+    ).select("click_id", "buy_id")
+    assert len(got.collect()) > 0  # the fixture must actually join rows
+    assert _canon(got, ["click_id", "buy_id"]) == _canon(
+        expected, ["click_id", "buy_id"]
+    )
