@@ -86,6 +86,10 @@ _DEFER_LAST = [
     "q_lookup_join",  # same broadcast-lookup shape inside q_salted_join/pipelines
     "q_lang_id",  # text family keeps text_stats + quality_score in-window
     "q_compact_files",  # rows-only census; compaction invariants pinned in pytest
+    "q_csv_sink",  # write+readback covered by shard/partitioned/upsert sinks; golden CSV in pytest
+    "q_quantiles",  # exact percentile semantics exercised inside q_length_trim
+    "q_incremental_neardup",  # rows-only; ==from-scratch equality pinned in pytest
+    "q_pii_redact",  # single regexp_replace expression; regexp family in-window
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

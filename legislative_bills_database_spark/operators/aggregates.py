@@ -76,3 +76,31 @@ def row_total(df: DataFrame, cols: list[str], alias: str = "total") -> DataFrame
     return df.withColumn(
         alias, reduce(add, [F.coalesce(F.col(c), F.lit(0)) for c in cols])
     )
+
+
+def merge_rollup(
+    existing: DataFrame,
+    increment: DataFrame,
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new
+    partition's PARTIAL aggregate into an existing rollup table without
+    re-reading history — union the two aggregate tables and re-reduce
+    per key with each measure's merge function (``sum`` for counts and
+    sums; anything algebraic decomposes into such partials; non-mergeable
+    measures like exact medians are exactly what this pattern excludes).
+
+    This is the nightly-ingest shape at 100 TB: the rollup is
+    key-cardinality, the increment is one partition's partial, and the
+    merge shuffles only those two small aggregate tables — the fact
+    history is never touched. Correctness requires order-insensitive
+    merge fns (use exact decimal sums, not double sums) so that
+    maintained-vs-recomputed results match bit-for-bit.
+
+    ``merges`` maps measure column → merge fn name (e.g. {"n": "sum"}).
+    """
+    aggs = [
+        getattr(F, fn)(F.col(c)).alias(c) for c, fn in merges.items()
+    ]
+    return existing.unionByName(increment).groupBy(*keys).agg(*aggs)

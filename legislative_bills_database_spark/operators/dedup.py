@@ -97,6 +97,127 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH index: one row per (id, band) carrying the
+    band bucket hash plus the full signature array. Signatures travel as
+    ONE array column so the banded bucket join downstream can carry only
+    (id, band, bhash) — the minhash values re-join per candidate id.
+
+    This is the table a production pipeline MATERIALIZES once per corpus
+    (store it, not the text: num_hashes longs per doc) and reuses for
+    every incremental batch — see :func:`incremental_lsh_pairs`.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+
+
+def incremental_lsh_pairs(
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for an APPENDED batch against an existing corpus
+    without touching corpus text: the corpus side is its pre-built
+    :func:`minhash_band_index` (materialized once, reused per batch);
+    only the new batch computes signatures. The candidate join probes
+    batch bands against the union of corpus + batch bands, so both
+    batch-vs-corpus and batch-internal duplicates surface, while
+    corpus-vs-corpus pairs (already adjudicated when those docs were
+    ingested) are never recomputed.
+
+    At 100 TB this is the difference between an O(batch) nightly job and
+    an O(corpus) one: the corpus contributes a signature index scan
+    (num_hashes longs per doc), not a text re-shingle.
+
+    Returns canonicalized (id_a < id_b, est_jaccard) pairs where at
+    least one side is a batch doc; corpus and batch ids may interleave.
+    """
+    batch_index = minhash_band_index(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    all_index = corpus_index.unionByName(batch_index)
+
+    slim = all_index.select(
+        F.col(id_col),
+        F.col("__band.band").alias("band"),
+        F.col("__band.bhash").alias("bhash"),
+    )
+    batch_slim = batch_index.select(
+        F.col(id_col),
+        F.col("__band.band").alias("band"),
+        F.col("__band.bhash").alias("bhash"),
+    )
+    # probe side is the BATCH only; the pair is canonicalized with
+    # least/greatest so corpus ids may interleave with batch ids (batch-
+    # internal pairs arise in both directions and collapse in the dedup)
+    cand = (
+        slim.alias("a")
+        .join(
+            batch_slim.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = (
+        all_index.select(F.col(id_col), "__sig").dropDuplicates([id_col])
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,27 +234,8 @@ def minhash_lsh_pairs(
     agreement (est_jaccard = fraction of matching minhashes), so no
     second pass over raw text. Returns (id_a, id_b, est_jaccard).
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    # Signatures as one array column: the banded bucket join below carries
-    # ONLY (id, band, bhash) — the 16 minhash values do not travel through
-    # the explode/shuffle; they re-join per candidate id afterwards.
-    sig = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("__sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band"),
+    sig = minhash_band_index(
+        df, id_col, text_col, num_hashes, bands, shingle_n
     )
     slim = sig.select(
         F.col(id_col),

@@ -884,6 +884,145 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     )
 
 
+@query("q_incremental_neardup")  # xxhash64 signatures → rows-only
+def q_incremental_neardup(spark, sf_dir):
+    """Append-only NEAR-dup ingest (operators/dedup.incremental_lsh_pairs):
+    the existing corpus (doc_id < 400) contributes only its pre-built
+    MinHash band index — its text is never re-shingled — while the new
+    batch (doc_id ≥ 400) computes fresh signatures and probes the union
+    of indexes. Returns batch-vs-corpus and batch-internal candidate
+    pairs only; corpus-vs-corpus pairs are never recomputed. Equality
+    with the from-scratch run's batch-touching pairs is pinned in
+    tests/test_operators.py."""
+    from ..operators.dedup import incremental_lsh_pairs, minhash_band_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_index = minhash_band_index(
+        docs.filter(F.col("doc_id") < 400), "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return incremental_lsh_pairs(
+        corpus_index, batch, "doc_id", "text", min_est_jaccard=0.3
+    )
+
+
+_ROLLUP_MAINT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {C.sql_exact_sum("o_totalprice")} AS total_price
+FROM orders WHERE year(o_orderdate) <= 1997
+GROUP BY 1, 2
+"""
+
+
+@query("q_rollup_maintenance", _ROLLUP_MAINT_ORACLE)
+def q_rollup_maintenance(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators/aggregates.merge_rollup): an existing rollup (orders
+    <1997 by year×status) absorbs 1997's PARTIAL aggregate by merging
+    two key-cardinality tables — history is never re-read. Partials stay
+    in exact decimal until the final double cast, so the maintained
+    rollup hash-matches a full recompute (the oracle) bit-for-bit."""
+    from ..operators.aggregates import merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+
+    def partial(df):
+        return df.groupBy("order_year", "o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "sum_dec"
+            ),
+        )
+
+    existing = partial(orders.filter(F.col("order_year") < 1997))
+    increment = partial(orders.filter(F.col("order_year") == 1997))
+    merged = merge_rollup(
+        existing,
+        increment,
+        ["order_year", "o_orderstatus"],
+        {"n": "sum", "sum_dec": "sum"},
+    )
+    return merged.select(
+        "order_year",
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_dec").cast("double").alias("total_price"),
+    )
+
+
+_SCHEMA_EVO_ORACLE = """
+SELECT doc_id, lang, NULL AS quality FROM documents WHERE doc_id < 250
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS quality
+FROM documents WHERE doc_id >= 250
+"""
+
+
+@query("q_schema_evolution", _SCHEMA_EVO_ORACLE)
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on a growing lake table: an early batch lands
+    (doc_id, lang), a later batch adds a ``quality`` column, and ONE
+    ``mergeSchema`` read returns the union schema with NULLs where the
+    old files predate the column — the append-only evolution path that
+    avoids rewriting 100 TB of history for an additive change.
+    ``mergeSchema`` is opt-in per read (footer reconciliation costs one
+    extra pass over file metadata, nothing over data); pinning the
+    reconciled result against a relational oracle proves old files stay
+    readable untouched."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="lbd_schemaevo_") + "/docs"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 250).select("doc_id", "lang").write.parquet(
+        base
+    )
+    docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "lang", F.col("n_chars").alias("quality")
+    ).write.mode("append").parquet(base)
+    return spark.read.option("mergeSchema", "true").parquet(base).select(
+        "doc_id", "lang", "quality"
+    )
+
+
+_TRIM_ORACLE = """
+WITH bounds AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d, bounds b
+WHERE CAST(d.n_chars AS DOUBLE) >= b.lo AND CAST(d.n_chars AS DOUBLE) <= b.hi
+"""
+
+
+@query("q_length_trim", _TRIM_ORACLE)
+def q_length_trim(spark, sf_dir):
+    """Percentile-based outlier trimming (drop the shortest/longest 5%
+    of documents — the standard length-distribution cleanup before
+    training). The bounds are ONE single-row exact-percentile aggregate
+    broadcast into the scan-side filter via a nested-loop join of a
+    1-row table — the fact table is never shuffled. Exact percentile
+    pins the semantics; the 100 TB swap-in is ``approx_percentile``
+    (mergeable sketch), changing only the bounds aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile(F.col("n_chars").cast("double"), 0.05).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), 0.95).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter(
+            (F.col("n_chars").cast("double") >= F.col("lo"))
+            & (F.col("n_chars").cast("double") <= F.col("hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 @query(
     "q_partitioned_sink",
     "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",

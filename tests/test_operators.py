@@ -16,6 +16,7 @@ from legislative_bills_database_spark.operators.dedup import (
     embedding_neardup_pairs,
     simhash,
 )
+from legislative_bills_database_spark.io import load_table
 from legislative_bills_database_spark.operators.joins import fallback_join
 from legislative_bills_database_spark.operators.similarity import lsh_recall
 
@@ -280,3 +281,67 @@ def test_declared_neardup_precision(spark):
     row = QUERIES["q_neardup_precision"](spark, SF_DIR).collect()[0]
     assert row["n_candidates"] > 0, "vacuous precision check"
     assert row["precision"] >= 0.9
+
+
+def test_incremental_lsh_pairs_match_from_scratch_run(spark):
+    """Index-reuse incremental near-dup must equal the from-scratch LSH
+    run restricted to pairs touching the batch — even when batch ids
+    interleave with corpus ids."""
+    from legislative_bills_database_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # interleaved split: corpus = even ids, batch = odd ids
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = minhash_lsh_pairs(
+        docs, "doc_id", "text", min_est_jaccard=0.3
+    ).collect()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in full
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+
+    corpus_index = minhash_band_index(corpus, "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in incremental_lsh_pairs(
+            corpus_index, batch, "doc_id", "text", min_est_jaccard=0.3
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the fixture must actually exercise pairs
+    # and no corpus-vs-corpus pair leaks through
+    assert all(a in batch_ids or b in batch_ids for a, b, _ in got)
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    from legislative_bills_database_spark.operators.aggregates import (
+        merge_rollup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    half_a = partial(events.filter(F.col("event_id") % 2 == 0))
+    half_b = partial(events.filter(F.col("event_id") % 2 == 1))
+    merged = merge_rollup(
+        half_a, half_b, ["event_type"], {"n": "sum", "s": "sum"}
+    )
+    full = partial(events)
+    got = {
+        r["event_type"]: (r["n"], r["s"]) for r in merged.collect()
+    }
+    want = {r["event_type"]: (r["n"], r["s"]) for r in full.collect()}
+    assert got == want

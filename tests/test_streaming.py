@@ -195,3 +195,49 @@ def test_stream_stream_join_matches_batch_range_join(spark, events_json_dir):
     assert _canon(got, ["click_id", "buy_id"]) == _canon(
         expected, ["click_id", "buy_id"]
     )
+
+
+def test_foreachbatch_sink_exactly_once_and_idempotent(
+    spark, events_json_dir, tmp_path
+):
+    from legislative_bills_database_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        write_batch_overwrite,
+    )
+
+    base = str(tmp_path / "sink")
+    # maxFilesPerTrigger=1 forces one micro-batch per input file →
+    # deterministic multi-batch run
+    stream = stream_events_from_files(
+        spark, events_json_dir, max_files_per_trigger=1
+    )
+    q = idempotent_parquet_sink(
+        stream.select("event_id", "event_type", "value"),
+        base,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(base)
+    batch_ids = sorted(
+        r["batch"] for r in out.select("batch").distinct().collect()
+    )
+    assert len(batch_ids) >= 2  # two input files → at least two batches
+    batch = load_table(spark, SF_DIR, "events")
+    assert out.count() == batch.count()
+    assert (
+        _canon(out, ["event_id", "event_type"])
+        == _canon(batch, ["event_id", "event_type"])
+    )
+
+    # simulate the failure-retry path: re-delivering batch 0 must leave
+    # the table IDENTICAL (overwrite, not append). Pin the before-state
+    # eagerly: the overwrite replaces the files `out` lazily points at.
+    before = _canon(out, ["event_id"])
+    replay = out.filter(F.col("batch") == batch_ids[0]).select(
+        "event_id", "event_type", "value"
+    ).localCheckpoint()
+    write_batch_overwrite(base)(replay, batch_ids[0])
+    again = spark.read.parquet(base)
+    assert again.count() == batch.count()
+    assert _canon(again, ["event_id"]) == before
