@@ -90,6 +90,7 @@ _DEFER_LAST = [
     "q_quantiles",  # exact percentile semantics exercised inside q_length_trim
     "q_incremental_neardup",  # rows-only; ==from-scratch equality pinned in pytest
     "q_pii_redact",  # single regexp_replace expression; regexp family in-window
+    "q_topk_per_group",  # row_number top-k plan driver-visible inside q_cosine_topk/q_pq_recall
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

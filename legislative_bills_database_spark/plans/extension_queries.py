@@ -884,6 +884,38 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     )
 
 
+def _z_oracle_sql():
+    from ..operators.layout import sql_int_bucket, sql_z_value
+
+    b_chars = sql_int_bucket("n_chars", 0, 5000, bits=8)
+    b_id = "(doc_id % 256)"
+    return (
+        "SELECT doc_id, CAST("
+        + sql_z_value([b_chars, b_id], bits=8)
+        + " AS BIGINT) AS z FROM documents"
+    )
+
+
+@query("q_zorder_value", _z_oracle_sql())
+def q_zorder_value(spark, sf_dir):
+    """Morton (Z-order) code per document (operators/layout.z_value):
+    bit-interleave of the bucketed length and the low doc_id bits — the
+    clustering key behind multi-dimensional file layout
+    (layout.zorder_write; file-skipping benefit pinned against a
+    linear sort in tests/test_layout.py). Pure shift/mask integer tree,
+    hash-matches the SQL oracle bit-for-bit."""
+    from ..operators.layout import int_bucket, z_value
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        z_value(
+            [int_bucket("n_chars", 0, 5000, bits=8), F.pmod("doc_id", F.lit(256))],
+            bits=8,
+        ).alias("z"),
+    )
+
+
 @query("q_incremental_neardup")  # xxhash64 signatures → rows-only
 def q_incremental_neardup(spark, sf_dir):
     """Append-only NEAR-dup ingest (operators/dedup.incremental_lsh_pairs):

@@ -198,3 +198,50 @@ def test_ngram_novelty_no_gram_level_join_back(spark):
     plan = _plan(spark, "q_ngram_novelty")
     # one doc-keyed join, gram stream appears only under aggregates
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark's runtime bloom-filter join pruning: a selective build side
+    must inject a bloom_filter probe into the fact scan when the scan-
+    size thresholds allow. At 100 TB this is the optimizer feature that
+    turns 'join then discard 99%' into 'discard 99% inside the scan' —
+    this test pins that our scan-shaped plans stay eligible (equi-join
+    on a raw scan column, no expression wrapper blocking the injection).
+    Thresholds are production-defaults-off at fixture scale, so they are
+    lowered for the assertion and restored."""
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        sel = orders.filter(orders.o_orderpriority == "1-URGENT")
+        j = lineitem.join(
+            sel, lineitem.l_orderkey == sel.o_orderkey
+        ).agg(F.count("*"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zorder_value_is_pure_projection(spark):
+    """The Morton code must be one shuffle-free projection over the scan
+    — shifts and masks in codegen, no exchange, no UDF."""
+    plan = _plan(spark, "q_zorder_value")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
