@@ -91,6 +91,8 @@ _DEFER_LAST = [
     "q_incremental_neardup",  # rows-only; ==from-scratch equality pinned in pytest
     "q_pii_redact",  # single regexp_replace expression; regexp family in-window
     "q_topk_per_group",  # row_number top-k plan driver-visible inside q_cosine_topk/q_pq_recall
+    "q_semi_join",  # left_semi shape driver-visible inside q_decontaminate
+    "q_derived_key_join",  # derived-key equi-join inside q_range_join/q_salted_join
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

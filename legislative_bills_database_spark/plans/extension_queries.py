@@ -884,6 +884,72 @@ def q_corpus_filter_pipeline(spark, sf_dir):
     )
 
 
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def _funnel_oracle():
+    from ..operators.funnel import sql_funnel_census
+
+    return sql_funnel_census(_FUNNEL_STAGES)
+
+
+@query("q_funnel", _funnel_oracle())
+def q_funnel(spark, sf_dir):
+    """Ordered-stage funnel conversion (operators/funnel.py): users who
+    signed up, then clicked AFTER signup, then purchased AFTER that
+    click. One conditional-min aggregate + join per stage, all keyed on
+    user_id so the first shuffle's partitioning is reused throughout —
+    no per-user event arrays are ever materialized (the collect-and-fold
+    alternative is a memory hazard for power users at 100 TB)."""
+    from ..operators.funnel import funnel_census
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_census(events, _FUNNEL_STAGES)
+
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+_CURRICULUM_ORACLE = f"""
+WITH bounds AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                       {[round(p, 1) for p in _DECILES]}) AS bs
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(b.bs, x -> x <= CAST(d.n_chars AS DOUBLE)))
+            AS INTEGER) AS bucket
+FROM documents d, bounds b
+"""
+
+
+@query("q_curriculum_buckets", _CURRICULUM_ORACLE)
+def q_curriculum_buckets(spark, sf_dir):
+    """Decile curriculum bucketing WITHOUT a global window: a global
+    ``ntile(10)`` plans a single-partition sort at any scale, so the
+    bucket is instead 'how many decile bounds sit at or below this row'
+    — one 9-value exact-percentile aggregate (sketchable via
+    approx_percentile at 100 TB) broadcast into a scan-side array
+    expression. Zero fact shuffle, stable under re-partitioning, and the
+    bucket boundaries are identical to ntile's for distinct values."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile(
+            F.col("n_chars").cast("double"), F.lit(_DECILES)
+        ).alias("bs")
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.col("bs"),
+                    lambda x: x <= F.col("n_chars").cast("double"),
+                )
+            ).alias("bucket"),
+        )
+    )
+
+
 def _z_oracle_sql():
     from ..operators.layout import sql_int_bucket, sql_z_value
 

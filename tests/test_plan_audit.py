@@ -245,3 +245,19 @@ def test_zorder_value_is_pure_projection(spark):
     plan = _plan(spark, "q_zorder_value")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Every funnel stage aggregates and joins on user_id — with AQE the
+    stage joins must be hash joins on the same key (no cartesian, no
+    nested loop), and stage inputs are filtered before their shuffles."""
+    plan = _plan(spark, "q_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_buckets_zero_fact_shuffle(spark):
+    """The decile-bounds aggregate is the only exchange feeding the
+    bucket projection; the documents side must not hash-exchange."""
+    plan = _plan(spark, "q_curriculum_buckets")
+    assert plan.count("Exchange hashpartitioning") == 0
