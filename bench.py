@@ -83,12 +83,15 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     # min of N_RUNS full executions per query = steady-state throughput.
+    # 3 runs: the first often pays whole-stage-codegen compilation for
+    # wide plans (measured 2.2s -> 0.6s on the 40-column pivot pipeline),
+    # and one more repeat still absorbs a GC pause.
     # A single pass is hostage to one-off noise (JIT/codegen compilation
     # of a first-seen plan, GC pauses, CPU contention from co-tenant
     # processes) — measured 2×+ run-to-run swings on the iterative CC
     # query with identical plans. The min is the standard repeated-
     # measurement estimator for "how fast does this plan actually run".
-    N_RUNS = 2
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
