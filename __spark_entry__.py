@@ -78,6 +78,11 @@ _DEFER_LAST = [
     "q_multimodal_resize",  # 1→1 stage; q_multimodal_frames pins the 1→N shape
     "q_stratified_sample",  # per-stratum rates: train_val_split + data_mixture cover
     "q_orc_roundtrip",  # format roundtrip; parquet/CSV/JSON sources in-window
+    # deferred for the round-3 TF-IDF/PMI batch — both newcomers are
+    # oracle-hash-checked composites; the displaced entries are
+    # single-expression variants of plans still driver-visible:
+    "q_base64_roundtrip",  # unbase64 expression; binary decode path in-window via q_pdf_text_source
+    "q_html_text_source",  # same binaryFile+pandas-UDF extract plan as q_pdf_text_source (in-window)
     # deferred for the round-3 PQ/semdedup/novelty/shard batch — keeps the
     # multimodal + pipeline families in-window; each deferral's semantics
     # stay driver-visible through a stronger in-window composite:

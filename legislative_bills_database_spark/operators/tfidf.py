@@ -1,0 +1,196 @@
+"""Corpus term-weighting: per-document TF-IDF top terms and bigram PMI
+collocations — pure DataFrame plans, no UDFs.
+
+The keyword-extraction / collocation-mining primitives a training-data
+pipeline uses for topic tagging, domain clustering and tokenizer-merge
+candidate mining (the counting shape of a BPE merge step). Generalizes
+the reference's per-term keyword search (legiscan_search_all_bills.R:88-93)
+from "does this term occur" to "which terms matter, corpus-relative".
+
+Scale shape (TF-IDF): the only rows ever shuffled are slim
+``(doc_id, term, count)`` triples — never document text. Document
+frequencies aggregate to a vocabulary-bounded table that joins back as a
+BROADCAST; the corpus size N is a one-row broadcast cross join. Two
+shuffles total: the (doc, term) count and the per-document top-k window.
+
+Scale shape (PMI): unigram and bigram counts are classic two-phase
+map-side-combined aggregates; the unigram table is vocabulary-bounded and
+broadcast onto the bigram side twice (w1, w2). Totals are one broadcast
+row. The final top-k is TakeOrderedAndProject — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    score = tf · ln(N / df). Ranking uses the RAW double score (products
+    of exactly-representable counts — bit-identical across engines);
+    the returned score is floor-rounded to ``round_dp`` for stable
+    hashing. Ties break on term ascending.
+    """
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = pairs.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    # tf already has one row per (doc, term): df is a plain count per term
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+
+    raw = F.col("tf") * F.log(F.col("n") / F.col("df"))
+    scale = float(10**round_dp)
+    w = Window.partitionBy(id_col).orderBy(raw.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            (F.floor(raw * scale + 0.5) / scale).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_tfidf_top_terms(k: int = 3, round_dp: int = 6) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` over ``documents``."""
+    scale = float(10**round_dp)
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM pairs GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+)
+SELECT doc_id, term,
+       floor(tf.tf * ln(n.n / df.df) * {scale!r} + 0.5) / {scale!r} AS score,
+       CAST(row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY tf.tf * ln(n.n / df.df) DESC, term ASC
+       ) AS INTEGER) AS rank
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY rank <= {k}
+"""
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual information.
+
+    PMI(x,y) = ln( (c_xy / B) / ((c_x / T) · (c_y / T)) ) with T total
+    unigram tokens and B total bigrams. Pairs below ``min_count`` are
+    dropped (PMI is noise at low counts). Ranking uses the raw double
+    PMI with (w1, w2) ascending tie-break; the returned pmi is
+    floor-rounded. The expression is written with the IDENTICAL
+    operation order in the DuckDB twin so the doubles match bitwise.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(toks.alias("l")).filter(F.size("l") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("w1"),
+                    F.element_at("l", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    totals = docs.select(F.explode(toks).alias("w")).agg(
+        F.count("*").cast("double").alias("T")
+    )
+    btot = bigrams.agg(F.count("*").cast("double").alias("B"))
+    bcnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+
+    raw = F.log(
+        (F.col("pair_count").cast("double") / F.col("B"))
+        / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+    )
+    scale = float(10**round_dp)
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    return (
+        bcnt.filter(F.col("pair_count") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .orderBy(raw.desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            (F.floor(raw * scale + 0.5) / scale).alias("pmi"),
+        )
+    )
+
+
+def sql_bigram_pmi(min_count: int = 5, k: int = 20, round_dp: int = 6) -> str:
+    """DuckDB twin of :func:`bigram_pmi` over ``documents``."""
+    scale = float(10**round_dp)
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), big AS (
+  -- parallel unnests zip positionally (no WITH ORDINALITY in DuckDB)
+  SELECT unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS w1,
+         unnest([l[i + 1] FOR i IN generate_series(1, len(l) - 1)]) AS w2
+  FROM toks WHERE len(l) >= 2
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), ucnt AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS T FROM uni
+), btot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS B FROM big
+), bcnt AS (
+  SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY w1, w2
+), scored AS (
+  SELECT w1, w2, pair_count,
+         ln((CAST(pair_count AS DOUBLE) / B)
+            / ((u1.c / T) * (u2.c / T))) AS raw_pmi
+  FROM bcnt
+  JOIN ucnt u1 ON bcnt.w1 = u1.w
+  JOIN ucnt u2 ON bcnt.w2 = u2.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE pair_count >= {min_count}
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       floor(raw_pmi * {scale!r} + 0.5) / {scale!r} AS pmi
+FROM scored
+ORDER BY raw_pmi DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""

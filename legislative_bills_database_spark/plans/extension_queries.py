@@ -1525,3 +1525,35 @@ def q_multimodal_frames(spark, sf_dir):
         "ts_ms",
         F.sha2(F.col("frame"), 256).alias("frame_digest"),
     )
+
+
+from ..operators.tfidf import (  # noqa: E402
+    bigram_pmi,
+    sql_bigram_pmi,
+    sql_tfidf_top_terms,
+    tfidf_top_terms,
+)
+
+
+@query("q_tfidf_top_terms", sql_tfidf_top_terms(k=3))
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (operators/tfidf.
+    tfidf_top_terms): (doc, term, count) triples are the only shuffled
+    rows; the vocabulary-bounded df table and the one-row corpus count
+    broadcast back. Ranks on the raw double score (products of exact
+    counts) with a term tie-break, so the top-3 per doc hash-matches the
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@query("q_bigram_pmi", sql_bigram_pmi(min_count=5, k=20))
+def q_bigram_pmi(spark, sf_dir):
+    """Bigram collocation mining by PMI (operators/tfidf.bigram_pmi) —
+    the counting shape of a BPE merge step: map-side-combined unigram
+    and bigram counts, vocabulary-bounded unigram table broadcast onto
+    the pair side twice, totals as one-row broadcasts, top-k via
+    TakeOrderedAndProject. Identical IEEE expression order in the oracle
+    → bitwise hash match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=5, k=20)
