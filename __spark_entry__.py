@@ -83,6 +83,11 @@ _DEFER_LAST = [
     # single-expression variants of plans still driver-visible:
     "q_base64_roundtrip",  # unbase64 expression; binary decode path in-window via q_pdf_text_source
     "q_html_text_source",  # same binaryFile+pandas-UDF extract plan as q_pdf_text_source (in-window)
+    # deferred for the round-3 fuzzy-join/RAG-chunking batch (both
+    # newcomers oracle-hash-checked; fuzzy's hash proves blocking
+    # completeness vs the naive oracle):
+    "q_sessionize",  # gap sessionization; event-sequence semantics in-window via q_funnel, streaming twin pytest-pinned
+    "q_partitioned_sink",  # sink family stays in-window via q_upsert_partition (file-identity proof) + q_shard_manifest
     # deferred for the round-3 PQ/semdedup/novelty/shard batch — keeps the
     # multimodal + pipeline families in-window; each deferral's semantics
     # stay driver-visible through a stronger in-window composite:

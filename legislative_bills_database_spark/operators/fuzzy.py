@@ -1,0 +1,171 @@
+"""Fuzzy (edit-distance) join with PassJoin-style pigeonhole blocking.
+
+Entity resolution across dirty string keys — the record-linkage
+primitive a training-data pipeline needs for source-metadata joins
+(titles, author names, URLs with typos). Generalizes the reference's
+exact fallback-key join (legislator_bill_counts_run.R:114-122) to
+approximate string keys.
+
+Blocking is the segment-pigeonhole scheme of PassJoin (Li, Deng, Feng —
+"PASS-JOIN: a partition-based method for similarity joins", PVLDB 2011,
+public literature): split every LEFT string of length m into k = d+1
+contiguous segments; any RIGHT string within edit distance d MUST contain
+at least one segment verbatim, starting within ±d of its left position.
+So the candidate set is an EQUI-join on (segment_idx, left_len, substring)
+— never a cross join — and is provably complete (no missed pairs).
+
+Scale shape: each left row emits k keys, each right row at most
+(2d+1)·k·(2d+1) keys (constant for fixed d) — linear explode, one
+equi-join on slim (idx, len, substr) keys, candidates de-duplicated to
+(lid, rid) id pairs BEFORE strings are re-joined for the levenshtein
+verify (text never rides through the explode). Strings shorter than k
+route through a single 'short' bucket (bounded: |s| < k means at most
+k-1 chars), unioned in before verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _segment(i: Column, m: Column, k: int) -> tuple[Column, Column]:
+    """(start, length) of even-split segment ``i`` of a length-``m``
+    string, 1-based, first ``m % k`` segments one char longer."""
+    base = (m / k).cast("int")
+    rem = m % k
+    length = base + (i < rem).cast("int")
+    start = i * base + F.least(i, rem) + 1
+    return start, length
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All (left_id, right_id, dist) pairs with edit distance ≤ ``max_dist``.
+
+    Complete (the pigeonhole blocking misses nothing) and exact (every
+    candidate is verified with ``levenshtein``). Output column names:
+    ``lid``, ``rid``, ``dist``.
+    """
+    d, k = max_dist, max_dist + 1
+    ls = left.select(
+        F.col(left_id).alias("lid"), F.col(left_col).alias("ltext")
+    )
+    rs = right.select(
+        F.col(right_id).alias("rid"), F.col(right_col).alias("rtext")
+    )
+
+    m = F.length("ltext")
+    lstart, llen = _segment(F.col("i"), F.col("m"), k)
+    lkeys = (
+        ls.filter(m >= k)
+        .select("lid", "ltext", m.alias("m"), F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"))
+        .select(
+            "lid",
+            F.struct(
+                F.col("i"),
+                F.col("m"),
+                F.substring("ltext", lstart, llen).alias("sub"),
+            ).alias("key"),
+        )
+    )
+
+    # right side: for every plausible left length m in [n-d, n+d] (and
+    # >= k), every segment index, every start within ±d of the left
+    # segment start — constant ≤ (2d+1)·k·(2d+1) keys per row
+    n = F.length("rtext")
+    rkeys = (
+        rs.filter(n >= 1)
+        .select("rid", "rtext", n.alias("n"))
+        .select(
+            "rid",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(
+                            F.greatest(F.col("n") - d, F.lit(k)),
+                            F.col("n") + d,
+                        ),
+                        lambda mm: F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(d)),
+                                lambda i: _rkeys_for_segment(
+                                    i, mm, F.col("n"), k, d
+                                ),
+                            )
+                        ),
+                    )
+                )
+            ).alias("key"),
+        )
+    )
+
+    cand = (
+        lkeys.join(rkeys, "key")
+        .select("lid", "rid")
+        .distinct()
+    )
+
+    # short-left bucket: |s| < k strings can't be segmented — pair them
+    # with every right string of compatible length via one tiny bucket
+    short_l = ls.filter(F.length("ltext") < k).select("lid")
+    short_cand = short_l.crossJoin(
+        rs.filter(F.length("rtext") <= k - 1 + d).select("rid")
+    )
+
+    all_cand = cand.unionByName(short_cand).distinct()
+    dist = F.levenshtein("ltext", "rtext")
+    return (
+        all_cand.join(ls, "lid")
+        .join(rs, "rid")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= d)
+        .select("lid", "rid", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def _rkeys_for_segment(
+    i: Column, mm: Column, n: Column, k: int, d: int
+) -> Column:
+    """Candidate (i, m, substring) keys of the right string for segment
+    ``i`` of hypothetical left length ``mm`` — starts within ±d."""
+    start, length = _segment(i, mm, k)
+    lo = F.greatest(start - d, F.lit(1))
+    hi = F.least(start + d, n - length + 1)
+    return F.when(
+        (hi >= lo) & (length >= 1),
+        F.transform(
+            F.sequence(lo, hi),
+            lambda p: F.struct(
+                i.alias("i"),
+                mm.alias("m"),
+                F.substring(F.col("rtext"), p, length).alias("sub"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,m:int,sub:string>>"))
+
+
+def sql_fuzzy_join(
+    left_sql: str,
+    right_sql: str,
+    max_dist: int = 2,
+) -> str:
+    """DuckDB twin: the NAIVE quadratic join — equality with the blocked
+    Spark result proves the blocking is complete, not just fast.
+
+    ``left_sql`` / ``right_sql`` must yield (lid, ltext) / (rid, rtext).
+    """
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql})
+SELECT l.lid, r.rid,
+       CAST(levenshtein(l.ltext, r.rtext) AS INTEGER) AS dist
+FROM l JOIN r ON abs(len(l.ltext) - len(r.rtext)) <= {max_dist}
+WHERE levenshtein(l.ltext, r.rtext) <= {max_dist}
+"""

@@ -143,3 +143,66 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
             ).alias("fill_pct"),
         )
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-ingest layout.
+
+    Windows of ``chunk_tokens`` tokens advance by ``stride = chunk_tokens
+    - overlap`` so consecutive chunks share ``overlap`` tokens (retrieval
+    context never cuts mid-thought at a hard boundary). The final window
+    is the remainder (shorter, never empty); every doc yields ≥1 chunk.
+
+    Scale shape: pure scan-side expression tree + one posexplode — zero
+    shuffle, zero UDF. The chunk TEXT is emitted as a sha2 digest plus
+    token count so downstream verification is O(1)-width; swap the
+    digest for ``array_join`` to materialize text.
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_sha).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of stride steps whose window START is inside the doc:
+    # ceil((n - overlap) / stride), min 1
+    n_chunks = F.greatest(
+        F.ceil((n - overlap) / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "__toks")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.sha2(F.array_join("__toks", " "), 256).alias("chunk_sha"),
+    )
+
+
+def sql_sliding_chunks(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """DuckDB twin of :func:`sliding_chunks` over ``documents``."""
+    k, s = chunk_tokens, chunk_tokens - overlap
+    n_hi = f"greatest(CAST(ceil((len(l) - {overlap}) / {s}.0) AS BIGINT), 1) - 1"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, {n_hi})) AS INTEGER) AS chunk_idx,
+       unnest([CAST(len(l[i * {s} + 1 : i * {s} + {k}]) AS BIGINT)
+               FOR i IN generate_series(0, {n_hi})]) AS n_tokens,
+       unnest([sha256(array_to_string(l[i * {s} + 1 : i * {s} + {k}], ' '))
+               FOR i IN generate_series(0, {n_hi})]) AS chunk_sha
+FROM toks
+"""

@@ -1557,3 +1557,58 @@ def q_bigram_pmi(spark, sf_dir):
     → bitwise hash match."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_pmi(docs, min_count=5, k=20)
+
+
+from ..operators.fuzzy import fuzzy_join, sql_fuzzy_join  # noqa: E402
+from ..operators.packing import (  # noqa: E402
+    sliding_chunks,
+    sql_sliding_chunks,
+)
+
+# dirty right side: delete one interior char at a key-derived position —
+# every perturbed name sits at edit distance exactly 1 from its original,
+# so the join must recover all 1:1 links plus any true near-pairs
+_FUZZY_POS = "p_partkey % (len(p_name) - 2) + 2"
+_FUZZY_LEFT_SQL = "SELECT p_partkey AS lid, p_name AS ltext FROM part"
+_FUZZY_RIGHT_SQL = f"""
+SELECT p_partkey + 1000000 AS rid,
+       concat(substring(p_name, 1, CAST({_FUZZY_POS} AS INTEGER) - 1),
+              substring(p_name, CAST({_FUZZY_POS} AS INTEGER) + 1,
+                        len(p_name))) AS rtext
+FROM part
+"""
+
+
+@query("q_fuzzy_join", sql_fuzzy_join(_FUZZY_LEFT_SQL, _FUZZY_RIGHT_SQL, 2))
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance join with PassJoin pigeonhole blocking
+    (operators/fuzzy.fuzzy_join): left = part names, right = the same
+    names with one key-derived char deleted (ed exactly 1). The Spark
+    side never forms a cross join — segment-substring equi-join keys,
+    id-only candidate dedup, then levenshtein verify; the DuckDB oracle
+    is the NAIVE quadratic join, so a hash match proves the blocking is
+    COMPLETE, not just fast."""
+    part = load_table(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("lid"), F.col("p_name").alias("ltext")
+    )
+    pos = (F.col("p_partkey") % (F.length("p_name") - 2) + 2).cast("int")
+    right = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(
+            F.substring("p_name", F.lit(1), pos - 1),
+            F.substring("p_name", pos + 1, F.length("p_name")),
+        ).alias("rtext"),
+    )
+    return fuzzy_join(left, right, "lid", "ltext", "rid", "rtext", max_dist=2)
+
+
+@query("q_rag_chunks", sql_sliding_chunks(chunk_tokens=32, overlap=8))
+def q_rag_chunks(spark, sf_dir):
+    """RAG-ingest overlapping chunking (operators/packing.
+    sliding_chunks): 32-token windows, 8-token overlap, stride 24 —
+    zero-shuffle zero-UDF scan-side posexplode; chunk text travels as a
+    sha256 digest + token count, hash-matched against the DuckDB
+    list-slice oracle down to every chunk boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, chunk_tokens=32, overlap=8)
