@@ -88,6 +88,10 @@ _DEFER_LAST = [
     # completeness vs the naive oracle):
     "q_sessionize",  # gap sessionization; event-sequence semantics in-window via q_funnel, streaming twin pytest-pinned
     "q_partitioned_sink",  # sink family stays in-window via q_upsert_partition (file-identity proof) + q_shard_manifest
+    # deferred for the round-3 kNN-accuracy batch (newcomer is the
+    # oracle-hash-checked embedding-quality composite):
+    "q_schema_evolution",  # mergeSchema read; evolution semantics pinned in pytest, sink census via q_upsert_partition
+    "q_kmeans_clusters",  # rows-only iterative Lloyd; numpy-reference convergence pinned in pytest
     # deferred for the round-3 PQ/semdedup/novelty/shard batch — keeps the
     # multimodal + pipeline families in-window; each deferral's semantics
     # stay driver-visible through a stronger in-window composite:

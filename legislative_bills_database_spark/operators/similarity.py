@@ -214,3 +214,100 @@ def lsh_recall(
         return 1.0
     n_hit = exact.join(approx, ["id_a", "id_b"], "left_semi").count()
     return n_hit / n_exact
+
+
+def knn_label_accuracy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    holdout_mod: int = 10,
+) -> DataFrame:
+    """Leave-slice-out k-NN label classification accuracy — the
+    embedding-quality health check of a training-data pipeline, as ONE
+    driver-hashable row (n_queries, n_correct, accuracy).
+
+    Rows with ``id % holdout_mod == 0`` are queries, the rest the index.
+    Prediction = majority label of the k nearest by cosine (ties:
+    neighbor id asc for ranking, smaller label for votes).
+
+    Scale shape: the query slice is 1/holdout_mod of the data and
+    BROADCAST (in production the probe set is a fixed small sample); the
+    index side streams through one broadcast-nested-loop scoring pass +
+    a per-query top-k window on qid — index never shuffles beyond the
+    window's slim (qid, nid, label, cos) rows.
+    """
+    q = F.broadcast(
+        emb.filter(F.col(id_col) % holdout_mod == 0).select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    n = emb.filter(F.col(id_col) % holdout_mod != 0).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+        l2_norm(F.col(vec_col)).alias("__nn"),
+    )
+    cos = dot("qv", "nv") / (F.col("__qn") * F.col("__nn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    top = (
+        q.join(n, F.lit(True))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    votes = top.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("c")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("nlabel").alias("plabel"))
+    )
+    correct = F.sum((F.col("plabel") == F.col("qlabel")).cast("bigint"))
+    return pred.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )
+
+
+def sql_knn_label_accuracy(k: int = 5, holdout_mod: int = 10) -> str:
+    """DuckDB twin of :func:`knn_label_accuracy` over ``embeddings``."""
+    from ..functions.vectors import sql_cosine
+
+    cos = sql_cosine("q.qv", "n.nv")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % {holdout_mod} = 0
+), n AS (
+  SELECT vec_id AS nid, embedding AS nv, label AS nlabel
+  FROM embeddings WHERE vec_id % {holdout_mod} <> 0
+), top AS (
+  SELECT qid, qlabel, nlabel,
+         row_number() OVER (PARTITION BY qid
+              ORDER BY {cos} DESC, nid ASC) AS rnk
+  FROM q CROSS JOIN n
+  QUALIFY rnk <= {k}
+), votes AS (
+  SELECT qid, qlabel, nlabel, count(*) AS c
+  FROM top GROUP BY qid, qlabel, nlabel
+), pred AS (
+  SELECT qid, qlabel, nlabel AS plabel,
+         row_number() OVER (PARTITION BY qid
+              ORDER BY c DESC, nlabel ASC) AS vr
+  FROM votes QUALIFY vr = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS accuracy
+FROM pred
+"""

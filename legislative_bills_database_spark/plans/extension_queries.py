@@ -1612,3 +1612,34 @@ def q_rag_chunks(spark, sf_dir):
     list-slice oracle down to every chunk boundary."""
     docs = load_table(spark, sf_dir, "documents")
     return sliding_chunks(docs, chunk_tokens=32, overlap=8)
+
+
+from ..operators.kmeans import kmeans_summary  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    knn_label_accuracy,
+    sql_knn_label_accuracy,
+)
+
+
+@query("q_knn_accuracy", sql_knn_label_accuracy(k=5, holdout_mod=10))
+def q_knn_accuracy(spark, sf_dir):
+    """Leave-slice-out k-NN label classification over embeddings
+    (operators/similarity.knn_label_accuracy) — the embedding-quality
+    health check as ONE driver-hashed row (n_queries, n_correct,
+    accuracy). Broadcast query slice, streamed index side, per-query
+    top-5 window, majority vote with deterministic tie-breaks —
+    hash-matched against the DuckDB quadratic oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_accuracy(emb, k=5, holdout_mod=10)
+
+
+@query("q_kmeans_clusters")  # iterative Lloyd → not SQL-expressible; rows-only
+def q_kmeans_clusters(spark, sf_dir):
+    """Full-data distributed Lloyd k-means (operators/kmeans.
+    lloyd_kmeans): centroid literals inlined per iteration (assignment
+    is shuffle-free codegen), ONE shuffle per update, O(k·dim) driver
+    state, constant plan depth across iterations. Deterministic:
+    seed-stable hash init + exact-decimal means; convergence vs a numpy
+    reference pinned in tests/test_kmeans_knn.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, k=8, max_iter=8)
