@@ -92,6 +92,10 @@ _DEFER_LAST = [
     # oracle-hash-checked embedding-quality composite):
     "q_schema_evolution",  # mergeSchema read; evolution semantics pinned in pytest, sink census via q_upsert_partition
     "q_kmeans_clusters",  # rows-only iterative Lloyd; numpy-reference convergence pinned in pytest
+    # deferred for the round-3 DSIR/profiler batch (both newcomers
+    # oracle-hash-checked):
+    "q_embedding_neardup",  # bounded O(n²) baseline; scale family in-window via q_semdedup/q_ann_recall/q_neardup_precision
+    "q_zorder_value",  # interleave-bits expression; layout pruning proof pytest-pinned (test_layout), sink family in-window
     # deferred for the round-3 PQ/semdedup/novelty/shard batch — keeps the
     # multimodal + pipeline families in-window; each deferral's semantics
     # stay driver-visible through a stronger in-window composite:

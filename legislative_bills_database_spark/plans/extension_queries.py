@@ -1643,3 +1643,45 @@ def q_kmeans_clusters(spark, sf_dir):
     reference pinned in tests/test_kmeans_knn.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_summary(emb, k=8, max_iter=8)
+
+
+from ..operators.importance import dsir_weights, sql_dsir_weights  # noqa: E402
+from ..operators.profile import (  # noqa: E402
+    profile_columns,
+    sql_profile_columns,
+)
+
+_DSIR_TARGETS = ("src0", "src1", "src2")
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query("q_dsir_weights", sql_dsir_weights(_DSIR_TARGETS))
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/importance.dsir_weights):
+    log-likelihood ratio of 256-bucket hashed token features, target
+    domain = src0-2. Engine-portable md5-nibble bucketing + exact-decimal
+    per-doc sums make the full weight vector hash-match the SQL oracle;
+    two slim-key shuffles, 256-row broadcast feedback edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, _DSIR_TARGETS)
+
+
+@query(
+    "q_column_profile",
+    sql_profile_columns("orders", _PROFILE_COLS),
+)
+def q_column_profile(spark, sf_dir):
+    """One-pass column profiler (operators/profile.profile_columns):
+    per-column null counts + exact distinct cardinalities over orders in
+    a single EXPAND-planned scan, unpivoted via stack. The
+    approx_count_distinct swap-in for 100 TB is documented in the
+    operator; exact distincts keep this hash-checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS)
