@@ -43,15 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos.
-    Truncate (floor) to µs timestamps — exactly what DuckDB does when it
-    reads the same file, so oracle comparisons line up."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """Normalize events.ts to session-TZ TIMESTAMP regardless of how the
+    fixture was written.
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    Two writer generations exist: parquet TIMESTAMP(NANOS) (rejected by
+    Spark's reader; ``spark.sql.legacy.parquet.nanosAsLong`` surfaces it
+    as long nanos, truncated here to µs exactly like DuckDB truncates) and
+    parquet timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    TIMESTAMP_NTZ — a type strict functions like ``unix_micros`` reject.
+    With the session TZ pinned to UTC (session.py), casting NTZ→TIMESTAMP
+    maps wall-clock to the same instants DuckDB's naive reading produces,
+    so oracle comparisons line up either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
