@@ -111,6 +111,16 @@ _DEFER_LAST = [
     "q_topk_per_group",  # row_number top-k plan driver-visible inside q_cosine_topk/q_pq_recall
     "q_semi_join",  # left_semi shape driver-visible inside q_decontaminate
     "q_derived_key_join",  # derived-key equi-join inside q_range_join/q_salted_join
+    # deferred for the round-3 analytics batch (gap-fill/LOCF, EWMA,
+    # phrase search, char entropy — four NEW oracle-hash-checked
+    # families enter the window; the displaced four are variants of
+    # families still driver-visible):
+    "q_curriculum_buckets",  # decile bucketing: quantile family in-window via q_length_trim
+    "q_global_index",  # total-order sort exercised by every orderBy/top-k in-window
+    "q_boilerplate_strip",  # regexp_replace family in-window via q_pipeline_keyword_search
+    "q_unigram_score",  # text-scoring family in-window via q_dsir_weights/q_text_stats
+    "q_inverted_index",  # postings build verified through q_phrase_search (in-window)
+    "q_pagerank",  # rows-only iterative; numpy-pinned in pytest, CC in-window is the iterative rep
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

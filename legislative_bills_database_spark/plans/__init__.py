@@ -8,3 +8,4 @@ from .registry import ORACLE, QUERIES  # noqa: F401
 from . import reference_queries  # noqa: F401  (registers on import)
 from . import extension_queries  # noqa: F401  (registers on import)
 from . import pipeline_queries  # noqa: F401  (registers on import)
+from . import analytics_queries  # noqa: F401  (registers on import)

@@ -1,0 +1,222 @@
+"""Analytics extension queries: time-series regularization, inverted-index
+search, information-theoretic text stats, and graph centrality.
+
+Round-3 additions to the north-star surface (BASELINE.json): the ops a
+metrics/curation pipeline runs over event streams and document corpora
+that none of the earlier families cover — dense calendar grids with LOCF,
+EWMA recurrences, posting-list search (the scale answer to the
+reference's full-scan regex search, legiscan_search_all_bills.R:88-92),
+character-entropy quality scoring, and PageRank source authority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table, load_tables
+from ..operators.graph import pagerank
+from ..operators.index import inverted_index, phrase_search
+from ..operators.timeseries import ewma_last, gap_fill_daily
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Time series
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS daily_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT g.user_id, g.day, d.daily_value,
+           last_value(d.daily_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           d.daily_value IS NOT NULL AS observed
+    FROM grid g
+    LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Dense per-user daily grid over events with LOCF forward-fill:
+    sequence()+explode calendar generated next to the data (no driver
+    loop, no global-calendar cross join), one join + one window."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.round("value", 10)
+    )
+    filled = gap_fill_daily(events, "user_id", "ts", "value")
+    # round the float sums on BOTH sides: Spark and DuckDB may reduce a
+    # (user, day) group in different orders
+    daily_r = F.round("daily_value", 4)
+    return filled.select(
+        "user_id",
+        "day",
+        daily_r.alias("daily_value"),
+        F.round("filled_value", 4).alias("filled_value"),
+        "observed",
+    )
+
+
+@query(
+    "q_ewma",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_obs,
+           ROUND(CASE WHEN len(vals) = 1 THEN vals[1]
+                      ELSE list_reduce(vals, (a, b) -> a * 0.7 + b * 0.3)
+                 END, 4) AS ewma
+    FROM s
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA (α=0.3) of event values in (ts, event_id) order — a
+    sequential recurrence no window frame expresses, folded JVM-side with
+    the aggregate() higher-order function (zero Python in the loop). The
+    oracle is DuckDB's list_reduce over the identically-ordered list, so
+    the IEEE operation sequence matches fold-step for fold-step."""
+    events = load_table(spark, sf_dir, "events")
+    out = ewma_last(events, "user_id", "ts", "value", "event_id", alpha=0.3)
+    return out.select(
+        "user_id", F.col("n_obs").cast("bigint").alias("n_obs"), "ewma"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index / phrase search
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CTE = """
+    WITH posts AS (
+      SELECT d.doc_id, t.tok AS term, t.pos
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS tok,
+                           generate_subscripts(string_split(lower(d.text), ' '), 1) AS pos) t
+      WHERE t.tok <> ''
+    )
+"""
+
+
+@query(
+    "q_inverted_index",
+    _POSTINGS_CTE
+    + """
+    SELECT term, COUNT(DISTINCT doc_id) AS doc_count,
+           COUNT(*) AS total_tf, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM posts GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Term dictionary with posting-list stats — the build side of the
+    index that replaces the reference's per-term corpus scans. One
+    explode + one shuffle on term; at scale the postings are staged
+    bucketed by term for co-located query joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", min_doc_count=2)
+
+
+@query(
+    "q_phrase_search",
+    _POSTINGS_CTE
+    + """
+    SELECT a.doc_id, COUNT(*) AS n_matches
+    FROM posts a JOIN posts b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search ('table scan') via posting-list self-join
+    on (doc, pos+1): exact-token adjacency, each join input pre-filtered
+    to one term's postings — work scales with the posting lists touched,
+    not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table scan", "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Information-theoretic text stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), freq AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(n) AS total, COUNT(*) AS distinct_chars FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id, CAST(t.total AS BIGINT) AS n_chars,
+           CAST(t.distinct_chars AS BIGINT) AS distinct_chars,
+           ROUND(-SUM((n / CAST(total AS DOUBLE))
+                      * ln(n / CAST(total AS DOUBLE))), 4) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.total, t.distinct_chars
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document — the gibberish/boilerplate
+    detector (low entropy = repeated filler, high = random noise). Two
+    partial-aggregated groupBys ((doc, char) counts → per-doc -Σ p·ln p),
+    all JVM expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        freq.withColumn("total", F.expr("sum(n) OVER (PARTITION BY doc_id)"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality
+# ---------------------------------------------------------------------------
+
+@query("q_pagerank")  # iterative power iteration → rows-only by contract
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer→supplier purchase graph (orders ⋈
+    lineitem), 10 fixed power iterations with per-iteration
+    localCheckpoint (bounded lineage — the CC lesson). Top 50 nodes by
+    rank; numpy-pinned convergence in tests/test_graph_timeseries.py."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, "src", "dst", n_iter=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )

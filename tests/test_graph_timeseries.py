@@ -1,0 +1,134 @@
+"""Unit tests for the analytics batch: gap-fill/LOCF, EWMA, inverted
+index + phrase search, char entropy, PageRank.
+
+Each operator is pinned against an independent implementation (pandas
+ewm, numpy power iteration, hand-computed fixtures) — the oracle-parity
+sweep covers the SQL-expressible cases, these pin the semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.operators.graph import pagerank
+from legislative_bills_database_spark.operators.index import (
+    inverted_index,
+    phrase_search,
+)
+from legislative_bills_database_spark.operators.timeseries import (
+    ewma_last,
+    gap_fill_daily,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_gap_fill_dense_grid_and_locf(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(1), 10.0),
+            (1, _ts(1, 6), 5.0),   # same day, summed
+            (1, _ts(4), 2.0),      # 2-day gap → Jan 2, 3 filled
+            (2, _ts(2), 7.0),      # single-day key → 1-row grid
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = gap_fill_daily(events).orderBy("user_id", "day").collect()
+    got = [(r.user_id, str(r.day), r.daily_value, r.filled_value, r.observed) for r in out]
+    assert got == [
+        (1, "2024-01-01", 15.0, 15.0, True),
+        (1, "2024-01-02", None, 15.0, False),
+        (1, "2024-01-03", None, 15.0, False),
+        (1, "2024-01-04", 2.0, 2.0, True),
+        (2, "2024-01-02", 7.0, 7.0, True),
+    ]
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    rows = [(1, _ts(1, h), h, float(v)) for h, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, value double")
+    got = ewma_last(df, alpha=0.3).collect()[0]
+    want = (
+        pd.Series([3, 1, 4, 1, 5, 9, 2, 6], dtype="float64")
+        .ewm(alpha=0.3, adjust=False)
+        .mean()
+        .iloc[-1]
+    )
+    assert got.n_obs == 8
+    assert got.ewma == pytest.approx(round(want, 4), abs=1e-4)
+
+
+def test_ewma_tie_break_is_deterministic(spark):
+    # two events at the SAME timestamp: event_id must break the tie
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, 100.0), (1, _ts(1), 2, 0.0)],
+        "user_id int, ts timestamp, event_id int, value double",
+    )
+    got = ewma_last(df, alpha=0.5).collect()[0]
+    assert got.ewma == pytest.approx(50.0)  # 100 then 0: 0.5*100 + 0.5*0
+
+
+DOCS = [
+    (1, "the quick brown fox"),
+    (2, "the quick  brown dog"),  # double space → empty token dropped
+    (3, "quick the brown fox jumps"),
+    (4, "dog"),
+]
+
+
+def test_inverted_index_stats(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = {r.term: r for r in inverted_index(docs, min_doc_count=2).collect()}
+    assert set(idx) == {"the", "quick", "brown", "fox", "dog"}
+    assert (idx["the"].doc_count, idx["the"].total_tf) == (3, 3)
+    assert (idx["fox"].min_doc, idx["fox"].max_doc) == (1, 3)
+    assert idx["dog"].doc_count == 2
+
+
+def test_phrase_search_exact_adjacency(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # 'quick brown' adjacent in 1; in 2 an empty token sits between
+    # (raw-split positions count it); 3 has them non-adjacent reversed
+    hits = {r.doc_id: r.n_matches for r in phrase_search(docs, "quick brown").collect()}
+    assert hits == {1: 1}
+    # three-term phrase chains two positional joins
+    hits3 = {r.doc_id for r in phrase_search(docs, "the quick brown").collect()}
+    assert hits3 == {1}
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")
+
+
+def _np_pagerank(edge_list, nodes, n_iter=10, d=0.85):
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out_deg == 0].sum()
+        nxt = np.full(n, (1 - d) / n + d * dangling / n)
+        for s, t in edge_list:
+            nxt[idx[t]] += d * r[idx[s]] / out_deg[idx[s]]
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy(spark):
+    # graph with a dangling node (d) and a cycle; parallel edge a->b twice
+    edges_py = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(edges_py, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
+    want = _np_pagerank(edges_py, nodes)
+    assert set(got) == set(nodes)
+    for n_ in nodes:
+        assert got[n_] == pytest.approx(want[n_], rel=1e-9), n_
+    assert math.fsum(got.values()) == pytest.approx(1.0, abs=1e-9)
