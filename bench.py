@@ -61,6 +61,14 @@ HEADLINE = [
     "q_semdedup",
     "q_pq_topk",
     "q_shard_manifest",
+    # round-3 analytics batch: time-series grid + recurrence, posting-list
+    # search, information-theoretic scoring (PageRank excluded: 10-round
+    # iterative job whose wall time is scheduler overhead at bench SF)
+    "q_gap_fill",
+    "q_ewma",
+    "q_inverted_index",
+    "q_phrase_search",
+    "q_char_entropy",
 ]
 
 

@@ -7,16 +7,16 @@ node centrality — the classic importance prior for corpus curation
 
 Scale posture, mirroring the hard-won CC lessons (VERDICT r2):
 
-- each iteration is ONE join (ranks onto edges) + ONE groupBy (sum of
-  contributions per destination) — both shuffle on node id; out-degrees
-  are computed once up front and carried inside the rank frame so the
-  loop never re-aggregates the edge list.
+- weighted edges (dst, 1/out_deg) are computed ONCE, hash-partitioned on
+  src, and persisted: the per-iteration join reuses that layout (no edge
+  re-shuffle per round — only the small rank frame moves), so each
+  iteration is one co-located join + one groupBy(dst) shuffle.
+- dangling mass (nodes with no out-edges) enters the plan as a 1-row
+  broadcast aggregate instead of a per-iteration driver collect — ONE
+  Spark job per iteration (the eager checkpoint), not two.
 - ranks are ``localCheckpoint``-ed every iteration: lineage is truncated,
   so plan depth stays O(1) regardless of iteration count (the round-2
   CC lesson — unbounded lineage is a planning-time scale hazard).
-- dangling mass (nodes with no out-edges) is collected as ONE scalar
-  aggregate per iteration and redistributed uniformly — the textbook
-  correction, without materializing synthetic edges.
 - the iteration count is FIXED (power iteration, not convergence-tested)
   so results are deterministic and reproducible across cluster sizes.
 """
@@ -36,50 +36,63 @@ def pagerank(
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     count as parallel edges). Returns (node, rank) with sum(rank) ≈ 1."""
-    edges = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    out_deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # contribution weights are rank-independent: build once, co-locate on
+    # the join key, persist — iterations never touch the raw edge list
+    edges_w = (
+        raw.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition("src")
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
 
-    # (node, out_deg, rank); out_deg NULL marks a dangling node
+    # (node, dangling, rank); dangling marks no-out-edge nodes
     ranks = (
         nodes.join(out_deg, nodes.node == out_deg.src, "left")
-        .select("node", "out_deg", F.lit(1.0 / n_nodes).alias("rank"))
+        .select(
+            "node",
+            F.col("out_deg").isNull().alias("dangling"),
+            F.lit(1.0 / n_nodes).alias("rank"),
+        )
         .localCheckpoint(eager=True)
     )
     try:
         for _ in range(n_iter):
-            dangling = (
-                ranks.filter(F.col("out_deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
+            # 1-row aggregate, broadcast-joined into every row: keeps the
+            # dangling correction inside the single per-iteration job
+            dmass = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("__dmass")
             )
             contribs = (
-                edges.join(ranks, edges.src == ranks.node)
+                edges_w.join(ranks, edges_w.src == ranks.node)
                 .groupBy("dst")
-                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
             )
-            uplift = base + damping * dangling / n_nodes
-            new_ranks = (
-                ranks.join(contribs, ranks.node == contribs.dst, "left")
+            ranks = (
+                ranks.select("node", "dangling")
+                .join(contribs, F.col("node") == contribs.dst, "left")
+                .crossJoin(F.broadcast(dmass))
                 .select(
                     "node",
-                    "out_deg",
+                    "dangling",
                     (
-                        F.lit(uplift)
+                        F.lit(base)
+                        + F.lit(damping) * F.col("__dmass") / F.lit(float(n_nodes))
                         + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)  # truncate per-iteration lineage
             )
-            ranks = new_ranks
         return ranks.select("node", "rank")
     finally:
-        edges.unpersist()
+        edges_w.unpersist()

@@ -1,0 +1,103 @@
+"""Slowly-changing-dimension (SCD type 2) merge and referential-integrity
+audit — the warehouse-maintenance ops around the reference's dimension
+handling.
+
+The reference rebuilds its legislator dimension from scratch every run
+and keeps only the latest record per person (legislator_bill_counts_run.R:
+63-67 — the `q_dedup_keep_latest` semantics). SCD2 is the production
+version of that: instead of discarding history, each change closes the
+current version row and opens a new one, so facts can join to the
+dimension *as of* their own date (the as-of join in operators/temporal.py
+is the natural consumer).
+
+Scale posture:
+
+- the merge is ONE shuffle on the business key: union(current, updates)
+  → per-key window to version-order rows → derive valid_from/valid_to
+  with lead(). No driver loop, no per-row MERGE statements.
+- unchanged keys stream through the window untouched; at 100 TB the
+  dimension is bucketed by key (sources/cache.stage_bucketed) and the
+  merge reuses the layout.
+- the FK audit is two left-anti joins; each is a plain shuffled (or
+  broadcast, when the parent is dim-sized) hash join, and the output is
+  a per-relationship census row, not the orphan rows themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Fold ``updates`` (key, attrs, effective_ts) into an SCD2 dimension.
+
+    ``current`` holds version rows (key, attrs, valid_from, valid_to,
+    is_current) — pass an empty frame (or one built by this function) to
+    bootstrap. Consecutive versions with IDENTICAL attributes are
+    collapsed (a no-op update does not open a new version).
+
+    Returns the full version history: (key, *attrs, valid_from, valid_to,
+    is_current), valid_to NULL on the open version.
+    """
+    cur_rows = current.select(
+        key_col, *attr_cols, F.col("valid_from").alias(ts_col)
+    )
+    upd_rows = updates.select(key_col, *attr_cols, F.col(ts_col))
+    merged = cur_rows.unionByName(upd_rows)
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *attr_cols)
+    # drop consecutive duplicates: a version opens only when attributes
+    # actually change vs the previous version in time order
+    attr_struct = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        F.lag(attr_struct).over(w).isNull()
+        | (F.lag(attr_struct).over(w) != attr_struct)
+    )
+    versions = merged.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *attr_cols)
+    return (
+        versions.select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def fk_orphan_audit(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity census over (name, child, fk, parent, pk)
+    relationships: per relationship, total child rows, orphan rows (FK
+    value with no parent, NULLs excluded), and NULL-FK rows.
+
+    Each relationship is one left join onto the parent's distinct keys
+    plus one aggregate; all census rows union into a SINGLE lazy plan —
+    no per-relationship driver actions, one Spark job for the whole
+    audit regardless of how many relationships it covers.
+    """
+    out = None
+    for name, child, fk, parent, pk in pairs:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        j = child.select(F.col(fk).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        row = j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.sum(F.col("__fk").isNull().cast("long")).alias("null_fk"),
+            F.sum(
+                (F.col("__fk").isNotNull() & F.col("__pk").isNull()).cast("long")
+            ).alias("orphans"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..io import load_table, load_tables
 from ..operators.graph import pagerank
 from ..operators.index import inverted_index, phrase_search
+from ..operators.scd import fk_orphan_audit, scd2_merge
 from ..operators.timeseries import ewma_last, gap_fill_daily
 from .registry import query
 
@@ -193,6 +194,103 @@ def q_char_entropy(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension maintenance / data quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scd2_merge",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS eff
+      FROM orders
+    ), dedup AS (
+      SELECT *, lag(priority) OVER (
+        PARTITION BY custkey ORDER BY eff, priority) AS prev
+      FROM upd
+    ), versions AS (
+      SELECT custkey, priority, eff FROM dedup
+      WHERE prev IS NULL OR prev <> priority
+    )
+    SELECT custkey, priority, eff AS valid_from,
+           lead(eff) OVER (PARTITION BY custkey ORDER BY eff, priority)
+             AS valid_to,
+           lead(eff) OVER (PARTITION BY custkey ORDER BY eff, priority)
+             IS NULL AS is_current
+    FROM versions
+    """,
+)
+def q_scd2_merge(spark, sf_dir):
+    """SCD type-2 dimension build: each order is an 'update' to its
+    customer's priority attribute; consecutive no-op updates collapse,
+    real changes close the old version and open a new one (valid_from/
+    valid_to/is_current). One shuffle on the business key — the
+    production form of the reference's keep-latest dedup
+    (legislator_bill_counts_run.R:63-67), with history instead of
+    discard. Incremental == from-scratch equality pinned in pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_ts"),
+    )
+    empty = spark.createDataFrame(
+        [],
+        "custkey long, priority string, valid_from timestamp_ntz, "
+        "valid_to timestamp_ntz, is_current boolean",
+    )
+    out = scd2_merge(empty, updates, "custkey", ["priority"], "effective_ts")
+    return out
+
+
+@query(
+    "q_fk_orphans",
+    """
+    SELECT 'orders.custkey' AS relationship, COUNT(*) AS child_rows,
+           SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS null_fk,
+           SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey', COUNT(*),
+           SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END),
+           SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                    THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.suppkey', COUNT(*),
+           SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END),
+           SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
+                    THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer.nationkey', COUNT(*),
+           SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END),
+           SUM(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                    THEN 1 ELSE 0 END)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit across the star schema's four FK
+    relationships: one census row each (child_rows, null_fk, orphans),
+    all four left-join+aggregate branches in a SINGLE lazy plan (no
+    per-relationship driver actions) — the pre-flight data-quality gate
+    a 100 TB ingest runs before publishing a snapshot."""
+    orders, customer, lineitem, supplier, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "lineitem", "supplier", "nation"
+    )
+    return fk_orphan_audit(
+        [
+            ("orders.custkey", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem.orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.suppkey", lineitem, "l_suppkey", supplier, "s_suppkey"),
+            ("customer.nationkey", customer, "c_nationkey", nation, "n_nationkey"),
+        ]
     )
 
 

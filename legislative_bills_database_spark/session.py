@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles below core-count parallelism too: tiny
+        # exchanges (iterative-loop label/rank frames, dim-side aggs) are
+        # pure scheduler overhead at 32 tasks; big shuffles still target
+        # advisoryPartitionSizeInBytes. Spark's own docs recommend
+        # parallelismFirst=false in production.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # spill-aware split sizing: scan partitions stay ~128 MB so a
@@ -57,6 +64,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
