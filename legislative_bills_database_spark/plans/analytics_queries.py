@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_table, load_tables
+from ..operators.bpe import bpe_encode, bpe_train
 from ..operators.graph import pagerank
 from ..operators.index import inverted_index, phrase_search
 from ..operators.scd import fk_orphan_audit, scd2_merge
@@ -195,6 +196,33 @@ def q_char_entropy(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned tokenization (BPE)
+# ---------------------------------------------------------------------------
+
+@query("q_bpe_vocab")  # greedy sequential merges — not SQL-expressible
+def q_bpe_vocab(spark, sf_dir):
+    """BPE tokenizer training: one corpus pass builds the vocabulary-
+    bounded word-frequency table, the greedy merge loop runs driver-side
+    on it (the IVF bounded-fit precedent — fit input is O(vocab), not
+    O(corpus)); deterministic (count, pair) tie-break. Returns the merge
+    table; hand-computed merges pinned in tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=30, max_words=50_000)
+
+
+@query("q_bpe_encode")  # pandas-UDF tokenize — rows-only by contract
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the learned merges: broadcast rank map
+    into an Arrow-batched scan-shaped mapInPandas (greedy per-word
+    merging has no relational form — the documented slow-path
+    justification). Round-trip/monotonicity properties pinned in
+    tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=30, max_words=50_000)
+    return bpe_encode(docs, merges, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
