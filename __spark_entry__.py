@@ -121,6 +121,12 @@ _DEFER_LAST = [
     "q_unigram_score",  # text-scoring family in-window via q_dsir_weights/q_text_stats
     "q_inverted_index",  # postings build verified through q_phrase_search (in-window)
     "q_pagerank",  # rows-only iterative; numpy-pinned in pytest, CC in-window is the iterative rep
+    # deferred for the SCD2/FK-audit batch (both newcomers oracle-hash-
+    # checked; the displaced two keep family representation in-window):
+    "q_upsert_partition",  # sink family in-window via q_shard_manifest; file-identity pinned in pytest
+    "q_train_val_split",  # split semantics pinned in pytest; sampling family in-window via q_data_mixture
+    "q_bpe_vocab",  # rows-only driver-fit; hand-computed merges pinned in pytest
+    "q_bpe_encode",  # rows-only pandas-UDF tokenize; properties pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing
     # for the driver window with the reference-derived families
     "q_rollup_counts",

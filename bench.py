@@ -69,6 +69,8 @@ HEADLINE = [
     "q_inverted_index",
     "q_phrase_search",
     "q_char_entropy",
+    "q_scd2_merge",
+    "q_fk_orphans",
 ]
 
 
