@@ -199,6 +199,71 @@ def q_char_entropy(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Embedding dimensionality reduction
+# ---------------------------------------------------------------------------
+
+@query("q_random_projection")  # numpy-seeded matrix → rows-only by contract
+def q_random_projection(spark, sf_dir):
+    """JL random projection 64→16 dims: scan-shaped Arrow-batched matmul,
+    zero shuffle — the 4× shuffle/index shrink pre-pass for every
+    downstream similarity op. Scalar outputs (dim + rounded norm) keep
+    the row driver-hashable (the r2 multimodal lesson: never emit raw
+    arrays to the driver's canonicalizer)."""
+    from ..functions.vectors import l2_norm
+    from ..operators.projection import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", in_dim=64, out_dim=16)
+    return proj.select(
+        "vec_id",
+        F.size("projected").cast("long").alias("out_dim"),
+        F.round(l2_norm(F.col("projected")), 3).alias("l2_norm"),
+    )
+
+
+@query("q_projection_distortion")  # numpy-seeded projection → rows-only
+def q_projection_distortion(spark, sf_dir):
+    """JL quality, driver-visible: squared-distance distortion of the
+    64→16 projection over a deterministic pair sample (vec_id a paired
+    with a+101), as one (method, n_pairs, mean_ratio, p_low, p_high)
+    row. NOTE: top-k *ranking* recall is the wrong gate at these dims —
+    JL distortion ε≈√(ln n / k)≈0.6 swamps the fixture's 0.05 cosine gap
+    between planted and noise neighbors, so ranks scramble even though
+    distances are preserved in ratio (measured: mean ratio ≈1, pinned
+    ∈(0.8, 1.2) in tests/test_projection.py)."""
+    from ..operators.projection import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    proj = random_projection(emb, "vec_id", "embedding", in_dim=64, out_dim=16)
+    both = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    a = both.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ae"),
+        F.col("projected").alias("ap"),
+    )
+    b = both.select(
+        (F.col("vec_id") - 101).alias("bid"),
+        F.col("embedding").alias("be"),
+        F.col("projected").alias("bp"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    pairs = a.join(b, a.aid == b.bid).select(
+        (sq(F.col("ap"), F.col("bp")) / sq(F.col("ae"), F.col("be"))).alias("ratio")
+    )
+    return pairs.agg(
+        F.lit("jl_64_to_16").alias("method"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("ratio"), 3).alias("mean_ratio"),
+        F.round(F.min("ratio"), 3).alias("p_low"),
+        F.round(F.max("ratio"), 3).alias("p_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Learned tokenization (BPE)
 # ---------------------------------------------------------------------------
 
