@@ -1527,6 +1527,30 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+@query("q_multimodal_audio")  # pandas-UDF 1→N stage → rows-only
+def q_multimodal_audio(spark, sf_dir):
+    """Audio frame-energy stage plumbing (sources/multimodal.py:
+    audio_frame_energy): the audio-modality 1→N shape (VAD / loudness
+    normalization live here), deterministic fake PCM decode (codec libs
+    absent), RMS math numpy-pinned in tests/test_multimodal.py. Already
+    scalar output — rounded for cross-run float stability."""
+    from ..sources.multimodal import audio_frame_energy
+
+    # frame small enough that fixture payloads (~100-500 "samples") span
+    # several frames — the 1→N amplification is the contract under test
+    frames = audio_frame_energy(
+        _doc_payloads(spark, sf_dir).select("doc_id", "payload"),
+        sample_rate=1000, frame_ms=100, max_frames=8,
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "start_ms",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 from ..operators.tfidf import (  # noqa: E402
     bigram_pmi,
     sql_bigram_pmi,

@@ -104,6 +104,58 @@ def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
     return payloads.mapInPandas(stage, RESIZE_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id long, frame_idx int, start_ms long, n_samples long, rms double"
+
+
+def audio_frame_energy(
+    payloads: DataFrame,
+    sample_rate: int = 16_000,
+    frame_ms: int = 250,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Audio feature stage: one binary audio payload → N per-frame energy
+    rows (doc_id, frame_idx, start_ms, n_samples, rms) — the same 1→N
+    executor-side amplification contract as :func:`sample_frames`, for
+    the audio modality (VAD / silence-trim / loudness-normalize are all
+    this shape).
+
+    DETERMINISTIC FAKE decoder (torchaudio/soundfile absent): payload
+    bytes are interpreted directly as unsigned 8-bit PCM centered at
+    127.5 — a real deployment swaps that one line for a codec call; the
+    framing, RMS math and Spark plumbing are real and tested against a
+    numpy reference.
+    """
+    spf = sample_rate * frame_ms // 1000  # samples per frame
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "start_ms": [],
+                "n_samples": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # FAKE decode: bytes as u8 PCM, centered to [-0.5, 0.5)
+                pcm = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                    - 127.5
+                ) / 255.0
+                n = min(max_frames, max(1, (len(pcm) + spf - 1) // spf))
+                for i in range(n):
+                    frame = pcm[i * spf : (i + 1) * spf]
+                    if len(frame) == 0:
+                        break
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["start_ms"].append(i * frame_ms)
+                    rows["n_samples"].append(len(frame))
+                    rows["rms"].append(float(np.sqrt(np.mean(frame**2))))
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(stage, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
 
 

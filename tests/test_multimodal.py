@@ -61,3 +61,29 @@ def test_frame_sample_one_to_many(spark):
     assert sorted(bytes(r["frame"]) for r in rows) == sorted(
         bytes(r["frame"]) for r in again
     )
+
+
+def test_audio_frame_energy_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.sources.multimodal import (
+        audio_frame_energy,
+    )
+
+    src = _payloads(spark, n=5).select("doc_id", "payload")
+    out = audio_frame_energy(src, sample_rate=1000, frame_ms=100, max_frames=4)
+    rows = out.collect()
+    assert len(rows) > 5  # 1→N amplification
+    payloads = {r.doc_id: bytes(r.payload) for r in src.collect()}
+    spf = 1000 * 100 // 1000
+    for r in rows:
+        pcm = (
+            np.frombuffer(payloads[r.doc_id], dtype=np.uint8).astype(np.float64)
+            - 127.5
+        ) / 255.0
+        frame = pcm[r.frame_idx * spf : (r.frame_idx + 1) * spf]
+        assert r.n_samples == len(frame)
+        assert r.start_ms == r.frame_idx * 100
+        assert r.rms == __import__("pytest").approx(
+            float(np.sqrt(np.mean(frame**2))), rel=1e-12
+        )
