@@ -13,4 +13,5 @@ from .events import (  # noqa: F401
     stream_events_from_files,
     tumbling_counts,
 )
+from .scd import scd2_stream  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401
