@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.compat import exact_sum, sql_exact_sum
 from ..io import load_table, load_tables
 from ..operators.bpe import bpe_encode, bpe_train
 from ..operators.graph import pagerank
@@ -96,6 +97,45 @@ def q_ewma(spark, sf_dir):
     out = ewma_last(events, "user_id", "ts", "value", "event_id", alpha=0.3)
     return out.select(
         "user_id", F.col("n_obs").cast("bigint").alias("n_obs"), "ewma"
+    )
+
+
+@query(
+    "q_hopping_window_batch",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n, """
+    + sql_exact_sum("value")
+    + """ AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_hopping_window_batch(spark, sf_dir):
+    """Hopping (sliding) 1-hour/30-minute window aggregate — the batch
+    twin of streaming sliding_counts (SURVEY §2.8): each event lands in
+    exactly 2 overlapping windows (window() explodes executor-side, then
+    one partial-agg shuffle). Oracle: UNION ALL of the two epoch-aligned
+    30-minute truncations — the same window-membership algebra."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
 
 
