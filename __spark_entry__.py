@@ -129,6 +129,7 @@ _DEFER_LAST = [
     "q_bpe_encode",  # rows-only pandas-UDF tokenize; properties pinned in pytest
     "q_multimodal_audio",  # same 1→N contract as q_multimodal_frames (in-window); numpy-pinned RMS
     "q_hopping_window_batch",  # window family in-window via q_tumbling_window_batch; hash-checked locally
+    "q_hll_merge",  # rows-only sketch report; merged==direct==exact pinned in tests/test_sketches.py
     "q_random_projection",  # scan-shaped matmul; quality via q_projection_distortion
     "q_projection_distortion",  # rows-only JL quality row; ratio pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing

@@ -238,6 +238,20 @@ def q_char_entropy(spark, sf_dir):
     )
 
 
+@query("q_hll_merge")  # DataSketches binary sketches → rows-only
+def q_hll_merge(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup: per-source doc_id sketches
+    union-merged WITHOUT rescanning (the shard-incremental COUNT
+    DISTINCT pattern), reported against the direct sketch and the exact
+    count so the sketch error is driver-visible. lgConfigK=14 — at 12
+    the union leaves sparse-exact mode and under-counts (measured,
+    pinned in tests/test_sketches.py)."""
+    from ..operators.sketches import hll_merge_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_merge_report(docs, "source", "doc_id", lg_config_k=14)
+
+
 # ---------------------------------------------------------------------------
 # Embedding dimensionality reduction
 # ---------------------------------------------------------------------------
