@@ -130,6 +130,11 @@ _DEFER_LAST = [
     "q_multimodal_audio",  # same 1→N contract as q_multimodal_frames (in-window); numpy-pinned RMS
     "q_hopping_window_batch",  # window family in-window via q_tumbling_window_batch; hash-checked locally
     "q_hll_merge",  # rows-only sketch report; merged==direct==exact pinned in tests/test_sketches.py
+    # deferred for the triangle-count/cohort-retention batch (both
+    # newcomers oracle-hash-checked, first exact-graph-metric and
+    # growth-analytics families; displaced two are covered variants):
+    "q_repetition",  # text-quality family in-window via q_text_stats/q_quality_score
+    "q_bm25_rank",  # same posting/term-scoring shape as q_tfidf_top_terms (in-window)
     "q_random_projection",  # scan-shaped matmul; quality via q_projection_distortion
     "q_projection_distortion",  # rows-only JL quality row; ratio pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.compat import exact_sum, sql_exact_sum
 from ..io import load_table, load_tables
 from ..operators.bpe import bpe_encode, bpe_train
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_count
 from ..operators.index import inverted_index, phrase_search
 from ..operators.scd import fk_orphan_audit, scd2_merge
 from ..operators.timeseries import ewma_last, gap_fill_daily
@@ -444,6 +444,88 @@ def q_fk_orphans(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Graph centrality
 # ---------------------------------------------------------------------------
+
+@query(
+    "q_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS a,
+                      greatest(a.l_suppkey, b.l_suppkey) AS b
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey
+    )
+    SELECT (SELECT COUNT(DISTINCT n) FROM (
+              SELECT a AS n FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e ab
+              JOIN e bc ON ab.b = bc.a
+              JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count of the supplier co-supply graph (suppliers
+    adjacent iff they supplied the same order): canonical a<b orientation
+    counts each triangle once — wedge join + closing semi-join, three
+    hash joins, no theta join. The co-occurrence edge build bounds degree
+    by items-per-order, so wedge fan-out stays bounded at any corpus
+    size (degree-ordered orientation is the documented 100 TB refinement
+    for power-law graphs)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = lineitem.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = lineitem.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS act_week
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) / 7 AS INT)
+             AS age_weeks,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen week, counted per
+    (cohort_week, age_weeks) activity cell — the growth-accounting
+    matrix. Two shuffles total (per-user min; distinct per-user-week
+    activity), the cohort table joins back user-keyed so the big event
+    scan shuffles once."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("act_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("age_weeks"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
 
 @query("q_pagerank")  # iterative power iteration → rows-only by contract
 def q_pagerank(spark, sf_dir):

@@ -132,3 +132,27 @@ def test_pagerank_matches_numpy(spark):
     for n_ in nodes:
         assert got[n_] == pytest.approx(want[n_], rel=1e-9), n_
     assert math.fsum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_hand_built(spark):
+    from legislative_bills_database_spark.operators.graph import triangle_count
+
+    # K4 minus one edge: nodes 1-4, edges 12,13,14,23,24 → triangles
+    # {1,2,3} and {1,2,4}; duplicate + reversed edges must not change it
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (3, 2), (2, 4), (2, 4)],
+        "src long, dst long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 5, 2)
+
+
+def test_triangle_count_no_triangles(spark):
+    from legislative_bills_database_spark.operators.graph import triangle_count
+
+    # a path graph and a self-loop (must be dropped)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 2)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 3, 0)
