@@ -135,6 +135,7 @@ _DEFER_LAST = [
     # growth-analytics families; displaced two are covered variants):
     "q_repetition",  # text-quality family in-window via q_text_stats/q_quality_score
     "q_bm25_rank",  # same posting/term-scoring shape as q_tfidf_top_terms (in-window)
+    "q_zscore_outliers",  # single-window stats variant; window family in-window via q_gap_fill/q_scd2_merge
     "q_random_projection",  # scan-shaped matmul; quality via q_projection_distortion
     "q_projection_distortion",  # rows-only JL quality row; ratio pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing
