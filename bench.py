@@ -71,6 +71,10 @@ HEADLINE = [
     "q_char_entropy",
     "q_scd2_merge",
     "q_fk_orphans",
+    "q_cohort_retention",
+    "q_zscore_outliers",
+    "q_hll_merge",
+    "q_triangle_count",
 ]
 
 

@@ -48,8 +48,12 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-    )  # the canonical edge subplan appears 3×; Spark's ReusedExchange
-    # serves the repeats (no persist: the result is consumed lazily)
+        # the canonical edge set feeds THREE joins; materialize it once
+        # (an expensive upstream — e.g. a similarity-pair generator —
+        # would otherwise run three times; ReusedExchange doesn't cross
+        # the differing join keys)
+        .localCheckpoint(eager=True)
+    )
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = ab.join(bc, "y").select("x", "y", "z")  # x<y<z by construction
