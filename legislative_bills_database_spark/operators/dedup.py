@@ -427,6 +427,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) labels from near-duplicate pairs — min-label
     propagation WITH pointer jumping (each round every node takes the
@@ -449,12 +450,65 @@ def connected_components(
     Raises ``RuntimeError`` instead of returning silently-unconverged
     labels (which would split one component and keep duplicate
     "representatives" downstream) if ``max_iter`` rounds don't converge.
+
+    ``small_graph_threshold``: pair sets at or below this size take an
+    exact driver-side union-find fast path (O(edges) driver memory,
+    min-root semantics identical to the loop); set 0 to force the
+    distributed loop.
     """
     # persist pairs BEFORE the symmetrize union: Spark does not reuse the
     # common subplan across union legs (verified: 0 ReusedExchange, double
     # FileScan), so an expensive pair-generation lineage (e.g. the full
     # MinHash-LSH pipeline) would otherwise execute twice
     pairs = pairs.persist()
+    # Adaptive small-graph path (the bounded-driver-fit precedent of the
+    # IVF k-means fit): near-dup pair sets are usually FAR smaller than
+    # the corpus — a bounded edge list is exact-union-find-able on the
+    # driver in milliseconds, where the distributed loop pays ~2 jobs ×
+    # O(log diameter) rounds of pure scheduler latency. Driver memory is
+    # O(edges) and only under the bound; above it the loop below runs
+    # unchanged (equality of the two paths pinned in
+    # tests/test_operators.py). The count also warms the persisted pairs
+    # for the loop path's symmetrize union.
+    n_pairs = pairs.count()
+    if n_pairs <= small_graph_threshold:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in pairs.select("id_a", "id_b").collect():
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-root union keeps the component id = min node id,
+                    # identical to the loop path's min-label semantics
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            labeled = [(n, find(n)) for n in parent]
+            id_type = ids.schema[id_col].dataType.simpleString()
+            spark = pairs.sparkSession
+            if labeled:
+                lab_df = spark.createDataFrame(
+                    labeled, f"node {id_type}, __comp {id_type}"
+                )
+            else:
+                lab_df = spark.createDataFrame(
+                    [], f"node {id_type}, __comp {id_type}"
+                )
+            return ids.join(
+                F.broadcast(lab_df), ids[id_col] == F.col("node"), "left"
+            ).select(
+                id_col,
+                F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"),
+            )
+        finally:
+            pairs.unpersist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

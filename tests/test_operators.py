@@ -220,7 +220,9 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     )
     comps = {
         r["doc_id"]: r["component"]
-        for r in connected_components(pairs, ids, max_iter=10).collect()
+        for r in connected_components(
+            pairs, ids, max_iter=10, small_graph_threshold=0
+        ).collect()
     }
     assert comps == {i: 0 for i in range(n)}
 
@@ -240,7 +242,7 @@ def test_connected_components_unconverged_raises(spark):
         [(i, i + 1) for i in range(39)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, ids, max_iter=1)
+        connected_components(pairs, ids, max_iter=1, small_graph_threshold=0)
 
 
 def test_strict_pivot_null_value_dedicated_error(spark):
@@ -345,3 +347,31 @@ def test_merge_rollup_equals_full_recompute(spark):
     }
     want = {r["event_type"]: (r["n"], r["s"]) for r in full.collect()}
     assert got == want
+
+
+def test_connected_components_fast_path_equals_loop(spark):
+    """The driver union-find fast path and the distributed loop must
+    produce IDENTICAL labels (min node id per component), including
+    isolated nodes keeping their own id."""
+    import random
+
+    from legislative_bills_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(pairs, ids).collect()))
+    loop = sorted(
+        map(
+            tuple,
+            connected_components(
+                pairs, ids, small_graph_threshold=0
+            ).collect(),
+        )
+    )
+    assert fast == loop
