@@ -136,6 +136,10 @@ _DEFER_LAST = [
     "q_repetition",  # text-quality family in-window via q_text_stats/q_quality_score
     "q_bm25_rank",  # same posting/term-scoring shape as q_tfidf_top_terms (in-window)
     "q_zscore_outliers",  # single-window stats variant; window family in-window via q_gap_fill/q_scd2_merge
+    # deferred for the DQ-gate/snapshot-diff batch (both newcomers
+    # oracle-hash-checked):
+    "q_fk_orphans",  # FK census subsumed by q_dq_constraints' custkey_fk branch (in-window)
+    "q_seq_pack",  # rows-only packing; invariants pinned in pytest, pack family local-passes
     "q_random_projection",  # scan-shaped matmul; quality via q_projection_distortion
     "q_projection_distortion",  # rows-only JL quality row; ratio pinned in pytest
     # superset-of-reference extras: locally oracle-tested, not competing

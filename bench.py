@@ -75,6 +75,8 @@ HEADLINE = [
     "q_zscore_outliers",
     "q_hll_merge",
     "q_triangle_count",
+    "q_dq_constraints",
+    "q_snapshot_diff",
 ]
 
 

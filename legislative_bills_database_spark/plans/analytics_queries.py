@@ -443,6 +443,111 @@ def q_fk_orphans(spark, sf_dir):
     )
 
 
+@query(
+    "q_dq_constraints",
+    """
+    SELECT 'orderkey_not_null' AS constraint, COUNT(*) AS checked,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique', SUM(n), SUM(n - 1) FROM (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
+      GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'totalprice_range', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'status_allowed', COUNT(*),
+           SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk', COUNT(*),
+           SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                    THEN 1 ELSE 0 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_dq_constraints(spark, sf_dir):
+    """Declarative data-quality gate: a 5-constraint suite (not-null,
+    unique, range, allowed-values, foreign-key) over orders evaluated as
+    ONE lazy plan of unioned single-row aggregates — the publish gate
+    run before swapping a snapshot, zero per-constraint driver actions
+    (operators/quality.dq_check)."""
+    from ..operators.quality import dq_check
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return dq_check(
+        orders,
+        [
+            ("orderkey_not_null", "not_null", "o_orderkey"),
+            ("orderkey_unique", "unique", "o_orderkey"),
+            ("totalprice_range", "range", "o_totalprice", 0, 1_000_000),
+            ("status_allowed", "allowed", "o_orderstatus", ["O", "F", "P"]),
+            ("custkey_fk", "foreign_key", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ), new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 101 = 0
+    ), j AS (
+      SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+             o.c_acctbal AS oa, n.c_acctbal AS na,
+             o.c_mktsegment AS om, n.c_mktsegment AS nm
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                WHEN oa <> na OR om <> nm THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n
+    FROM j GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot regression report: key-level delta census between two
+    table versions (a deterministically perturbed customer snapshot:
+    %97 keys removed, %13 balances changed, %101 keys re-added under new
+    ids) — one full-outer join + struct compare + 4-row census, the diff
+    a pipeline checks before publishing (operators/quality.snapshot_diff)."""
+    from ..operators.quality import snapshot_diff
+
+    customer = load_table(spark, sf_dir, "customer")
+    old = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = (
+        old.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return snapshot_diff(old, new, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
 # ---------------------------------------------------------------------------
 # Graph centrality
 # ---------------------------------------------------------------------------
