@@ -66,3 +66,20 @@ def test_char_entropy_two_phase_partial_agg(spark):
     plan = _plan(spark, "q_char_entropy")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dq_constraints_single_lazy_plan(spark):
+    """Five constraints, one plan: union branches, no driver actions —
+    and the whole suite must execute as one collect."""
+    df = QUERIES["q_dq_constraints"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.violations == 0 for r in rows)  # fixtures are clean
+
+
+def test_snapshot_diff_one_join_no_cartesian(spark):
+    plan = _plan(spark, "q_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin FullOuter" in plan or "full_outer" in plan.lower() or "FullOuter" in plan
