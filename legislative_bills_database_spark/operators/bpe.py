@@ -130,10 +130,11 @@ def bpe_encode(
     rows) and closed over into an Arrow-batched mapInPandas — greedy
     per-word merging has no relational form; this is the slow-path
     justification, and the UDF is scan-shaped (no shuffle)."""
-    rank_map = {
-        (r.left, r.right): r.rank for r in merges.collect()
-    }
-    vocab = {r.merged for r in merges.collect()} | {
+    # collect ONCE: merges may carry a full bpe_train lineage, so a second
+    # collect would re-run the whole corpus word-count pass
+    merge_rows = merges.collect()
+    rank_map = {(r.left, r.right): r.rank for r in merge_rows}
+    vocab = {r.merged for r in merge_rows} | {
         c for (a, b) in rank_map for c in (a, b)
     }
 

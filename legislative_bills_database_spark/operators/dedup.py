@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
 from ..functions.vectors import dot, l2_norm
+from ..session import release_checkpoint
 
 
 def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
@@ -564,6 +565,9 @@ def connected_components(
                 .localCheckpoint(eager=True)  # truncate lineage each round
             )
             new_sum = _label_sum(new_labels)
+            # new checkpoint is eager → release the previous round's
+            # blocks (executor storage otherwise holds O(rounds) copies)
+            release_checkpoint(labels)
             labels = new_labels
             if new_sum == prev_sum:
                 break

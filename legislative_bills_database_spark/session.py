@@ -57,6 +57,27 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def release_checkpoint(df) -> None:
+    """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
+    storage blocks.
+
+    ``DataFrame.unpersist()`` only consults the cache manager and is a
+    no-op for checkpointed data; the blocks belong to the RDD inside the
+    plan's ``LogicalRDD`` node. Iterative operators (PageRank, connected
+    components) checkpoint every round — without an explicit release,
+    executor storage accumulates O(n_iter) copies of the frame for the
+    duration of the call. Reaches through the JVM plan (private API), so
+    failures are swallowed: worst case is the old behavior, blocks live
+    until the session GCs them.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-built session
     (the driver hands us one; memory/master are fixed by then)."""

@@ -58,16 +58,23 @@ def scd2_batch_applier(
 
 def _latest_epoch(spark: SparkSession, base_path: str, before: int) -> str | None:
     """Most recent epoch directory strictly before ``before`` (a retried
-    batch must merge onto its PREDECESSOR, not its own failed output)."""
-    import os
+    batch must merge onto its PREDECESSOR, not its own failed output).
 
-    if not os.path.isdir(base_path):
+    Epochs are resolved through Hadoop's FileSystem API, not os.listdir,
+    so ``base_path`` may be any supported URI (file://, hdfs://, s3a://)
+    — a driver-local listing would silently return None on a remote
+    store and restart the dimension history from empty."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
-    epochs = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(base_path)
-        if d.startswith("epoch=") and d.split("=", 1)[1].isdigit()
-    ]
+    epochs = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        suffix = name.split("=", 1)[1] if name.startswith("epoch=") else ""
+        if suffix.isdigit():
+            epochs.append(int(suffix))
     prior = [e for e in epochs if e < before]
     return f"{base_path}/epoch={max(prior)}" if prior else None
 

@@ -156,3 +156,92 @@ def test_triangle_count_no_triangles(spark):
     )
     row = triangle_count(edges).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 3, 0)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    """Degree-ordered orientation returns the exact count: pinned against
+    an itertools brute force on a seeded random graph."""
+    import itertools
+    import random
+
+    from legislative_bills_database_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    n = 60
+    edge_set = {
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if rng.random() < 0.15
+    }
+    adj = {v: set() for v in range(n)}
+    for a, b in edge_set:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_set], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == want
+    assert row.n_edges == len(edge_set)
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """Power-law probe: a LOW-id hub joined to every leaf. Id-ordering
+    would orient all hub edges outward (wedge fan-out C(n_leaves, 2) ≈
+    1.1M pairs from one node); (deg, id)-ordering orients every hub edge
+    INWARD, so the hub emits zero wedges and the whole count stays
+    linear. Count equality is pinned alongside the fan-out bound."""
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.operators.graph import (
+        _orient_by_degree,
+        triangle_count,
+    )
+
+    n_leaves = 1500
+    star = [(0, i) for i in range(1, n_leaves + 1)]
+    # leaf-leaf edges close triangles THROUGH the hub: (1,2)→{0,1,2},
+    # (3,4)→{0,3,4}, and the {5,6,7} clique closes {5,6,7} itself plus
+    # {0,5,6}, {0,6,7}, {0,5,7} — six total
+    extra = [(1, 2), (3, 4), (5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(star + extra, "src long, dst long")
+
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 6
+    assert row.n_edges == n_leaves + len(extra)
+
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    out_deg = (
+        _orient_by_degree(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    )
+    hub = out_deg.filter(F.col("u") == 0).collect()
+    max_deg = out_deg.agg(F.max("d")).collect()[0][0]
+    assert not hub  # hub has the max (deg, id) rank → zero out-edges
+    assert max_deg <= 3  # leaves keep O(√m) fan-out
+
+
+def test_pagerank_releases_iteration_checkpoints(spark):
+    """Each iteration's eager checkpoint must free the previous one:
+    executor storage holds O(1) rank frames, not O(n_iter)."""
+    sc = spark.sparkContext
+
+    def n_stored():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    before = n_stored()
+    pagerank(edges, n_iter=8).collect()
+    after = n_stored()
+    # the final ranks checkpoint (+ at most one transient) may linger;
+    # 8 iterations would leak ≥8 frames without the release
+    assert after - before <= 2, (before, after)
