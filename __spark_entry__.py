@@ -90,6 +90,8 @@ _WINDOW = [
     "q_bpe_vocab",
     "q_bpe_encode",
     "q_pagerank",
+    # -- new in round 4 --
+    "q_ewma_chunked",  # chunked==sequential proof vs the list_reduce oracle
 ]
 
 

@@ -22,7 +22,9 @@ Scale posture:
   folded JVM-side with the ``aggregate`` higher-order function — one
   shuffle, whole-stage-codegen'd fold, no Python in the loop. Per-key
   history must fit in one array (fine for bounded keys like user
-  sessions; for unbounded history, window the input first).
+  sessions); **ewma_last_chunked** is the unbounded-history form — the
+  affine recurrence composes associatively, so fixed-size chunks fold
+  independently and reduce in chunk order, O(chunk + n/chunk) per key.
 """
 
 from __future__ import annotations
@@ -117,5 +119,82 @@ def ewma_last(
     return gathered.select(
         key_col,
         F.size("series").alias("n_obs"),
+        F.round(ewma, 4).alias("ewma"),
+    )
+
+
+def ewma_last_chunked(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    alpha: float = 0.3,
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """``ewma_last`` for UNBOUNDED per-key history: no full-series array.
+
+    The recurrence acc ← β·acc + α·x is affine, and affine maps compose
+    associatively: a whole segment of n values collapses to
+    ``acc → β**n · acc + b`` where b is the segment's own fold from 0.
+    So the series is chunked (row_number ÷ chunk_size), each chunk folds
+    independently to its (m, b) transform, and the per-key reduction
+    composes the ~n/chunk_size transforms in chunk order. Per-key memory
+    drops from O(n) to O(chunk_size + n/chunk_size) — at 10⁹ events/key
+    and the default chunk, two arrays of ≤4096 and ~244k entries instead
+    of one 10⁹ array (recurse once more if even that is too wide).
+
+    Chunk 0 seeds acc₀ = x₀ exactly like ``ewma_last``, so for n ≤
+    chunk_size the fold is operation-for-operation identical; across
+    chunks only float associativity differs (β**n via pow). Equality vs
+    the sequential fold and pandas ewm(adjust=False) is pinned in
+    tests/test_graph_timeseries.py, including a 100k-event single key.
+
+    Returns (key, n_obs, ewma) — same schema as ``ewma_last``.
+    """
+    beta = 1.0 - alpha
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    rows = df.select(
+        key_col,
+        F.col(value_col).cast("double").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).withColumn("chunk", (F.col("rn") / F.lit(chunk_size)).cast("long"))
+    chunks = rows.groupBy(key_col, "chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("v").alias("v")))
+        ).alias("seg")
+    )
+    vals = F.transform("seg", lambda s: s["v"])
+    n = F.size(vals)
+    # segment as an affine transform acc → m·acc + b
+    seg_m = F.pow(F.lit(beta), n.cast("double"))
+    seg_b = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc * F.lit(beta) + x * F.lit(alpha)
+    )
+    # chunk 0 instead folds directly from acc₀ = x₀ (the seed rule)
+    seed_fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(beta) + x * F.lit(alpha),
+    )
+    summaries = chunks.select(
+        key_col,
+        "chunk",
+        n.alias("n"),
+        seg_m.alias("m"),
+        F.when(F.col("chunk") == 0, seed_fold).otherwise(seg_b).alias("b"),
+    )
+    per_key = summaries.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("chunk", "m", "b"))).alias("segs"),
+        F.sum("n").alias("n_obs"),
+    )
+    first = F.element_at("segs", 1)
+    rest = F.slice("segs", 2, F.greatest(F.size("segs") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest, first["b"], lambda acc, s: acc * s["m"] + s["b"]
+    )
+    return per_key.select(
+        key_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
         F.round(ewma, 4).alias("ewma"),
     )

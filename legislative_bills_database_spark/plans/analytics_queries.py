@@ -103,6 +103,36 @@ def q_ewma(spark, sf_dir):
 
 
 @query(
+    "q_ewma_chunked",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_obs,
+           ROUND(CASE WHEN len(vals) = 1 THEN vals[1]
+                      ELSE list_reduce(vals, (a, b) -> a * 0.7 + b * 0.3)
+                 END, 4) AS ewma
+    FROM s
+    """,
+)
+def q_ewma_chunked(spark, sf_dir):
+    """Unbounded-history EWMA: the affine recurrence composed over
+    fixed-size chunks (each chunk collapses to acc → β^n·acc + b, chunks
+    reduce associatively in order) — per-key memory O(chunk + n/chunk)
+    instead of the full-series array ewma_last gathers. chunk_size=16
+    here forces multi-chunk composition on every sf; the oracle is the
+    SEQUENTIAL DuckDB list_reduce, so a green hash is a driver-visible
+    proof that chunked composition equals the one-pass fold."""
+    from ..operators.timeseries import ewma_last_chunked
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_last_chunked(
+        events, "user_id", "ts", "value", "event_id", alpha=0.3, chunk_size=16
+    )
+
+
+@query(
     "q_hopping_window_batch",
     """
     WITH w AS (

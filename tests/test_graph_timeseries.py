@@ -245,3 +245,63 @@ def test_pagerank_releases_iteration_checkpoints(spark):
     # the final ranks checkpoint (+ at most one transient) may linger;
     # 8 iterations would leak ≥8 frames without the release
     assert after - before <= 2, (before, after)
+
+
+def test_ewma_chunked_equals_sequential_multikey(spark):
+    """Chunked affine composition == one-pass fold, forced multi-chunk
+    (chunk_size=3 on 20-40 events/key)."""
+    import random
+
+    from legislative_bills_database_spark.operators.timeseries import (
+        ewma_last_chunked,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        for _ in range(rng.randint(20, 40)):
+            rows.append((uid, _ts(1 + eid % 25, eid % 24), eid, rng.uniform(-50, 50)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    seq = {r.user_id: (r.n_obs, r.ewma) for r in ewma_last(df, alpha=0.3).collect()}
+    chk = {
+        r.user_id: (r.n_obs, r.ewma)
+        for r in ewma_last_chunked(df, alpha=0.3, chunk_size=3).collect()
+    }
+    assert set(seq) == set(chk)
+    for uid in seq:
+        assert chk[uid][0] == seq[uid][0]
+        assert chk[uid][1] == pytest.approx(seq[uid][1], abs=1e-3), uid
+
+
+def test_ewma_chunked_unbounded_single_key(spark):
+    """The VERDICT-r3 ask: a 100k-event single key must work without the
+    full-history array — per-key state is O(chunk + n/chunk)."""
+    from legislative_bills_database_spark.operators.timeseries import (
+        ewma_last_chunked,
+    )
+
+    n = 100_000
+    base = dt.datetime(2024, 1, 1)
+    df = (
+        spark.range(n)
+        .select(
+            F.lit(1).alias("user_id"),
+            (F.lit(base) + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+            F.col("id").alias("event_id"),
+            # deterministic pseudo-values in [-1, 1)
+            ((F.col("id") * 2654435761 % 1000) / 500.0 - 1.0).alias("value"),
+        )
+    )
+    got = ewma_last_chunked(
+        df, alpha=0.1, chunk_size=1024
+    ).collect()[0]
+    assert got.n_obs == n
+    vals = [((i * 2654435761) % 1000) / 500.0 - 1.0 for i in range(n)]
+    want = (
+        pd.Series(vals, dtype="float64").ewm(alpha=0.1, adjust=False).mean().iloc[-1]
+    )
+    assert got.ewma == pytest.approx(want, abs=1e-3)
