@@ -92,6 +92,7 @@ _WINDOW = [
     "q_pagerank",
     # -- new in round 4 --
     "q_ewma_chunked",  # chunked==sequential proof vs the list_reduce oracle
+    "q_stream_parity",  # stream==batch census, driver-visible for the first time
 ]
 
 

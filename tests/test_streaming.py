@@ -241,3 +241,15 @@ def test_foreachbatch_sink_exactly_once_and_idempotent(
     again = spark.read.parquet(base)
     assert again.count() == batch.count()
     assert _canon(again, ["event_id"]) == before
+
+
+def test_stream_parity_report_census(spark):
+    """q_stream_parity's one-row census: stream == batch, no mismatches."""
+    from legislative_bills_database_spark.streaming.events import (
+        stream_batch_parity_report,
+    )
+
+    row = stream_batch_parity_report(spark, SF_DIR).collect()[0]
+    assert row.equal is True
+    assert row.n_mismatch == 0
+    assert row.n_batch == row.n_stream > 0
