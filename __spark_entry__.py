@@ -93,6 +93,10 @@ _WINDOW = [
     # -- new in round 4 --
     "q_ewma_chunked",  # chunked==sequential proof vs the list_reduce oracle
     "q_stream_parity",  # stream==batch census, driver-visible for the first time
+    "q_prefix_jaccard_join",  # prefix-filter completeness vs quadratic oracle
+    "q_heavy_hitters",  # pre-join skew audit, TakeOrderedAndProject plan
+    "q_stratified_fixed_n",  # exact-N deterministic eval-split sampling
+    "q_approx_quantiles",  # mergeable sketch rollup; rows-only, pytest-bounded
 ]
 
 

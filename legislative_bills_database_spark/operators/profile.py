@@ -51,3 +51,85 @@ def sql_profile_columns(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Exact top-``k`` keys by frequency with their share of all rows —
+    the pre-join skew audit: any key whose share approaches 1/shuffle-
+    partitions is a salting/AQE-skew-split candidate.
+
+    Scale shape: one partial-aggregated groupBy on the key, then
+    ``orderBy(...).limit(k)`` — Spark plans TakeOrderedAndProject (each
+    task keeps a k-row heap, the driver merges #partitions × k rows),
+    never a global sort. The row total rides along as a 1-row broadcast
+    cross join, not a second scan (the grouped counts sum to it).
+    Deterministic tie-break: (count DESC, key ASC).
+
+    Returns (key, n, share) — share rounded to 6 places.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("key"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        )
+    )
+
+
+def sql_heavy_hitters(table: str, key_expr: str, k: int = 20) -> str:
+    """DuckDB twin of :func:`heavy_hitters`."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_expr} AS key, COUNT(*) AS n FROM {table} GROUP BY 1
+    ), total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT key, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS share
+    FROM counts, total
+    ORDER BY n DESC, key
+    LIMIT {k}
+    """
+
+
+def approx_quantiles_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Mergeable approximate quantiles per group PLUS the all-groups
+    rollup — without rescanning or re-sorting.
+
+    ``percentile_approx`` aggregates a Greenwald-Khanna-style sketch
+    that Spark merges in partial aggregation, so ``rollup(group)``
+    computes every per-group sketch AND the grand-total sketch in ONE
+    shuffle of sketch summaries — the 100 TB replacement for the exact
+    percentile (a full sort) that q_quantiles/q_length_trim use at
+    hash-checkable scale. Rank error ≤ 1/accuracy, pinned against exact
+    quantiles in tests/test_importance_profile.py.
+
+    Returns (group, p50, p90, p99) with the rollup row as group='ALL'.
+    """
+    aliases = [f"p{int(p * 100)}" for p in probabilities]
+    aggs = [
+        F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias(a)
+        for p, a in zip(probabilities, aliases)
+    ]
+    return (
+        df.rollup(group_col)
+        .agg(*aggs)
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("ALL")).alias(
+                "grp"
+            ),
+            *[F.round(a, 4).alias(a) for a in aliases],
+        )
+    )

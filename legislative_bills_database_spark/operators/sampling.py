@@ -21,7 +21,7 @@ at legiscan_main.R:118-131) to per-stratum rates and target mixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
@@ -160,3 +160,60 @@ def sql_group_split(
         acc += float(splits[lab])
         whens.append(f"WHEN {u} < {acc!r} THEN '{lab}'")
     return f"(CASE {' '.join(whens)} ELSE '{labels[-1]}' END)"
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (or the whole stratum
+    if smaller), chosen deterministically — rate-based sampling
+    (``stratified_sample``) gives each stratum a *binomial* count, which
+    a fixed-budget eval split can't tolerate.
+
+    Selection order is ``((id + seed) * KNUTH mod 2^32, id)``: the seed
+    shifts the input BEFORE the multiplicative scramble (appended after,
+    as in ``unit_hash``, it would only offset every value by seed/2^32
+    and leave the ORDER unchanged), so different seeds give genuinely
+    different memberships while staying reproducible across engines,
+    retries, and re-runs; the raw id is the total-order tie-break.
+
+    Scale shape: one shuffle on the stratum + a per-stratum TOP-N window
+    (row_number bounds state to the frame, not the stratum). Few huge
+    strata skew the shuffle; the standard fix — pre-aggregate a salted
+    per-salt top-N, then re-rank the #salts × N survivors — keeps the
+    same contract and is noted here rather than implemented because the
+    strata this feeds (eval splits, per-domain carve-outs) are
+    many-and-moderate, not few-and-huge.
+    """
+    order_key = (
+        (F.col(id_col).cast("bigint") + F.lit(seed)) * F.lit(KNUTH)
+    ) % F.lit(M32)
+    w = Window.partitionBy(stratum_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def sql_stratified_fixed_n(
+    table: str,
+    stratum_expr: str,
+    id_expr: str,
+    n_per_stratum: int,
+    cols: str,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`stratified_fixed_n` (returns ``cols``)."""
+    u = f"((CAST({id_expr} AS BIGINT) + {seed}) * {KNUTH}) % {M32}"
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {stratum_expr} ORDER BY {u}, {id_expr}
+      ) AS __rk FROM {table}
+    ) WHERE __rk <= {n_per_stratum}
+    """

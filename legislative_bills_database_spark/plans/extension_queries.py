@@ -1709,3 +1709,107 @@ def q_column_profile(spark, sf_dir):
     operator; exact distincts keep this hash-checkable."""
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+from ..operators.setjoin import prefix_jaccard_join  # noqa: E402
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS sh
+  FROM documents WHERE doc_id < 300
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+FROM p
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+
+@query("q_prefix_jaccard_join", _PREFIX_JACCARD_ORACLE)
+def q_prefix_jaccard_join(spark, sf_dir):
+    """Exact Jaccard≥0.5 pairs via PPJoin-style prefix filtering
+    (operators/setjoin.py): each doc's shingles sort rarest-first by
+    global document frequency and only the first s−⌈θs⌉+1 enter the
+    candidate join — hot shingles never join, so paired work is the
+    rare-shingle tail instead of O(Σ df²). The oracle is the QUADRATIC
+    all-pairs comparison, so a green hash is a machine-checked proof
+    that prefix filtering loses no qualifying pair."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return prefix_jaccard_join(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: skew audit, sketch quantile rollup, fixed-N stratified sample
+# ---------------------------------------------------------------------------
+
+from ..operators.profile import (  # noqa: E402
+    approx_quantiles_rollup,
+    heavy_hitters,
+    sql_heavy_hitters,
+)
+from ..operators.sampling import (  # noqa: E402
+    stratified_fixed_n,
+    sql_stratified_fixed_n,
+)
+
+
+@query(
+    "q_heavy_hitters",
+    sql_heavy_hitters("lineitem", "l_suppkey", 20),
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 join keys by frequency with row share — the pre-join
+    skew audit run before choosing salting/broadcast strategy. One
+    partial-aggregated groupBy then TakeOrderedAndProject (per-task
+    k-row heaps, no global sort); total rides as a 1-row broadcast
+    (operators/profile.heavy_hitters)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(lineitem, "l_suppkey", k=20)
+
+
+@query("q_approx_quantiles")  # sketch-based → rows-only by design
+def q_approx_quantiles(spark, sf_dir):
+    """Mergeable approximate quantiles (p50/p90/p99 of extended price)
+    per return flag PLUS the all-rows rollup in ONE shuffle of sketch
+    summaries — percentile_approx sketches merge in partial aggregation,
+    so the grand total needs no rescan. The 100 TB replacement for exact
+    percentiles (a full sort); rank-error ≤ 1e-4 pinned vs exact in
+    pytest (operators/profile.approx_quantiles_rollup)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return approx_quantiles_rollup(
+        lineitem, "l_returnflag", "l_extendedprice"
+    ).orderBy("grp")
+
+
+@query(
+    "q_stratified_fixed_n",
+    sql_stratified_fixed_n(
+        "customer",
+        "c_mktsegment",
+        "c_custkey",
+        40,
+        "c_custkey, c_mktsegment",
+        seed=17,
+    ),
+)
+def q_stratified_fixed_n(spark, sf_dir):
+    """EXACTLY 40 customers per market segment, selected by seeded
+    engine-portable hash order (Knuth multiplicative) with id tie-break
+    — the fixed-budget eval-split primitive rate-based sampling can't
+    provide (binomial counts). Hash-checked against the identical
+    DuckDB window; per-stratum TOP-N window, salted two-phase variant
+    documented for few-huge-strata skew
+    (operators/sampling.stratified_fixed_n)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return stratified_fixed_n(customer, "c_mktsegment", "c_custkey", 40, seed=17).select(
+        "c_custkey", "c_mktsegment"
+    )
