@@ -97,6 +97,7 @@ _WINDOW = [
     "q_heavy_hitters",  # pre-join skew audit, TakeOrderedAndProject plan
     "q_stratified_fixed_n",  # exact-N deterministic eval-split sampling
     "q_approx_quantiles",  # mergeable sketch rollup; rows-only, pytest-bounded
+    "q_canonical_docs",  # quality survivorship over CC clusters; rows-only
 ]
 
 

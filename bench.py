@@ -78,10 +78,14 @@ HEADLINE = [
     "q_dq_constraints",
     "q_snapshot_diff",
     # round-4 additions: chunked-EWMA scale path, posting-list ranking,
-    # the stream==batch census (a real availableNow micro-batch run)
+    # the stream==batch census (a real availableNow micro-batch run),
+    # prefix-filtered exact similarity join, skew audit, sketch rollup
     "q_ewma_chunked",
     "q_bm25_rank",
     "q_stream_parity",
+    "q_prefix_jaccard_join",
+    "q_heavy_hitters",
+    "q_approx_quantiles",
 ]
 
 

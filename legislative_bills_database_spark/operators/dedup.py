@@ -598,6 +598,39 @@ def dedup_by_near_duplicates(
     return df.join(keep, id_col, "left_semi")
 
 
+def survivorship_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: keep the HIGHEST-quality member of
+    each near-duplicate cluster (id ascending as the deterministic
+    tie-break), not the lowest-id one ``dedup_by_near_duplicates``
+    keeps. The curation step after pair detection: near-dup clusters
+    mix clean and boilerplate-damaged variants of the same content, and
+    arrival order is the wrong survivor rule.
+
+    Scale shape: the CC labels join back to a slim (id, quality)
+    projection — never the text — and the per-cluster argmax is one
+    row_number window over the component key. Returns ``df`` filtered
+    to survivors plus ``n_members`` (cluster size; 1 for singletons).
+    """
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    slim = df.select(id_col, quality_col)
+    labeled = comps.join(slim, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    winners = (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "n_members")
+    )
+    return df.join(winners, id_col)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1813,3 +1813,26 @@ def q_stratified_fixed_n(spark, sf_dir):
     return stratified_fixed_n(customer, "c_mktsegment", "c_custkey", 40, seed=17).select(
         "c_custkey", "c_mktsegment"
     )
+
+
+@query("q_canonical_docs")  # LSH pairs + iterative CC → rows-only
+def q_canonical_docs(spark, sf_dir):
+    """Quality survivorship: near-dup clusters (MinHash-LSH pairs →
+    connected components) keep their HIGHEST-quality member instead of
+    the lowest id — the curation rule that drops boilerplate-damaged
+    variants of duplicated content. Slim (id, quality) join to the
+    labels, one argmax window per cluster
+    (operators/dedup.survivorship_by_quality); hand-built clusters with
+    known winners pinned in tests/test_setjoin_profile.py."""
+    from ..operators.dedup import survivorship_by_quality
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", T.quality_score(F.col("text"))
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.5
+    )
+    return (
+        survivorship_by_quality(docs, pairs, "doc_id", "quality")
+        .select("doc_id", "n_members", F.round("quality", 4).alias("quality"))
+    )

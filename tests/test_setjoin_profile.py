@@ -127,3 +127,81 @@ def test_stratified_fixed_n_exact_and_deterministic(spark):
     ids = lambda o: {r.id for r in o.select("id").collect()}  # noqa: E731
     assert ids(out1) == ids(stratified_fixed_n(df, "stratum", "id", 25, seed=7))
     assert ids(out1) != ids(stratified_fixed_n(df, "stratum", "id", 25, seed=8))
+
+
+def test_survivorship_keeps_highest_quality_per_cluster(spark):
+    from legislative_bills_database_spark.operators.dedup import (
+        survivorship_by_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2),  # cluster {1,2,3}: 2 wins on quality
+            (2, 0.9),
+            (3, 0.9),  # ties 2 on quality → 2 wins on id
+            (4, 0.5),  # singleton
+            (5, 0.1),  # cluster {5,6}: 6 wins
+            (6, 0.8),
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.n_members
+        for r in survivorship_by_quality(docs, pairs, "doc_id").collect()
+    }
+    assert got == {2: 3, 4: 1, 6: 2}
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan audits (same contract as tests/test_plan_audit.py)
+# ---------------------------------------------------------------------------
+
+from legislative_bills_database_spark.plans import QUERIES  # noqa: E402
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefix_join_plan_all_hash_joins_no_python(spark):
+    """Candidate generation and verification are equi-joins end to end —
+    no theta/cartesian fallback, no Python evaluation."""
+    plan = _plan(spark, "q_prefix_jaccard_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_plan_is_topk_not_global_sort(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-task heaps); the
+    only nested-loop join allowed is the 1-row broadcast total."""
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_stratified_fixed_n_single_shuffle(spark):
+    """One shuffle on the stratum; rank + filter ride the same
+    partitioning."""
+    plan = _plan(spark, "q_stratified_fixed_n")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_quantiles_single_shuffle_rollup(spark):
+    """rollup() plans one Expand + ONE shuffle of mergeable sketch
+    summaries — per-group and grand-total quantiles, no rescan."""
+    plan = _plan(spark, "q_approx_quantiles")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_chunked_no_python_bounded_shuffles(spark):
+    """The chunked fold stays JVM-side (aggregate() HOF over chunk
+    arrays); at most rank + chunk-agg + key-agg shuffles."""
+    plan = _plan(spark, "q_ewma_chunked")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
