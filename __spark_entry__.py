@@ -98,6 +98,8 @@ _WINDOW = [
     "q_stratified_fixed_n",  # exact-N deterministic eval-split sampling
     "q_approx_quantiles",  # mergeable sketch rollup; rows-only, pytest-bounded
     "q_canonical_docs",  # quality survivorship over CC clusters; rows-only
+    "q_cdc_apply",  # Delta-MERGE changelog semantics vs relational oracle
+    "q_max_concurrency",  # distributed +1/-1 sweep vs window-sum oracle
 ]
 
 

@@ -101,3 +101,42 @@ def fk_orphan_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an ordered CDC changelog (op ∈ I/U/D, monotone ``seq``) to a
+    base snapshot: each key's LATEST change wins — inserts/updates
+    replace the row wholesale, deletes remove it; untouched keys pass
+    through. The Delta/Iceberg MERGE semantics in plain DataFrame ops,
+    and the batch twin of a foreachBatch CDC sink.
+
+    Scale shape: one shuffle on the key for the latest-change window
+    (row_number over seq DESC), one anti-join to drop replaced/deleted
+    base rows, one union — no per-row MERGE, no driver loop. ``seq``
+    must totally order each key's changes (CDC streams carry an LSN /
+    commit version); (seq DESC, op) is the tie-break so replays with
+    duplicated seq stay deterministic.
+
+    Returns (key, *payload_cols).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.col(op_col)
+    )
+    latest = (
+        changelog.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(key_col, op_col, *payload_cols)
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(key_col, *payload_cols)
+    touched = latest.select(key_col)
+    survivors = base.select(key_col, *payload_cols).join(
+        touched, key_col, "left_anti"
+    )
+    return survivors.unionByName(upserts)

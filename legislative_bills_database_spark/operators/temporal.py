@@ -107,3 +107,71 @@ def range_join_fixed_buckets(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Peak number of simultaneously-open ``[start, end)`` intervals and
+    the earliest instant it is reached — the capacity question (max
+    in-flight sessions / shipments / connections) a naive per-bucket
+    count can only approximate.
+
+    Classic sweep: +1 at each start, −1 at each end, running sum in
+    (ts, delta) order (ends sort before starts at the same instant, so a
+    back-to-back interval pair never double-counts). A bare
+    unpartitioned window would drag every delta through ONE task; this
+    runs distributed with the ordering.global_sort_index offset trick —
+    range-partition by (ts, delta), per-partition cumulative sums, then
+    each partition's prefix total (O(#partitions) driver rows) broadcast
+    back as an offset. The peak is deterministic under ties: rows tied
+    on (ts, delta) carry equal deltas, so every permutation reaches the
+    same group-boundary running values.
+
+    Returns one row (peak_concurrency, peak_start).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    deltas = df.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    pinned = (
+        deltas.repartitionByRange(num_partitions, F.col("ts"), F.col("delta"))
+        .sortWithinPartitions("ts", "delta")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin range boundaries
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pinned.withColumn("__csum", F.sum("delta").over(w))
+    # O(#partitions) rows to the driver: per-partition delta totals
+    totals = sorted(
+        pinned.groupBy("__pid").agg(F.sum("delta").alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["t"]
+    off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    running = local.join(F.broadcast(off), "__pid").select(
+        "ts", (F.col("__csum") + F.col("__offset")).alias("c")
+    )
+    peak = running.agg(F.max("c").alias("peak_concurrency"))
+    return (
+        running.join(
+            F.broadcast(peak), running.c == F.col("peak_concurrency")
+        )
+        .groupBy("peak_concurrency")
+        .agg(F.min("ts").alias("peak_start"))
+        .select("peak_concurrency", "peak_start")
+    )

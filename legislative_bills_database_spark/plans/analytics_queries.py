@@ -743,3 +743,117 @@ def q_stream_parity(spark, sf_dir):
     from ..streaming.events import stream_batch_parity_report
 
     return stream_batch_parity_report(spark, sf_dir)
+
+
+@query(
+    "q_cdc_apply",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ), chg AS (
+      SELECT c_custkey, c_acctbal + 50 AS c_acctbal, c_mktsegment,
+             'U' AS op, 1 AS seq
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, 'D', 2
+      FROM base WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal, 'NEW', 'I', 1
+      FROM base WHERE c_custkey % 13 = 0
+    ), latest AS (
+      SELECT * FROM chg
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c_custkey ORDER BY seq DESC, op) = 1
+    )
+    SELECT b.c_custkey, b.c_acctbal, b.c_mktsegment FROM base b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest l WHERE l.c_custkey = b.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog apply (operators/scd.cdc_apply): a deterministic
+    I/U/D changelog (updates for %7 keys, deletes for %11 — seq 2 beats
+    the update on %77 overlaps — inserts under new ids for %13) folds
+    into the customer snapshot with Delta-MERGE semantics: latest change
+    per key wins, one key-window shuffle + anti-join + union, no per-row
+    merge."""
+    from ..operators.scd import cdc_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    chg = (
+        base.filter(k % 7 == 0)
+        .select(
+            k.alias("c_custkey"),
+            (F.col("c_acctbal") + 50).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                "c_custkey",
+                "c_acctbal",
+                "c_mktsegment",
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).select(
+                (k + 10_000_000).alias("c_custkey"),
+                "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+            )
+        )
+    )
+    return cdc_apply(base, chg, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
+@query(
+    "q_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT o.o_orderkey, MIN(o.o_orderdate) AS s, MAX(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ), d AS (
+      SELECT s AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e, -1 FROM iv
+    ), r AS (
+      SELECT ts, SUM(delta) OVER (
+        ORDER BY ts, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS c FROM d
+    )
+    SELECT CAST((SELECT MAX(c) FROM r) AS BIGINT) AS peak_concurrency,
+           (SELECT MIN(ts) FROM r WHERE c = (SELECT MAX(c) FROM r))
+             AS peak_start
+    """,
+)
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrently-open orders (order date → last shipment): the
+    classic +1/−1 sweep with the running sum computed DISTRIBUTED —
+    range-partition by (ts, delta), per-partition cumsums,
+    O(#partitions) prefix offsets broadcast back — instead of one
+    unpartitioned window task dragging every delta
+    (operators/temporal.max_concurrency); 1 row
+    (peak_concurrency, peak_start)."""
+    from ..operators.temporal import max_concurrency
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    intervals = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min("o_orderdate").alias("s"),
+            F.max("l_shipdate").alias("e"),
+        )
+    )
+    return max_concurrency(intervals, "s", "e")

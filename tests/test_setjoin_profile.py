@@ -205,3 +205,57 @@ def test_ewma_chunked_no_python_bounded_shuffles(spark):
     plan = _plan(spark, "q_ewma_chunked")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_cdc_apply_latest_change_wins(spark):
+    from legislative_bills_database_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),
+            (1, "a3", "U", 2),  # later seq wins
+            (2, None, "D", 1),  # delete
+            (4, "d", "I", 1),  # insert
+            (3, "zzz", "U", 1),
+            (3, None, "D", 2),  # update then delete → gone
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {r.k: r.v for r in cdc_apply(base, chg, "k", ["v"]).collect()}
+    assert got == {1: "a3", 4: "d"}
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    """Applying the same changelog twice == once (retried batch)."""
+    from legislative_bills_database_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "a2", "U", 5), (2, None, "D", 5)], "k long, v string, op string, seq int"
+    )
+    once = cdc_apply(base, chg, "k", ["v"])
+    twice = cdc_apply(once, chg, "k", ["v"])
+    assert sorted((r.k, r.v) for r in once.collect()) == sorted(
+        (r.k, r.v) for r in twice.collect()
+    ) == [(1, "a2")]
+
+
+def test_max_concurrency_hand_built(spark):
+    import datetime as dt
+
+    from legislative_bills_database_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    d = lambda day: dt.date(2024, 1, day)  # noqa: E731
+    # [1,5) [2,4) [3,6) overlap 3 on day 3; [4,9) joins as [2,4) ends
+    # (end-before-start at day 4 keeps the peak at 3, not 4)
+    iv = spark.createDataFrame(
+        [(d(1), d(5)), (d(2), d(4)), (d(3), d(6)), (d(4), d(9))],
+        "s date, e date",
+    )
+    row = max_concurrency(iv, "s", "e").collect()[0]
+    assert (row.peak_concurrency, str(row.peak_start)) == (3, "2024-01-03")
