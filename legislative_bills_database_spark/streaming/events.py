@@ -157,14 +157,28 @@ def stream_batch_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value",
             )
         )
-        n_stream = streamed.count()
-        n_batch = batch.count()
-        n_mismatch = (
-            streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        # ONE distributed job for the whole census: tag sides, count each
+        # distinct row per side, Σ|n_s − n_b| is exactly the multiset
+        # symmetric difference (what exceptAll-both-ways counts, at the
+        # cost of 2 extra jobs + 2 extra shuffles)
+        cols = streamed.columns
+        tagged = streamed.withColumn(
+            "__side", F.lit(1)
+        ).unionByName(batch.withColumn("__side", F.lit(0)))
+        per_row = tagged.groupBy(*cols).agg(
+            F.sum("__side").alias("__ns"),
+            F.sum(1 - F.col("__side")).alias("__nb"),
         )
-        equal = bool(n_mismatch == 0 and n_batch == n_stream)
+        row = per_row.agg(
+            F.coalesce(F.sum("__nb"), F.lit(0)).alias("n_batch"),
+            F.coalesce(F.sum("__ns"), F.lit(0)).alias("n_stream"),
+            F.coalesce(
+                F.sum(F.abs(F.col("__ns") - F.col("__nb"))), F.lit(0)
+            ).alias("n_mismatch"),
+        ).collect()[0]
+        equal = bool(row.n_mismatch == 0 and row.n_batch == row.n_stream)
         return spark.createDataFrame(
-            [(n_batch, n_stream, n_mismatch, equal)],
+            [(row.n_batch, row.n_stream, row.n_mismatch, equal)],
             "n_batch long, n_stream long, n_mismatch long, equal boolean",
         )
     finally:
