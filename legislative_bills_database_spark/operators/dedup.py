@@ -84,8 +84,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: one min per seeded xxhash64 over distinct shingles.
 
-    One explode + one groupBy with ``num_hashes`` parallel min-aggregates —
-    a single shuffle on doc id, map-side partial mins do most of the work.
+    One explode + one groupBy with ``num_hashes`` parallel min-aggregates.
+    This is deliberately the scale-optimal shape, and NOT the
+    "zero-shuffle" ``array_min(transform(sh, s -> xxhash64(s, i)))`` form:
+
+    - the groupBy's map-side partial aggregation folds each partition's
+      shingles into per-doc partial mins BEFORE the exchange, so the
+      shuffle carries #docs x num_hashes longs - never rows x shingles;
+    - the hash+min pipeline runs inside whole-stage codegen, while
+      higher-order functions evaluate interpreted - measured 2.5 s vs
+      4.0 s on the sf0.1 corpus (round 4) for identical signatures.
+
+    (If you do rewrite with transform(): a two-argument lambda's second
+    parameter is bound by Spark as the ARRAY INDEX - a seed passed that
+    way is silently replaced and every hash function collapses to one.)
     """
     sh = df.select(
         F.col(id_col),
