@@ -115,3 +115,119 @@ def test_shingle_count_formula(spark, words, n):
     # shingles are DISTINCT; count bounded by the clamped window count
     assert 1 <= row["n_shingles"] <= max(len(words) - n + 1, 1)
     assert row["n_shingles"] == row["check"]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    chunk=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_ewma_chunked_equals_sequential_property(spark, vals, chunk):
+    """For ANY series and ANY chunk size, the chunked affine composition
+    equals the one-pass fold (within float tolerance)."""
+    import datetime as dt
+
+    from legislative_bills_database_spark.operators.timeseries import (
+        ewma_last,
+        ewma_last_chunked,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    seq = ewma_last(df, alpha=0.3).collect()[0]
+    chk = ewma_last_chunked(df, alpha=0.3, chunk_size=chunk).collect()[0]
+    assert chk.n_obs == seq.n_obs == len(vals)
+    assert abs(chk.ewma - seq.ewma) <= 1e-3
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=9),  # seq
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[2]),  # unique (key, seq): CDC contract
+    )
+)
+@settings(**SETTINGS)
+def test_cdc_apply_matches_dict_replay(spark, ops):
+    """cdc_apply == a per-key latest-op dict replay for ANY changelog
+    with unique (key, seq)."""
+    from legislative_bills_database_spark.operators.scd import cdc_apply
+
+    base_rows = [(k, -1) for k in range(3)]  # keys 0..2 pre-exist
+    base = spark.createDataFrame(base_rows, "k long, v long")
+    if ops:
+        chg = spark.createDataFrame(
+            [(k, str(v), op, seq) for k, op, seq, v in ops],
+            "k long, v string, op string, seq int",
+        ).select("k", F.col("v").cast("long").alias("v"), "op", "seq")
+        got = {r.k: r.v for r in cdc_apply(base, chg, "k", ["v"]).collect()}
+    else:
+        got = {r.k: r.v for r in base.collect()}
+    want = dict(base_rows)
+    latest: dict[int, tuple[int, str, int]] = {}
+    for k, op, seq, v in ops:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, v)
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_max_concurrency_matches_python_sweep(spark, iv):
+    """Distributed +1/−1 sweep == the obvious single-threaded sweep for
+    ANY interval multiset (ends close before starts at the same day)."""
+    import datetime as dt
+
+    from legislative_bills_database_spark.operators.temporal import (
+        max_concurrency,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=s), d0 + dt.timedelta(days=s + dur))
+        for s, dur in iv
+    ]
+    df = spark.createDataFrame(rows, "s date, e date")
+    got = max_concurrency(df, "s", "e").collect()[0]
+    deltas = sorted(
+        [(s, 1) for s, _ in rows] + [(e, -1) for _, e in rows],
+        key=lambda t: (t[0], t[1]),
+    )
+    # max over RUNNING values (zero-duration intervals can hold the peak
+    # at 0 — at the instant the -1/+1 pair cancels), first ts wins
+    best, cur, best_ts = float("-inf"), 0, None
+    for ts, dlt in deltas:
+        cur += dlt
+        if cur > best:
+            best, best_ts = cur, ts
+    assert got.peak_concurrency == best
+    assert got.peak_start == best_ts
