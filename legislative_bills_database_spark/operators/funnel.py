@@ -33,11 +33,22 @@ def funnel_stage_times(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """(user, t_0 … t_{n-1}): the earliest time each user completed each
     stage IN ORDER — ``t_i`` is the min ``ts`` of a stage-``i`` event
     strictly after ``t_{i-1}``; NULL once a stage was never reached
     (and stays NULL for all later stages by construction).
+
+    ``max_gap`` (a SQL interval literal, e.g. ``"INTERVAL 2 HOUR"``)
+    bounds each transition: stage i must land within the gap AFTER
+    t_{i-1} or the user churns at stage i-1 — the timed-conversion
+    variant every growth report actually wants ("purchased within 2
+    hours of the click", not "eventually"). Note the earliest-qualifying
+    -time greedy is the STANDARD funnel semantics, not a global search
+    over event combinations: a later stage-i event might satisfy the
+    window where the earliest didn't, but t_{i-1} is fixed as the
+    earliest reachable, matching the relational oracle exactly.
     """
     reached = (
         events.filter(F.col(type_col) == stages[0])
@@ -45,10 +56,15 @@ def funnel_stage_times(
         .agg(F.min(ts_col).alias("t_0"))
     )
     for i, stage in enumerate(stages[1:], start=1):
+        in_order = F.col(ts_col) > F.col(f"t_{i - 1}")
+        if max_gap is not None:
+            in_order = in_order & (
+                F.col(ts_col) <= F.col(f"t_{i - 1}") + F.expr(max_gap)
+            )
         nxt = (
             events.filter(F.col(type_col) == stage)
             .join(reached.select(user_col, f"t_{i - 1}"), user_col)
-            .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
+            .filter(in_order)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{i}"))
         )
@@ -62,10 +78,14 @@ def funnel_census(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """One row per funnel stage: (stage_idx, stage, n_users who got at
-    least this far, in order). The standard conversion report."""
-    times = funnel_stage_times(events, stages, user_col, type_col, ts_col)
+    least this far, in order). The standard conversion report;
+    ``max_gap`` makes it the timed-conversion variant."""
+    times = funnel_stage_times(
+        events, stages, user_col, type_col, ts_col, max_gap
+    )
     counts = times.agg(
         *[
             F.count(F.col(f"t_{i}")).alias(f"n_{i}")
@@ -91,17 +111,20 @@ def funnel_census(
     )
 
 
-def sql_funnel_census(stages: list[str]) -> str:
+def sql_funnel_census(stages: list[str], max_gap: str | None = None) -> str:
     """DuckDB twin of :func:`funnel_census` over the ``events`` view."""
     ctes = [
         f"s0 AS (SELECT user_id, min(ts) AS t_0 FROM events"
         f" WHERE event_type = '{stages[0]}' GROUP BY user_id)"
     ]
     for i, stage in enumerate(stages[1:], start=1):
+        gap = (
+            f" AND e.ts <= p.t_{i - 1} + {max_gap}" if max_gap is not None else ""
+        )
         ctes.append(
             f"s{i} AS (SELECT e.user_id, min(e.ts) AS t_{i} FROM events e"
             f" JOIN s{i - 1} p ON e.user_id = p.user_id"
-            f" WHERE e.event_type = '{stage}' AND e.ts > p.t_{i - 1}"
+            f" WHERE e.event_type = '{stage}' AND e.ts > p.t_{i - 1}{gap}"
             f" GROUP BY e.user_id)"
         )
     selects = [

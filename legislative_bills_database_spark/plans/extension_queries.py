@@ -1836,3 +1836,23 @@ def q_canonical_docs(spark, sf_dir):
         survivorship_by_quality(docs, pairs, "doc_id", "quality")
         .select("doc_id", "n_members", F.round("quality", 4).alias("quality"))
     )
+
+
+def _timed_funnel_oracle():
+    from ..operators.funnel import sql_funnel_census
+
+    return sql_funnel_census(_FUNNEL_STAGES, max_gap="INTERVAL 1 DAY")
+
+
+@query("q_timed_funnel", _timed_funnel_oracle())
+def q_timed_funnel(spark, sf_dir):
+    """Time-bound funnel conversion: each stage must land within 1 day
+    of the previous stage's earliest completion or the user churns there
+    — the growth report's actual question ("purchased within a day of
+    the click", not "eventually"). Same stage-wise aggregate plan as
+    q_funnel (one conditional-min + join per stage, all on user_id, no
+    per-user event arrays); the window is one more scan-side predicate."""
+    from ..operators.funnel import funnel_census
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_census(events, _FUNNEL_STAGES, max_gap="INTERVAL 1 DAY")

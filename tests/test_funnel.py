@@ -57,3 +57,35 @@ def test_funnel_ties_do_not_advance(spark):
     )
     row = funnel_stage_times(events, ["signup", "click"]).first()
     assert row["t_0"] == _ts(0) and row["t_1"] is None
+
+
+def test_timed_funnel_gap_boundary(spark):
+    """max_gap churns a user whose next stage lands past the window;
+    landing exactly AT the boundary still converts (<=)."""
+    import datetime as dt
+
+    from legislative_bills_database_spark.operators.funnel import (
+        funnel_census,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    events = spark.createDataFrame(
+        [
+            # user 1: click exactly 2h after signup → converts (<=)
+            (1, t0, "signup"), (1, t0 + dt.timedelta(hours=2), "click"),
+            # user 2: click 2h01m after signup → churns at signup
+            (2, t0, "signup"), (2, t0 + dt.timedelta(hours=2, minutes=1), "click"),
+            # user 3: an early unqualifying click (before signup) plus a
+            # qualifying one → converts
+            (3, t0 - dt.timedelta(hours=1), "click"),
+            (3, t0, "signup"), (3, t0 + dt.timedelta(minutes=30), "click"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.stage: r.n_users
+        for r in funnel_census(
+            events, ["signup", "click"], max_gap="INTERVAL 2 HOUR"
+        ).collect()
+    }
+    assert got == {"signup": 3, "click": 2}
