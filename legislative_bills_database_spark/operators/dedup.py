@@ -610,6 +610,52 @@ def dedup_by_near_duplicates(
     return df.join(keep, id_col, "left_semi")
 
 
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.3,
+) -> DataFrame:
+    """Calibration census for the MinHash estimator: on every LSH-
+    surfaced pair, compare est_jaccard (signature agreement) with the
+    EXACT shingle Jaccard and emit one row
+    (n_pairs, mae, max_abs_err, mean_exact, mean_est).
+
+    The number every LSH deployment needs before trusting its threshold:
+    E[|est − exact|] ≈ sqrt(J(1−J)/k) for k hashes (~0.12 at k=16,
+    J=0.5), so a drifting mae tells you k is too small for the corpus's
+    similarity regime. Exact Jaccard is computed ONLY on the candidate
+    pairs (the bucketed join's output — never all pairs), via the same
+    inverted-index intersection ngram_jaccard_pairs uses.
+    """
+    est = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, min_est_jaccard
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n, min_jaccard=0.0
+    ).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("jaccard").alias("exact_jaccard"),
+    )
+    joined = est.join(exact, ["id_a", "id_b"], "left").select(
+        "est_jaccard",
+        # an LSH pair absent from the exact set shares no shingle at all
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+        F.round(F.avg("exact_jaccard"), 4).alias("mean_exact"),
+        F.round(F.avg("est_jaccard"), 4).alias("mean_est"),
+    )
+
+
 def survivorship_by_quality(
     df: DataFrame,
     pairs: DataFrame,

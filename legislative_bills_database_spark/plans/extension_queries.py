@@ -1856,3 +1856,19 @@ def q_timed_funnel(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return funnel_census(events, _FUNNEL_STAGES, max_gap="INTERVAL 1 DAY")
+
+
+@query("q_minhash_calibration")  # xxhash64-based estimator → rows-only
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: on every LSH-surfaced pair,
+    |est_jaccard − exact_jaccard| summarized as one
+    (n_pairs, mae, max_abs_err, mean_exact, mean_est) row — the check
+    that k=16 hashes actually delivers its √(J(1−J)/k)≈0.12 error
+    budget on THIS corpus before anyone trusts the 0.5 threshold.
+    Exact Jaccard computed only on candidate pairs, never all pairs
+    (operators/dedup.minhash_estimate_error); error ceiling pinned in
+    tests/test_setjoin_profile.py."""
+    from ..operators.dedup import minhash_estimate_error
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_estimate_error(docs, "doc_id", "text")

@@ -259,3 +259,19 @@ def test_max_concurrency_hand_built(spark):
     )
     row = max_concurrency(iv, "s", "e").collect()[0]
     assert (row.peak_concurrency, str(row.peak_start)) == (3, "2024-01-03")
+
+
+def test_minhash_calibration_error_within_budget(spark):
+    """16-hash MinHash on the fixture corpus: MAE within ~2× the
+    √(J(1−J)/16) theoretical budget, and estimates unbiased enough that
+    the means agree to 0.15."""
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id < 500")
+    row = minhash_estimate_error(docs).collect()[0]
+    assert row.n_pairs > 0
+    assert row.mae <= 0.25, row
+    assert abs(row.mean_est - row.mean_exact) <= 0.15, row
