@@ -86,6 +86,12 @@ HEADLINE = [
     "q_prefix_jaccard_join",
     "q_heavy_hitters",
     "q_approx_quantiles",
+    "q_cdc_apply",
+    "q_max_concurrency",
+    "q_timed_funnel",
+    "q_stratified_fixed_n",
+    # (q_canonical_docs / q_minhash_calibration share the LSH+CC pipeline
+    # already timed via q_near_dedup_corpus — kept out to bound bench wall)
 ]
 
 
