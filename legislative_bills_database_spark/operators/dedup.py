@@ -735,3 +735,35 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= min_cosine)
         .select("id_a", "id_b", F.round(F.col("cos"), 3).alias("cosine"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can NEVER straddle:
+    rows are labeled by a hash of their near-dup CLUSTER id (connected
+    components of ``pairs``), not their own id — the standard
+    decontamination failure (a train doc that is a near-copy of an eval
+    doc) is structurally impossible within the corpus.
+
+    Composition of the existing primitives: CC labels (iterative,
+    checkpointed) + ``sampling.group_split`` on the component key (a
+    pure column expression — no extra shuffle beyond the label join).
+    Returns ``df`` + (component, split).
+    """
+    from .sampling import group_split
+
+    comps = connected_components(pairs, df.select(id_col), id_col)
+    labeled = df.join(comps, id_col)
+    return labeled.withColumn(
+        "split",
+        group_split(
+            F.col("component"),
+            splits or {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed,
+        ),
+    )

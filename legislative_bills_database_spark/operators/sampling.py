@@ -217,3 +217,53 @@ def sql_stratified_fixed_n(
       ) AS __rk FROM {table}
     ) WHERE __rk <= {n_per_stratum}
     """
+
+
+def token_budget_fill(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    quality_col: str,
+    id_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill each domain's EXACT token budget best-first: rows accumulate
+    in (quality DESC, id) order until the running token total would
+    exceed the domain's budget — the pretraining-mixture step after
+    rate-based sampling gets you close ("give me the best 2B tokens of
+    web, 1B of code"), deterministic and reproducible.
+
+    Rate sampling (``mixture_sample``) hits a budget only in
+    expectation; this hits it exactly (± one document), and takes the
+    BEST documents rather than a random subset. One shuffle on the
+    domain + a running-sum window over the same partitioning; the budget
+    map enters as a literal CASE expression (dimension-sized, never a
+    join). Rows whose cumulative total passes the line are cut; a
+    document larger than its domain's remaining budget is skipped along
+    with everything after it (contiguous prefix semantics — the oracle-
+    matchable contract; bin-packing the tail is ``first_fit_pack``'s
+    job, not a sampler's).
+
+    Returns (id, domain, tokens, cum_tokens) for kept rows.
+    """
+    budget_expr: Column = F.lit(int(default_budget))
+    for dom, b in budgets.items():
+        budget_expr = (
+            F.when(F.col(domain_col) == dom, F.lit(int(b))).otherwise(budget_expr)
+        )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("__cum") <= budget_expr)
+        .select(
+            id_col,
+            domain_col,
+            F.col(token_col).cast("long").alias("tokens"),
+            F.col("__cum").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -1872,3 +1872,83 @@ def q_minhash_calibration(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return minhash_estimate_error(docs, "doc_id", "text")
+
+
+_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars, {T.sql_quality_score("text")} AS quality
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source WHEN 'src0' THEN 6000 ELSE 4000 END
+"""
+
+
+@query("q_token_budget_fill", _BUDGET_ORACLE)
+def q_token_budget_fill(spark, sf_dir):
+    """Exact per-domain token-budget fill, best-first: each source's
+    documents accumulate in (quality DESC, id) order until the running
+    char total would cross the domain budget (6000 for src0, 4000
+    elsewhere) — the deterministic "best N tokens per domain" mixture
+    step rate-based sampling only hits in expectation. One domain
+    shuffle + a running-sum window on the same partitioning; budgets are
+    a literal CASE, never a join (operators/sampling.token_budget_fill)."""
+    from ..operators.sampling import token_budget_fill
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", T.quality_score(F.col("text"))
+    )
+    return token_budget_fill(
+        docs, "source", "n_chars", "quality", "doc_id",
+        budgets={"src0": 6000}, default_budget=4000,
+    )
+
+
+@query("q_leakage_safe_split")  # CC-based → rows-only
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split census: documents labeled by
+    a hash of their near-dup CLUSTER (LSH pairs → CC), so a train doc
+    that near-duplicates an eval doc is structurally impossible — the
+    decontamination failure mode group-split-by-doc-id cannot prevent.
+    One row per split (split, n_docs, n_clusters) plus the global
+    cross_split_pairs column, which the plan computes distributed (pair
+    ⋈ labels both sides) and MUST be 0
+    (operators/dedup.leakage_safe_split)."""
+    from ..operators.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).localCheckpoint(eager=True)  # feeds CC and the leakage check once
+    labeled = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    la = labeled.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    lb = labeled.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    cross = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("cross_split_pairs")
+        )
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("split")
+    )

@@ -275,3 +275,53 @@ def test_minhash_calibration_error_within_budget(spark):
     assert row.n_pairs > 0
     assert row.mae <= 0.25, row
     assert abs(row.mean_est - row.mean_exact) <= 0.15, row
+
+
+def test_token_budget_fill_exact_prefix(spark):
+    from legislative_bills_database_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # domain a, budget 100: quality order 3(40) → 1(50) → 2(30):
+            # cum 40, 90, 120 → doc 2 cut
+            (1, "a", 50, 0.5),
+            (2, "a", 30, 0.1),
+            (3, "a", 40, 0.9),
+            # domain b, default budget 10: first doc already too big
+            (4, "b", 25, 0.9),
+        ],
+        "id long, dom string, toks long, q double",
+    )
+    got = {
+        r.id: r.cum_tokens
+        for r in token_budget_fill(
+            df, "dom", "toks", "q", "id", budgets={"a": 100}, default_budget=10
+        ).collect()
+    }
+    assert got == {3: 40, 1: 90}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from legislative_bills_database_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chains of 4: {0..3}, {4..7}, ... 10 clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39) if i % 4 != 3],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.5, "val": 0.5}, seed=1
+    ).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.component, set()).add(r.split)
+    assert len(out) == 40
+    assert all(len(s) == 1 for s in by_cluster.values())  # never straddles
+    assert len({r.split for r in out}) == 2  # both splits used
