@@ -193,3 +193,66 @@ def pagerank(
         return ranks.select("node", "rank")
     finally:
         edges_w.unpersist()
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree ≥ k — the standard "dense enough to matter" filter before
+    community/centrality work (peels leaves, tendrils, and weakly-
+    attached spam clusters that PageRank and triangle counts waste
+    cycles on).
+
+    Iterative peel: drop all nodes with current degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Each round is
+    one degree aggregate + two semi-joins; the edge frame is
+    ``localCheckpoint``-ed per round (lineage truncated, previous
+    round's blocks released — the CC/PageRank hygiene), and the
+    convergence probe is the weak-node count that round (a driver
+    scalar, O(1) rows). Converges in ≤ max_iter rounds or raises —
+    every round with no weak nodes terminates, and a round that peels
+    at least one node strictly shrinks the graph, so iterations are
+    bounded by #nodes in the worst case (a chain peels one end per
+    round); max_iter=50 covers any graph whose peel depth is sane and
+    the raise names the knob.
+
+    Returns (node, degree) of surviving nodes with their core degrees.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = und
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .union(und.select("b"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        weak = deg.filter(F.col("degree") < k)
+        if weak.isEmpty():
+            return deg.select("n", "degree").withColumnRenamed("n", "node")
+        wa = weak.select(F.col("n").alias("a"))
+        wb = weak.select(F.col("n").alias("b"))
+        und = (
+            und.join(wa, "a", "left_anti")
+            .join(wb, "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(prev)
+        prev = und
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_iter} rounds (deep peel "
+        f"chains — raise max_iter)."
+    )

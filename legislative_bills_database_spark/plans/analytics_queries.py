@@ -857,3 +857,31 @@ def q_max_concurrency(spark, sf_dir):
         )
     )
     return max_concurrency(intervals, "s", "e")
+
+
+@query("q_kcore")  # iterative peel → rows-only by contract
+def q_kcore(spark, sf_dir):
+    """3-core census of the customer↔supplier purchase graph (the
+    PageRank graph): iteratively peel degree<3 nodes to the maximal
+    subgraph where everyone keeps ≥3 partners — the density filter run
+    before centrality so tendrils don't waste cycles. Per-round
+    checkpoint + release (CC hygiene); 1 row
+    (k, n_core_nodes, min_core_degree)."""
+    from ..operators.graph import k_core
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    core = k_core(edges, k=3)
+    return core.agg(
+        F.lit(3).alias("k"),
+        F.count("*").cast("long").alias("n_core_nodes"),
+        F.coalesce(F.min("degree"), F.lit(0)).cast("long").alias(
+            "min_core_degree"
+        ),
+    )

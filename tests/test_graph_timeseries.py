@@ -305,3 +305,50 @@ def test_ewma_chunked_unbounded_single_key(spark):
         pd.Series(vals, dtype="float64").ewm(alpha=0.1, adjust=False).mean().iloc[-1]
     )
     assert got.ewma == pytest.approx(want, abs=1e-3)
+
+
+def test_k_core_hand_built(spark):
+    from legislative_bills_database_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + tail 3-4-5: 2-core = the triangle only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {(r.node, r.degree) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # k=3: the triangle can't survive either (degrees drop as peers go)
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_matches_bruteforce_random(spark):
+    import random
+
+    from legislative_bills_database_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    n = 40
+    es = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.08
+    }
+    adj: dict[int, set] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    K = 3
+    # reference peel
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < K:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = {(v, len(adj[v])) for v in adj}
+    edges = spark.createDataFrame(list(es), "src long, dst long")
+    got = {(r.node, r.degree) for r in k_core(edges, k=K).collect()}
+    assert got == want
