@@ -885,3 +885,49 @@ def q_kcore(spark, sf_dir):
             "min_core_degree"
         ),
     )
+
+
+@query(
+    "q_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 4)
+             AS p
+    FROM pairs
+    """,
+)
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) from consecutive pairs in
+    (ts, event_id) order — the behavioral model behind next-action
+    prediction and funnel diagnostics. One user-partitioned lead()
+    window (same shuffle the sessionizer uses), then a pair groupBy
+    whose output is |types|² rows — the normalizing per-from_type sum
+    rides a window over that tiny aggregate, never the event stream."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+    )

@@ -1,0 +1,82 @@
+"""Whole-repo physical-plan invariants (scripts/plan_census.py is the
+interactive view).
+
+Per-operator audits pin specific shapes; these sweep EVERY declared
+query's executed plan and enforce the global rules the 100 TB posture
+depends on:
+
+- no CartesianProduct anywhere, ever;
+- Python evaluation only in the declared Arrow-batched set (extraction
+  UDFs, signature matmuls, multimodal plumbing, BPE encode, packing) —
+  a relational operator growing a Python stage is a regression;
+- BroadcastNestedLoopJoin only in the known 1-row-broadcast pattern
+  (scalar aggregate cross-joined back), bounded per plan.
+
+Plan BUILDING only — no job runs, so the sweep stays cheap.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from plan_census import census  # noqa: E402
+
+from legislative_bills_database_spark.plans import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plans legitimately evaluate Python (Arrow-batched
+#: pandas UDFs where no relational form exists — each documented at its
+#: operator). Anything else acquiring a Python stage fails the sweep.
+PYTHON_ALLOWED = {
+    "q_pdf_text_source",
+    "q_html_text_source",
+    "q_ann_ivf_topk",
+    "q_pq_topk",
+    "q_pq_recall",
+    "q_semdedup",
+    "q_ann_recall",
+    "q_ann_lsh_pairs",
+    "q_seq_pack",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    "q_random_projection",
+    "q_projection_distortion",
+    "q_bpe_encode",
+}
+
+
+def _all_census(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        out[name] = census(plan)
+    return out
+
+
+def test_global_plan_invariants(spark):
+    stats = _all_census(spark)
+    cartesian = {n for n, c in stats.items() if c["cartesian"]}
+    assert not cartesian, f"CartesianProduct in: {sorted(cartesian)}"
+
+    rogue_python = {
+        n for n, c in stats.items() if c["python"] and n not in PYTHON_ALLOWED
+    }
+    assert not rogue_python, (
+        f"Python evaluation outside the Arrow-batched allowlist: "
+        f"{sorted(rogue_python)}"
+    )
+    stale_allow = {
+        n for n in PYTHON_ALLOWED if n in stats and not stats[n]["python"]
+    }
+    assert not stale_allow, f"allowlist entries now Python-free: {stale_allow}"
+
+    # 1-row-broadcast scalar joins only: more than 2 nested-loop joins in
+    # one plan means a real join degraded
+    heavy_bnlj = {n: c["bnlj"] for n, c in stats.items() if c["bnlj"] > 2}
+    assert not heavy_bnlj, f"nested-loop-join count exceeds pattern: {heavy_bnlj}"
