@@ -98,6 +98,49 @@ def sql_heavy_hitters(table: str, key_expr: str, k: int = 20) -> str:
     """
 
 
+def mad_outlier_census(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust outlier census per group via median absolute deviation.
+
+    The skew-immune alternative to mean+stddev fences: a single whale
+    value drags a z-score fence but not a median+MAD one. A value is an
+    outlier when |x − median| > cutoff · 1.4826 · MAD (1.4826 scales MAD
+    to σ under normality; 3.5 is the conventional robust-z cutoff).
+
+    Scale shape: two exact-percentile aggregates over the group key —
+    each produces |groups| rows that broadcast back onto the detail
+    scan — then one census aggregate. The detail table is never
+    shuffled on a fact key; at 100 TB swap ``percentile`` for
+    ``percentile_approx`` (same plan shape, mergeable sketches).
+
+    Returns (group, n, n_outliers, med, mad), medians rounded to 4.
+    """
+    vals = df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x"))
+    med = vals.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = vals.join(F.broadcast(med), "grp").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("adev") > cutoff * 1.4826 * F.col("mad")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+        )
+    )
+
+
 def approx_quantiles_rollup(
     df: DataFrame,
     group_col: str,

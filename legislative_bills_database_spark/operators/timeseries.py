@@ -79,6 +79,39 @@ def gap_fill_daily(
     )
 
 
+def rolling_time_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing event-time moving average per key: for every event, the
+    mean (and count) of the key's values in the closed interval
+    ``[ts - window_seconds, ts]``.
+
+    This is a RANGE frame over ``unix_micros(ts)`` — microsecond-exact
+    event time, not row counts, so bursts and gaps are handled correctly
+    and timestamp peers get identical frames (deterministic regardless
+    of peer order). One shuffle on the key, then a single sorted window
+    pass; the frame is bounded by wall-clock span, not row count, so a
+    hot key with 10⁹ events still streams through the frame with O(rows
+    in window) state. Returns the input columns plus
+    (rolling_avg, rolling_n).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        "*",
+        F.round(F.avg(value_col).over(w), 4).alias("rolling_avg"),
+        F.count("*").over(w).cast("long").alias("rolling_n"),
+    )
+
+
 def ewma_last(
     df: DataFrame,
     key_col: str = "user_id",

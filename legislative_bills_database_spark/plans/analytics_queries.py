@@ -21,7 +21,7 @@ from ..operators.bpe import bpe_encode, bpe_train
 from ..operators.graph import pagerank, triangle_count
 from ..operators.index import inverted_index, phrase_search
 from ..operators.scd import fk_orphan_audit, scd2_merge
-from ..operators.timeseries import ewma_last, gap_fill_daily
+from ..operators.timeseries import ewma_last, gap_fill_daily, rolling_time_avg
 from .registry import query
 
 
@@ -884,6 +884,162 @@ def q_kcore(spark, sf_dir):
         F.coalesce(F.min("degree"), F.lit(0)).cast("long").alias(
             "min_core_degree"
         ),
+    )
+
+
+@query(
+    "q_rolling_range",
+    """
+    SELECT event_id, user_id, ts, value,
+           ROUND(AVG(value) OVER w, 4) AS rolling_avg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_rolling_range(spark, sf_dir):
+    """Trailing 1-hour event-time moving average per user — the RANGE
+    window the tumbling/hopping aggregates can't express (every event
+    gets its own trailing frame, not a bucketed one). The frame rides
+    ``unix_micros(ts)`` so it is microsecond-exact and peer-safe; one
+    user shuffle, one sorted pass, state bounded by wall-clock span
+    (operators/timeseries.rolling_time_avg)."""
+    events = load_table(spark, sf_dir, "events")
+    return rolling_time_avg(
+        events.select("event_id", "user_id", "ts", "value"),
+        window_seconds=3600,
+    )
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med,
+             ABS(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(d.med), 4) AS med,
+           ROUND(ANY_VALUE(m.mad), 4) AS mad
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier census per order priority via median absolute
+    deviation — the skew-immune alternative to the z-score flags
+    (q_zscore_outliers): a single whale order can drag a mean+stddev
+    fence but not a median+MAD one. Two exact-percentile aggregates
+    (5-row results, broadcast back — the detail table is scanned, never
+    re-shuffled on a fact key) and a final census; cutoff is the
+    conventional 3.5 on the 1.4826-normalized robust z
+    (operators/profile.mad_outlier_census)."""
+    from ..operators.profile import mad_outlier_census
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outlier_census(
+        orders, "o_orderpriority", "o_totalprice"
+    ).withColumnRenamed("grp", "o_orderpriority")
+
+
+@query(
+    "q_histogram",
+    """
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                              / ((b.hi - b.lo) / 20)) AS BIGINT),
+                   19) AS bin,
+             b.lo, b.hi
+      FROM orders, bounds b
+    )
+    SELECT bin,
+           ROUND(ANY_VALUE(lo) + bin * ((ANY_VALUE(hi) - ANY_VALUE(lo)) / 20),
+                 4) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals: global (min, max)
+    as a 1-row broadcast, bin id by pure floor arithmetic (bit-exact in
+    both engines — no approximate percentile in the bucketing), top edge
+    clamped into the last bin. The detail scan aggregates map-side to
+    ≤20 rows; nothing wide ever shuffles."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(19),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.round(
+            F.first("lo") + F.col("bin") * ((F.first("hi") - F.first("lo")) / 20),
+            4,
+        ).alias("bin_lo"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_group_trend",
+    """
+    WITH x0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+    pts AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) - x0.t0 AS DOUBLE) / 1000000.0 AS x
+      FROM events, x0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, x) * 86400, 6) AS slope_per_day,
+           ROUND(regr_intercept(value, x), 4) AS intercept,
+           ROUND(corr(value, x), 6) AS time_corr
+    FROM pts GROUP BY 1
+    """,
+)
+def q_group_trend(spark, sf_dir):
+    """Per-event-type linear trend of value over time: least-squares
+    slope (rescaled to per-day), intercept, and Pearson correlation via
+    the SQL regression aggregates — one map-side-combined pass, |types|
+    output rows. The time axis is centered on the corpus start (a 1-row
+    broadcast min) before the moment sums, so the covariance never
+    cancels 10¹⁸-scale epoch products — the difference between a stable
+    slope and floating-point noise at 100 TB row counts."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    t0 = events.agg(F.min("us").alias("t0"))
+    pts = events.join(F.broadcast(t0)).select(
+        "event_type",
+        "value",
+        ((F.col("us") - F.col("t0")).cast("double") / 1e6).alias("x"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.regr_slope("value", "x") * 86400, 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+        F.round(F.corr("value", "x"), 6).alias("time_corr"),
     )
 
 
