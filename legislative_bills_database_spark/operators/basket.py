@@ -1,0 +1,89 @@
+"""Market-basket co-occurrence analysis: pairwise support and lift.
+
+The relational twin of the text-side PMI scorer (operators/tfidf.
+bigram_pmi): which items land in the same basket more often than
+independence predicts. lift(a,b) = P(a,b) / (P(a)·P(b)) =
+n_ab·N / (n_a·n_b) over N baskets — >1 means affinity, <1 repulsion.
+
+Scale shape: the only quadratic step is the within-basket self-join,
+keyed on the basket id — both sides co-partition on one shuffle and the
+fan-out is k² for a k-item basket, bounded by basket size, never corpus
+size. Pair counts partial-aggregate map-side; the support filter runs
+BEFORE the per-item count joins so only surviving pairs shuffle again;
+the basket total rides a 1-row broadcast. All counts are integers, so
+lift = n_ab·N / (n_a·n_b) is exact up to 2⁵³ and the final
+round-to-4 is cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+) -> DataFrame:
+    """(item_a, item_b, n_ab, lift) for item pairs co-occurring in at
+    least ``min_support`` baskets; item_a < item_b canonical."""
+    items = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = items.agg(F.count_distinct("b").alias("nb"))
+    item_counts = items.groupBy("i").agg(F.count("*").alias("ni"))
+    a = items.select("b", F.col("i").alias("item_a"))
+    c = items.select("b", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(c, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    ia = item_counts.select(
+        F.col("i").alias("item_a"), F.col("ni").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("i").alias("item_b"), F.col("ni").alias("n_b")
+    )
+    return (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                (F.col("n_ab") * F.col("nb")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def sql_basket_lift(
+    table: str, basket_expr: str, item_expr: str, min_support: int = 3
+) -> str:
+    """DuckDB twin of :func:`basket_lift`."""
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT {basket_expr} AS b, {item_expr} AS i FROM {table}
+    ), nb AS (SELECT COUNT(DISTINCT b) AS nb FROM items),
+    ic AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY 1),
+    p AS (
+      SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(CAST(n_ab * nb.nb AS DOUBLE) / (ia.ni * ib.ni), 4) AS lift
+    FROM p
+    JOIN ic ia ON p.item_a = ia.i
+    JOIN ic ib ON p.item_b = ib.i, nb
+    WHERE n_ab >= {min_support}
+    """

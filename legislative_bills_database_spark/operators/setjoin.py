@@ -33,6 +33,36 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 
 
+def _ordered_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc, sh, n): each doc's distinct shingles sorted rarest-first by
+    global document frequency (ties by shingle) — the total order every
+    prefix-filter proof relies on. One shingle shuffle for frequencies,
+    one doc shuffle to re-gather."""
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+    )
+    e = sets.select("doc", F.explode("sh").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        e.join(dfreq, "s")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("df"), F.col("s").alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ).alias("sh"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -57,28 +87,7 @@ def prefix_jaccard_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     num = int(round(threshold * 10_000))
 
-    sets = df.select(
-        F.col(id_col).alias("doc"),
-        shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
-    )
-    e = sets.select("doc", F.explode("sh").alias("s"))
-    dfreq = e.groupBy("s").agg(F.count("*").alias("df"))
-    # rarest-first total order: (df, shingle); re-gather per doc sorted
-    ordered = (
-        e.join(dfreq, "s")
-        .groupBy("doc")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("df"), F.col("s").alias("s"))
-                    )
-                ),
-                lambda x: x["s"],
-            ).alias("sh"),
-            F.count("*").alias("n"),
-        )
-    )
+    ordered = _ordered_sets(df, id_col, text_col, shingle_n)
     # p = n − ⌈θ·n⌉ + 1, exact in integers: ⌈θ·n⌉ = (num·n + 9999) div 10000
     ceil_theta_n = F.floor((F.lit(num) * F.col("n") + 9_999) / 10_000)
     prefix = ordered.select(
@@ -116,4 +125,79 @@ def prefix_jaccard_join(
         .join(fb, "doc_b")
         .filter(jac >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs: |A∩B| / |A| ≥ ``threshold``.
+
+    The quote/subset detector Jaccard can't express: a 50-shingle doc
+    fully embedded in a 5000-shingle doc has Jaccard ≈ 0.01 but
+    containment 1.0. Returns ordered (inner_doc, outer_doc, containment)
+    with inner ≠ outer, containment rounded to 4.
+
+    Prefix filter on the PROBE (inner) side only: A can miss at most
+    |A| − ⌈t·|A|⌉ of its own elements from A∩B, so a rarest-first prefix
+    of length p = |A| − ⌈t·|A|⌉ + 1 must hit B — joining A's prefix
+    against B's FULL posting list loses no qualifying pair. The outer
+    side cannot be prefix-trimmed (no upper bound relates |B| to |A|),
+    so candidate volume is Σ_{s ∈ prefix(A)} df(s): probe-side hot
+    shingles still never enter the join (they sort to the suffix), which
+    is where the quadratic blowup lived. A size filter (|B| ≥ t·|A|,
+    necessary since A∩B ⊆ B) prunes before verification; verification
+    re-intersects full sets JVM-side. Same integer-exact ⌈t·s⌉ as
+    :func:`prefix_jaccard_join`.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    num = int(round(threshold * 10_000))
+
+    ordered = _ordered_sets(df, id_col, text_col, shingle_n).filter(
+        F.col("n") > 0
+    )
+    ceil_theta_n = F.floor((F.lit(num) * F.col("n") + 9_999) / 10_000)
+    probe = ordered.select(
+        F.col("doc").alias("inner_doc"),
+        F.col("n").alias("na"),
+        F.explode(
+            F.slice("sh", 1, (F.col("n") - ceil_theta_n + 1).cast("int"))
+        ).alias("s"),
+    )
+    index = ordered.select(
+        F.col("doc").alias("outer_doc"),
+        F.col("n").alias("nb"),
+        F.explode("sh").alias("s"),
+    )
+    cands = (
+        probe.join(index, "s")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        # A∩B ⊆ B, so t·|A| ≤ |A∩B| needs |B| ≥ t·|A|
+        .filter(F.col("nb") * 10_000 >= F.lit(num) * F.col("na"))
+        .select("inner_doc", "outer_doc")
+        .distinct()
+    )
+    fa = ordered.select(
+        F.col("doc").alias("inner_doc"),
+        F.col("sh").alias("sha"),
+        F.col("n").alias("na"),
+    )
+    fb = ordered.select(
+        F.col("doc").alias("outer_doc"), F.col("sh").alias("shb")
+    )
+    cont = (
+        F.size(F.array_intersect("sha", "shb")).cast("double") / F.col("na")
+    )
+    return (
+        cands.join(fa, "inner_doc")
+        .join(fb, "outer_doc")
+        .filter(cont >= F.lit(threshold))
+        .select(
+            "inner_doc", "outer_doc", F.round(cont, 4).alias("containment")
+        )
     )

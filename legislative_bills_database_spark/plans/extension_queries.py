@@ -1747,6 +1747,56 @@ def q_prefix_jaccard_join(spark, sf_dir):
     return prefix_jaccard_join(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
+from ..operators.setjoin import containment_join  # noqa: E402
+
+_CONTAINMENT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {T.sql_shingles("string_split(text, ' ')", 3)} AS sh
+  FROM documents WHERE doc_id < 300
+), p AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
+  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
+  WHERE len(a.sh) > 0
+)
+SELECT inner_doc, outer_doc,
+       ROUND(CAST(inter AS DOUBLE) / na, 4) AS containment
+FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.7
+"""
+
+
+@query("q_containment_join", _CONTAINMENT_ORACLE)
+def q_containment_join(spark, sf_dir):
+    """Exact asymmetric containment pairs (|A∩B|/|A| ≥ 0.7) — the
+    quote/subset detector Jaccard can't see: a doc fully embedded in one
+    100× its size has Jaccard ≈ 0.01 but containment 1.0. Prefix filter
+    on the probe side only (the contained doc's rarest shingles must hit
+    the container's posting list — operators/setjoin.containment_join);
+    hash vs the QUADRATIC ordered-pairs oracle is the completeness
+    proof, same contract as q_prefix_jaccard_join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_join(docs, "doc_id", "text", shingle_n=3, threshold=0.7)
+
+
+from ..operators.basket import basket_lift, sql_basket_lift  # noqa: E402
+
+
+@query(
+    "q_basket_lift",
+    sql_basket_lift("lineitem", "l_orderkey", "l_partkey", 3),
+)
+def q_basket_lift(spark, sf_dir):
+    """Market-basket pair lift over order line items: which parts ship
+    together more often than independence predicts (lift = n_ab·N /
+    (n_a·n_b), support ≥ 3). The only quadratic step is the
+    within-order self-join — co-partitioned on the order key, fan-out
+    bounded by basket size; support filters BEFORE the item-count
+    joins; integer-exact arithmetic end-to-end
+    (operators/basket.basket_lift)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return basket_lift(lineitem, "l_orderkey", "l_partkey", min_support=3)
+
+
 # ---------------------------------------------------------------------------
 # Round 4: skew audit, sketch quantile rollup, fixed-N stratified sample
 # ---------------------------------------------------------------------------

@@ -72,6 +72,110 @@ def test_prefix_jaccard_matches_bruteforce(spark):
     assert got == want and want  # nonempty by construction
 
 
+def test_containment_asymmetric_embedding(spark):
+    """The case Jaccard can't see: a tiny doc embedded in a huge one.
+    Containment fires inner→outer only; Jaccard at the same threshold
+    fires neither direction."""
+    from legislative_bills_database_spark.operators.setjoin import (
+        containment_join,
+    )
+
+    small = "a b c d e"
+    big = small + " " + " ".join(f"x{i}" for i in range(200))
+    docs = _docs(spark, [(1, small), (2, big)])
+    got = [
+        (r.inner_doc, r.outer_doc, r.containment)
+        for r in containment_join(
+            docs, shingle_n=1, threshold=0.9
+        ).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+    assert prefix_jaccard_join(docs, shingle_n=1, threshold=0.9).count() == 0
+
+
+def test_containment_matches_bruteforce(spark):
+    """Seeded random corpus: probe-prefix filtering == quadratic brute
+    force over ORDERED pairs (the completeness proof, locally)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(18):
+        words = rng.sample(vocab, rng.randint(4, 14))
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted subset doc
+            rows.append((100 + i, " ".join(words[: max(3, len(words) // 2)])))
+    from legislative_bills_database_spark.operators.setjoin import (
+        containment_join,
+    )
+
+    docs = _docs(spark, rows)
+    t = 0.7
+    got = {
+        (r.inner_doc, r.outer_doc)
+        for r in containment_join(docs, shingle_n=1, threshold=t).collect()
+    }
+    sets = {i: set(txt.split()) for i, txt in rows}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= t
+    }
+    assert got == want and want
+
+
+def test_containment_threshold_validation(spark):
+    from legislative_bills_database_spark.operators.setjoin import (
+        containment_join,
+    )
+
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        containment_join(docs, threshold=0.0)
+
+
+def test_basket_lift_hand_computed(spark):
+    """4 baskets: (a,b) together in 2 of their cheap appearances →
+    lift above 1; (a,c) independent-ish → at or below 1."""
+    from legislative_bills_database_spark.operators.basket import basket_lift
+
+    baskets = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"), (4, "d"),
+        (4, "a"),  # a in 4 baskets; b in 2; ab together 2
+    ]
+    df = spark.createDataFrame(baskets, "b long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.n_ab, r.lift)
+        for r in basket_lift(df, "b", "i", min_support=2).collect()
+    }
+    # lift(a,b) = n_ab·N/(n_a·n_b) = 2·4/(4·2) = 1.0
+    assert out[("a", "b")] == (2, 1.0)
+    # lift(a,c) = 2·4/(4·2) = 1.0 as well; min_support=2 keeps both
+    assert out[("a", "c")] == (2, 1.0)
+    # pairs below support are absent
+    assert ("c", "d") not in out
+
+
+def test_basket_lift_dedups_repeated_items(spark):
+    """The same item twice in one basket counts once (DISTINCT guard)."""
+    from legislative_bills_database_spark.operators.basket import basket_lift
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")],
+        "b long, i string",
+    )
+    out = {
+        (r.item_a, r.item_b): r.n_ab
+        for r in basket_lift(df, "b", "i", min_support=1).collect()
+    }
+    assert out[("a", "b")] == 2
+
+
 def test_heavy_hitters_counts_and_tiebreak(spark):
     df = spark.createDataFrame(
         [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]],
