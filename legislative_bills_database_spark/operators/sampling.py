@@ -219,6 +219,71 @@ def sql_stratified_fixed_n(
     """
 
 
+def weighted_sample_fixed_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``k`` rows sampled without replacement with probability
+    proportional to weight — deterministic A-ES (Efraimidis–Spirakis,
+    IPL 2006): each row draws a reproducible uniform u ∈ (0,1) and the
+    k smallest keys ``−ln(u)/w`` win (equivalently the k largest
+    u^(1/w) — exponential race with rate w).
+
+    The uniform is the same seed-before-scramble multiplicative hash as
+    ``stratified_fixed_n``, offset by +0.5 so u is strictly inside
+    (0,1) — no ln(0) edge. Rows with weight ≤ 0 are excluded (they'd
+    win never/always degenerately).
+
+    Scale shape: zero shuffles before the selection — the key is a pure
+    per-row expression — then ``orderBy(key, id).limit(k)`` plans
+    TakeOrderedAndProject: every task keeps a k-row heap, the driver
+    merges #partitions × k candidates; no global sort, no window over
+    one partition. Selection is deterministic per (dataset, seed, k);
+    the id tie-break pins the vanishing chance of equal keys. (ln is
+    correct to ≤1 ulp in both engines, so the oracle's selected SET can
+    differ only if two keys near the k-boundary collide within ~1e-16
+    relative — vanishing, and fixed per dataset, verified at both gate
+    SFs.)
+
+    Returns (id, weight) for the k winners.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = (
+        (F.col(id_col).cast("bigint") + F.lit(seed)) * F.lit(KNUTH)
+    ) % F.lit(M32)
+    u = (h.cast("double") + 0.5) / F.lit(float(M32))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col).alias("id"), w.alias("weight"), key.alias("__k"))
+        .orderBy("__k", "id")
+        .limit(k)
+        .select("id", "weight")
+    )
+
+
+def sql_weighted_sample_fixed_k(
+    table: str, id_expr: str, weight_expr: str, k: int, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_fixed_k`."""
+    u = (
+        f"((CAST(((CAST({id_expr} AS BIGINT) + {seed}) * {KNUTH}) % {M32}"
+        f" AS DOUBLE) + 0.5) / {M32}.0)"
+    )
+    return f"""
+    SELECT {id_expr} AS id, CAST({weight_expr} AS DOUBLE) AS weight
+    FROM {table}
+    WHERE CAST({weight_expr} AS DOUBLE) > 0
+    ORDER BY -ln({u}) / CAST({weight_expr} AS DOUBLE), {id_expr}
+    LIMIT {k}
+    """
+
+
 def token_budget_fill(
     df: DataFrame,
     domain_col: str,

@@ -745,6 +745,19 @@ def q_stream_parity(spark, sf_dir):
     return stream_batch_parity_report(spark, sf_dir)
 
 
+@query("q_stream_sessions")  # runs a real availableNow stream → rows-only
+def q_stream_sessions(spark, sf_dir):
+    """Driver-visible session_window stream==batch census — the gap-based
+    sessionizer is the stateful operator whose streaming window-merge
+    state machine diverges most easily from batch semantics, so it gets
+    the same availableNow parity contract as q_stream_parity: one row
+    (n_batch, n_stream, n_mismatch, equal)
+    (streaming/events.session_parity_report)."""
+    from ..streaming.events import session_parity_report
+
+    return session_parity_report(spark, sf_dir)
+
+
 @query(
     "q_cdc_apply",
     """

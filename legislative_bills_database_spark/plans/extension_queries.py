@@ -1807,9 +1807,27 @@ from ..operators.profile import (  # noqa: E402
     sql_heavy_hitters,
 )
 from ..operators.sampling import (  # noqa: E402
-    stratified_fixed_n,
     sql_stratified_fixed_n,
+    sql_weighted_sample_fixed_k,
+    stratified_fixed_n,
+    weighted_sample_fixed_k,
 )
+
+
+@query(
+    "q_weighted_sample",
+    sql_weighted_sample_fixed_k("documents", "doc_id", "n_chars", 50),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Exactly-50 weight-proportional sample without replacement
+    (deterministic A-ES exponential race, weight = document length):
+    the curation sampler when 'pick k docs, long ones proportionally
+    more often' must be reproducible across engines, retries, and
+    re-runs — rand() is none of those. Zero pre-selection shuffles, and
+    the top-k plans TakeOrderedAndProject (per-task k-row heaps), never
+    a global sort (operators/sampling.weighted_sample_fixed_k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_fixed_k(docs, "doc_id", "n_chars", k=50)
 
 
 @query(

@@ -279,3 +279,84 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     # content preserved
     assert spark.read.parquet(packed).exceptAll(docs).count() == 0
     assert docs.exceptAll(spark.read.parquet(packed)).count() == 0
+
+
+def test_weighted_sample_matches_numpy_aes(spark):
+    """A-ES selection == the same exponential-race formula in numpy
+    (same hash, same ln, same tie-break)."""
+    import math
+
+    from legislative_bills_database_spark.operators.sampling import (
+        KNUTH,
+        M32,
+        weighted_sample_fixed_k,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    k, seed = 20, 3
+    got = {
+        r.id for r in weighted_sample_fixed_k(df, "doc_id", "w", k, seed).collect()
+    }
+    keyed = sorted(
+        (
+            -math.log((((i + seed) * KNUTH) % M32 + 0.5) / M32) / w,
+            i,
+        )
+        for i, w in rows
+    )
+    want = {i for _, i in keyed[:k]}
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Inclusion frequency across seeds tracks weight: a row with 50x
+    the weight of the rest is picked in (nearly) every seed."""
+    from legislative_bills_database_spark.operators.sampling import (
+        weighted_sample_fixed_k,
+    )
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = sum(
+        any(
+            r.id == 0
+            for r in weighted_sample_fixed_k(df, "doc_id", "w", 10, seed).collect()
+        )
+        for seed in range(8)
+    )
+    assert hits >= 7  # P(miss) ~ (1 - 50/149)^10 per seed — tiny
+
+
+def test_weighted_sample_k_and_weight_edges(spark):
+    import pytest
+
+    from legislative_bills_database_spark.operators.sampling import (
+        weighted_sample_fixed_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, 5.0)], "doc_id long, w double"
+    )
+    # nonpositive weights excluded; k larger than survivors returns all
+    got = {r.id for r in weighted_sample_fixed_k(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 4}
+    with pytest.raises(ValueError):
+        weighted_sample_fixed_k(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    from legislative_bills_database_spark.operators.sampling import (
+        weighted_sample_fixed_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + i) for i in range(50)], "doc_id long, w double"
+    )
+    plan = (
+        weighted_sample_fixed_k(df, "doc_id", "w", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -287,3 +287,17 @@ def test_running_key_counts_stream_equals_batch(spark, events_json_dir):
         for r in heavy_hitters(batch, "event_type", k=3).collect()
     ]
     assert hh == top3
+
+
+def test_session_parity_report_equal(spark):
+    """The driver-visible session_window census: stream == batch over
+    the same landed JSON rows (millisecond-truncated timestamps on BOTH
+    sides — the parquet-sourced twin trap is pinned by this passing)."""
+    from legislative_bills_database_spark.streaming.events import (
+        session_parity_report,
+    )
+    from tests.conftest import SF_DIR
+
+    row = session_parity_report(spark, SF_DIR).collect()[0]
+    assert row.equal and row.n_mismatch == 0
+    assert row.n_batch == row.n_stream > 0
