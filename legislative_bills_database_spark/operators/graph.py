@@ -195,6 +195,74 @@ def pagerank(
         edges_w.unpersist()
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 7,
+) -> DataFrame:
+    """Minimum hop distance from a seed set over the UNDIRECTED graph —
+    frontier-expansion BFS, the reachability primitive under "how far is
+    every supplier from this customer" / blast-radius / n-degree-of-
+    separation queries.
+
+    ``seeds`` is a one-column (node) DataFrame; seed rows appear in the
+    output at dist 0 whether or not they touch an edge (matching the
+    recursive-CTE oracle's base case). Distances are capped at
+    ``max_hops``.
+
+    Scale shape: the symmetrized edge list is built once, hash-
+    partitioned on src, and persisted — each round joins only the
+    (shrinking) frontier against that layout, then anti-joins the
+    visited set; per-round ``localCheckpoint`` + release keeps plan
+    depth AND executor storage O(1) in rounds (the CC/PageRank/k-core
+    hygiene). Rounds ≤ min(graph diameter, max_hops); the convergence
+    probe is the frontier's emptiness, O(1) driver rows. True BFS
+    reaches each node first at its minimum distance, so no min-
+    aggregation pass is needed at the end.
+
+    Returns (node, dist) for every node within max_hops of a seed.
+    """
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    released: list[DataFrame] = []
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(sym, frontier.node == sym.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist, "node", "left_anti")
+                .select("node", F.lit(h).cast("long").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                release_checkpoint(nxt)
+                break
+            new_dist = dist.union(nxt).localCheckpoint(eager=True)
+            released.extend((dist, frontier) if frontier is not dist else (dist,))
+            dist, frontier = new_dist, nxt
+            for old in released:
+                release_checkpoint(old)
+            released.clear()
+        return dist
+    finally:
+        sym.unpersist()
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -1057,6 +1057,48 @@ def q_group_trend(spark, sf_dir):
 
 
 @query(
+    "q_bfs_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT concat('c', o_custkey) AS src,
+                      concat('s', l_suppkey) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), bfs AS (
+      SELECT 'c1' AS node, 0 AS dist
+      UNION
+      SELECT s.dst, b.dist + 1 FROM bfs b JOIN sym s ON b.node = s.src
+      WHERE b.dist < 7
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY 1
+    """,
+)
+def q_bfs_hops(spark, sf_dir):
+    """Hop distance from customer c1 to every reachable node of the
+    customer↔supplier purchase graph (frontier-expansion BFS,
+    operators/graph.bfs_hops) — the first ITERATIVE graph operator with
+    a full value-hash oracle: DuckDB's recursive CTE computes the same
+    minimum distances, so a green hash certifies the whole loop
+    (symmetrize → expand → anti-join visited → converge), not just row
+    counts. Per-round checkpoint+release, frontier-only joins against
+    the persisted co-partitioned edge layout."""
+    from ..operators.graph import bfs_hops
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("c1",)], "node string")
+    return bfs_hops(edges, seeds, max_hops=7)
+
+
+@query(
     "q_transition_matrix",
     """
     WITH seq AS (

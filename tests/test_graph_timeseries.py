@@ -352,3 +352,57 @@ def test_k_core_matches_bruteforce_random(spark):
     edges = spark.createDataFrame(list(es), "src long, dst long")
     got = {(r.node, r.degree) for r in k_core(edges, k=K).collect()}
     assert got == want
+
+
+class TestBfsHops:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def _seeds(self, spark, nodes):
+        return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+    def test_path_graph_distances(self, spark):
+        from legislative_bills_database_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, self._seeds(spark, ["a"])).collect()
+        }
+        # x/y unreachable; undirected expansion
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_seed_not_in_graph_still_reported(self, spark):
+        from legislative_bills_database_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [("a", "b")])
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, self._seeds(spark, ["zz"])).collect()
+        }
+        assert got == {"zz": 0}
+
+    def test_max_hops_cap(self, spark):
+        from legislative_bills_database_spark.operators.graph import bfs_hops
+
+        e = self._edges(
+            spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        )
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, self._seeds(spark, ["a"]), max_hops=2).collect()
+        }
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_multi_seed_min_distance(self, spark):
+        from legislative_bills_database_spark.operators.graph import bfs_hops
+
+        # a-b-c-d-e with seeds at both ends: c is 2 from each
+        e = self._edges(
+            spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        )
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, self._seeds(spark, ["a", "e"])).collect()
+        }
+        assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
