@@ -96,11 +96,17 @@ _WINDOW = [
     "q_prefix_jaccard_join",  # prefix-filter completeness vs quadratic oracle
     "q_heavy_hitters",  # pre-join skew audit, TakeOrderedAndProject plan
     "q_stratified_fixed_n",  # exact-N deterministic eval-split sampling
-    "q_approx_quantiles",  # mergeable sketch rollup; rows-only, pytest-bounded
-    "q_canonical_docs",  # quality survivorship over CC clusters; rows-only
     "q_cdc_apply",  # Delta-MERGE changelog semantics vs relational oracle
     "q_max_concurrency",  # distributed +1/-1 sweep vs window-sum oracle
+    "q_bfs_hops",  # iterative BFS vs recursive-CTE oracle — full hash proof
+    "q_containment_join",  # probe-prefix completeness vs quadratic oracle
 ]
+# Round-5 rotation queue (driver-blind after r4, in priority order):
+# q_rolling_range, q_mad_outliers, q_histogram, q_group_trend,
+# q_basket_lift, q_weighted_sample, q_transition_matrix,
+# q_token_budget_fill (oracle-checked); q_stream_sessions, q_kcore,
+# q_leakage_safe_split, q_approx_quantiles, q_canonical_docs,
+# q_minhash_calibration, q_timed_funnel (rows-only/pytest-pinned).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -92,6 +92,22 @@ HEADLINE = [
     "q_stratified_fixed_n",
     # (q_canonical_docs / q_minhash_calibration share the LSH+CC pipeline
     # already timed via q_near_dedup_corpus — kept out to bound bench wall)
+    # round-4 second half: robust/windowed stats, set-containment,
+    # basket affinity, iterative BFS, weighted sampling, streaming
+    # session parity, Markov transitions, k-core, budget fill
+    "q_rolling_range",
+    "q_mad_outliers",
+    "q_histogram",
+    "q_group_trend",
+    "q_containment_join",
+    "q_basket_lift",
+    "q_bfs_hops",
+    "q_weighted_sample",
+    "q_stream_sessions",
+    "q_transition_matrix",
+    "q_kcore",
+    "q_token_budget_fill",
+    "q_leakage_safe_split",
 ]
 
 

@@ -214,51 +214,68 @@ def bfs_hops(
 
     Scale shape: the symmetrized edge list is built once, hash-
     partitioned on src, and persisted — each round joins only the
-    (shrinking) frontier against that layout, then anti-joins the
-    visited set; per-round ``localCheckpoint`` + release keeps plan
-    depth AND executor storage O(1) in rounds (the CC/PageRank/k-core
-    hygiene). Rounds ≤ min(graph diameter, max_hops); the convergence
-    probe is the frontier's emptiness, O(1) driver rows. True BFS
-    reaches each node first at its minimum distance, so no min-
-    aggregation pass is needed at the end.
+    (shrinking) frontier against that layout. The visited check uses
+    the BFS level identity ``N(F_d) \\ (F_d ∪ F_{d−1}) = F_{d+1}``
+    (every neighbor of a distance-d node sits at distance d−1, d, or
+    d+1, and those first two level sets ARE the previous frontiers) —
+    so each round anti-joins two BOUNDED frontier frames, never the
+    whole accumulated distance table: per-round work is O(frontier
+    neighborhood), not O(visited). One ``localCheckpoint`` per round
+    (+ release two rounds back) keeps plan depth and executor storage
+    O(1); the result assembles once at the end as a union of the
+    materialized per-level frontiers. Rounds ≤ min(diameter, max_hops);
+    the convergence probe is the frontier's emptiness, O(1) driver
+    rows. True BFS reaches each node first at its minimum distance, so
+    no min-aggregation pass is needed.
 
     Returns (node, dist) for every node within max_hops of a seed.
     """
     raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # NOT deduplicated: parallel edges only multiply the pre-distinct
+    # neighbor rows each round, and the per-round frontier distinct
+    # absorbs that — a global edge distinct would add a full edge-list
+    # shuffle up front to save work the rounds already do
     sym = (
         raw.union(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition("src")
         .persist()
     )
-    dist = seeds.select(
-        F.col(seeds.columns[0]).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).distinct().localCheckpoint(eager=True)
-    frontier = dist
-    released: list[DataFrame] = []
+    f0 = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels: list[DataFrame] = [f0]
     try:
-        for h in range(1, max_hops + 1):
+        prev, cur = None, f0
+        for _h in range(1, max_hops + 1):
             nxt = (
-                frontier.join(sym, frontier.node == sym.src)
+                cur.join(sym, cur.node == sym.src)
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(dist, "node", "left_anti")
-                .select("node", F.lit(h).cast("long").alias("dist"))
-                .localCheckpoint(eager=True)
+                .join(cur, "node", "left_anti")
             )
+            if prev is not None:
+                nxt = nxt.join(prev, "node", "left_anti")
+            nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 release_checkpoint(nxt)
                 break
-            new_dist = dist.union(nxt).localCheckpoint(eager=True)
-            released.extend((dist, frontier) if frontier is not dist else (dist,))
-            dist, frontier = new_dist, nxt
-            for old in released:
-                release_checkpoint(old)
-            released.clear()
-        return dist
+            levels.append(nxt)
+            # levels[-3] is no longer needed for anti-joins, but IS part
+            # of the final union — keep its blocks until assembly below
+            prev, cur = cur, nxt
+        out = levels[0].select(
+            "node", F.lit(0).cast("long").alias("dist")
+        )
+        for d, frame in enumerate(levels[1:], start=1):
+            out = out.union(
+                frame.select("node", F.lit(d).cast("long").alias("dist"))
+            )
+        return out
     finally:
         sym.unpersist()
 

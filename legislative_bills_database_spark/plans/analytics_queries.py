@@ -1086,13 +1086,15 @@ def q_bfs_hops(spark, sf_dir):
     from ..operators.graph import bfs_hops
 
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    # no edge-level distinct: bfs_hops tolerates parallel edges (the
+    # per-round frontier dedup absorbs multiplicity), so the 600k-row
+    # dedup shuffle would buy nothing — reachability is multiplicity-blind
     edges = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     seeds = spark.createDataFrame([("c1",)], "node string")
     return bfs_hops(edges, seeds, max_hops=7)
