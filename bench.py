@@ -108,6 +108,10 @@ HEADLINE = [
     "q_kcore",
     "q_token_budget_fill",
     "q_leakage_safe_split",
+    "q_percent_rank",
+    "q_window_distinct",
+    "q_event_trigrams",
+    "q_label_prop",
 ]
 
 

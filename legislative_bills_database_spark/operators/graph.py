@@ -280,6 +280,73 @@ def bfs_hops(
         sym.unpersist()
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Community labels by synchronous label propagation (Raghavan et
+    al. 2007) with two determinism fixes: every node votes its OWN
+    current label alongside its neighbors' (closed-neighborhood voting —
+    plain synchronous LPA oscillates forever on bipartite structure,
+    and this graph family's purchase graphs ARE bipartite), and vote
+    ties break to the MINIMUM label. Fixed iteration count, so results
+    are reproducible across cluster sizes — the community detector next
+    to connected_components (which ignores density) and k_core (which
+    thresholds it): LPA keeps two dense cliques joined by one bridge in
+    SEPARATE communities, where CC merges them.
+
+    Scale shape: the symmetrized edge list is built once, co-partitioned
+    on dst (the vote-join key), persisted; each round is one vote join +
+    one (node,label) count + one per-node argmax — all partial-
+    aggregated, with per-round localCheckpoint + release (the iterative-
+    family hygiene). Vote argmax is ``min(struct(-n, label))``: highest
+    count, then smallest label, no UDF.
+
+    Returns (node, label); nodes sharing a label share a community.
+    """
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("dst")
+        .persist()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    prev = labels
+    try:
+        for _ in range(n_iter):
+            neighbor_votes = sym.join(
+                labels, sym.dst == labels.node
+            ).select(F.col("src").alias("node"), "label")
+            votes = neighbor_votes.unionByName(labels)  # self-vote
+            counts = votes.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("n")).alias("neg"), F.col("label"))
+                    ).alias("best")
+                )
+                .select("node", F.col("best.label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(prev)
+            prev = labels
+        return labels
+    finally:
+        sym.unpersist()
+
+
 def k_core(
     edges: DataFrame,
     k: int,

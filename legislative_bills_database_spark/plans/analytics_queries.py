@@ -1057,6 +1057,111 @@ def q_group_trend(spark, sf_dir):
 
 
 @query(
+    "q_percent_rank",
+    """
+    SELECT event_id, event_type, value,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def q_percent_rank(spark, sf_dir):
+    """Per-type percentile normalization of event values — the rank
+    transform feature pipelines apply before mixing heterogeneous
+    scales (percent_rank) and the empirical CDF (cume_dist). One
+    shuffle on the type key, one sorted pass; both functions are
+    rank-arithmetic on the sort, so ties get identical scores and the
+    result is deterministic regardless of within-partition order."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_window_distinct",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+    """,
+)
+def q_window_distinct(spark, sf_dir):
+    """Distinct actors per tumbling hour — the audience-size census
+    (DAU/HAU shape) next to q_tumbling_window_batch's volume census.
+    Exact multi-distinct: Catalyst plans one EXPAND pass (rows ×
+    distinct-aggs of slim key tuples) — one shuffle, no per-distinct
+    rescan; the 100 TB swap is approx_count_distinct (HLL, fixed
+    state), same plan shape, pinned via q_approx_distinct/q_hll_merge."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "n_users",
+            "n_types",
+        )
+    )
+
+
+@query(
+    "q_event_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, COUNT(*) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def q_event_trigrams(spark, sf_dir):
+    """Top-20 consecutive event-type trigrams across per-user journeys —
+    the order-3 sequence-mining step past q_transition_matrix's pairs
+    (the difference between "view→cart" and "view→cart→abandon").
+    Both leads ride ONE user-partitioned window sort; the trigram
+    groupBy is ≤|types|³ rows and the deterministic (n DESC, triple)
+    top-20 plans TakeOrderedAndProject, never a global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type").over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+@query(
     "q_bfs_hops",
     """
     WITH RECURSIVE e AS (
@@ -1098,6 +1203,40 @@ def q_bfs_hops(spark, sf_dir):
     )
     seeds = spark.createDataFrame([("c1",)], "node string")
     return bfs_hops(edges, seeds, max_hops=7)
+
+
+@query("q_label_prop")  # iterative vote loop → rows-only by contract
+def q_label_prop(spark, sf_dir):
+    """Top-10 communities of the customer↔supplier purchase graph by
+    label propagation (operators/graph.label_propagation): closed-
+    neighborhood voting with min-label tie-break, 5 fixed rounds —
+    deterministic, reproducible community structure where CC sees one
+    blob and k-core only thresholds density. The graph keeps only
+    STRONG ties (≥3 distinct co-orders) — on the raw graph every node
+    touches every region and LPA correctly reports one blob; the
+    thresholded graph is where community structure lives. Emits
+    (label, n_nodes) for the 10 largest communities, (size DESC, label)
+    ordered — TakeOrderedAndProject, no global sort."""
+    from ..operators.graph import label_propagation
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count_distinct("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    labels = label_propagation(edges, n_iter=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "label")
+        .limit(10)
+    )
 
 
 @query(

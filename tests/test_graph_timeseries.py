@@ -406,3 +406,44 @@ class TestBfsHops:
             for r in bfs_hops(e, self._seeds(spark, ["a", "e"])).collect()
         }
         assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_two_cliques_one_bridge_stay_separate(self, spark):
+        """The community-vs-connectivity property: CC merges the two
+        4-cliques through the bridge; LPA keeps them apart."""
+        from legislative_bills_database_spark.operators.graph import (
+            label_propagation,
+        )
+
+        import itertools
+
+        c1 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+        c2 = list(itertools.combinations(["e", "f", "g", "h"], 2))
+        e = self._edges(spark, c1 + c2 + [("d", "e")])
+        got = {r.node: r.label for r in label_propagation(e).collect()}
+        assert {got[n] for n in "abcd"} == {"a"}
+        assert {got[n] for n in "efgh"} == {"e"}
+
+    def test_single_edge_converges_no_oscillation(self, spark):
+        """Plain synchronous LPA swaps labels across a lone edge every
+        round; the closed-neighborhood vote settles to the min label."""
+        from legislative_bills_database_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = self._edges(spark, [("a", "b")])
+        got = {r.node: r.label for r in label_propagation(e, n_iter=4).collect()}
+        assert got == {"a": "a", "b": "a"}
+
+    def test_bipartite_star_converges(self, spark):
+        from legislative_bills_database_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = self._edges(spark, [("hub", x) for x in ["s1", "s2", "s3"]])
+        got = {r.node: r.label for r in label_propagation(e).collect()}
+        assert len(set(got.values())) == 1  # one community
