@@ -127,15 +127,32 @@ def _run_parity_census(
     name = prefix + "_" + uuid.uuid4().hex[:8]
     try:
         json_dir = f"{tmp}/events_json"
+        # 4 files × maxFilesPerTrigger=1 below = 4 micro-batches, so
+        # windows/sessions genuinely accumulate across batches. The
+        # files are RANGE-partitioned on ts (file k holds the k-th time
+        # quartile; FileStreamSource orders same-mtime files by path, so
+        # batches arrive in event-time order) — modeling a real
+        # time-ordered stream. Randomly-partitioned files would make
+        # every batch after the first almost entirely watermark-late:
+        # batch 1 contains the global max ts, the watermark jumps to
+        # max−2h, and the stateful operators legitimately DROP the rest.
         events.select(
             "event_id", "ts", "user_id", "event_type", "value"
-        ).repartition(2).write.json(json_dir)
+        ).repartitionByRange(4, "ts").write.json(json_dir)
         landed_schema = (
             "event_id long, ts timestamp, user_id long,"
             " event_type string, value double"
         )
+        # maxFilesPerTrigger=1 forces one micro-batch PER FILE: without
+        # it availableNow swallows the whole directory in a single batch
+        # and the stateful operator's cross-batch state merge (window
+        # accumulation, session extension) is never actually exercised —
+        # the census would certify batch mode twice
         stream = (
-            spark.readStream.format("json").schema(landed_schema).load(json_dir)
+            spark.readStream.format("json")
+            .schema(landed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(json_dir)
         )
         landed_batch = spark.read.schema(landed_schema).json(json_dir)
         q = (
@@ -229,8 +246,19 @@ def session_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    def stream(events: DataFrame) -> DataFrame:
+        # effectively-unbounded watermark: session_window EVICTS state
+        # older than the watermark in every output mode (that is the
+        # watermark's job — bounding merge state), so a production-sized
+        # watermark makes the complete-mode result table lose finalized
+        # sessions and the census would (correctly, but uselessly)
+        # report the eviction policy instead of the merge logic. The
+        # census certifies cross-batch session merging EXACTLY; eviction
+        # semantics are pinned separately in tests/test_streaming.py.
+        return session_counts(events, watermark="876000 hours")
+
     return _run_parity_census(
-        spark, sf_dir, session_counts, batch, "q_stream_sessions"
+        spark, sf_dir, stream, batch, "q_stream_sessions"
     )
 
 

@@ -301,3 +301,49 @@ def test_session_parity_report_equal(spark):
     row = session_parity_report(spark, SF_DIR).collect()[0]
     assert row.equal and row.n_mismatch == 0
     assert row.n_batch == row.n_stream > 0
+
+
+def test_session_watermark_evicts_old_state(spark, tmp_path):
+    """The flip side of the parity census: with a PRODUCTION watermark
+    far smaller than the stream's time span, time-ordered multi-batch
+    ingestion evicts finalized session state — the complete-mode result
+    table ends up strictly smaller than the batch result. This is the
+    state-bounding behavior that makes session_window viable at 100 TB,
+    pinned so the census's unbounded-watermark choice stays justified."""
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.streaming.events import (
+        session_counts,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    jd = str(tmp_path / "ordered_json")
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).repartitionByRange(4, "ts").write.json(jd)
+    stream = (
+        spark.readStream.format("json")
+        .schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(jd)
+    )
+    q = (
+        session_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.table("t_evict").count()
+    n_batch = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert 0 < n_stream < n_batch
