@@ -112,6 +112,8 @@ HEADLINE = [
     "q_window_distinct",
     "q_event_trigrams",
     "q_label_prop",
+    "q_sparse_cosine",
+    "q_weighted_median",
 ]
 
 

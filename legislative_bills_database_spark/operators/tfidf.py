@@ -92,6 +92,113 @@ QUALIFY rank <= {k}
 """
 
 
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int = 50,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Document pairs with TF-IDF-weighted sparse cosine ≥ ``threshold``.
+
+    The lexical twin of the embedding-cosine near-dup detector: cosine
+    over the sparse TF-IDF term vectors, computed through the inverted
+    index — Σ u_a·u_b per co-occurring term after L2 normalization —
+    so only docs SHARING a term are ever paired.
+
+    Scale shape: the shuffled rows are slim (doc, term, weight) triples,
+    never text. Terms with document frequency > ``max_df`` are dropped
+    BEFORE the pair join (a df-ranked posting list contributes O(df²)
+    candidate pairs; common terms carry ~zero IDF weight anyway, so
+    they cost quadratically and inform nothing — the same economics as
+    the prefix filter in operators/setjoin.py). Norms are per-doc
+    aggregates joined back on the doc key; the term self-join
+    co-partitions both sides in one shuffle.
+
+    Returns (doc_a, doc_b, cosine) with doc_a < doc_b, rounded.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = pairs.groupBy("doc", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    weighted = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    unit = weighted.join(norms, "doc").select(
+        "doc", "term", (F.col("w") / F.col("norm")).alias("u")
+    )
+    a = unit.select(F.col("doc").alias("doc_a"), "term", F.col("u").alias("ua"))
+    b = unit.select(F.col("doc").alias("doc_b"), "term", F.col("u").alias("ub"))
+    scale = float(10**round_dp)
+    cos = F.sum(F.col("ua") * F.col("ub"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(F.col("cos_raw") * scale + 0.5) / scale).alias("cosine"),
+        )
+    )
+
+
+def sql_sparse_cosine_pairs(
+    threshold: float = 0.3,
+    max_df: int = 50,
+    round_dp: int = 4,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`sparse_cosine_pairs` over ``documents``."""
+    scale = float(10**round_dp)
+    return f"""
+WITH pairs AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE {where}
+), tf AS (
+  SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM pairs GROUP BY doc, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= {max_df}
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n
+  FROM documents WHERE {where}
+), weighted AS (
+  SELECT doc, term, tf.tf * ln(n.n / dfq.df) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc, sqrt(SUM(w * w)) AS norm FROM weighted GROUP BY doc
+), unit AS (
+  SELECT w.doc, w.term, w.w / norms.norm AS u
+  FROM weighted w JOIN norms USING (doc)
+), sims AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.u * b.u) AS cos_raw
+  FROM unit a JOIN unit b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(cos_raw * {scale!r} + 0.5) / {scale!r} AS cosine
+FROM sims WHERE cos_raw >= {threshold}
+"""
+
+
 def bigram_pmi(
     docs: DataFrame,
     text_col: str = "text",

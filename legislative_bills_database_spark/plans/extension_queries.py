@@ -1778,6 +1778,79 @@ def q_containment_join(spark, sf_dir):
     return containment_join(docs, "doc_id", "text", shingle_n=3, threshold=0.7)
 
 
+from ..operators.tfidf import (  # noqa: E402
+    sparse_cosine_pairs,
+    sql_sparse_cosine_pairs,
+)
+
+
+@query(
+    "q_sparse_cosine",
+    sql_sparse_cosine_pairs(threshold=0.3, max_df=50, where="doc_id < 300"),
+)
+def q_sparse_cosine(spark, sf_dir):
+    """TF-IDF-weighted sparse cosine pairs (≥ 0.3) through the inverted
+    index — the lexical twin of q_embedding_neardup: only docs sharing
+    a term are paired, terms with df > 50 drop BEFORE the pair join
+    (they cost O(df²) and carry ~zero IDF weight — the same economics
+    as the prefix filter), and every shuffled row is a slim
+    (doc, term, weight) triple, never text
+    (operators/tfidf.sparse_cosine_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return sparse_cosine_pairs(docs, threshold=0.3, max_df=50)
+
+
+@query(
+    "q_weighted_median",
+    """
+    WITH c AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT source,
+           CAST(MIN(n_chars) AS BIGINT) AS wmedian_chars,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_chars
+    FROM c WHERE cum * 2 >= total GROUP BY source
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Character-weighted median document length per source — 'the
+    median BYTE lives in a doc this long', the corpus-report statistic
+    that exposes whale-doc domination where the plain median doc length
+    hides it (half the corpus mass can sit in 1% of docs). Integer-
+    exact: a per-source cumulative sum crosses total/2 (kept as
+    cum·2 ≥ total so no division), min value over crossing rows is the
+    crossing point since the sort is ascending. One source shuffle,
+    two windows over the same partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("source")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).alias("cum"),
+            F.sum("n_chars").over(wt).alias("total"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.min("n_chars").cast("long").alias("wmedian_chars"),
+            F.first("total").cast("long").alias("total_chars"),
+        )
+    )
+
+
 from ..operators.basket import basket_lift, sql_basket_lift  # noqa: E402
 
 

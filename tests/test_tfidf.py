@@ -90,3 +90,83 @@ def test_corpus_stats_feedback_edges_are_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSparseCosine:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_identical_docs_score_one(self, spark):
+        from legislative_bills_database_spark.operators.tfidf import (
+            sparse_cosine_pairs,
+        )
+
+        docs = self._docs(
+            spark,
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in sparse_cosine_pairs(docs, threshold=0.3).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_hot_terms_pruned_before_pairing(self, spark):
+        """Docs sharing ONLY a term above max_df never pair — the
+        O(df²) guard is semantic, and cheap terms carry ~no weight."""
+        from legislative_bills_database_spark.operators.tfidf import (
+            sparse_cosine_pairs,
+        )
+
+        rows = [(i, f"common w{i}") for i in range(10)]
+        docs = self._docs(spark, rows)
+        # 'common' has df=10 > max_df=5; each w{i} is unique
+        assert (
+            sparse_cosine_pairs(docs, threshold=0.01, max_df=5).count() == 0
+        )
+
+    def test_partial_overlap_below_one(self, spark):
+        from legislative_bills_database_spark.operators.tfidf import (
+            sparse_cosine_pairs,
+        )
+
+        docs = self._docs(
+            spark, [(1, "a b c d"), (2, "a b x y"), (3, "p q r s")]
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in sparse_cosine_pairs(docs, threshold=0.05).collect()
+        }
+        assert set(got) == {(1, 2)}
+        assert 0 < got[(1, 2)] < 1
+
+
+def test_weighted_median_exposes_whale_docs(spark):
+    """Plain median doc length = 1; the character-weighted median is the
+    whale's length because it holds 97% of the corpus mass."""
+    from legislative_bills_database_spark.plans import QUERIES, ORACLE  # noqa: F401
+
+    rows = [(1, "s", 1), (2, "s", 1), (3, "s", 1), (4, "s", 97)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("source")
+    out = (
+        df.select(
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).alias("cum"),
+            F.sum("n_chars").over(wt).alias("total"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("wm"))
+        .collect()
+    )
+    assert out[0].wm == 97
