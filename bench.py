@@ -114,6 +114,7 @@ HEADLINE = [
     "q_label_prop",
     "q_sparse_cosine",
     "q_weighted_median",
+    "q_cm_sketch",
 ]
 
 

@@ -23,6 +23,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cm_sketch_report(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts for the
+    ``top_k`` hottest keys — the mergeable point-frequency sketch next
+    to HLL (distinct) and percentile_approx (quantiles): fixed
+    depth×width integer state answers "how often did key x occur"
+    within +ε·N, never undercounting.
+
+    The sketch is RELATIONAL, not a UDF: bucket ids are
+    ``pmod(xxhash64(key, row), width)`` per hash row, so the build is
+    one explode(depth) + one map-side-combined groupBy collapsing to
+    depth×width rows — and because Count-Min is a LINEAR sketch,
+    per-shard sketches merge by plain element-wise ``SUM`` of those
+    rows (a groupBy, no special union kernel), which is why it survives
+    incremental/sharded ingestion at 100 TB. Estimates join the probe
+    keys against the (broadcast-sized) sketch and take the per-key MIN
+    across hash rows.
+
+    Returns (key, exact_n, cm_est, overcount) for the top_k exact
+    heavy keys, (exact_n DESC, key) ordered; overcount ≥ 0 always
+    (one-sided error), expected ≤ e·N/width per the standard bound —
+    both pinned in tests/test_sketches.py.
+    """
+    key = F.col(key_col).cast("string")
+    rows = df.select(key.alias("k"))
+
+    def buckets(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(F.xxhash64(c, F.lit(i)), F.lit(width)).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    sketch = (
+        rows.select(F.explode(buckets("k")).alias("hb"))
+        .groupBy(F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_top = (
+        rows.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "k")
+        .limit(top_k)
+    )
+    probes = exact_top.select("k", F.explode(buckets("k")).alias("hb")).select(
+        "k", F.col("hb.i").alias("i"), F.col("hb.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return (
+        exact_top.join(est, "k")
+        .select(
+            F.col("k").alias("key"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "key")
+    )
+
+
 def hll_merge_report(
     df: DataFrame,
     group_col: str,

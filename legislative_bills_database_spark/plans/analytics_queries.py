@@ -1205,6 +1205,22 @@ def q_bfs_hops(spark, sf_dir):
     return bfs_hops(edges, seeds, max_hops=7)
 
 
+@query("q_cm_sketch")  # xxhash64 bucketing → not DuckDB-expressible; rows-only
+def q_cm_sketch(spark, sf_dir):
+    """Count-Min point-frequency sketch over part keys with the error
+    driver-visible: (key, exact_n, cm_est, overcount) for the 20
+    hottest parts — overcount is ≥ 0 by construction (one-sided error)
+    and ≤ e·N/width in expectation. The sketch is relational (explode +
+    groupBy to depth×width integer rows) and LINEAR, so sharded
+    ingestion merges by plain SUM — the frequency member of the
+    mergeable-sketch family next to q_hll_merge (distinct) and
+    q_approx_quantiles (quantiles) (operators/sketches.cm_sketch_report)."""
+    from ..operators.sketches import cm_sketch_report
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return cm_sketch_report(lineitem, "l_partkey", depth=4, width=256)
+
+
 @query("q_label_prop")  # iterative vote loop → rows-only by contract
 def q_label_prop(spark, sf_dir):
     """Top-10 communities of the customer↔supplier purchase graph by

@@ -38,3 +38,70 @@ def test_merge_is_order_independent(spark):
         docs.orderBy(F.desc("doc_id")), "source", "doc_id"
     ).collect()[0]
     assert a.merged_est == b.merged_est
+
+
+class TestCmSketch:
+    def test_never_undercounts_and_bound(self, spark):
+        """CM guarantees est >= exact always; expected overcount is
+        e*N/width — allow 5x headroom for the small-width stress."""
+        import math
+
+        from legislative_bills_database_spark.operators.sketches import (
+            cm_sketch_report,
+        )
+
+        rows = [(i % 50,) for i in range(2000)]  # 50 keys, heavy reuse
+        df = spark.createDataFrame(rows, "k long")
+        out = cm_sketch_report(df, "k", depth=4, width=64, top_k=50).collect()
+        assert len(out) == 50
+        assert all(r.overcount >= 0 for r in out)
+        n = len(rows)
+        bound = 5 * math.e * n / 64
+        assert all(r.overcount <= bound for r in out)
+
+    def test_exact_when_width_exceeds_keys(self, spark):
+        """With width >> #keys and 4 independent rows, collisions in
+        EVERY row are vanishingly unlikely — estimates are exact."""
+        from legislative_bills_database_spark.operators.sketches import (
+            cm_sketch_report,
+        )
+
+        rows = [(i % 10,) for i in range(500)]
+        df = spark.createDataFrame(rows, "k long")
+        out = cm_sketch_report(df, "k", depth=4, width=4096, top_k=10).collect()
+        assert all(r.overcount == 0 for r in out)
+        assert all(r.exact_n == 50 for r in out)
+
+    def test_sharded_sum_merge_equals_direct(self, spark):
+        """Linearity: summing per-shard sketches bucket-wise == the
+        direct sketch (the property that makes CM incremental-safe)."""
+        from pyspark.sql import functions as F
+
+        width, depth = 64, 4
+        rows = [(i % 30, i % 3) for i in range(900)]  # (key, shard)
+        df = spark.createDataFrame(rows, "k long, shard int")
+
+        def buckets(c):
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.pmod(
+                            F.xxhash64(F.col(c).cast("string"), F.lit(i)),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+
+        exploded = df.select("shard", F.explode(buckets("k")).alias("hb"))
+        per_shard = exploded.groupBy(
+            "shard", F.col("hb.i").alias("i"), F.col("hb.b").alias("b")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        merged = per_shard.groupBy("i", "b").agg(F.sum("c").alias("c"))
+        direct = exploded.groupBy(
+            F.col("hb.i").alias("i"), F.col("hb.b").alias("b")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
