@@ -115,6 +115,7 @@ HEADLINE = [
     "q_sparse_cosine",
     "q_weighted_median",
     "q_cm_sketch",
+    "q_interarrival",
 ]
 
 

@@ -1205,6 +1205,45 @@ def q_bfs_hops(spark, sf_dir):
     return bfs_hops(edges, seeds, max_hops=7)
 
 
+@query(
+    "q_interarrival",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS DOUBLE) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_s) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+    """,
+)
+def q_interarrival(spark, sf_dir):
+    """Inter-arrival gap distribution per event type: the engagement-
+    cadence statistic behind session-gap tuning (the 30-minute
+    sessionizer cutoff should sit in this distribution's tail) and
+    churn models. Gaps attribute to the LATER event's type; one
+    user-partitioned lag window (the sessionizer's shuffle), then a
+    |types|-row exact-percentile aggregate — swap percentile_approx at
+    100 TB, same plan shape."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = events.select(
+        "event_type",
+        ((us - F.lag(us).over(w)).cast("double") / 1e6).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.percentile("gap_s", 0.5), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", 0.9), 4).alias("p90_gap_s"),
+    )
+
+
 @query("q_cm_sketch")  # xxhash64 bucketing → not DuckDB-expressible; rows-only
 def q_cm_sketch(spark, sf_dir):
     """Count-Min point-frequency sketch over part keys with the error
