@@ -139,8 +139,14 @@ def sparse_cosine_pairs(
     norms = weighted.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
-    unit = weighted.join(norms, "doc").select(
-        "doc", "term", (F.col("w") / F.col("norm")).alias("u")
+    # materialize the normalized triples ONCE: the pair self-join below
+    # references this frame twice, and without truncation Catalyst
+    # replays the whole tf→df→weight→norm pipeline (scans, shuffles, and
+    # the 1-row N broadcast) once per side — the triangle_count lesson
+    unit = (
+        weighted.join(norms, "doc")
+        .select("doc", "term", (F.col("w") / F.col("norm")).alias("u"))
+        .localCheckpoint(eager=True)
     )
     a = unit.select(F.col("doc").alias("doc_a"), "term", F.col("u").alias("ua"))
     b = unit.select(F.col("doc").alias("doc_b"), "term", F.col("u").alias("ub"))
