@@ -116,6 +116,9 @@ HEADLINE = [
     "q_weighted_median",
     "q_cm_sketch",
     "q_interarrival",
+    "q_trending",
+    "q_chi_square",
+    "q_psi",
 ]
 
 

@@ -1206,6 +1206,178 @@ def q_bfs_hops(spark, sf_dir):
 
 
 @query(
+    "q_trending",
+    """
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY window_start ORDER BY n DESC, event_type
+           ) AS INTEGER) AS rnk
+    FROM hourly QUALIFY rnk <= 3
+    """,
+)
+def q_trending(spark, sf_dir):
+    """Top-3 trending event types per tumbling hour — the 'what's hot
+    right now' window-top-k every dashboard runs. The rank window rides
+    the ALREADY-AGGREGATED hourly counts (|windows|×|types| rows), not
+    the event stream, so the second shuffle is tiny; deterministic
+    (n DESC, type) tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("window.start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
+
+
+@query(
+    "q_chi_square",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY 1),
+    c AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY 1),
+    t AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (
+      SELECT r.lang, c.source, r.rt, c.ct, t.n,
+             COALESCE(obs.o, 0) AS o,
+             CAST(r.rt AS DOUBLE) * c.ct / t.n AS e
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN obs USING (lang, source)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2
+    FROM grid
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence test of language × source over the
+    corpus — the drift/bias detector ('does this source skew toward a
+    language?') run before mixing domains. The contingency grid is the
+    CROSS JOIN of the two marginal tables (5×20 rows, both broadcast-
+    sized — the full grid matters because zero-observed cells still
+    contribute their expectation), left-joined with observed counts;
+    the detail table is scanned once for the (lang, source) aggregate
+    and never again."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    r = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    c = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    t = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    diff = F.col("o") - F.col("e")
+    return grid.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (
+            (F.count_distinct("lang") - 1)
+            * (F.count_distinct("source") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum(diff * diff / F.col("e")), 4).alias("chi2"),
+    )
+
+
+@query(
+    "q_psi",
+    """
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                              / ((b.hi - b.lo) / 10)) AS BIGINT), 9) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM orders, bounds b
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT bin, n_a, n_b,
+             SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb
+      FROM counts
+    )
+    SELECT bin, n_a, n_b,
+           ROUND(
+             ((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+             * ln(((n_a + 0.5) / (ta + 5.0)) / ((n_b + 0.5) / (tb + 5.0))),
+             6) AS psi_term
+    FROM tot
+    """,
+)
+def q_psi(spark, sf_dir):
+    """Population stability index of the order-total distribution,
+    pre-1998 vs after — THE drift gate between a training snapshot and
+    fresh data (PSI > 0.2 = retrain). Equi-width bins from a 1-row
+    global bounds broadcast (bit-exact floor bucketing, as
+    q_histogram); per-bin counts for both populations in ONE side-
+    tagged aggregate pass; +0.5/bin Laplace smoothing keeps empty bins
+    finite deterministically. The totals window runs over the ≤10-row
+    bin aggregate, never the detail."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 10
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    wt = Window.partitionBy()
+    pa = (F.col("n_a") + 0.5) / (F.sum("n_a").over(wt) + 5.0)
+    pb = (F.col("n_b") + 0.5) / (F.sum("n_b").over(wt) + 5.0)
+    return counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+@query(
     "q_interarrival",
     """
     WITH gaps AS (
