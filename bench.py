@@ -119,6 +119,8 @@ HEADLINE = [
     "q_trending",
     "q_chi_square",
     "q_psi",
+    "q_ks_test",
+    "q_mutual_info",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Two-sample distribution tests as distributed plans.
+
+Complements the drift family in plans/analytics_queries.py (chi-square,
+PSI): the Kolmogorov–Smirnov statistic is the binning-free drift test —
+max CDF gap over EVERY distinct value, no bucketing choices to defend.
+
+Scale posture: the naive form is a running count over a globally-sorted
+stream — `SUM() OVER (ORDER BY v)` with no partitioning, which Spark
+plans as ONE window task. This implementation pre-aggregates per
+distinct value (the only rows the CDF can change at), then computes the
+running counts DISTRIBUTED with the prefix-offset pattern shared with
+ordering.global_sort_index / temporal.max_concurrency: range-partition
+by value, per-partition cumulative sums, per-partition totals (
+O(#partitions) driver rows) broadcast back as offsets. Every arithmetic
+step is integer counts and single IEEE divisions, so the statistic is
+bit-identical across engines — the DuckDB oracle can hash-match the
+exact D, not an approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic.
+
+    ``side_col`` must be 1 for sample A rows and 0 for sample B rows.
+    Returns one row (n_a, n_b, ks, ks_at): the max |F_a(v) − F_b(v)|
+    over all distinct values, rounded to 6, and the smallest value
+    where the max is attained. NULL values are excluded (a CDF has no
+    place for them).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    vals = df.select(
+        F.col(value_col).alias("v"), F.col(side_col).cast("long").alias("ia")
+    ).filter(F.col("v").isNotNull())
+    per_v = vals.groupBy("v").agg(
+        F.sum("ia").alias("a_n"), F.sum(1 - F.col("ia")).alias("b_n")
+    )
+    pinned = (
+        per_v.repartitionByRange(num_partitions, "v")
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin range boundaries
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pinned.select(
+        "v",
+        "__pid",
+        F.sum("a_n").over(w).alias("ca_l"),
+        F.sum("b_n").over(w).alias("cb_l"),
+    )
+    totals = sorted(
+        pinned.groupBy("__pid")
+        .agg(F.sum("a_n").alias("ta"), F.sum("b_n").alias("tb"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for r in totals:
+        offsets.append((r["__pid"], acc_a, acc_b))
+        acc_a += r["ta"]
+        acc_b += r["tb"]
+    n_a, n_b = acc_a, acc_b
+    off = spark.createDataFrame(offsets, "__pid int, __oa bigint, __ob bigint")
+    # integer counts / integer totals: two correctly-rounded IEEE
+    # divisions and one exact subtraction — bit-identical cross-engine,
+    # so the argmax row is too
+    d = F.abs(
+        (F.col("ca_l") + F.col("__oa")) / F.lit(float(n_a))
+        - (F.col("cb_l") + F.col("__ob")) / F.lit(float(n_b))
+    )
+    gaps = local.join(F.broadcast(off), "__pid").select("v", d.alias("d"))
+    peak = gaps.agg(F.max("d").alias("__dmax"))
+    return (
+        gaps.join(F.broadcast(peak), gaps.d == F.col("__dmax"))
+        .agg(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            F.round(F.first("__dmax"), 6).alias("ks"),
+            F.min("v").alias("ks_at"),
+        )
+    )

@@ -1378,6 +1378,97 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_ks_test",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS ia
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), pv AS (
+      SELECT v, SUM(ia) AS a_n, SUM(1 - ia) AS b_n FROM s GROUP BY v
+    ), t AS (
+      SELECT CAST(SUM(a_n) AS DOUBLE) AS na, CAST(SUM(b_n) AS DOUBLE) AS nb
+      FROM pv
+    ), r AS (
+      SELECT v,
+             ABS(CAST(SUM(a_n) OVER w AS DOUBLE) / t.na
+                 - CAST(SUM(b_n) OVER w AS DOUBLE) / t.nb) AS d
+      FROM pv, t
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), peak AS (SELECT MAX(d) AS dmax FROM r)
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(peak.dmax, 6) AS ks, MIN(r.v) AS ks_at
+    FROM r, peak, t WHERE r.d = peak.dmax GROUP BY t.na, t.nb, peak.dmax
+    """,
+)
+def q_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic, pre-1998 order
+    totals vs after — the binning-free drift test next to q_psi (no
+    bucket choices to defend; D is the max CDF gap over EVERY distinct
+    value). Distributed: per-value pre-aggregation, then the prefix-
+    offset running-count pattern (range partition + per-partition
+    cumsums + O(#partitions) broadcast offsets) — never an
+    unpartitioned one-task window. Integer counts and single IEEE
+    divisions make D and its argmin bit-identical cross-engine, so the
+    oracle hash-checks the EXACT statistic
+    (operators/stats.ks_statistic)."""
+    from ..operators.stats import ks_statistic
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    return ks_statistic(tagged, "o_totalprice", "is_a")
+
+
+@query(
+    "q_mutual_info",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY 1),
+    c AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY 1),
+    t AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((obs.o / t.n)
+                     * ln(obs.o * t.n / (r.rt * CAST(c.ct AS DOUBLE)))), 6)
+             AS mi_nats
+    FROM obs JOIN r USING (lang) JOIN c USING (source), t
+    """,
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information I(lang; source) in nats — chi-square's
+    sibling that MEASURES the dependence strength instead of testing
+    it (0 = independent; the feature-selection score for 'does source
+    predict language'). Only observed cells contribute (o·ln(o…) → 0
+    as o → 0), so no grid completion is needed: the marginals join
+    back as broadcasts onto the |cells| aggregate — one detail scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    r = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    c = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    t = obs.agg(F.sum("o").cast("double").alias("n"))
+    cells = (
+        obs.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    term = (F.col("o") / F.col("n")) * F.log(
+        F.col("o") * F.col("n") / (F.col("rt") * F.col("ct").cast("double"))
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
+    )
+
+
+@query(
     "q_interarrival",
     """
     WITH gaps AS (

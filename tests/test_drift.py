@@ -50,3 +50,55 @@ def test_trending_rank_shape(spark):
         # counts non-increasing down the ranks
         ns = [r.n for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+class TestKsStatistic:
+    def test_disjoint_samples_give_one(self, spark):
+        from legislative_bills_database_spark.operators.stats import (
+            ks_statistic,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)], "v double, ia int"
+        )
+        row = ks_statistic(df, "v", "ia").collect()[0]
+        assert row.ks == 1.0
+        assert row.ks_at == 2.0  # first value where the full gap opens
+        assert (row.n_a, row.n_b) == (2, 2)
+
+    def test_matches_numpy_bruteforce(self, spark):
+        import numpy as np
+
+        from legislative_bills_database_spark.operators.stats import (
+            ks_statistic,
+        )
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(0, 1, 300)
+        b = rng.normal(0.4, 1.2, 200)  # planted shift
+        rows = [(float(x), 1) for x in a] + [(float(x), 0) for x in b]
+        df = spark.createDataFrame(rows, "v double, ia int")
+        row = ks_statistic(df, "v", "ia").collect()[0]
+
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        d = np.abs(fa - fb)
+        assert row.ks == round(float(d.max()), 6)
+        assert row.ks_at == float(allv[int(np.argmax(d))])
+
+    def test_identical_samples_give_zero(self, spark):
+        from legislative_bills_database_spark.operators.stats import (
+            ks_statistic,
+        )
+
+        rows = [(float(i % 7), s) for i in range(70) for s in (0, 1)]
+        df = spark.createDataFrame(rows, "v double, ia int")
+        assert ks_statistic(df, "v", "ia").collect()[0].ks == 0.0
+
+
+def test_mutual_info_nonnegative(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    row = QUERIES["q_mutual_info"](spark, SF_DIR).collect()[0]
+    assert row.mi_nats >= 0
