@@ -121,6 +121,8 @@ HEADLINE = [
     "q_psi",
     "q_ks_test",
     "q_mutual_info",
+    "q_hhi",
+    "q_gini",
 ]
 
 

@@ -1378,6 +1378,96 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_hhi",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, """
+    + sql_exact_sum("l_extendedprice * (1 - l_discount)")
+    + """ AS r
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                    SUM(r) AS total FROM rev)
+    SELECT t.n_suppliers,
+           ROUND(SUM((rev.r / t.total) * (rev.r / t.total)) * 10000, 4)
+             AS hhi
+    FROM rev, t GROUP BY t.n_suppliers
+    """,
+)
+def q_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of supplier revenue (×10⁴,
+    the antitrust scaling: <1500 unconcentrated, >2500 concentrated) —
+    the 'is this corpus/market dominated by a few sources' census.
+    One supplier aggregate (exact-decimal revenue sums so shares are
+    bit-identical cross-engine) + a 1-row broadcast total."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "r"
+        )
+    )
+    t = rev.agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("r").alias("total"),
+    )
+    share = F.col("r") / F.col("total")
+    return (
+        rev.crossJoin(F.broadcast(t))
+        .groupBy("n_suppliers")
+        .agg(F.round(F.sum(share * share) * 10000, 4).alias("hhi"))
+        .select("n_suppliers", "hhi")
+    )
+
+
+@query(
+    "q_gini",
+    """
+    WITH spend AS (
+      SELECT o_custkey, """
+    + sql_exact_sum("o_totalprice")
+    + """ AS x
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn FROM spend
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(
+             (2 * CAST(SUM(CAST(rn * x AS DECIMAL(18,6))) AS DOUBLE)
+              - (COUNT(*) + 1) * CAST(SUM(CAST(x AS DECIMAL(18,6)))
+                                      AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)),
+             6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of per-customer spend — the inequality measure
+    behind 'how skewed is engagement/revenue/corpus mass'. Needs a
+    GLOBAL rank of every customer by spend: that is exactly
+    operators/ordering.global_sort_index (range-partitioned sort +
+    O(#partitions) broadcast offsets), so no single-task unpartitioned
+    window ever runs. Spends and both rank-weighted sums are
+    exact-decimal, making the statistic bit-identical cross-engine."""
+    from ..operators.ordering import global_sort_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        exact_sum("o_totalprice").alias("x")
+    )
+    ranked = global_sort_index(
+        spend, [F.col("x"), F.col("o_custkey")], index_col="i"
+    ).withColumn("rn", F.col("i") + 1)
+    n = F.count("*")
+    sx = F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+    srx = F.sum((F.col("rn") * F.col("x")).cast("decimal(18,6)")).cast(
+        "double"
+    )
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round((2 * srx - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+    )
+
+
+@query(
     "q_ks_test",
     """
     WITH s AS (

@@ -102,3 +102,50 @@ def test_mutual_info_nonnegative(spark):
 
     row = QUERIES["q_mutual_info"](spark, SF_DIR).collect()[0]
     assert row.mi_nats >= 0
+
+
+class TestGiniHhi:
+    def _gini(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from legislative_bills_database_spark.operators.ordering import (
+            global_sort_index,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "c long, x double"
+        )
+        ranked = global_sort_index(
+            df, [F.col("x"), F.col("c")], index_col="i"
+        ).withColumn("rn", F.col("i") + 1)
+        n = F.count("*")
+        sx = F.sum("x")
+        srx = F.sum(F.col("rn") * F.col("x"))
+        return ranked.agg(
+            F.round((2 * srx - (n + 1) * sx) / (n * sx), 6).alias("g")
+        ).collect()[0].g
+
+    def test_perfect_equality_is_zero(self, spark):
+        assert self._gini(spark, [5.0] * 20) == 0.0
+
+    def test_total_concentration_approaches_one(self, spark):
+        # one holder of everything among n: gini = (n-1)/n
+        assert self._gini(spark, [0.0] * 9 + [100.0]) == 0.9
+
+    def test_hhi_limits(self, spark):
+        from pyspark.sql import functions as F
+
+        def hhi(vals):
+            df = spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(vals)], "s long, r double"
+            )
+            t = df.agg(F.sum("r").alias("total"))
+            share = F.col("r") / F.col("total")
+            return (
+                df.crossJoin(F.broadcast(t))
+                .agg(F.round(F.sum(share * share) * 10000, 4))
+                .collect()[0][0]
+            )
+
+        assert hhi([10.0] * 4 ) == 2500.0  # 4 equal firms
+        assert hhi([100.0]) == 10000.0     # monopoly
