@@ -123,6 +123,8 @@ HEADLINE = [
     "q_mutual_info",
     "q_hhi",
     "q_gini",
+    "q_survival",
+    "q_ab_test",
 ]
 
 

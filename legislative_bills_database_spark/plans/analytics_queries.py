@@ -1378,6 +1378,191 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_survival",
+    """
+    WITH mn AS (SELECT MIN(ts) + INTERVAL 5 DAY AS horizon FROM events),
+    raw AS (
+      SELECT user_id, MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL AND tp < mn.horizon THEN 1 ELSE 0 END
+               AS death,
+             CASE WHEN tp IS NOT NULL AND tp < mn.horizon
+                  THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                  ELSE date_diff('day', CAST(t0 AS DATE),
+                                 CAST(mn.horizon AS DATE))
+             END AS t
+      FROM raw, mn WHERE t0 < mn.horizon
+    ), per_t AS (
+      SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave_n
+      FROM u GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM u) AS BIGINT)
+               - CAST(COALESCE(SUM(leave_n) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t, n_risk, d,
+           ROUND(EXP(SUM(CASE WHEN d > 0 AND d < n_risk
+                              THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                              ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS s
+    FROM risk WHERE d > 0
+    """,
+)
+def q_survival(spark, sf_dir):
+    """Kaplan–Meier product-limit curve of time-to-first-purchase with
+    a 5-day administrative horizon: users who have not purchased by
+    the horizon are CENSORED at it, not counted as never-converting —
+    the estimator naive conversion averages get wrong precisely
+    because of that censoring. Per-user aggregate (one shuffle), then
+    every window runs over the per-duration table, whose size is
+    bounded by the horizon in days — never the user table; S(t) is
+    exp(Σ ln(1−d/n)), the log-domain form both engines evaluate
+    identically to 6 dp. Censoring math pinned on a hand-built cohort
+    in tests/test_drift.py."""
+    events = load_table(spark, sf_dir, "events")
+    mn = events.agg(
+        (F.min("ts") + F.expr("INTERVAL 5 DAY")).alias("horizon")
+    )
+    raw = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    dead = F.col("tp").isNotNull() & (F.col("tp") < F.col("horizon"))
+    u = (
+        raw.crossJoin(F.broadcast(mn))
+        .filter(F.col("t0") < F.col("horizon"))
+        .select(
+            "user_id",
+            F.when(dead, 1).otherwise(0).alias("death"),
+            F.when(
+                dead, F.datediff(F.to_date("tp"), F.to_date("t0"))
+            )
+            .otherwise(F.datediff(F.to_date("horizon"), F.to_date("t0")))
+            .alias("t"),
+        )
+    )
+    n_users = u.agg(F.count("*").alias("n_total"))
+    per_t = u.groupBy("t").agg(
+        F.sum("death").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leave_n"),
+    )
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(n_users)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(0.0)
+    return (
+        risk.select(
+            "t", "n_risk", "d", F.round(F.exp(F.sum(term).over(w_cum)), 6).alias("s")
+        )
+        .filter(F.col("d") > 0)
+    )
+
+
+@query(
+    "q_ab_test",
+    """
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM conv
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+    FROM s
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test of heavy-buyer conversion (≥14 purchases
+    — the fixture's median, so neither arm is degenerate), users split
+    by id parity — the experimentation primitive (pooled-variance z;
+    |z| > 1.96 = significant at 5%). One user-grain aggregate then a
+    1-row census; every step is integer counts, exact divisions, and
+    one sqrt — bit-identical cross-engine, no tolerance needed."""
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("c")
+    )
+    s = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+@query(
     "q_hhi",
     """
     WITH rev AS (

@@ -149,3 +149,52 @@ class TestGiniHhi:
 
         assert hhi([10.0] * 4 ) == 2500.0  # 4 equal firms
         assert hhi([100.0]) == 10000.0     # monopoly
+
+
+def test_kaplan_meier_censoring_math(spark):
+    """Hand-built cohort: durations (1,death) (1,death) (2,censor)
+    (3,death) (5,censor). Censored users leave the risk set but never
+    count as deaths: S(1)=3/5, S(3)=0.6*(1-1/2)=0.3."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1), (5, 0)], "t int, death int"
+    )
+    per_t = u.groupBy("t").agg(
+        F.sum("death").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leave_n"),
+    )
+    n_total = u.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.lit(n_total)
+            - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(0.0)
+    out = {
+        r.t: (r.n_risk, r.d, r.s)
+        for r in risk.select(
+            "t", "n_risk", "d",
+            F.round(F.exp(F.sum(term).over(w_cum)), 6).alias("s"),
+        )
+        .filter(F.col("d") > 0)
+        .collect()
+    }
+    assert out == {1: (5, 2, 0.6), 3: (2, 1, 0.3)}
+
+
+def test_ab_test_arms_nondegenerate(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    row = QUERIES["q_ab_test"](spark, SF_DIR).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 < row.p_a < 1 and 0 < row.p_b < 1  # pooled variance finite
