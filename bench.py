@@ -125,6 +125,8 @@ HEADLINE = [
     "q_gini",
     "q_survival",
     "q_ab_test",
+    "q_forecast_backtest",
+    "q_seasonality",
 ]
 
 

@@ -1378,6 +1378,88 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, n,
+             LAG(n, 1) OVER w AS f_naive,
+             LAG(n, 7) OVER w AS f_snaive
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(CAST(n - f_naive AS DOUBLE))), 4) AS mae_naive,
+           ROUND(AVG(ABS(CAST(n - f_snaive AS DOUBLE))), 4) AS mae_snaive
+    FROM lagged WHERE f_snaive IS NOT NULL GROUP BY 1
+    """,
+)
+def q_forecast_backtest(spark, sf_dir):
+    """Forecast-model backtest per event type: MAE of the naive
+    (yesterday) vs seasonal-naive (same weekday last week) predictors
+    of daily volume — the baseline pair every forecasting effort must
+    beat, and the shape of any rolling-origin evaluation. One daily
+    aggregate, one type-partitioned lag window over observed days,
+    |types| output rows; integer counts keep the MAEs exact."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("f_naive"),
+        F.lag("n", 7).over(w).alias("f_snaive"),
+    ).filter(F.col("f_snaive").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.avg(F.abs((F.col("n") - F.col("f_naive")).cast("double"))), 4
+        ).alias("mae_naive"),
+        F.round(
+            F.avg(F.abs((F.col("n") - F.col("f_snaive")).cast("double"))), 4
+        ).alias("mae_snaive"),
+    )
+
+
+@query(
+    "q_seasonality",
+    """
+    WITH cells AS (
+      SELECT dayofweek(ts) + 1 AS dow, EXTRACT(hour FROM ts) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, CAST(hod AS BIGINT) AS hod, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY dow), 6) AS share_of_day
+    FROM cells
+    """,
+)
+def q_seasonality(spark, sf_dir):
+    """Hour-of-day × day-of-week activity heat grid with within-day
+    shares — the seasonality profile batch jobs schedule around and
+    anomaly baselines normalize by. One map-side-combined aggregate to
+    ≤168 cells; the share window rides that tiny grid. (Week-day
+    numbering pinned to Spark's 1=Sunday convention; the oracle
+    offsets DuckDB's 0-based dayofweek to match.)"""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share_of_day"),
+    )
+
+
+@query(
     "q_survival",
     """
     WITH mn AS (SELECT MIN(ts) + INTERVAL 5 DAY AS horizon FROM events),
