@@ -127,6 +127,9 @@ HEADLINE = [
     "q_ab_test",
     "q_forecast_backtest",
     "q_seasonality",
+    "q_target_encode",
+    "q_growth_accounting",
+    "q_label_centroids",
 ]
 
 

@@ -1378,6 +1378,184 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_target_encode",
+    """
+    WITH g AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, """
+    + sql_exact_sum("o_totalprice")
+    + """ AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(CASE WHEN g.n > 1
+                      THEN (g.s - o.o_totalprice) / (g.n - 1) END, 4)
+             AS te_loo
+    FROM orders o JOIN g USING (o_orderpriority)
+    """,
+)
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding of order priority by mean total —
+    the feature-engineering primitive whose WHOLE point is the leakage
+    subtlety: each row's encoding excludes its own target, computed
+    closed-form as (group_sum − x)/(n−1) so no per-row re-aggregation
+    ever runs. Group sums are exact-decimal (bit-identical
+    cross-engine); the category table broadcasts back onto one detail
+    scan. Singleton groups encode NULL (no leave-one-out exists)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        exact_sum("o_totalprice").alias("s"),
+    )
+    return orders.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1),
+            ),
+            4,
+        ).alias("te_loo"),
+    )
+
+
+@query(
+    "q_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), tagged AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw
+    ), weekly AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN prev_wk = wk - 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 7
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM tagged GROUP BY 1
+    )
+    SELECT wk, n_active, n_new, n_retained, n_resurrected,
+           CAST(COALESCE(LAG(n_active) OVER (ORDER BY wk), 0) - n_retained
+                AS BIGINT) AS n_churned
+    FROM weekly
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting — every active user classified as
+    new / retained / resurrected, plus churn derived as
+    last-week-active − this-week-retained: the standard DAU/WAU
+    decomposition behind 'is growth new users or resurrection'. One
+    (user, week) dedup shuffle, one user-partitioned lag, one weekly
+    aggregate; the churn lag window rides the |weeks|-row table."""
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("wk")
+    tagged = uw.withColumn("prev_wk", F.lag("wk").over(wu))
+    weekly = tagged.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.date_sub("wk", 7), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.date_sub("wk", 7)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    ww = Window.orderBy("wk")
+    return weekly.select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(ww), F.lit(0))
+            - F.col("n_retained")
+        )
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+@query(
+    "q_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    ), dims AS (
+      SELECT label, i, AVG(x) AS c FROM flat GROUP BY 1, 2
+    ), norms AS (
+      SELECT label, sqrt(SUM(c * c)) AS nrm FROM dims GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.c * b.c) / (ANY_VALUE(na.nrm) * ANY_VALUE(nb.nrm)),
+                 4) AS cosine
+    FROM dims a
+    JOIN dims b ON a.i = b.i AND a.label < b.label
+    JOIN norms na ON na.label = a.label
+    JOIN norms nb ON nb.label = b.label
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Inter-label centroid cosine matrix over the embedding table —
+    'which classes live near each other in embedding space', the
+    cluster-quality / taxonomy-collapse diagnostic. Pure relational:
+    posexplode to (label, dim, value), per-(label, dim) means, then a
+    centroid self-join on the dim key — |labels|²·dim work on
+    |labels|·dim rows, never touching the raw vectors twice. The
+    centroid frame is broadcast-sized by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("i"))
+        .agg(F.avg("x").alias("c"))
+    )
+    norms = dims.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = dims.select(F.col("label").alias("label_a"), "i", F.col("c").alias("ca"))
+    b = dims.select(F.col("label").alias("label_b"), "i", F.col("c").alias("cb"))
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+@query(
     "q_forecast_backtest",
     """
     WITH daily AS (

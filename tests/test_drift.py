@@ -198,3 +198,116 @@ def test_ab_test_arms_nondegenerate(spark):
     row = QUERIES["q_ab_test"](spark, SF_DIR).collect()[0]
     assert row.n_a > 0 and row.n_b > 0
     assert 0 < row.p_a < 1 and 0 < row.p_b < 1  # pooled variance finite
+
+
+class TestEncodingGrowthCentroids:
+    def test_target_encode_loo_math(self, spark):
+        from pyspark.sql import functions as F
+
+        from legislative_bills_database_spark.functions.compat import exact_sum
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+            "k long, g string, x double",
+        )
+        gg = df.groupBy("g").agg(
+            F.count("*").cast("long").alias("n"), exact_sum("x").alias("s")
+        )
+        out = {
+            r.k: r.te
+            for r in df.join(F.broadcast(gg), "g")
+            .select(
+                "k",
+                F.round(
+                    F.when(
+                        F.col("n") > 1,
+                        (F.col("s") - F.col("x")) / (F.col("n") - 1),
+                    ),
+                    4,
+                ).alias("te"),
+            )
+            .collect()
+        }
+        assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+        assert out[4] is None  # singleton: no leave-one-out exists
+
+    def test_growth_accounting_hand_cohort(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from legislative_bills_database_spark.plans import QUERIES  # noqa: F401
+
+        w1 = dt.datetime(2024, 1, 1, 12)   # Monday weeks
+        w2 = w1 + dt.timedelta(days=7)
+        w3 = w1 + dt.timedelta(days=14)
+        rows = [
+            ("A", w1), ("A", w2), ("A", w3),   # retained throughout
+            ("B", w1),                          # churns at w2
+            ("C", w1), ("C", w3),               # resurrected at w3
+            ("D", w2),                          # new at w2
+        ]
+        ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        from pyspark.sql import Window
+
+        uw = ev.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+        ).distinct()
+        wu = Window.partitionBy("user_id").orderBy("wk")
+        tagged = uw.withColumn("prev_wk", F.lag("wk").over(wu))
+        weekly = tagged.groupBy("wk").agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("prev_wk") == F.date_sub("wk", 7), 1).otherwise(0)).alias("n_retained"),
+            F.sum(F.when(F.col("prev_wk").isNotNull() & (F.col("prev_wk") < F.date_sub("wk", 7)), 1).otherwise(0)).alias("n_resurrected"),
+        )
+        ww = Window.orderBy("wk")
+        out = {
+            str(r.wk): (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+            for r in weekly.select(
+                "*",
+                (F.coalesce(F.lag("n_active").over(ww), F.lit(0)) - F.col("n_retained")).alias("n_churned"),
+            ).collect()
+        }
+        assert out["2024-01-01"] == (3, 3, 0, 0, 0)
+        assert out["2024-01-08"] == (2, 1, 1, 0, 2)  # B and C drop off
+        assert out["2024-01-15"] == (2, 0, 1, 1, 1)  # D churns, C returns
+
+    def test_label_centroid_cosine_exact(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES  # noqa: F401
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # centroid (1,0)
+            (3, [0.0, 2.0], 1),                        # centroid (0,2)
+            (4, [2.0, 2.0], 2),                        # centroid (2,2)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        dims = (
+            emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("label", (F.col("pos") + 1).alias("i"))
+            .agg(F.avg("x").alias("c"))
+        )
+        norms = dims.groupBy("label").agg(
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+        )
+        a = dims.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+        b = dims.select(F.col("label").alias("lb"), "i", F.col("c").alias("cb"))
+        na = norms.select(F.col("label").alias("la"), F.col("nrm").alias("na"))
+        nb = norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+        out = {
+            (r.la, r.lb): r.cos
+            for r in a.join(b, "i")
+            .filter(F.col("la") < F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+            .join(na, "la")
+            .join(nb, "lb")
+            .select("la", "lb", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos"))
+            .collect()
+        }
+        assert out[(0, 1)] == 0.0        # orthogonal centroids
+        assert out[(1, 2)] == 0.7071     # 45 degrees
+        assert out[(0, 2)] == 0.7071
