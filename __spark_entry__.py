@@ -102,11 +102,17 @@ _WINDOW = [
     "q_containment_join",  # probe-prefix completeness vs quadratic oracle
 ]
 # Round-5 rotation queue (driver-blind after r4, in priority order):
-# q_rolling_range, q_mad_outliers, q_histogram, q_group_trend,
-# q_basket_lift, q_weighted_sample, q_transition_matrix,
-# q_token_budget_fill (oracle-checked); q_stream_sessions, q_kcore,
-# q_leakage_safe_split, q_approx_quantiles, q_canonical_docs,
-# q_minhash_calibration, q_timed_funnel (rows-only/pytest-pinned).
+# oracle-checked — q_ks_test (exact distributed KS), q_gini,
+# q_sparse_cosine, q_weighted_median, q_survival, q_ab_test,
+# q_chi_square, q_psi, q_mutual_info, q_target_encode,
+# q_growth_accounting, q_label_centroids, q_rolling_range,
+# q_mad_outliers, q_histogram, q_group_trend, q_basket_lift,
+# q_weighted_sample, q_transition_matrix, q_token_budget_fill,
+# q_percent_rank, q_window_distinct, q_event_trigrams, q_trending,
+# q_interarrival, q_forecast_backtest, q_seasonality, q_hhi;
+# rows-only — q_stream_sessions, q_kcore, q_leakage_safe_split,
+# q_approx_quantiles, q_canonical_docs, q_minhash_calibration,
+# q_timed_funnel, q_label_prop, q_cm_sketch.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

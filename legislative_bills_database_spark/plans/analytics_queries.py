@@ -1661,7 +1661,7 @@ def q_seasonality(spark, sf_dir):
       FROM u GROUP BY t
     ), risk AS (
       SELECT t, d,
-             CAST((SELECT COUNT(*) FROM u) AS BIGINT)
+             CAST(SUM(leave_n) OVER () AS BIGINT)
                - CAST(COALESCE(SUM(leave_n) OVER (
                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                    AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
@@ -1710,7 +1710,6 @@ def q_survival(spark, sf_dir):
             .alias("t"),
         )
     )
-    n_users = u.agg(F.count("*").alias("n_total"))
     per_t = u.groupBy("t").agg(
         F.sum("death").cast("long").alias("d"),
         F.count("*").cast("long").alias("leave_n"),
@@ -1719,11 +1718,16 @@ def q_survival(spark, sf_dir):
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     )
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    risk = per_t.crossJoin(F.broadcast(n_users)).select(
+    # total enrolled = full-frame sum over the same ≤horizon-row table —
+    # a second reference to `u` (count + crossJoin back) would replay
+    # the user aggregate AND duplicate the 1-row horizon broadcast in
+    # the plan (the whole-repo BNLJ invariant caught exactly that)
+    w_all = Window.partitionBy()
+    risk = per_t.select(
         "t",
         "d",
         (
-            F.col("n_total")
+            F.sum("leave_n").over(w_all)
             - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
         )
         .cast("long")
