@@ -130,6 +130,7 @@ HEADLINE = [
     "q_target_encode",
     "q_growth_accounting",
     "q_label_centroids",
+    "q_stream_dedup",
 ]
 
 

@@ -2046,6 +2046,20 @@ def q_interarrival(spark, sf_dir):
     )
 
 
+@query("q_stream_dedup")  # runs a real availableNow stream → rows-only
+def q_stream_dedup(spark, sf_dir):
+    """Driver-visible exactly-once ingestion census: 20% planted
+    duplicates land in RANDOM files (copies arrive in different
+    micro-batches), and dropDuplicatesWithinWatermark must drop them
+    from cross-batch state — the dedup guarantee q_incremental_dedup
+    makes for batch, certified for the streaming path. One row
+    (n_landed, n_stream, n_batch, equal)
+    (streaming/events.dedup_parity_report)."""
+    from ..streaming.events import dedup_parity_report
+
+    return dedup_parity_report(spark, sf_dir)
+
+
 @query("q_cm_sketch")  # xxhash64 bucketing → not DuckDB-expressible; rows-only
 def q_cm_sketch(spark, sf_dir):
     """Count-Min point-frequency sketch over part keys with the error

@@ -262,6 +262,67 @@ def session_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark stream==batch census
+    (``q_stream_dedup``): the events table plus a 20% planted-duplicate
+    sample lands as 4 RANDOMLY-partitioned JSON files streamed one per
+    trigger, so a duplicate's copies genuinely arrive in DIFFERENT
+    micro-batches and dedup must hit cross-batch state — the case a
+    single-batch availableNow run never exercises. The census watermark
+    is effectively unbounded (state eviction is a separate, pinned
+    behavior); the batch twin is plain dropDuplicates over the same
+    landed rows. Emits (n_landed, n_stream, n_batch, equal)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    name = "q_stream_dedup_" + uuid.uuid4().hex[:8]
+    try:
+        base = events.select("event_id", "ts", "user_id", "event_type", "value")
+        # deterministic planted duplicates: every 5th event re-lands
+        dups = base.filter(F.col("event_id") % 5 == 0)
+        json_dir = f"{tmp}/events_json"
+        # random (round-robin) partitioning ON PURPOSE — copies of a
+        # duplicate land in different files, hence different triggers
+        base.unionAll(dups).repartition(4).write.json(json_dir)
+        schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(json_dir)
+        )
+        q = (
+            dedup_within_watermark(stream, ["event_id"], watermark="876000 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        landed = spark.read.schema(schema).json(json_dir)
+        n_landed = landed.count()
+        n_stream = spark.table(name).count()
+        n_batch = landed.dropDuplicates(["event_id"]).count()
+        return spark.createDataFrame(
+            [(n_landed, n_stream, n_batch, bool(n_stream == n_batch))],
+            "n_landed long, n_stream long, n_batch long, equal boolean",
+        )
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

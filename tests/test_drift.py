@@ -311,3 +311,14 @@ class TestEncodingGrowthCentroids:
         assert out[(0, 1)] == 0.0        # orthogonal centroids
         assert out[(1, 2)] == 0.7071     # 45 degrees
         assert out[(0, 2)] == 0.7071
+
+
+def test_growth_accounting_classes_partition_actives(spark):
+    """Every active user is exactly one of new/retained/resurrected."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_growth_accounting"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        assert r.n_churned >= 0

@@ -347,3 +347,17 @@ def test_session_watermark_evicts_old_state(spark, tmp_path):
         .count()
     )
     assert 0 < n_stream < n_batch
+
+
+def test_stream_dedup_census_equal(spark):
+    """Planted duplicates spread across micro-batches are dropped from
+    cross-batch state: stream dedup count == batch distinct count, and
+    both are strictly below the landed count."""
+    from legislative_bills_database_spark.streaming.events import (
+        dedup_parity_report,
+    )
+    from tests.conftest import SF_DIR
+
+    row = dedup_parity_report(spark, SF_DIR).collect()[0]
+    assert row.equal
+    assert row.n_stream == row.n_batch < row.n_landed
