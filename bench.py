@@ -131,6 +131,7 @@ HEADLINE = [
     "q_growth_accounting",
     "q_label_centroids",
     "q_stream_dedup",
+    "q_unpivot",
 ]
 
 

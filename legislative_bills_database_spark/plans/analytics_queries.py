@@ -1378,6 +1378,41 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long reshape (melt) of the lineitem measures — the inverse
+    of the pivot family (q_pivot_count) and the shape feature stores
+    and metric tables want: one (entity, metric, value) row per
+    measure. Spark's native ``unpivot`` plans an EXPAND (rows ×
+    measures of slim tuples) in a single scan — the oracle's UNION ALL
+    of four scans is the relational spec, not the plan."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1000
+    )
+    return lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+
+
+@query(
     "q_target_encode",
     """
     WITH g AS (
