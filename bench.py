@@ -132,6 +132,8 @@ HEADLINE = [
     "q_label_centroids",
     "q_stream_dedup",
     "q_unpivot",
+    "q_attribution",
+    "q_rfm_segments",
 ]
 
 

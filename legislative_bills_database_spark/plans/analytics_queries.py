@@ -1378,6 +1378,116 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+             LAG(CASE WHEN event_type <> 'purchase' THEN event_type END
+                 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+      FROM events
+    )
+    SELECT first_touch, COALESCE(last_touch, 'none') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases, """
+    + sql_exact_sum("value")
+    + """ AS revenue
+    FROM seq WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """First-touch × last-touch purchase attribution: every purchase
+    credits the channel that ACQUIRED the user (their first event type
+    ever) and the channel that CONVERTED them (most recent non-purchase
+    action before the sale) — the two-model comparison marketing
+    analytics runs to settle budget fights. Both attributions ride ONE
+    user-partitioned window sort (first_value + ignore-nulls lag);
+    revenue sums are exact-decimal."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_touch"),
+        # Spark's lag() has no IGNORE NULLS: "most recent non-null
+        # strictly before this row" is last(..., ignorenulls) over a
+        # frame ending at the previous row
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    return seq.groupBy(
+        "first_touch",
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        exact_sum("value").alias("revenue"),
+    )
+
+
+@query(
+    "q_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       CAST(mx.m AS DATE)) AS recency,
+             COUNT(*) AS frequency, """
+    + sql_exact_sum("o_totalprice")
+    + """ AS monetary
+      FROM orders, mx GROUP BY o_custkey, mx.m
+    ), scored AS (
+      SELECT NTILE(3) OVER (ORDER BY recency DESC, o_custkey) AS r,
+             NTILE(3) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(3) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation census: every customer scored 1–3 on
+    recency (days since last order, recent = high), frequency, and
+    monetary (exact-decimal spend), then counted per (r, f, m) cell —
+    the classic '333 = champions, 111 = lost' grid. Tie-breaks pin
+    NTILE determinism (custkey total order). The ntile windows run over
+    the CUSTOMER-grain aggregate, not the order table; at 100 TB swap
+    ntile for percentile-threshold joins (the q_curriculum_buckets
+    pattern) — same contract, no single-partition sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.first("m")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency"),
+            F.count("*").alias("frequency"),
+            exact_sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        F.ntile(3)
+        .over(Window.orderBy(F.col("recency").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(3).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(3).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@query(
     "q_unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
