@@ -23,6 +23,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def percent_rank_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_pr: str = "pr",
+    out_cd: str = "cd",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``percent_rank()`` + ``cume_dist()`` per key WITHOUT a row-grain
+    window sort.
+
+    A naive ``Window.partitionBy(key).orderBy(value)`` drags every row
+    of a key through ONE sorted window task — for low-cardinality keys
+    (5 event types over 100 TB) that is a single-task sort of the
+    column. Rank arithmetic only depends on the VALUE-grain
+    distribution: aggregate to (key, value, count) first (map-side
+    combined, output bounded by distinct values), compute
+    rank(v) = 1 + Σ count(<v) and the inclusive cumulative with windows
+    over that reduced frame, then join the scores back on (key, value)
+    — co-partitioned with the aggregate, no row-grain sort anywhere.
+    Tie semantics match SQL exactly: every row of a tied value shares
+    rank = 1 + #smaller-rows, so pr = (rank−1)/(n−1) and
+    cd = cum_inclusive/n are the standard definitions. (The remaining
+    per-key value-grain window can go through the ks_statistic
+    prefix-offset pattern if even distinct values are huge.)
+
+    Appends ``out_pr``/``out_cd`` (rounded) to the input rows.
+    """
+    counts = df.groupBy(key_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(key_col)
+    smaller = F.coalesce(F.sum("__c").over(w_prev), F.lit(0))
+    n = F.sum("__c").over(w_all)
+    pr = F.when(n > 1, smaller.cast("double") / (n - 1)).otherwise(0.0)
+    cd = F.sum("__c").over(w_cum).cast("double") / n
+    scored = counts.select(
+        key_col,
+        value_col,
+        F.round(pr, round_dp).alias(out_pr),
+        F.round(cd, round_dp).alias(out_cd),
+    )
+    return df.join(scored, [key_col, value_col])
+
+
 def ks_statistic(
     df: DataFrame,
     value_col: str,

@@ -1069,19 +1069,21 @@ def q_group_trend(spark, sf_dir):
 def q_percent_rank(spark, sf_dir):
     """Per-type percentile normalization of event values — the rank
     transform feature pipelines apply before mixing heterogeneous
-    scales (percent_rank) and the empirical CDF (cume_dist). One
-    shuffle on the type key, one sorted pass; both functions are
-    rank-arithmetic on the sort, so ties get identical scores and the
-    result is deterministic regardless of within-partition order."""
+    scales (percent_rank) and the empirical CDF (cume_dist). NOT the
+    naive row-grain window (which drags every row of a low-cardinality
+    key through ONE sorted task — a single-task column sort at 100 TB):
+    ranks are computed on the deduplicated (key, value) distribution
+    and joined back, with exact SQL tie semantics
+    (operators/stats.percent_rank_by_key — hash-equality with the
+    window-function oracle is the proof)."""
+    from ..operators.stats import percent_rank_by_key
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
-    return events.select(
-        "event_id",
+    return percent_rank_by_key(
+        events.select("event_id", "event_type", "value"),
         "event_type",
         "value",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-    )
+    ).select("event_id", "event_type", "value", "pr", "cd")
 
 
 @query(

@@ -322,3 +322,40 @@ def test_growth_accounting_classes_partition_actives(spark):
     for r in rows:
         assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
         assert r.n_churned >= 0
+
+
+def test_percent_rank_by_key_matches_window_with_ties(spark):
+    """The value-grain rank computation == Spark's own row-grain
+    percent_rank/cume_dist, on data WITH ties (the fixture's doubles
+    rarely tie, so the oracle hash alone under-exercises tie rules)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.operators.stats import (
+        percent_rank_by_key,
+    )
+
+    rows = [
+        (i, k, float(v))
+        for i, (k, v) in enumerate(
+            [("a", 1), ("a", 2), ("a", 2), ("a", 3), ("a", 3), ("a", 3),
+             ("b", 5), ("b", 5), ("c", 9)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid long, k string, v double")
+    got = {
+        r.rid: (r.pr, r.cd)
+        for r in percent_rank_by_key(df, "k", "v").collect()
+    }
+    w = Window.partitionBy("k").orderBy("v")
+    want = {
+        r.rid: (round(r.pr, 6), round(r.cd, 6))
+        for r in df.select(
+            "rid",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
+    # single-row partition: pr = 0 by convention
+    assert got[8] == (0.0, 1.0)
