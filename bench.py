@@ -134,6 +134,7 @@ HEADLINE = [
     "q_unpivot",
     "q_attribution",
     "q_rfm_segments",
+    "q_conversion_paths",
 ]
 
 

@@ -1380,6 +1380,71 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_conversion_paths",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths WHERE path LIKE '%purchase'
+    GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def q_conversion_paths(spark, sf_dir):
+    """Top-15 session paths ending in a purchase — 'which journeys
+    convert', the path-analysis layer over the sessionizer (same
+    30-minute gap rule, operators/sessionize.sessionize). The ordered
+    path assembles per session via array_sort(collect_list(struct)) —
+    rows never leave their session partition a second time — and only
+    the |distinct paths| aggregate shuffles again; top-15 plans
+    TakeOrderedAndProject."""
+    from ..operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .filter(F.col("path").endswith("purchase"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
+
+
+@query(
     "q_attribution",
     """
     WITH seq AS (
