@@ -135,6 +135,8 @@ HEADLINE = [
     "q_attribution",
     "q_rfm_segments",
     "q_conversion_paths",
+    "q_behavior_entropy",
+    "q_abc_classification",
 ]
 
 

@@ -1380,6 +1380,114 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_behavior_entropy",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, SUM(c) AS n FROM ut GROUP BY 1
+    )
+    SELECT ut.user_id,
+           CAST(ANY_VALUE(tot.n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((CAST(ut.c AS DOUBLE) / tot.n)
+                      * ln(CAST(ut.c AS DOUBLE) / tot.n)), 6) AS entropy
+    FROM ut JOIN tot USING (user_id) GROUP BY ut.user_id
+    """,
+)
+def q_behavior_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy (nats) of each
+    user's event-type distribution — 0 = one-note bots, ln(5) ≈ 1.609
+    = perfectly mixed usage; the engagement-diversity feature churn
+    models lean on. Two aggregates over the same (user, type) grain —
+    the totals join back co-partitioned on the user key, nothing
+    re-scans the event table."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        ut.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "q_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, """
+    + sql_exact_sum("l_extendedprice * (1 - l_discount)")
+    + """ AS r
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_suppkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_suppkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum <= 0.8 * total THEN 'A'
+                  WHEN cum <= 0.95 * total THEN 'B'
+                  ELSE 'C' END AS class,
+             r, total
+      FROM ranked
+    )
+    SELECT class, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+                 / ANY_VALUE(total), 6) AS revenue_share
+    FROM classed GROUP BY 1
+    """,
+)
+def q_abc_classification(spark, sf_dir):
+    """Pareto/ABC supplier classification: descending-revenue running
+    share cut at 80%/95% — the 'which 20% carries 80%' inventory-
+    policy census. The ranking windows run over the SUPPLIER-grain
+    aggregate (a bounded dimension — ~10⁶ rows even at 100 TB facts;
+    the prefix-offset pattern is the swap if the ranked dimension ever
+    stops being bounded); exact-decimal revenue makes the cum/total
+    comparisons bit-identical cross-engine."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "r"
+        )
+    )
+    w_cum = Window.orderBy(F.col("r").desc(), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") <= 0.8 * F.col("total"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("class"),
+        "r",
+        "total",
+    )
+    return classed.groupBy("class").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+            / F.first("total"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@query(
     "q_conversion_paths",
     """
     WITH lagged AS (
