@@ -137,6 +137,8 @@ HEADLINE = [
     "q_conversion_paths",
     "q_behavior_entropy",
     "q_abc_classification",
+    "q_geo_rollup",
+    "q_sourcing_depth",
 ]
 
 

@@ -1380,6 +1380,122 @@ def q_psi(spark, sf_dir):
 
 
 @query(
+    "q_geo_rollup",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation, """
+    + sql_exact_sum("o.o_totalprice")
+    + """ AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def q_geo_rollup(spark, sf_dir):
+    """Revenue share at two hierarchy levels — each nation's share of
+    its region and of the world — the drill-path census every
+    geo dashboard opens with. The dimension chain
+    customer→nation→region broadcasts onto ONE fact scan (three
+    broadcast hash joins, zero fact shuffles before the group-by);
+    both share windows ride the |nations|-row aggregate; exact-decimal
+    revenue so shares are bit-identical cross-engine."""
+    orders, customer, nation, region = load_tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(exact_sum("o_totalprice").alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@query(
+    "q_sourcing_depth",
+    """
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers, """
+    + sql_exact_sum("l_extendedprice * (1 - l_discount)")
+    + """ AS spend
+      FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT SUM(spend) AS total,
+             quantile_cont(CAST(n_suppliers AS DOUBLE), 0.5) AS med
+      FROM ps
+    )
+    SELECT CASE WHEN n_suppliers < t.med THEN 'below_median'
+                ELSE 'at_or_above' END AS sourcing,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(n_suppliers) AS BIGINT) AS min_suppliers,
+           ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,6))) AS DOUBLE)
+                 / ANY_VALUE(t.total), 6) AS spend_share
+    FROM ps, t GROUP BY 1
+    """,
+)
+def q_sourcing_depth(spark, sf_dir):
+    """Supply-chain concentration risk, data-relative: how much spend
+    flows through parts sourced from FEWER suppliers than the median
+    part — the 'thin-supply tail' procurement census (absolute
+    thresholds are meaningless across corpus scales; the median splits
+    any universe). One part-grain aggregate (distinct suppliers +
+    exact-decimal spend), one 2-value broadcast (total, exact median),
+    two-bucket census."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ps = lineitem.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("spend"),
+    )
+    t = ps.agg(
+        F.sum("spend").alias("total"),
+        F.expr("percentile(CAST(n_suppliers AS DOUBLE), 0.5)").alias("med"),
+    )
+    bucket = F.when(
+        F.col("n_suppliers") < F.col("med"), "below_median"
+    ).otherwise("at_or_above")
+    return (
+        ps.crossJoin(F.broadcast(t))
+        .groupBy(bucket.alias("sourcing"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.min("n_suppliers").cast("long").alias("min_suppliers"),
+            F.round(
+                F.sum(F.col("spend").cast("decimal(18,6)")).cast("double")
+                / F.first("total"),
+                6,
+            ).alias("spend_share"),
+        )
+    )
+
+
+@query(
     "q_behavior_entropy",
     """
     WITH ut AS (
