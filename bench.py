@@ -139,6 +139,15 @@ HEADLINE = [
     "q_abc_classification",
     "q_geo_rollup",
     "q_sourcing_depth",
+    # round-4 phase 5: scan-side join pruning, Pareto frontier,
+    # one-pass correlation matrix, WOE/IV encoding, co-occurrence
+    # Jaccard, and the stream-stream join census
+    "q_bloom_join",
+    "q_skyline",
+    "q_corr_matrix",
+    "q_woe_iv",
+    "q_graph_jaccard",
+    "q_stream_join",
 ]
 
 

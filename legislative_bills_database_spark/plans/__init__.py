@@ -9,3 +9,4 @@ from . import reference_queries  # noqa: F401  (registers on import)
 from . import extension_queries  # noqa: F401  (registers on import)
 from . import pipeline_queries  # noqa: F401  (registers on import)
 from . import analytics_queries  # noqa: F401  (registers on import)
+from . import advanced_queries  # noqa: F401  (registers on import)

@@ -103,6 +103,7 @@ def _run_parity_census(
     stream_builder,
     batch_builder,
     prefix: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Shared machinery for the stream==batch parity censuses.
 
@@ -159,7 +160,7 @@ def _run_parity_census(
             stream_builder(stream)
             .writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )

@@ -62,3 +62,70 @@ def correlate_streams(
         & (rt <= lt + F.expr(f"INTERVAL {within}")),
         "inner",
     )
+
+
+def join_parity_report(spark, sf_dir: str):
+    """Stream-stream self-join batch==stream census (``q_stream_join``).
+
+    Purchase events join later same-user events within 30 minutes. The
+    stream side is a genuine stream-stream join (two filtered branches
+    of one file stream, both watermarked) run append-mode over 4
+    time-ordered micro-batches — a purchase buffered in batch k's join
+    state must still match a follower arriving in batch k+1, so the
+    cross-batch state RETENTION path is what the census certifies (the
+    aggregation censuses certify state *merge*; joins certify state
+    *lookup*). Inner stream-stream joins emit on match, so with an
+    effectively-unbounded watermark the append-mode result is exactly
+    the batch join; eviction under a production watermark is pinned
+    separately in tests/test_streaming.py (correlate_streams eviction).
+    """
+    from .events import _run_parity_census
+
+    def mk(events):
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        follows = events.filter(F.col("event_type") != "purchase").select(
+            F.col("event_id").alias("f_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").alias("f_ts"),
+        )
+        return purchases, follows
+
+    def joined(purchases, follows, watermarked: bool):
+        if watermarked:
+            # effectively-unbounded watermark: state never evicted, so
+            # every cross-batch match is still findable — the census
+            # measures retention/lookup correctness, not eviction policy
+            purchases = purchases.withWatermark("p_ts", "876000 hours")
+            follows = follows.withWatermark("f_ts", "876000 hours")
+        cond = (
+            (F.col("p_user") == F.col("f_user"))
+            & (F.col("f_ts") > F.col("p_ts"))
+            & (F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 minutes"))
+        )
+        return (
+            purchases.join(follows, cond, "inner")
+            .select(
+                "p_id",
+                "f_id",
+                F.col("p_user").alias("user_id"),
+                (F.unix_micros("f_ts") - F.unix_micros("p_ts")).alias(
+                    "delta_us"
+                ),
+            )
+        )
+
+    def stream(events):
+        p, f = mk(events)
+        return joined(p, f, watermarked=True)
+
+    def batch(events):
+        p, f = mk(events)
+        return joined(p, f, watermarked=False)
+
+    return _run_parity_census(
+        spark, sf_dir, stream, batch, "q_stream_join", output_mode="append"
+    )

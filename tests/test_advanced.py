@@ -1,0 +1,181 @@
+"""Round-4 phase-5 operators: Bloom join pruning, Pareto skyline,
+neighborhood Jaccard, WOE/IV, and the stream-stream join census."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_pruned_join,
+)
+from legislative_bills_database_spark.operators.skyline import skyline
+
+from conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key passes the membership test — the guarantee the
+    pruned-join oracle hash rests on."""
+    rng = random.Random(7)
+    keys = [rng.randrange(10**12) for _ in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bits = bloom_build(df, "k", num_bits=1 << 16, k=3)
+    missed = (
+        df.filter(~bloom_might_contain(F.col("k"), bits, k=3)).count()
+    )
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """FP rate on disjoint probes stays within ~2× the analytic
+    (1 - e^{-kn/m})^k bound (n=2000, m=2^16, k=3 → ≈ 0.45%)."""
+    import math
+
+    n, m, k = 2000, 1 << 16, 3
+    inserted = spark.range(0, n).select((F.col("id") * 7 + 3).alias("k"))
+    bits = bloom_build(inserted, "k", num_bits=m, k=k)
+    probes = spark.range(10**9, 10**9 + 20000).select(F.col("id").alias("k"))
+    fp = probes.filter(bloom_might_contain(F.col("k"), bits, k=k)).count()
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 20000 <= 2 * bound + 0.002
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """Pruned join ≡ plain join, row for row (inner, with dup keys on
+    both sides so multiplicity is exercised too)."""
+    rng = random.Random(11)
+    probe = spark.createDataFrame(
+        [(rng.randrange(500), i) for i in range(4000)], "k long, pid long"
+    )
+    build = spark.createDataFrame(
+        [(rng.randrange(1500), i) for i in range(300)], "bk long, bid long"
+    )
+    got = (
+        bloom_pruned_join(probe, build, "k", "bk", num_bits=1 << 14, k=3)
+        .select("k", "pid", "bid")
+    )
+    want = (
+        probe.join(build, probe.k == build.bk).select("k", "pid", "bid")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_build(spark.range(1), "id", num_bits=1000)
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(rows):
+    out = []
+    for r in rows:
+        dominated = any(
+            q[0] <= r[0] and q[1] >= r[1] and (q[0] < r[0] or q[1] > r[1])
+            for q in rows
+        )
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Two-phase distributed skyline == quadratic dominance scan,
+    including duplicate frontier points (mutually non-dominating)."""
+    rng = random.Random(3)
+    pts = [(rng.randrange(50), rng.randrange(50)) for _ in range(400)]
+    pts += pts[:25]  # force duplicates, some on the frontier
+    df = spark.createDataFrame(pts, "lo long, hi long").repartition(8)
+    got = sorted(
+        (r.lo, r.hi) for r in skyline(df, "lo", "hi").collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_duplicate_of_dominated_point_excluded(spark):
+    """A duplicate of a DOMINATED point must not sneak in via the
+    adjacent-duplicate rule."""
+    pts = [(1, 10), (2, 5), (2, 5)]  # (2,5) dominated by (1,10), twice
+    df = spark.createDataFrame(pts, "lo long, hi long")
+    got = sorted((r.lo, r.hi) for r in skyline(df, "lo", "hi").collect())
+    assert got == [(1, 10)]
+
+
+def test_skyline_keeps_frontier_duplicates(spark):
+    pts = [(1, 10), (1, 10), (0, 3), (5, 20)]
+    df = spark.createDataFrame(pts, "lo long, hi long").repartition(4)
+    got = sorted((r.lo, r.hi) for r in skyline(df, "lo", "hi").collect())
+    assert got == [(0, 3), (1, 10), (1, 10), (5, 20)]
+
+
+# ---------------------------------------------------------------------------
+# Graph Jaccard / WOE invariants on fixture data
+# ---------------------------------------------------------------------------
+
+
+def test_graph_jaccard_bounds_and_order(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_graph_jaccard,
+    )
+
+    rows = q_graph_jaccard(spark, SF_DIR).collect()
+    assert rows, "fixture graph should produce overlapping supplier pairs"
+    for r in rows:
+        assert r.s1 < r.s2
+        assert 0 < r.jaccard <= 1
+        assert r.n_shared >= 2
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
+
+
+def test_woe_iv_identities(spark):
+    """Bin counts reconstruct the class totals; iv_term signs agree with
+    the WOE direction (same-sign product is the IV construction)."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_woe_iv,
+    )
+
+    rows = q_woe_iv(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_pos = li.filter(F.col("l_returnflag") == "R").count()
+    assert sum(r.n_pos for r in rows) == n_pos
+    assert sum(r.n_neg for r in rows) == li.count() - n_pos
+    for r in rows:
+        # (a−b)·ln(a'/b') ≥ 0 exactly when shares and smoothed shares
+        # agree in direction; smoothing can flip near-ties by at most
+        # O(0.5/total), so allow that much slack
+        assert r.iv_term >= -1e-3
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join census
+# ---------------------------------------------------------------------------
+
+
+def test_stream_join_parity(spark):
+    """Append-mode stream-stream self-join over 4 time-ordered
+    micro-batches reproduces the batch join exactly — cross-batch
+    buffered-state lookups included."""
+    from legislative_bills_database_spark.streaming.joins import (
+        join_parity_report,
+    )
+
+    row = join_parity_report(spark, SF_DIR).collect()[0]
+    assert row.equal, row
+    assert row.n_batch == row.n_stream
+    assert row.n_batch > 0, "fixture should produce purchase→follow pairs"

@@ -48,6 +48,7 @@ PYTHON_ALLOWED = {
     "q_random_projection",
     "q_projection_distortion",
     "q_bpe_encode",
+    "q_skyline",
 }
 
 
