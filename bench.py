@@ -148,6 +148,15 @@ HEADLINE = [
     "q_woe_iv",
     "q_graph_jaccard",
     "q_stream_join",
+    # round-4 phase 6: itemset mining, robust preprocessing, seasonal
+    # anomaly baselines, privacy census, attribution weighting,
+    # per-doc keyphrases
+    "q_frequent_triples",
+    "q_winsorize",
+    "q_seasonal_anomaly",
+    "q_k_anonymity",
+    "q_time_decay_attribution",
+    "q_doc_keyphrases",
 ]
 
 

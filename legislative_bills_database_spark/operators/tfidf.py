@@ -307,3 +307,153 @@ FROM scored
 ORDER BY raw_pmi DESC, w1 ASC, w2 ASC
 LIMIT {k}
 """
+
+
+def doc_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    per_doc: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``per_doc`` keyphrases per document: the document's own
+    bigrams ranked by CORPUS-level PMI (collocation strength).
+
+    The per-doc upgrade of :func:`bigram_pmi`: corpus statistics
+    (bigram counts ≥ ``min_count``, with PMI computed in the identical
+    IEEE expression order as the SQL twin) form a vocabulary-bounded
+    score table that is BROADCAST onto each document's distinct bigram
+    list; ranking is a per-doc window over at most |doc bigrams| rows.
+    The fact-side shuffle is the (doc, w1, w2) triple stream — text
+    never moves twice; ties break (pmi desc, w1, w2) so top-k is
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("l")).filter(
+        F.size("l") >= 2
+    )
+    doc_bigrams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("w1"),
+                    F.element_at("l", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2").distinct()
+
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    totals = docs.select(F.explode(toks).alias("w")).agg(
+        F.count("*").cast("double").alias("T")
+    )
+    all_bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("w1"),
+                    F.element_at("l", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    btot = all_bigrams.agg(F.count("*").cast("double").alias("B"))
+    bcnt = all_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("pair_count")
+    )
+    raw = F.log(
+        (F.col("pair_count").cast("double") / F.col("B"))
+        / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+    )
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    scored = (
+        bcnt.filter(F.col("pair_count") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", raw.alias("raw_pmi"))
+    )
+    # vocabulary-bounded score table (pairs ≥ min_count) broadcast onto
+    # the doc-bigram stream; lineage checkpointed so the census's plan
+    # holds one copy of the corpus-stats subtree, not two
+    scored = scored.localCheckpoint(eager=False)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("raw_pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    scale = float(10**round_dp)
+    return (
+        doc_bigrams.join(F.broadcast(scored), ["w1", "w2"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_doc)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "w1",
+            "w2",
+            (F.floor(F.col("raw_pmi") * scale + 0.5) / scale).alias("pmi"),
+        )
+    )
+
+
+def sql_doc_keyphrases(
+    min_count: int = 5, per_doc: int = 3, round_dp: int = 6
+) -> str:
+    """DuckDB twin of :func:`doc_keyphrases` over ``documents``."""
+    scale = float(10**round_dp)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), docbig AS (
+  -- DISTINCT in an outer scope: unnest expands rows first, dedup after
+  SELECT DISTINCT * FROM (
+    SELECT doc_id,
+           unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS w1,
+           unnest([l[i + 1] FOR i IN generate_series(1, len(l) - 1)]) AS w2
+    FROM toks WHERE len(l) >= 2
+  )
+), big AS (
+  SELECT unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS w1,
+         unnest([l[i + 1] FOR i IN generate_series(1, len(l) - 1)]) AS w2
+  FROM toks WHERE len(l) >= 2
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), ucnt AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS T FROM uni
+), btot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS B FROM big
+), bcnt AS (
+  SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY w1, w2
+), scored AS (
+  SELECT w1, w2,
+         ln((CAST(pair_count AS DOUBLE) / B)
+            / ((u1.c / T) * (u2.c / T))) AS raw_pmi
+  FROM bcnt
+  JOIN ucnt u1 ON bcnt.w1 = u1.w
+  JOIN ucnt u2 ON bcnt.w2 = u2.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE pair_count >= {min_count}
+), ranked AS (
+  SELECT d.doc_id, d.w1, d.w2, s.raw_pmi,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY s.raw_pmi DESC, d.w1 ASC, d.w2 ASC) AS rank
+  FROM docbig d JOIN scored s ON d.w1 = s.w1 AND d.w2 = s.w2
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, w1, w2,
+       floor(raw_pmi * {scale!r} + 0.5) / {scale!r} AS pmi
+FROM ranked WHERE rank <= {per_doc}
+"""

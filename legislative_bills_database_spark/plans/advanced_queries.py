@@ -13,6 +13,7 @@ single-key rankings (legiscan_main.R, CA_Legislation_Topic_Modeling.R)
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import exact_sum, sql_exact_sum
@@ -285,3 +286,342 @@ def q_stream_join(spark, sf_dir):
     from ..streaming.joins import join_parity_report
 
     return join_parity_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Phase 6: itemset mining, robust preprocessing, anomaly baselines,
+# privacy gates, and attribution weighting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_frequent_triples",
+    """
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), minsup AS (
+      SELECT CAST(CEIL(COUNT(DISTINCT oid) * 0.003) AS BIGINT) AS s
+      FROM items
+    ), l1 AS (
+      SELECT item FROM items CROSS JOIN minsup
+      GROUP BY item, minsup.s HAVING COUNT(*) >= minsup.s
+    ), freq AS (
+      SELECT i.oid, i.item FROM items i JOIN l1 ON i.item = l1.item
+    )
+    SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM freq a
+    JOIN freq b ON a.oid = b.oid AND a.item < b.item
+    JOIN freq c ON b.oid = c.oid AND b.item < c.item
+    CROSS JOIN minsup
+    GROUP BY 1, 2, 3, minsup.s
+    HAVING COUNT(*) >= minsup.s
+    """,
+)
+def q_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemset mining (apriori shape) over brand baskets: the
+    market-basket generalization of q_basket_lift's pairs. Min-support
+    is RELATIVE (0.3% of baskets, a 1-row broadcast) so selectivity is
+    scale-invariant — an absolute threshold silently degrades to
+    "every candidate is frequent" as the data grows. The L1 prune (drop
+    items below min-support BEFORE the candidate joins) is the apriori
+    monotonicity step — on a long-tailed catalog it collapses the
+    candidate space by orders of magnitude; the two self-joins then run
+    basket-key-co-partitioned on the slim (oid, item) frame (one
+    shuffle, reused by both joins), items ordered i1<i2<i3 so each
+    triple counts once."""
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    items = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    minsup = items.agg(
+        F.ceil(F.count_distinct("oid") * 0.003).cast("long").alias("s")
+    )
+    l1 = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(minsup))
+        .filter(F.col("n") >= F.col("s"))
+        .select("item")
+    )
+    # localCheckpoint: the triple self-join references freq three times —
+    # uncheckpointed, each reference replays the scan + the 1-row minsup
+    # broadcast subtree (3× the IO and 3 BNLJs; the whole-repo plan
+    # census caps BNLJ at 2 per plan — the q_sparse_cosine lesson)
+    freq = (
+        items.join(F.broadcast(l1), "item").select("oid", "item")
+    ).localCheckpoint(eager=False)
+    a, b, c = freq.alias("a"), freq.alias("b"), freq.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .join(
+            c,
+            (F.col("b.oid") == F.col("c.oid"))
+            & (F.col("b.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i1"),
+            F.col("b.item").alias("i2"),
+            F.col("c.item").alias("i3"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .join(F.broadcast(minsup))
+        .filter(F.col("support") >= F.col("s"))
+        .drop("s")
+    )
+
+
+@query(
+    "q_winsorize",
+    f"""
+    WITH bounds AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(b.lo, 4) AS p05,
+           ROUND(b.hi, 4) AS p95,
+           ROUND({sql_exact_sum("c.c_acctbal")} / COUNT(*), 4) AS mean_raw,
+           ROUND({sql_exact_sum(
+               "LEAST(GREATEST(c.c_acctbal, b.lo), b.hi)"
+           )} / COUNT(*), 4) AS mean_winsorized,
+           CAST(SUM(CASE WHEN c.c_acctbal < b.lo OR c.c_acctbal > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM customer c JOIN bounds b USING (c_mktsegment)
+    GROUP BY 1, b.lo, b.hi
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Per-segment winsorization (clip at exact [p05, p95]) — the robust
+    preprocessing step feature pipelines apply before scale-sensitive
+    models. EXACT percentiles (not the sketch — this is the
+    calibration-quality variant; q_approx_quantiles is the 100 TB
+    rollup), computed per group and broadcast back onto the rows: the
+    per-group bounds table is |segments| rows, so the join-back is a
+    broadcast, never a second full-frame window sort. Means via exact
+    decimal sums; the clip itself is two branch-free LEAST/GREATEST
+    expressions inside codegen."""
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    )
+    j = cust.join(F.broadcast(bounds), "c_mktsegment")
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    return j.groupBy("c_mktsegment", "lo", "hi").agg(
+        F.count("*").cast("long").alias("n"),
+        exact_sum("c_acctbal").alias("__sraw"),
+        exact_sum(clipped).alias("__swin"),
+        F.sum(
+            (
+                (F.col("c_acctbal") < F.col("lo"))
+                | (F.col("c_acctbal") > F.col("hi"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_clipped"),
+    ).select(
+        "c_mktsegment",
+        "n",
+        F.round("lo", 4).alias("p05"),
+        F.round("hi", 4).alias("p95"),
+        F.round(F.col("__sraw") / F.col("n"), 4).alias("mean_raw"),
+        F.round(F.col("__swin") / F.col("n"), 4).alias("mean_winsorized"),
+        "n_clipped",
+    )
+
+
+@query(
+    "q_seasonal_anomaly",
+    """
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, EXTRACT(hour FROM e.ts) AS hr,
+           ROUND((e.value - c.mu) / c.sigma, 3) AS z
+    FROM events e
+    JOIN cells c ON e.event_type = c.event_type
+                AND EXTRACT(hour FROM e.ts) = c.hr
+    WHERE c.sigma > 0 AND abs((e.value - c.mu) / c.sigma) > 2.5
+    """,
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: the baseline is the
+    (event_type × hour-of-day) cell mean/σ — a diurnal profile — so a
+    value that is normal at peak hour but aberrant at 3am flags, which
+    a global per-type z-score (q_zscore_outliers) structurally cannot
+    see. The cell table is |types|×24 rows: aggregated once,
+    BROADCAST back onto the stream — scoring is a map-only stage, no
+    second shuffle of the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_id", "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    cells = pts.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        pts.join(F.broadcast(cells), ["event_type", "hr"])
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unsafe_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                      AS DOUBLE) / SUM(grp_n), 6) AS suppression_rate
+    FROM qi
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity census over quasi-identifiers (segment × nation ×
+    $1000 balance band), k=5 — the privacy gate a training-data release
+    runs before shipping user-derived records: every row whose QI group
+    has <k members is re-identifiable and must be suppressed or
+    generalized. Two map-side-combined aggregations (rows → groups →
+    1-row census); only 5 numbers reach the driver at any scale. All
+    SUMs cast to BIGINT (the r3 HUGEINT lesson)."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").cast("long").alias("grp_n"))
+    unsafe = F.col("grp_n") < 5
+    return qi.agg(
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(unsafe.cast("int")).cast("long").alias("n_unsafe_groups"),
+        F.sum(F.when(unsafe, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("grp_n")).otherwise(0)).cast("double")
+            / F.sum("grp_n"),
+            6,
+        ).alias("suppression_rate"),
+    )
+
+
+@query(
+    "q_time_decay_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT event_id AS tid, user_id, event_type, ts AS tts FROM events
+      WHERE event_type <> 'purchase'
+    ), pairs AS (
+      SELECT p.pid, t.event_type,
+             POWER(2, -CAST(FLOOR(CAST(epoch_us(p.pts) - epoch_us(t.tts)
+                                       AS DOUBLE) / 86400000000.0)
+                            AS BIGINT)) AS w
+      FROM purchases p
+      JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), shared AS (
+      SELECT pid, event_type, w,
+             SUM(w) OVER (PARTITION BY pid) AS total_w
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(CAST(w / total_w AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS credit
+    FROM shared GROUP BY 1
+    """,
+)
+def q_time_decay_attribution(spark, sf_dir):
+    """Time-decay multi-touch attribution: each purchase distributes one
+    unit of credit over the user's preceding 7 days of touches, halving
+    per day of age — the marketing-science upgrade of q_attribution's
+    first/last heuristic. Determinism by construction: the decay weight
+    is 2^(-whole days), an EXACT power of two, so per-purchase weight
+    sums are IEEE-exact in any accumulation order and the credit shares
+    are bit-identical cross-engine; only the final per-channel sum needs
+    the decimal cast. The user-key range join is the q_asof_join
+    shape: co-partitioned on user_id, interval predicate pushed into
+    the join condition."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("tts"),
+    )
+    age_days = F.floor(
+        (F.unix_micros("pts") - F.unix_micros("tts")).cast("double")
+        / 86400000000.0
+    ).cast("long")
+    pairs = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (touches.tts < purchases.pts)
+        & (touches.tts >= purchases.pts - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "event_type", F.pow(F.lit(2.0), -age_days).alias("w"))
+    w_tot = Window.partitionBy("pid")
+    shared = pairs.withColumn("total_w", F.sum("w").over(w_tot))
+    return shared.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(
+            F.sum((F.col("w") / F.col("total_w")).cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("credit"),
+    )
+
+
+from ..operators.tfidf import doc_keyphrases, sql_doc_keyphrases  # noqa: E402
+
+
+@query("q_doc_keyphrases", sql_doc_keyphrases(min_count=5, per_doc=3))
+def q_doc_keyphrases(spark, sf_dir):
+    """Per-document keyphrase extraction: each document's top-3 bigrams
+    ranked by corpus-level PMI (operators/tfidf.doc_keyphrases) — the
+    collocation table q_bigram_pmi mines globally, applied back to the
+    documents that contain each collocation. The score table is
+    vocabulary-bounded and broadcast; the only fact-side shuffle is the
+    per-doc rank window over the (doc, w1, w2) triples."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_keyphrases(docs, min_count=5, per_doc=3)

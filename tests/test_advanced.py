@@ -179,3 +179,92 @@ def test_stream_join_parity(spark):
     assert row.equal, row
     assert row.n_batch == row.n_stream
     assert row.n_batch > 0, "fixture should produce purchase→follow pairs"
+
+
+# ---------------------------------------------------------------------------
+# Phase 6: itemsets, winsorize, k-anonymity, attribution, keyphrases
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_triples_relative_support_is_selective(spark):
+    """The relative min-support must actually prune (the absolute-3
+    threshold degenerated to 'every brand triple is frequent')."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_frequent_triples,
+    )
+
+    rows = q_frequent_triples(spark, SF_DIR).collect()
+    assert rows
+    assert len(rows) < 2300  # C(25,3) = all possible brand triples
+    for r in rows:
+        assert r.i1 < r.i2 < r.i3
+
+
+def test_winsorize_bounds_and_means(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_winsorize,
+    )
+
+    for r in q_winsorize(spark, SF_DIR).collect():
+        assert r.p05 <= r.p95
+        # clipping pulls tails inward: winsorized mean within raw bounds
+        assert r.p05 <= r.mean_winsorized <= r.p95
+        assert 0 < r.n_clipped < r.n  # 10% tails exist in every segment
+
+
+def test_k_anonymity_census_consistent(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_k_anonymity,
+    )
+
+    row = q_k_anonymity(spark, SF_DIR).collect()[0]
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    assert row.n_rows == cust.count()
+    assert 0 <= row.n_rows_at_risk <= row.n_rows
+    assert row.n_unsafe_groups <= row.n_groups
+    assert abs(row.suppression_rate - row.n_rows_at_risk / row.n_rows) < 1e-6
+
+
+def test_time_decay_credit_conserved(spark):
+    """Each purchase distributes exactly one unit of credit across its
+    touches — total credit over channels == #purchases with ≥1 touch."""
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_time_decay_attribution,
+    )
+
+    rows = q_time_decay_attribution(spark, SF_DIR).collect()
+    events = load_table(spark, SF_DIR, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    t = events.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tts")
+    )
+    attributed = (
+        p.join(
+            t,
+            (p.user_id == t.user_id)
+            & (t.tts < p.pts)
+            & (t.tts >= p.pts - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        ).count()
+    )
+    assert abs(sum(r.credit for r in rows) - attributed) < 0.01
+
+
+def test_doc_keyphrases_ranked_within_doc(spark):
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.operators.tfidf import doc_keyphrases
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = doc_keyphrases(docs, min_count=5, per_doc=3).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        pmis = [r.pmi for r in rs]
+        assert pmis == sorted(pmis, reverse=True)
