@@ -106,8 +106,9 @@ _WINDOW = [
 # proof), q_skyline (two-phase frontier vs quadratic NOT EXISTS
 # oracle), q_frequent_triples, q_doc_keyphrases, q_graph_jaccard,
 # q_winsorize, q_seasonal_anomaly, q_k_anonymity,
-# q_time_decay_attribution, q_corr_matrix, q_woe_iv, q_stream_join
-# (rows-only census); then:
+# q_time_decay_attribution, q_corr_matrix, q_woe_iv,
+# q_closeness (multi-seed BFS vs recursive-CTE oracle), q_streaks,
+# q_degree_distribution, q_stream_join (rows-only census); then:
 # oracle-checked — q_ks_test (exact distributed KS), q_gini,
 # q_sparse_cosine, q_weighted_median, q_survival, q_ab_test,
 # q_chi_square, q_psi, q_mutual_info, q_target_encode,

@@ -157,6 +157,11 @@ HEADLINE = [
     "q_k_anonymity",
     "q_time_decay_attribution",
     "q_doc_keyphrases",
+    # round-4 phase 7: one-loop multi-seed BFS closeness, gaps-and-
+    # islands streaks, degree skew census
+    "q_closeness",
+    "q_streaks",
+    "q_degree_distribution",
 ]
 
 

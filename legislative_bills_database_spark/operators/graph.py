@@ -408,3 +408,72 @@ def k_core(
         f"k_core did not reach a fixpoint in {max_iter} rounds (deep peel "
         f"chains — raise max_iter)."
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Per-seed minimum hop distances from EVERY seed simultaneously —
+    the primitive under sampled closeness centrality, blast-radius
+    panels, and landmark-distance embeddings.
+
+    Same frontier-expansion loop as :func:`bfs_hops`, but the frontier
+    is keyed (seed, node): one distributed loop computes all |seeds|
+    BFS trees at once instead of |seeds| sequential loops — per round,
+    every seed's frontier joins the same persisted co-partitioned edge
+    layout in a single job, so the loop count stays bounded by the
+    graph diameter, not diameter × seeds. The level identity
+    ``N(F_d) \\ (F_d ∪ F_{d−1}) = F_{d+1}`` holds per seed, so the
+    visited check is still two bounded frontier anti-joins on the
+    composite key. Per-round localCheckpoint + release keeps lineage
+    and executor storage O(1) in rounds.
+
+    Returns (seed, node, dist); each seed appears at dist 0.
+    """
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .persist()
+    )
+    f0 = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    levels: list[DataFrame] = [f0]
+    try:
+        prev, cur = None, f0
+        for _h in range(1, max_hops + 1):
+            nxt = (
+                cur.join(sym, cur.node == sym.src)
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(cur, ["seed", "node"], "left_anti")
+            )
+            if prev is not None:
+                nxt = nxt.join(prev, ["seed", "node"], "left_anti")
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                release_checkpoint(nxt)
+                break
+            levels.append(nxt)
+            prev, cur = cur, nxt
+        out = levels[0].select(
+            "seed", "node", F.lit(0).cast("long").alias("dist")
+        )
+        for d, frame in enumerate(levels[1:], start=1):
+            out = out.union(
+                frame.select("seed", "node", F.lit(d).cast("long").alias("dist"))
+            )
+        return out
+    finally:
+        sym.unpersist()

@@ -625,3 +625,159 @@ def q_doc_keyphrases(spark, sf_dir):
     per-doc rank window over the (doc, w1, w2) triples."""
     docs = load_table(spark, sf_dir, "documents")
     return doc_keyphrases(docs, min_count=5, per_doc=3)
+
+
+# ---------------------------------------------------------------------------
+# Phase 7: sampled closeness centrality, activity streaks, degree census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_closeness",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT concat('c', o_custkey) AS src,
+                      concat('s', l_suppkey) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), bfs AS (
+      SELECT seed, seed AS node, 0 AS dist
+      FROM (VALUES ('s1'), ('s2'), ('s3'), ('s4')) AS seeds(seed)
+      UNION
+      SELECT b.seed, s.dst, b.dist + 1
+      FROM bfs b JOIN sym s ON b.node = s.src
+      WHERE b.dist < 6
+    ), md AS (
+      SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2
+    )
+    SELECT seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS total_dist,
+           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist), 6) AS closeness
+    FROM md GROUP BY 1
+    """,
+)
+def q_closeness(spark, sf_dir):
+    """Sampled closeness centrality of four landmark suppliers over the
+    customer↔supplier purchase graph (operators/graph.multi_source_bfs):
+    closeness = (reached−1) / Σ hop-distances. All four BFS trees grow
+    in ONE frontier loop keyed (seed, node) — rounds bounded by graph
+    diameter, not diameter × seeds, the property that makes sampled
+    centrality affordable on a big graph. Second iterative operator
+    with a FULL value-hash oracle (DuckDB recursive CTE), so the hash
+    certifies the loop's per-seed visited bookkeeping, not just counts."""
+    from ..operators.graph import multi_source_bfs
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",), ("s3",), ("s4",)], "seed string")
+    dists = multi_source_bfs(edges, seeds, max_hops=6)
+    return dists.groupBy("seed").agg(
+        (F.count("*") - 1).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("total_dist"),
+        F.round(
+            (F.count("*") - 1).cast("double") / F.sum("dist"), 6
+        ).alias("closeness"),
+    )
+
+
+@query(
+    "q_streaks",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST('1970-01-01' AS DATE) AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM daily
+    ), runs AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS active_days,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY 1
+    """,
+)
+def q_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: day_number − row_number is constant
+    exactly within a consecutive run, so one user-key window + two
+    grouped counts replace any per-user iteration. All three shuffles
+    share the user_id key (AQE coalesces them onto one layout); the
+    per-user window sorts only that user's distinct days."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = daily.select(
+        "user_id",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("active_days"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "q_degree_distribution",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), degs AS (
+      SELECT 'customer' AS side, cust AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e GROUP BY 1, 2
+      UNION ALL
+      SELECT 'supplier', supp, CAST(COUNT(*) AS BIGINT) FROM e GROUP BY 1, 2
+    )
+    SELECT side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM degs GROUP BY 1, 2
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution of both sides of the bipartite purchase
+    graph — the skew census run before any graph algorithm is launched
+    (it is what justifies q_triangle_count's degree orientation and the
+    salting thresholds): distinct-edge degrees per node, then node
+    counts per degree. Two map-side-combined aggregations over the slim
+    edge list; output is |distinct degrees| rows regardless of graph
+    size."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    e = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    degs = (
+        e.groupBy(F.col("cust").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .select(F.lit("customer").alias("side"), "deg")
+        .unionByName(
+            e.groupBy(F.col("supp").alias("node"))
+            .agg(F.count("*").cast("long").alias("deg"))
+            .select(F.lit("supplier").alias("side"), "deg")
+        )
+    )
+    return degs.groupBy("side", "deg").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

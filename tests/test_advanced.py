@@ -268,3 +268,68 @@ def test_doc_keyphrases_ranked_within_doc(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         pmis = [r.pmi for r in rs]
         assert pmis == sorted(pmis, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Phase 7: multi-source BFS / streaks
+# ---------------------------------------------------------------------------
+
+
+def test_multi_source_bfs_matches_per_seed_bfs(spark):
+    """One (seed, node)-keyed loop == |seeds| independent bfs_hops runs."""
+    from legislative_bills_database_spark.operators.graph import (
+        bfs_hops,
+        multi_source_bfs,
+    )
+
+    rng = random.Random(5)
+    edges = [
+        (f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(120)
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    seed_names = ["n0", "n7", "n13"]
+    seeds = spark.createDataFrame([(s,) for s in seed_names], "seed string")
+    got = sorted(
+        (r.seed, r.node, r.dist)
+        for r in multi_source_bfs(edf, seeds, max_hops=5).collect()
+    )
+    want = []
+    for s in seed_names:
+        one = spark.createDataFrame([(s,)], "node string")
+        for r in bfs_hops(edf, one, max_hops=5).collect():
+            want.append((s, r.node, r.dist))
+    assert got == sorted(want)
+
+
+def test_streaks_crafted_runs(spark):
+    """Hand-built day runs: 3+1-day runs split by a gap, singleton user."""
+    import datetime
+
+    rows = []
+    d0 = datetime.datetime(2024, 1, 1)
+    for off in (0, 1, 2, 5):  # user 1: run of 3, gap, run of 1
+        rows.append((1, d0 + datetime.timedelta(days=off)))
+    rows.append((1, d0 + datetime.timedelta(days=1, hours=5)))  # same-day dup
+    rows.append((2, d0))  # user 2: single day
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from pyspark.sql import Window as W
+
+    daily = df.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = daily.select(
+        "user_id",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    out = {
+        r.user_id: (r.longest, r.n)
+        for r in runs.groupBy("user_id")
+        .agg(F.max("run_len").alias("longest"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == {1: (3, 2), 2: (1, 1)}
