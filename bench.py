@@ -162,6 +162,12 @@ HEADLINE = [
     "q_closeness",
     "q_streaks",
     "q_degree_distribution",
+    # round-4 phase 8: clamped-scan closed form, exact integer
+    # allocation, integer-exact CUSUM, watermark late accounting
+    "q_capped_runsum",
+    "q_allocation",
+    "q_cusum",
+    "q_stream_late",
 ]
 
 

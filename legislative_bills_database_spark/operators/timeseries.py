@@ -231,3 +231,82 @@ def ewma_last_chunked(
         F.col("n_obs").cast("long").alias("n_obs"),
         F.round(ewma, 4).alias("ewma"),
     )
+
+
+def capped_runsum_chunked(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    order_tiebreak: str = "event_id",
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """Floor-clamped running balance per key — acc ← max(acc + Δ, 0),
+    acc₀ = 0 — without materializing any per-key series.
+
+    The inventory/wallet recurrence ("stock can't go negative") is NOT a
+    plain window sum: the clamp makes each step non-linear. But the step
+    map a → max(a + s, m) is closed under composition —
+
+        (s₂,m₂) ∘ (s₁,m₁) = (s₁+s₂, max(m₁+s₂, m₂))
+
+    — so exactly like the affine EWMA maps (:func:`ewma_last_chunked`),
+    fixed-size chunks fold independently to one (s, m) transform and the
+    per-key reduction composes ~n/chunk transforms in chunk order:
+    per-key memory O(chunk + n/chunk), not O(n). Deltas are INTEGER
+    (cents), so every composition is exact 64-bit arithmetic — the
+    chunked result is bit-identical to the sequential fold in ANY
+    chunking, which the q_capped_runsum oracle (a genuinely sequential
+    DuckDB list_reduce) proves driver-visibly.
+
+    Returns (key, n_obs, final_balance); ``delta_col`` must be LONG.
+    """
+    neg_inf = -(1 << 62)
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    rows = df.select(
+        key_col,
+        F.col(delta_col).cast("long").alias("x"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).withColumn("chunk", (F.col("rn") / F.lit(chunk_size)).cast("long"))
+    chunks = rows.groupBy(key_col, "chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("x").alias("x")))
+        ).alias("seg")
+    )
+    xs = F.transform("seg", lambda s: s["x"])
+    ident = F.struct(
+        F.lit(0).cast("long").alias("s"), F.lit(neg_inf).cast("long").alias("m")
+    )
+    # element x is the transform (s=x, m=0): acc → max(acc + x, 0)
+    chunk_t = F.aggregate(
+        xs,
+        ident,
+        lambda acc, x: F.struct(
+            (acc["s"] + x).alias("s"),
+            F.greatest(acc["m"] + x, F.lit(0).cast("long")).alias("m"),
+        ),
+    )
+    summaries = chunks.select(
+        key_col,
+        "chunk",
+        F.size(xs).alias("n"),
+        chunk_t.alias("t"),
+    )
+    per_key = summaries.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("chunk", "t"))).alias("segs"),
+        F.sum("n").alias("n_obs"),
+    )
+    composed = F.aggregate(
+        F.transform("segs", lambda s: s["t"]),
+        ident,
+        lambda acc, t: F.struct(
+            (acc["s"] + t["s"]).alias("s"),
+            F.greatest(acc["m"] + t["s"], t["m"]).alias("m"),
+        ),
+    )
+    # apply the composed transform to a₀ = 0: max(0 + s, m)
+    return per_key.select(
+        key_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.greatest(composed["s"], composed["m"]).alias("final_balance"),
+    )

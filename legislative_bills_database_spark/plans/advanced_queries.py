@@ -781,3 +781,246 @@ def q_degree_distribution(spark, sf_dir):
     return degs.groupBy("side", "deg").agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 8: clamped scans, exact integer allocation, change-point detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_capped_runsum",
+    """
+    WITH d AS (
+      SELECT user_id,
+             list(CAST(ROUND(value * 100) AS BIGINT)
+                  * CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END
+                  ORDER BY ts, event_id) AS deltas
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(deltas) AS BIGINT) AS n_obs,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), deltas),
+             (a, x) -> GREATEST(a + x, CAST(0 AS BIGINT))
+           ) AS final_balance
+    FROM d
+    """,
+)
+def q_capped_runsum(spark, sf_dir):
+    """Floor-clamped running balance (inventory/wallet semantics: the
+    balance can't go negative — purchases debit, everything else
+    credits, in exact cents). NOT a window sum: the clamp is non-linear.
+    operators/timeseries.capped_runsum_chunked exploits that the step
+    map a→max(a+Δ,0) composes associatively ((s,m) transforms), so
+    fixed chunks fold independently and reduce in order —
+    O(chunk + n/chunk) per-key memory, and because deltas are integers
+    every composition is EXACT: the oracle is DuckDB's genuinely
+    sequential list_reduce, so a green hash proves chunked == one-pass
+    bit-for-bit. chunk_size=16 forces multi-chunk composition at every
+    sf."""
+    from ..operators.timeseries import capped_runsum_chunked
+
+    events = load_table(spark, sf_dir, "events")
+    deltas = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.round(F.col("value") * 100).cast("long")
+            * F.when(F.col("event_type") == "purchase", -1).otherwise(1)
+        ).alias("delta"),
+    )
+    return capped_runsum_chunked(
+        deltas, "user_id", "ts", "delta", "event_id", chunk_size=16
+    )
+
+
+@query(
+    "q_allocation",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ), tot AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total
+      FROM orders
+    ), base AS (
+      SELECT li.l_orderkey, li.l_linenumber,
+             (tot.total * li.p) // SUM(li.p) OVER w AS base_cents,
+             (tot.total * li.p) % SUM(li.p) OVER w AS rem,
+             tot.total
+      FROM li JOIN tot ON li.l_orderkey = tot.o_orderkey
+      WINDOW w AS (PARTITION BY li.l_orderkey)
+    ), ranked AS (
+      SELECT *,
+             total - SUM(base_cents) OVER (PARTITION BY l_orderkey)
+               AS shortfall,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY rem DESC, l_linenumber) AS rr
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base_cents + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+)
+def q_allocation(spark, sf_dir):
+    """Largest-remainder integer allocation: split each order's total
+    (exact cents) across its lineitems proportional to item price so the
+    parts sum EXACTLY to the whole — the financial proration every
+    billing/revenue-recognition pipeline needs (floor-and-distribute;
+    naive rounding drifts by up to n/2 cents per order). Pure integer
+    arithmetic (64-bit products, DIV/MOD), so cross-engine equality is
+    bit-exact with no rounding slop; two windows and one rank, all
+    sharing the order-key partitioning — one shuffle total."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    tot = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = li.join(tot, li.l_orderkey == tot.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "p", "total"
+    )
+    sp = F.sum("p").over(w)
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total",
+        F.expr("total * p DIV sum(p) OVER (PARTITION BY l_orderkey)").alias(
+            "base_cents"
+        ),
+        F.expr("(total * p) % sum(p) OVER (PARTITION BY l_orderkey)").alias(
+            "rem"
+        ),
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base_cents",
+        (F.col("total") - F.sum("base_cents").over(w)).alias("shortfall"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("rem").desc(), "l_linenumber"
+            )
+        )
+        .alias("rr"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+@query(
+    "q_cusum",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS k,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prefix
+      FROM events
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS t
+      FROM pts GROUP BY 1
+    ), scored AS (
+      SELECT p.event_type, tot.n, p.k,
+             abs(tot.n * p.prefix - p.k * tot.t) AS dev_scaled
+      FROM pts p JOIN tot USING (event_type)
+    )
+    SELECT event_type, n,
+           CAST(k AS BIGINT) AS cp_index,
+           ROUND(CAST(dev_scaled AS DOUBLE) / n / 100.0, 4) AS peak_dev
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY dev_scaled DESC, k) = 1
+    """,
+)
+def q_cusum(spark, sf_dir):
+    """CUSUM change-point detection per event type: the k maximizing
+    |Σ_{i≤k}(x_i − μ)| — where the cumulative deviation from the mean
+    peaks — locates the most likely level shift in the series. The
+    textbook statistic needs μ upfront; multiplying through by n turns
+    it into n·prefix_k − k·T, ALL 64-bit integer (cents), so the
+    running sum, the argmax, and the tie-break are bit-exact
+    cross-engine — no floating CUSUM drift. One ordered window per
+    type + a |types|-row broadcast of (n, T); peak_dev converts back to
+    mean-units only at the output."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.row_number().over(w).alias("k"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    tot = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    scored = pts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n",
+        "k",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("t")).alias(
+            "dev_scaled"
+        ),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("dev_scaled").desc(), "k"
+    )
+    return (
+        scored.withColumn("rr", F.row_number().over(pick))
+        .filter(F.col("rr") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("k").cast("long").alias("cp_index"),
+            F.round(
+                F.col("dev_scaled").cast("double") / F.col("n") / 100.0, 4
+            ).alias("peak_dev"),
+        )
+    )
+
+
+@query("q_stream_late")  # runs a real availableNow stream → rows-only
+def q_stream_late(spark, sf_dir):
+    """Watermark late-data accounting census — the inverse of the parity
+    censuses (which run unbounded watermarks so nothing is evicted):
+    out-of-order arrival (files partitioned by user, each spanning the
+    full time range) under a PRODUCTION 2-hour watermark, append-mode
+    tumbling counts. One row quantifies what the watermark did: tail
+    windows withheld (never finalized), common windows short-counted,
+    and exactly how many rows were dropped as late
+    (streaming/events.late_data_report). Completes the streaming
+    contract suite: merge (q_stream_parity), sessions
+    (q_stream_sessions), lookup (q_stream_join), dedup (q_stream_dedup),
+    and now eviction/late accounting — all driver-visible."""
+    from ..streaming.events import late_data_report
+
+    return late_data_report(spark, sf_dir)

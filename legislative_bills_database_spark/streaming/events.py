@@ -341,3 +341,117 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data ACCOUNTING census (``q_stream_late``).
+
+    The parity censuses run unbounded watermarks so state is never
+    evicted; this census does the opposite — a PRODUCTION 2-hour
+    watermark under out-of-order arrival — and quantifies exactly what
+    the watermark cost. Events land as 4 files partitioned by
+    user_id % 4, so every micro-batch spans the whole time range: after
+    batch 1 the watermark sits near the global max ts, making most of
+    batches 2-4 legitimately late. The tumbling-hour counts run
+    append-mode (windows emit only once finalized) and are diffed
+    against the batch twin per window:
+
+    - ``n_batch_windows`` / ``n_stream_windows``: totals per side;
+      stream < batch = tail windows withheld (never finalized before
+      availableNow terminated) — the append-mode finalization contract;
+    - ``n_common``: windows emitted by both;
+    - ``n_short_common`` / ``late_rows_lost``: common windows whose
+      stream count is lower, and by how many rows — the rows the
+      watermark DROPPED as late (state for their window already
+      finalized when they arrived).
+
+    Only the 6-number census reaches the driver.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_late_")
+    name = "q_stream_late_" + uuid.uuid4().hex[:8]
+    try:
+        json_dir = f"{tmp}/events_json"
+        events.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartition(4, F.col("user_id") % 4).write.json(json_dir)
+        landed_schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema(landed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(json_dir)
+        )
+        agg_cols = [F.window("ts", "1 hour").alias("window"), F.col("event_type")]
+        q = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(*agg_cols)
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "n"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table(name)
+        batch = (
+            spark.read.schema(landed_schema)
+            .json(json_dir)
+            .groupBy(*agg_cols)
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+        b = batch.select("ws", "event_type", F.col("n").alias("nb"))
+        s = streamed.select("ws", "event_type", F.col("n").alias("ns"))
+        joined = b.join(s, ["ws", "event_type"], "full_outer")
+        row = joined.agg(
+            F.count(F.col("nb")).alias("n_batch_windows"),
+            F.count(F.col("ns")).alias("n_stream_windows"),
+            F.count(F.when(F.col("nb").isNotNull() & F.col("ns").isNotNull(), 1))
+            .alias("n_common"),
+            F.coalesce(
+                F.sum(F.when(F.col("ns") < F.col("nb"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_short_common"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ns").isNotNull() & (F.col("ns") < F.col("nb")),
+                        F.col("nb") - F.col("ns"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("late_rows_lost"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row.n_batch_windows,
+                    row.n_stream_windows,
+                    row.n_common,
+                    row.n_short_common,
+                    row.late_rows_lost,
+                    bool(row.n_stream_windows < row.n_batch_windows),
+                )
+            ],
+            "n_batch_windows long, n_stream_windows long, n_common long,"
+            " n_short_common long, late_rows_lost long, withheld_tail boolean",
+        )
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -333,3 +333,114 @@ def test_streaks_crafted_runs(spark):
         .collect()
     }
     assert out == {1: (3, 2), 2: (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Phase 8: clamped scans, allocation, CUSUM, late-data census
+# ---------------------------------------------------------------------------
+
+
+def test_capped_runsum_matches_sequential_sim(spark):
+    """Chunked (s,m)-transform composition == per-key sequential clamp
+    fold, exercising multi-chunk composition and negative runs."""
+    from legislative_bills_database_spark.operators.timeseries import (
+        capped_runsum_chunked,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for uid in range(6):
+        for i in range(rng.randrange(30, 70)):
+            rows.append((uid, i, rng.randrange(-50, 40)))
+    df = spark.createDataFrame(rows, "user_id long, ts long, delta long")
+    got = {
+        r.user_id: (r.n_obs, r.final_balance)
+        for r in capped_runsum_chunked(
+            df, "user_id", "ts", "delta", "ts", chunk_size=7
+        ).collect()
+    }
+    want = {}
+    by_uid = {}
+    for uid, ts, d in rows:
+        by_uid.setdefault(uid, []).append((ts, d))
+    for uid, seq in by_uid.items():
+        acc = 0
+        for _, d in sorted(seq):
+            acc = max(acc + d, 0)
+        want[uid] = (len(seq), acc)
+    assert got == want
+
+
+def test_allocation_sums_exactly_to_totals(spark):
+    """Largest-remainder allocation: per-order cent sums reconstruct the
+    order totals exactly (the property naive rounding violates)."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_allocation,
+    )
+
+    alloc = q_allocation(spark, SF_DIR)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("s")
+    )
+    tot = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    bad = per_order.join(tot, "l_orderkey").filter(
+        F.col("s") != F.col("total")
+    )
+    assert bad.count() == 0
+    assert alloc.filter(F.col("alloc_cents") < 0).count() == 0
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """A series with a real mid-stream level shift gets its change point
+    located at (or adjacent to) the shift."""
+    from pyspark.sql import Window as W
+
+    import datetime
+
+    rows = []
+    d0 = datetime.datetime(2024, 3, 1)
+    for i in range(200):
+        level = 10.0 if i < 120 else 60.0
+        rows.append((i, d0 + datetime.timedelta(minutes=i), "a", level))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = df.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.row_number().over(w).alias("k"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("prefix"),
+    )
+    tot = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("t")
+    )
+    scored = pts.join(tot, "event_type").select(
+        "k",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("t")).alias(
+            "dev"
+        ),
+    )
+    top = scored.orderBy(F.col("dev").desc(), "k").first()
+    assert abs(top.k - 120) <= 1
+
+
+def test_stream_late_census_accounts_for_drops(spark):
+    """Out-of-order arrival under a production watermark: the census
+    must show withheld tail windows and a nonzero late-drop count, and
+    the books must balance (stream ≤ batch everywhere)."""
+    from legislative_bills_database_spark.streaming.events import (
+        late_data_report,
+    )
+
+    row = late_data_report(spark, SF_DIR).collect()[0]
+    assert row.withheld_tail
+    assert row.n_stream_windows == row.n_common  # stream ⊆ batch windows
+    assert row.n_stream_windows < row.n_batch_windows
+    assert row.late_rows_lost >= row.n_short_common > 0
