@@ -168,6 +168,11 @@ HEADLINE = [
     "q_allocation",
     "q_cusum",
     "q_stream_late",
+    # round-4 phase 9: LM quality filter, item-CF recommender,
+    # rolling co-movement
+    "q_lm_perplexity",
+    "q_item_cf_recs",
+    "q_rolling_corr",
 ]
 
 

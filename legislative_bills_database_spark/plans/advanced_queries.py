@@ -1024,3 +1024,263 @@ def q_stream_late(spark, sf_dir):
     from ..streaming.events import late_data_report
 
     return late_data_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Phase 9: bigram LM scoring, item-CF recommendations, rolling correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), docbig AS (
+      SELECT doc_id,
+             unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS w1,
+             unnest([l[i + 1] FOR i IN generate_series(1, len(l) - 1)]) AS w2
+      FROM toks WHERE len(l) >= 2
+    ), ucnt AS (
+      SELECT w1 AS w, CAST(COUNT(*) AS DOUBLE) AS c FROM docbig GROUP BY 1
+    ), vsize AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM docbig
+    ), bcnt AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb
+      FROM docbig GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(ln((b.cb + 0.5) / (u.c + 0.5 * vs.v))
+                  AS DECIMAL(18,6)) AS lp
+      FROM docbig d
+      JOIN bcnt b ON d.w1 = b.w1 AND d.w2 = b.w2
+      JOIN ucnt u ON d.w1 = u.w
+      CROSS JOIN vsize vs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(EXP(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS ppl
+    FROM scored GROUP BY 1
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document — the CCNet-style language-model
+    quality filter: a +0.5-smoothed bigram model is fit on the corpus
+    itself and every document is scored by exp(−mean log P(w₂|w₁)).
+    High perplexity = the document's word transitions are unlike the
+    corpus = boilerplate/garble candidate. The conditional-probability
+    upgrade of q_unigram_score. Count tables are slim triples
+    co-partitioned on w1 (never the text); V is a 1-row broadcast;
+    per-doc log-prob sums go through DECIMAL so accumulation order
+    can't smear the hash; EXP applied once at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
+    docbig = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("w1"),
+                    F.element_at("l", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    ucnt = docbig.groupBy(F.col("w1").alias("w")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    vsize = docbig.agg(
+        F.count_distinct("w2").cast("double").alias("v")
+    )
+    bcnt = docbig.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("cb")
+    )
+    lp = F.log(
+        (F.col("cb") + 0.5) / (F.col("c") + 0.5 * F.col("v"))
+    ).cast("decimal(18,6)")
+    scored = (
+        docbig.join(bcnt, ["w1", "w2"])
+        .join(F.broadcast(ucnt), docbig.w1 == ucnt.w)
+        .join(F.broadcast(vsize))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.exp(-(F.sum("lp").cast("double")) / F.count("*")), 4
+        ).alias("ppl"),
+    )
+
+
+@query(
+    "q_item_cf_recs",
+    """
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM cs GROUP BY 1
+    ), inter AS (
+      SELECT a.supp AS s1, b.supp AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ), simtop AS (
+      SELECT i.s1, i.s2,
+             ROUND(CAST(i.n_shared AS DOUBLE)
+                   / (d1.d + d2.d - i.n_shared), 6) AS sim
+      FROM inter i
+      JOIN deg d1 ON i.s1 = d1.supp
+      JOIN deg d2 ON i.s2 = d2.supp
+      WHERE i.n_shared >= 2
+      ORDER BY sim DESC, i.s1, i.s2
+      LIMIT 100
+    ), sym AS (
+      SELECT s1 AS a, s2 AS b, sim FROM simtop
+      UNION ALL
+      SELECT s2, s1, sim FROM simtop
+    ), cand AS (
+      SELECT cs.cust, sym.b AS rec,
+             CAST(SUM(CAST(sym.sim AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM cs JOIN sym ON cs.supp = sym.a
+      GROUP BY 1, 2
+    ), novel AS (
+      SELECT c.cust, c.rec, ROUND(c.score, 6) AS score, c.n_paths
+      FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cs WHERE cs.cust = c.cust AND cs.supp = c.rec)
+    )
+    SELECT cust, rec, score, n_paths FROM novel
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY cust ORDER BY score DESC, rec) <= 3
+    """,
+)
+def q_item_cf_recs(spark, sf_dir):
+    """Item-based collaborative filtering: recommend up to 3 NEW
+    suppliers per customer by summing the Jaccard similarity of their
+    current suppliers' top-100 most-similar pairs (q_graph_jaccard's
+    table) — the classic 'customers like you also buy from' engine.
+    The similarity table is k-bounded (top-100) and BROADCAST, so the
+    candidate generation is one map-side join over the slim edge list
+    regardless of graph size; the anti-join removes already-used
+    suppliers; decimal-summed scores keep the ranking deterministic."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
+    a, b = cs.alias("a"), cs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
+    simtop = (
+        inter.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "s1", "s2")
+        .limit(100)
+    )
+    sym = simtop.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b"), "sim"
+    ).unionAll(
+        simtop.select(F.col("s2").alias("a"), F.col("s1").alias("b"), "sim")
+    )
+    cand = (
+        cs.join(F.broadcast(sym), cs.supp == F.col("a"))
+        .groupBy("cust", F.col("b").alias("rec"))
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count("*").cast("long").alias("n_paths"),
+        )
+    )
+    novel = cand.join(
+        cs.select("cust", F.col("supp").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    pick = Window.partitionBy("cust").orderBy(F.col("score").desc(), "rec")
+    return (
+        novel.select("cust", "rec", F.round("score", 6).alias("score"), "n_paths")
+        .withColumn("rr", F.row_number().over(pick))
+        .filter(F.col("rr") <= 3)
+        .drop("rr")
+    )
+
+
+@query(
+    "q_rolling_corr",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                  AS DOUBLE) AS buy_v,
+             CAST(SUM(CASE WHEN event_type <> 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                  AS DOUBLE) AS other_v
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           ROUND(corr(buy_v, other_v) OVER (
+             ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+           ), 4) AS r24
+    FROM hourly
+    """,
+)
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 24-hour correlation between purchase value and
+    non-purchase activity — the co-movement monitor behind 'did the
+    relationship between engagement and spend break this morning'
+    alerts. The window correlation rides the ALREADY-AGGREGATED hourly
+    frame (|hours| rows, decimal-exact cell sums), so the ordered
+    window is tiny regardless of event volume; at true scale the hourly
+    rollup is the only fact-table pass. The single-series global window
+    is acceptable exactly because its input is pre-aggregated —
+    documented deliberately (same posture as q_gini's global rank)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("buy_v"),
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("other_v"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.corr("buy_v", "other_v").over(w), 4).alias("r24"),
+    )

