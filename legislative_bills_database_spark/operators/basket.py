@@ -87,3 +87,75 @@ def sql_basket_lift(
     JOIN ic ib ON p.item_b = ib.i, nb
     WHERE n_ab >= {min_support}
     """
+
+
+def cooccurrence_pairs(
+    edges: DataFrame, key_col: str, item_col: str
+) -> DataFrame:
+    """Ordered item co-occurrence counts (i1 < i2) per shared key.
+
+    Physical form: key-equality SELF-JOIN of the slim (key, item) edge
+    list with an i1 < i2 predicate, then a counted groupBy. The pair
+    rows the join emits are partial-aggregated MAP-SIDE before the only
+    pair exchange, so the shuffle carries |distinct pairs| counts, not
+    the quadratic-in-degree raw pairs — the join's sort-merge pair
+    generation lives fully inside codegen.
+
+    Measured negative result (sf0.1, 587k edges, avg degree 39): the
+    "zero-join" alternative — collect_set per key + nested higher-order
+    transform() generating ordered pairs in-row + explode — ran 10.9 s
+    vs 3.9 s for this join form. Generate + per-element struct
+    construction through the non-codegen higher-order-function path
+    costs far more than the SMJ pair merge; map-side combine equalizes
+    the shuffle either way, so the join wins. (Same conclusion as the
+    MinHash explode+groupBy-vs-transform measurement in dedup.py.)
+
+    Skew note: a hot key with degree d still yields d²/2 in-task pair
+    rows under either form; cap hot keys upstream (sample their
+    incident edges) exactly as hot shingles are capped in the MinHash
+    band join.
+
+    Returns (i1, i2, n_shared).
+    """
+    e = edges.select(F.col(key_col).alias("k"), F.col(item_col).alias("i"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i1"), F.col("b.i").alias("i2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def cooccurrence_triples(
+    edges: DataFrame, key_col: str, item_col: str
+) -> DataFrame:
+    """Ordered item triple counts (i1 < i2 < i3) per shared key — the
+    3-itemset analog of :func:`cooccurrence_pairs`, same physical
+    reasoning (two key-co-partitioned self-joins, one shared key
+    shuffle, map-side-combined support counts; the in-row
+    higher-order-function variant measured no faster even at avg
+    basket degree 3.8).
+
+    Returns (i1, i2, i3, support).
+    """
+    e = edges.select(F.col(key_col).alias("k"), F.col(item_col).alias("i"))
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .join(
+            c,
+            (F.col("b.k") == F.col("c.k")) & (F.col("b.i") < F.col("c.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("i1"),
+            F.col("b.i").alias("i2"),
+            F.col("c.i").alias("i3"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+    )

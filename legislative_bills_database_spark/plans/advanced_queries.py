@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import exact_sum, sql_exact_sum
 from ..io import load_table, load_tables
+from ..operators.basket import cooccurrence_pairs, cooccurrence_triples
 from .registry import query
 
 
@@ -36,7 +37,7 @@ from .registry import query
 )
 def q_bloom_join(spark, sf_dir):
     """Bloom-pruned fact-dim join (operators/bloom.py): the build side
-    (parts with p_size ≥ 48, ~6% of the dim) folds into a 2^20-bit
+    (parts with p_size ≥ 48, ~6% of the dim) folds into a right-sized
     bitset via distributed bit_or aggregation; the bitset rides the plan
     as an array<long> literal and drops non-matching lineitem rows AT
     THE SCAN, inside whole-stage codegen, before any exchange. False
@@ -49,8 +50,13 @@ def q_bloom_join(spark, sf_dir):
 
     part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
     dim = part.filter(F.col("p_size") >= 48).select("p_partkey", "p_brand")
+    # m = 2^14 bits ≈ 14×n at the bench dim slice (fp < 1%). Size m to
+    # ~16n, not "as big as possible": the bitset is a PLAN LITERAL, and
+    # an oversized array literal (2^20 bits = 16k longs) measurably
+    # poisons codegen/plan handling — 9.2s → sub-second at sf0.1 for
+    # identical output
     joined = bloom_pruned_join(
-        lineitem, dim, "l_partkey", "p_partkey", num_bits=1 << 20, k=3
+        lineitem, dim, "l_partkey", "p_partkey", num_bits=1 << 14, k=3
     )
     return joined.groupBy("p_brand").agg(
         F.count("*").cast("long").alias("n_items"),
@@ -239,17 +245,15 @@ def q_graph_jaccard(spark, sf_dir):
         .distinct()
     )
     deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    a, b = cs.alias("a"), cs.alias("b")
+    # operators/basket.cooccurrence_pairs: key-co-partitioned self-join
+    # whose pair output partial-aggregates map-side before the pair
+    # exchange (the "zero-join" higher-order-function variant measured
+    # 2.7x slower — negative result documented at the operator)
     inter = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.supp") < F.col("b.supp")),
+        cooccurrence_pairs(cs, "cust", "supp")
+        .select(
+            F.col("i1").alias("s1"), F.col("i2").alias("s2"), "n_shared"
         )
-        .groupBy(
-            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
-        )
-        .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
     d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
@@ -332,11 +336,14 @@ def q_frequent_triples(spark, sf_dir):
     shuffle, reused by both joins), items ordered i1<i2<i3 so each
     triple counts once."""
     part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    # checkpoint: minsup, l1, and freq each reference items — without it
+    # the lineitem⋈part distinct re-executes three times (measured: most
+    # of an 8 s wall at sf0.1 was this replay, not the triple joins)
     items = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
-    )
+    ).localCheckpoint(eager=False)
     minsup = items.agg(
         F.ceil(F.count_distinct("oid") * 0.003).cast("long").alias("s")
     )
@@ -347,31 +354,14 @@ def q_frequent_triples(spark, sf_dir):
         .filter(F.col("n") >= F.col("s"))
         .select("item")
     )
-    # localCheckpoint: the triple self-join references freq three times —
-    # uncheckpointed, each reference replays the scan + the 1-row minsup
-    # broadcast subtree (3× the IO and 3 BNLJs; the whole-repo plan
-    # census caps BNLJ at 2 per plan — the q_sparse_cosine lesson)
+    # localCheckpoint truncates the 1-row minsup broadcast out of freq's
+    # lineage (BNLJ budget; the triple self-join references freq three
+    # times and would replay it otherwise)
     freq = (
         items.join(F.broadcast(l1), "item").select("oid", "item")
     ).localCheckpoint(eager=False)
-    a, b, c = freq.alias("a"), freq.alias("b"), freq.alias("c")
     return (
-        a.join(
-            b,
-            (F.col("a.oid") == F.col("b.oid"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .join(
-            c,
-            (F.col("b.oid") == F.col("c.oid"))
-            & (F.col("b.item") < F.col("c.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("i1"),
-            F.col("b.item").alias("i2"),
-            F.col("c.item").alias("i3"),
-        )
-        .agg(F.count("*").cast("long").alias("support"))
+        cooccurrence_triples(freq, "oid", "item")
         .join(F.broadcast(minsup))
         .filter(F.col("support") >= F.col("s"))
         .drop("s")
@@ -1173,15 +1163,11 @@ def q_item_cf_recs(spark, sf_dir):
         .distinct()
     ).localCheckpoint(eager=False)
     deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    a, b = cs.alias("a"), cs.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.supp") < F.col("b.supp")),
+        cooccurrence_pairs(cs, "cust", "supp")
+        .select(
+            F.col("i1").alias("s1"), F.col("i2").alias("s2"), "n_shared"
         )
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
-        .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
     d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))

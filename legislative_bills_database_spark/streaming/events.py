@@ -104,6 +104,7 @@ def _run_parity_census(
     batch_builder,
     prefix: str,
     output_mode: str = "complete",
+    row_filter=None,
 ) -> DataFrame:
     """Shared machinery for the stream==batch parity censuses.
 
@@ -137,9 +138,14 @@ def _run_parity_census(
         # every batch after the first almost entirely watermark-late:
         # batch 1 contains the global max ts, the watermark jumps to
         # max−2h, and the stateful operators legitimately DROP the rest.
-        events.select(
+        landed = events.select(
             "event_id", "ts", "user_id", "event_type", "value"
-        ).repartitionByRange(4, "ts").write.json(json_dir)
+        )
+        if row_filter is not None:
+            # slice BEFORE landing (not in the builders): both sides read
+            # the same smaller files, so every JSON pass shrinks too
+            landed = landed.filter(row_filter)
+        landed.repartitionByRange(4, "ts").write.json(json_dir)
         landed_schema = (
             "event_id long, ts timestamp, user_id long,"
             " event_type string, value double"
@@ -156,15 +162,26 @@ def _run_parity_census(
             .load(json_dir)
         )
         landed_batch = spark.read.schema(landed_schema).json(json_dir)
-        q = (
-            stream_builder(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        # run the stream at 8 shuffle partitions: stateful micro-batches
+        # pay per-partition state-store snapshot/commit overhead EVERY
+        # trigger (measured 4.5-8.7 s/batch at 32 partitions for 25k-row
+        # batches — state machinery, not data). The census volume needs
+        # few state partitions; a production deployment sizes this to
+        # state volume, not to the session's batch shuffle width.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_builder(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         streamed = spark.table(name)
         # batch twin reads the SAME landed JSON (not the parquet source):
         # Spark's JSON timestamp format is millisecond-precision, so a
@@ -392,20 +409,27 @@ def late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(json_dir)
         )
         agg_cols = [F.window("ts", "1 hour").alias("window"), F.col("event_type")]
-        q = (
-            stream.withWatermark("ts", "2 hours")
-            .groupBy(*agg_cols)
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.col("window.start").alias("ws"), "event_type", "n"
+        # 8 shuffle partitions for the stateful run — same state-store
+        # overhead reasoning as _run_parity_census
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.withWatermark("ts", "2 hours")
+                .groupBy(*agg_cols)
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.col("window.start").alias("ws"), "event_type", "n"
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         streamed = spark.table(name)
         batch = (
             spark.read.schema(landed_schema)

@@ -126,6 +126,17 @@ def join_parity_report(spark, sf_dir: str):
         p, f = mk(events)
         return joined(p, f, watermarked=False)
 
+    # deterministic 25% user slice, applied at LANDING so both sides read
+    # the same smaller files: stream-stream join state buffers raw rows on
+    # both sides (far heavier than aggregation state), and the census
+    # certifies cross-batch state RETENTION, not throughput — the
+    # full-volume run burned 45 s at sf0.1 for the same 1-row verdict
     return _run_parity_census(
-        spark, sf_dir, stream, batch, "q_stream_join", output_mode="append"
+        spark,
+        sf_dir,
+        stream,
+        batch,
+        "q_stream_join",
+        output_mode="append",
+        row_filter=F.col("user_id") % 4 == 0,
     )
