@@ -239,11 +239,13 @@ def q_graph_jaccard(spark, sf_dir):
     fan-in here is naturally bounded (≤ |suppliers|), documented rather
     than capped."""
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    # checkpoint: deg + both self-join sides reference cs — uncheckpointed
+    # the orders-lineitem join and distinct execute three times
     cs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-    )
+    ).localCheckpoint(eager=False)
     deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
     # operators/basket.cooccurrence_pairs: key-co-partitioned self-join
     # whose pair output partial-aggregates map-side before the pair
