@@ -231,3 +231,99 @@ def test_max_concurrency_matches_python_sweep(spark, iv):
             best, best_ts = cur, ts
     assert got.peak_concurrency == best
     assert got.peak_start == best_ts
+
+
+@given(
+    deltas=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 10**6),      # ts
+            st.integers(-500, 400),     # delta (negative-heavy runs too)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    chunk=st.sampled_from([1, 3, 16]),
+)
+@settings(**SETTINGS)
+def test_capped_runsum_chunked_equals_sequential(spark, deltas, chunk):
+    """Any chunking of the (s,m) transform composition reproduces the
+    sequential clamp fold exactly (integer arithmetic — no tolerance)."""
+    from legislative_bills_database_spark.operators.timeseries import (
+        capped_runsum_chunked,
+    )
+
+    # unique (user, ts) so ordering is total and the python sim agrees
+    seen = set()
+    rows = []
+    for u, ts, d in deltas:
+        if (u, ts) in seen:
+            continue
+        seen.add((u, ts))
+        rows.append((u, ts, d))
+    df = spark.createDataFrame(rows, "user_id long, ts long, delta long")
+    got = {
+        r.user_id: r.final_balance
+        for r in capped_runsum_chunked(
+            df, "user_id", "ts", "delta", "ts", chunk_size=chunk
+        ).collect()
+    }
+    want = {}
+    for u, ts, d in sorted(rows, key=lambda r: (r[0], r[1])):
+        want[u] = max(want.get(u, 0) + d, 0)
+    assert got == want
+
+
+@given(
+    items=st.lists(st.integers(1, 10**7), min_size=1, max_size=12),
+    total=st.integers(0, 10**9),
+)
+@settings(**SETTINGS)
+def test_largest_remainder_allocation_properties(spark, items, total):
+    """Allocation sums exactly to the total; every part is within 1 cent
+    of its unrounded proportional share (the largest-remainder
+    guarantee)."""
+    rows = [(1, i + 1, p) for i, p in enumerate(items)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_linenumber long, p long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.lit(total).alias("total"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        "total",
+        F.expr("total * p DIV sum(p) OVER (PARTITION BY l_orderkey)").alias(
+            "base_cents"
+        ),
+        F.expr("(total * p) % sum(p) OVER (PARTITION BY l_orderkey)").alias(
+            "rem"
+        ),
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        "base_cents",
+        (F.col("total") - F.sum("base_cents").over(w)).alias("shortfall"),
+        F.row_number()
+        .over(W.partitionBy("l_orderkey").orderBy(F.col("rem").desc(), "l_linenumber"))
+        .alias("rr"),
+    )
+    out = ranked.select(
+        "p",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("alloc"),
+    ).collect()
+    sp = sum(items)
+    assert sum(r.alloc for r in out) == total
+    for r in out:
+        exact = total * r.p / sp
+        assert exact - 1 < r.alloc < exact + 1
