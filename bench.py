@@ -173,6 +173,11 @@ HEADLINE = [
     "q_lm_perplexity",
     "q_item_cf_recs",
     "q_rolling_corr",
+    # round-4 phase 10: quarantine side-output, backfill gap audit,
+    # engine-portable hash bootstrap
+    "q_quarantine",
+    "q_partition_gaps",
+    "q_bootstrap_ci",
 ]
 
 

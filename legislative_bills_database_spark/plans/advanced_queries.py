@@ -1272,3 +1272,249 @@ def q_rolling_corr(spark, sf_dir):
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.round(F.corr("buy_v", "other_v").over(w), 4).alias("r24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 10: quarantine side-output, partition-gap audit, hash bootstrap
+# ---------------------------------------------------------------------------
+
+from ..functions import text as T  # noqa: E402
+
+
+@query(
+    "q_quarantine",
+    f"""
+    WITH rep AS (
+      SELECT doc_id, floor(CAST(max(n) AS DOUBLE) / sum(n) * 10000.0 + 0.5)
+               / 10000.0 AS top_frac
+      FROM (
+        SELECT doc_id, gram, count(*) AS n
+        FROM (
+          SELECT doc_id,
+                 unnest({{ngrams}}) AS gram
+          FROM documents
+        ) GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    ), reasons AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE
+               WHEN len(string_split(d.text, ' ')) < 20 THEN 'too_short'
+               WHEN {{quality}} < 0.5 THEN 'low_quality'
+               WHEN r.top_frac > 0.06 THEN 'repetitive'
+               WHEN {{langid}} = 'und' THEN 'lang_unknown'
+               ELSE 'kept'
+             END AS reason
+      FROM documents d JOIN rep r USING (doc_id)
+    )
+    SELECT reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_chars
+    FROM reasons GROUP BY 1
+    """.format(
+        ngrams=T.sql_ngrams_all("string_split(text, ' ')", 2),
+        quality=T.sql_quality_score("d.text"),
+        langid=T.sql_lang_id("string_split(lower(d.text), ' ')"),
+    ),
+)
+def q_quarantine(spark, sf_dir):
+    """Quarantine census — the OTHER half of q_corpus_filter_pipeline:
+    production cleaning pipelines never silently drop, they side-output
+    every rejected document with its FIRST-failing gate (fixed priority:
+    too_short → low_quality → repetitive → lang_unknown) so operators
+    can see what each gate costs and regressions in one gate don't hide
+    behind another. Identical single-pass physical shape (scalar gates
+    in the scan stage, one repetition join-back); the multiplexed
+    reason CASE replaces the filter, so kept + 4 reject classes come
+    out of ONE pass, not five."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(T.ngrams_all(T.tokens(F.col("text")), 2)).alias("gram"),
+    )
+    rep = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(F.max("n").cast("double") / F.sum("n") * 10000.0 + 0.5)
+                / 10000.0
+            ).alias("top_frac")
+        )
+    )
+    tok = T.tokens(F.col("text"))
+    reason = (
+        F.when(F.size(tok) < 20, "too_short")
+        .when(T.quality_score(F.col("text")) < 0.5, "low_quality")
+        .when(F.col("top_frac") > 0.06, "repetitive")
+        .when(
+            T.lang_id(T.tokens(F.lower(F.col("text")))) == "und",
+            "lang_unknown",
+        )
+        .otherwise("kept")
+    )
+    return (
+        docs.join(rep, "doc_id")
+        .select(reason.alias("reason"), "n_chars")
+        .groupBy("reason")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_partition_gaps",
+    """
+    WITH feed AS (
+      SELECT date_trunc('hour', ts) AS h FROM events
+      WHERE user_id = (SELECT MIN(user_id) FROM events)
+    ), hourly AS (
+      SELECT DISTINCT h FROM feed
+    ), span AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+    ), cal AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ), missing AS (
+      SELECT c.h FROM cal c
+      WHERE NOT EXISTS (SELECT 1 FROM hourly x WHERE x.h = c.h)
+    ), runs AS (
+      SELECT h,
+             CAST(epoch(h) AS BIGINT) // 3600
+               - ROW_NUMBER() OVER (ORDER BY h) AS island
+      FROM missing
+    )
+    SELECT strftime(MIN(h), '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(MAX(h), '%Y-%m-%d %H:%M:%S') AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM runs GROUP BY island
+    """,
+)
+def q_partition_gaps(spark, sf_dir):
+    """Ingest-completeness audit: which HOURLY partitions are missing
+    from a feed, reported as contiguous gap ranges — the first thing a
+    backfill planner asks of a time-partitioned 100 TB table. Audited
+    feed = the lowest-id user's event stream (events-per-user is
+    scale-invariant in the fixtures, so gaps exist at EVERY sf; a
+    whole-table audit is vacuously complete). The expected calendar is
+    generated from the observed span executor-side (sequence + explode
+    — no driver loop); missing hours fall out of an anti-join;
+    consecutive missing hours collapse to ranges via the q_streaks
+    gaps-and-islands rewrite. Every frame after the feed filter is
+    |hours|-sized, so the global window is bounded by wall-clock span,
+    not data volume."""
+    events = load_table(spark, sf_dir, "events")
+    minu = events.agg(F.min("user_id").alias("mu"))
+    feed = events.join(
+        F.broadcast(minu), events.user_id == F.col("mu")
+    ).select(F.date_trunc("hour", "ts").alias("h"))
+    hourly = feed.distinct()
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = span.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    missing = cal.join(hourly, "h", "left_anti")
+    w = Window.orderBy("h")
+    runs = missing.select(
+        "h",
+        (
+            (F.unix_seconds("h") / 3600).cast("long")
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    return (
+        runs.groupBy("island")
+        .agg(
+            F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+            F.date_format(F.max("h"), "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+        .drop("island")
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    """
+    WITH x AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rid,
+             CAST(l_quantity AS DECIMAL(18,6)) AS v
+      FROM lineitem
+    ), reps AS (
+      SELECT b.b,
+             CAST(SUM(x.v * w.w) AS DOUBLE) / SUM(w.w) AS mean_b
+      FROM x
+      CROSS JOIN (SELECT unnest(generate_series(1, 50)) AS b) b
+      CROSS JOIN LATERAL (
+        SELECT CAST(substring(md5(CONCAT(CAST(x.rid AS VARCHAR), ':',
+                                         CAST(b.b AS VARCHAR))), 1, 2)
+                    AS VARCHAR) AS h
+      ) hh
+      CROSS JOIN LATERAL (
+        SELECT CASE
+          WHEN hh.h BETWEEN '00' AND '5d' THEN 1
+          WHEN hh.h BETWEEN '5e' AND '8c' THEN 2
+          WHEN hh.h BETWEEN '8d' AND 'a2' THEN 3
+          ELSE 0 END AS w
+      ) w
+      WHERE w.w > 0
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+           ROUND(AVG(mean_b), 4) AS boot_mean,
+           ROUND(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+    FROM reps
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic hash-bootstrap 95% CI for mean(l_quantity): 50
+    resamples where each row's multiplicity in replicate b is a
+    Poisson(1)-approximating step function of md5(row_id:b) —
+    ENGINE-PORTABLE randomness (the DSIR md5 precedent; xxhash64 does
+    not exist in DuckDB), so Spark and the oracle draw the IDENTICAL
+    resamples and the CI hash-matches. Physical shape: one 50×
+    executor-side explode (no data movement — the fan-out happens in
+    the scan stage), decimal-exact weighted sums, one |reps|-row
+    aggregate. P(w≥1)≈0.632 split 0.37/0.18/0.08 over w∈{1,2,3}
+    approximates multinomial resampling without RNG state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("v"),
+    )
+    reps = x.select(
+        "rid",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(50))).alias("b"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("rid").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+        1,
+        2,
+    )
+    w = (
+        F.when((h >= "00") & (h <= "5d"), 1)
+        .when((h >= "5e") & (h <= "8c"), 2)
+        .when((h >= "8d") & (h <= "a2"), 3)
+        .otherwise(0)
+    )
+    weighted = reps.select("b", "v", w.alias("w")).filter(F.col("w") > 0)
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("v") * F.col("w")).cast("double") / F.sum("w")
+        ).alias("mean_b")
+    )
+    return means.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.round(F.avg("mean_b"), 4).alias("boot_mean"),
+        F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 4).alias("ci_hi"),
+    )

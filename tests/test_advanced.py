@@ -497,3 +497,66 @@ def test_item_cf_recs_are_novel_and_ranked(spark):
     for scores in by_cust.values():
         assert len(scores) <= 3
         assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Phase 10: quarantine / partition gaps / bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_partitions_the_corpus(spark):
+    """Reason classes partition the corpus exactly; kept count matches
+    the keep-side pipeline."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_quarantine,
+    )
+    from legislative_bills_database_spark.plans.extension_queries import (
+        q_corpus_filter_pipeline,
+    )
+
+    rows = {r.reason: r.n_docs for r in q_quarantine(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(rows.values()) == docs.count()
+    assert rows.get("kept", 0) == q_corpus_filter_pipeline(spark, SF_DIR).count()
+
+
+def test_partition_gaps_ranges_are_disjoint_and_real(spark):
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_partition_gaps,
+    )
+
+    gaps = sorted(
+        (r.gap_start, r.gap_end, r.n_hours)
+        for r in q_partition_gaps(spark, SF_DIR).collect()
+    )
+    assert gaps, "the single-feed hourly audit must find gaps"
+    events = load_table(spark, SF_DIR, "events")
+    minu = events.agg(F.min("user_id")).collect()[0][0]
+    present = {
+        r.h
+        for r in events.filter(F.col("user_id") == minu)
+        .select(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"))
+        .distinct()
+        .collect()
+    }
+    prev_end = None
+    for start, end, n in gaps:
+        assert start <= end and n >= 1
+        assert start not in present and end not in present
+        if prev_end is not None:
+            assert start > prev_end  # disjoint, ordered
+        prev_end = end
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_bootstrap_ci,
+    )
+
+    row = q_bootstrap_ci(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    true_mean = li.agg(F.avg("l_quantity")).collect()[0][0]
+    assert row.n_reps == 50
+    assert row.ci_lo < row.boot_mean < row.ci_hi
+    assert row.ci_lo < true_mean < row.ci_hi
