@@ -178,6 +178,7 @@ HEADLINE = [
     "q_quarantine",
     "q_partition_gaps",
     "q_bootstrap_ci",
+    "q_holt_trend",
 ]
 
 

@@ -310,3 +310,123 @@ def capped_runsum_chunked(
         F.col("n_obs").cast("long").alias("n_obs"),
         F.greatest(composed["s"], composed["m"]).alias("final_balance"),
     )
+
+
+def holt_linear_chunked(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    chunk_size: int = 4096,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key —
+    the MATRIX generalization of :func:`ewma_last_chunked`.
+
+    The recurrence
+        l' = α·x + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)·b
+    is linear in the state (l, b): each observation x acts as the
+    affine map  s → A·s + c·x  with constant 2×2 A. Affine maps compose
+    associatively — (M₂,v₂)∘(M₁,v₁) = (M₂M₁, M₂v₁+v₂) — so exactly as
+    in the scalar EWMA case, fixed-size chunks fold independently
+    (chunk 0 folds straight from the seed state (x₁, 0); later chunks
+    fold to one (M, v) transform) and the per-key reduction composes
+    ~n/chunk transforms in chunk order: O(chunk + n/chunk) memory per
+    key, no full-series array, ANY recurrence linear in its state gets
+    the same treatment (Kalman filters and Fibonacci-style recurrences
+    included — this operator is the template).
+
+    Equality vs the genuinely sequential DuckDB struct list_reduce is
+    the q_holt_trend oracle; cross-chunk float association differs only
+    in the matrix products, absorbed by ``round_dp``.
+
+    Returns (key, n_obs, level, trend, forecast_1 = level + trend).
+    """
+    a11 = 1.0 - alpha
+    a12 = 1.0 - alpha
+    a21 = -beta * alpha
+    a22 = beta * (1.0 - alpha) + 1.0 - beta
+    c1 = alpha
+    c2 = beta * alpha
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    rows = df.select(
+        key_col,
+        F.col(value_col).cast("double").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).withColumn("chunk", (F.col("rn") / F.lit(chunk_size)).cast("long"))
+    chunks = rows.groupBy(key_col, "chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("v").alias("v")))
+        ).alias("seg")
+    )
+    vals = F.transform("seg", lambda s: s["v"])
+    n = F.size(vals)
+
+    def compose_elem(acc, x):
+        # transform-accumulator ∘ element: M' = A·M, v' = A·v + c·x
+        return F.struct(
+            (a11 * acc["m11"] + a12 * acc["m21"]).alias("m11"),
+            (a11 * acc["m12"] + a12 * acc["m22"]).alias("m12"),
+            (a21 * acc["m11"] + a22 * acc["m21"]).alias("m21"),
+            (a21 * acc["m12"] + a22 * acc["m22"]).alias("m22"),
+            (a11 * acc["v1"] + a12 * acc["v2"] + c1 * x).alias("v1"),
+            (a21 * acc["v1"] + a22 * acc["v2"] + c2 * x).alias("v2"),
+        )
+
+    ident = F.struct(
+        F.lit(1.0).alias("m11"),
+        F.lit(0.0).alias("m12"),
+        F.lit(0.0).alias("m21"),
+        F.lit(1.0).alias("m22"),
+        F.lit(0.0).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    chunk_t = F.aggregate(vals, ident, compose_elem)
+
+    def step_state(acc, x):
+        lp = c1 * x + a11 * (acc["l"] + acc["b"])
+        return F.struct(
+            lp.alias("l"),
+            (beta * (lp - acc["l"]) + (1.0 - beta) * acc["b"]).alias("b"),
+        )
+
+    seed = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    seed_state = F.aggregate(
+        F.slice(vals, 2, F.greatest(n - 1, F.lit(0))), seed, step_state
+    )
+    summaries = chunks.select(
+        key_col,
+        "chunk",
+        n.alias("n"),
+        F.when(F.col("chunk") == 0, None).otherwise(chunk_t).alias("t"),
+        F.when(F.col("chunk") == 0, seed_state).alias("s0"),
+    )
+    per_key = summaries.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("chunk", "t", "s0"))).alias("segs"),
+        F.sum("n").alias("n_obs"),
+    )
+    first = F.element_at("segs", 1)["s0"]
+    rest = F.slice("segs", 2, F.greatest(F.size("segs") - 1, F.lit(0)))
+
+    def apply_t(acc, seg):
+        t = seg["t"]
+        return F.struct(
+            (t["m11"] * acc["l"] + t["m12"] * acc["b"] + t["v1"]).alias("l"),
+            (t["m21"] * acc["l"] + t["m22"] * acc["b"] + t["v2"]).alias("b"),
+        )
+
+    final = F.aggregate(rest, first, apply_t)
+    return per_key.select(
+        key_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(final["l"], round_dp).alias("level"),
+        F.round(final["b"], round_dp).alias("trend"),
+        F.round(final["l"] + final["b"], round_dp).alias("forecast_1"),
+    )

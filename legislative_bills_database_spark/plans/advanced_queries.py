@@ -1518,3 +1518,56 @@ def q_bootstrap_ci(spark, sf_dir):
         F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
         F.round(F.percentile("mean_b", F.lit(0.975)), 4).alias("ci_hi"),
     )
+
+
+@query(
+    "q_holt_trend",
+    # sequential oracle as a recursive CTE (one Holt step per iteration,
+    # all keys advance together). NOT list_reduce with a struct
+    # accumulator: DuckDB 1.0.0 evaluates struct fields against the
+    # PARTIALLY-UPDATED accumulator (b := f(acc.l) sees the new l —
+    # verified with a marker fold), silently corrupting any recurrence
+    # whose fields read each other.
+    """
+    WITH RECURSIVE vals AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), it AS (
+      SELECT user_id, 1 AS k, vs[1] AS l, CAST(0.0 AS DOUBLE) AS b, n
+      FROM vals
+      UNION ALL
+      SELECT it.user_id, it.k + 1,
+             0.5 * v.vs[it.k + 1] + 0.5 * (it.l + it.b),
+             0.3 * ((0.5 * v.vs[it.k + 1] + 0.5 * (it.l + it.b)) - it.l)
+               + 0.7 * it.b,
+             it.n
+      FROM it JOIN vals v USING (user_id)
+      WHERE it.k < it.n
+    )
+    SELECT user_id, n AS n_obs,
+           ROUND(l, 4) AS level,
+           ROUND(b, 4) AS trend,
+           ROUND(l + b, 4) AS forecast_1
+    FROM it WHERE k = n
+    """,
+)
+def q_holt_trend(spark, sf_dir):
+    """Holt double-exponential level+trend per user — the MATRIX
+    generalization of the chunked-EWMA scale path
+    (operators/timeseries.holt_linear_chunked): the 2-component state
+    recurrence is linear, so each observation is an affine map s→As+cx
+    and fixed chunks fold to composable (M,v) transforms — the template
+    for ANY state-linear recurrence (Kalman-style filters included) at
+    unbounded per-key history. chunk_size=16 forces multi-chunk matrix
+    composition at every sf; the oracle is DuckDB's genuinely
+    SEQUENTIAL struct-state list_reduce, so the green hash proves
+    chunked == one-pass."""
+    from ..operators.timeseries import holt_linear_chunked
+
+    events = load_table(spark, sf_dir, "events")
+    return holt_linear_chunked(
+        events, "user_id", "ts", "value", "event_id",
+        alpha=0.5, beta=0.3, chunk_size=16,
+    )

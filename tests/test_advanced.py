@@ -560,3 +560,62 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert row.n_reps == 50
     assert row.ci_lo < row.boot_mean < row.ci_hi
     assert row.ci_lo < true_mean < row.ci_hi
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend (chunked matrix-affine scan)
+# ---------------------------------------------------------------------------
+
+
+def test_holt_chunked_equals_sequential_sim(spark):
+    """Chunked (M,v) matrix-transform composition == the sequential
+    Holt recurrence at several chunkings (float-tolerant — matrix
+    association differs across chunk boundaries)."""
+    from legislative_bills_database_spark.operators.timeseries import (
+        holt_linear_chunked,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    series = {}
+    for uid in range(4):
+        xs = [rng.uniform(-50, 150) for _ in range(rng.randrange(1, 90))]
+        series[uid] = xs
+        rows += [(uid, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    for chunk in (1, 7, 1000):
+        got = {
+            r.user_id: (r.level, r.trend)
+            for r in holt_linear_chunked(
+                df, "user_id", "ts", "value", "ts",
+                alpha=0.5, beta=0.3, chunk_size=chunk,
+            ).collect()
+        }
+        for uid, xs in series.items():
+            l, b = xs[0], 0.0
+            for x in xs[1:]:
+                lp = 0.5 * x + 0.5 * (l + b)
+                b = 0.3 * (lp - l) + 0.7 * b
+                l = lp
+            assert abs(got[uid][0] - l) < 1e-3, (chunk, uid)
+            assert abs(got[uid][1] - b) < 1e-3, (chunk, uid)
+
+
+def test_holt_single_key_100k_events(spark):
+    """Unbounded-history contract: 100k events on ONE key runs through
+    the chunked path without a full-series array."""
+    from legislative_bills_database_spark.operators.timeseries import (
+        holt_linear_chunked,
+    )
+
+    df = spark.range(100_000).select(
+        F.lit(1).alias("user_id"),
+        F.col("id").alias("ts"),
+        (F.sin(F.col("id") / 500.0) * 40 + F.col("id") / 1000.0).alias("value"),
+    )
+    row = holt_linear_chunked(
+        df, "user_id", "ts", "value", "ts", chunk_size=4096
+    ).collect()[0]
+    assert row.n_obs == 100_000
+    # trend of sin + t/1000 drift hovers near the drift slope
+    assert abs(row.trend) < 1.0
