@@ -306,10 +306,15 @@ def test_session_parity_report_equal(spark):
 def test_session_watermark_evicts_old_state(spark, tmp_path):
     """The flip side of the parity census: with a PRODUCTION watermark
     far smaller than the stream's time span, time-ordered multi-batch
-    ingestion evicts finalized session state — the complete-mode result
-    table ends up strictly smaller than the batch result. This is the
-    state-bounding behavior that makes session_window viable at 100 TB,
-    pinned so the census's unbounded-watermark choice stays justified."""
+    ingestion finalizes-and-evicts old session state. Pinned in APPEND
+    mode: finalized sessions emit exactly once (their state is dropped
+    — the state-bounding behavior that makes session_window viable at
+    100 TB) and the not-yet-finalized tail is withheld, so
+    0 < n_stream < n_batch deterministically. The earlier complete-mode
+    pin raced the trailing no-data micro-batch: whether the final
+    watermark advance pruned the re-emitted table before the read was
+    timing-dependent (observed 711 vs 946 across otherwise identical
+    runs)."""
     from legislative_bills_database_spark.io import load_table
     from legislative_bills_database_spark.streaming.events import (
         session_counts,
@@ -317,11 +322,33 @@ def test_session_watermark_evicts_old_state(spark, tmp_path):
     from pyspark.sql import functions as F
     from tests.conftest import SF_DIR
 
+    import glob
+    import time
+
     events = load_table(spark, SF_DIR, "events")
     jd = str(tmp_path / "ordered_json")
-    events.select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    ).repartitionByRange(4, "ts").write.json(jd)
+    # land the 4 time-quartiles as 4 SEQUENTIAL appends: one parallel
+    # repartitionByRange(4) write gives the part files near-identical
+    # mtimes, and FileStreamSource orders by (mtime, path) — ties broke
+    # arbitrarily under load and the batches arrived out of time order
+    # (observed flake: the census-style single write produced an
+    # eviction-free run). Sequential writes make mtimes strictly
+    # increase, so in-time-order multi-batch ingestion is guaranteed.
+    bounds = events.select(
+        F.percentile_approx("ts", [0.25, 0.5, 0.75]).alias("q")
+    ).collect()[0]["q"]
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    lo = None
+    for hi in list(bounds) + [None]:
+        part = slim
+        if lo is not None:
+            part = part.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") <= F.lit(hi))
+        part.coalesce(1).write.mode("append").json(jd)
+        time.sleep(0.05)
+        lo = hi
+    assert len(glob.glob(jd + "/part-*")) == 4
     stream = (
         spark.readStream.format("json")
         .schema(
@@ -335,17 +362,19 @@ def test_session_watermark_evicts_old_state(spark, tmp_path):
         session_counts(stream, watermark="2 hours")
         .writeStream.format("memory")
         .queryName("t_evict")
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2, "multi-batch ingestion required"
     n_stream = spark.table("t_evict").count()
     n_batch = (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .count()
         .count()
     )
+    # early sessions finalized+emitted (state dropped), tail withheld
     assert 0 < n_stream < n_batch
 
 
