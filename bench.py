@@ -179,6 +179,8 @@ HEADLINE = [
     "q_partition_gaps",
     "q_bootstrap_ci",
     "q_holt_trend",
+    "q_cdc_extract",
+    "q_ndcg",
 ]
 
 

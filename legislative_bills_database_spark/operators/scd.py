@@ -140,3 +140,49 @@ def cdc_apply(
         touched, key_col, "left_anti"
     )
     return survivors.unionByName(upserts)
+
+
+def cdc_extract(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two table versions into the minimal I/U/D changelog — the
+    inverse of :func:`cdc_apply` (``cdc_apply(old, cdc_extract(old,
+    new, ...) + seq, ...)`` reproduces ``new``; pinned in tests).
+
+    What a change-data-feed produces when the upstream system can't:
+    ONE full-outer join on the key classifies every row — new-only → I,
+    old-only → D, both-with-any-payload-difference → U; identical rows
+    never leave the join. Struct equality does the multi-column compare
+    in a single null-safe expression (no per-column OR chain to keep in
+    sync with the schema). One key shuffle total; output is bounded by
+    the true change volume, not the table size.
+
+    Returns (op, key, *payload_cols) — payload from ``new`` for I/U,
+    from ``old`` for D.
+    """
+    o = old.select(
+        F.col(key_col), F.struct(*payload_cols).alias("__old")
+    )
+    n = new.select(
+        F.col(key_col), F.struct(*payload_cols).alias("__new")
+    )
+    j = o.join(n, key_col, "full_outer")
+    op = (
+        F.when(F.col("__old").isNull(), "I")
+        .when(F.col("__new").isNull(), "D")
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), "U")
+    )
+    payload = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.select(op.alias(op_col), F.col(key_col), payload.alias("__p"))
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            op_col,
+            key_col,
+            *[F.col("__p")[c].alias(c) for c in payload_cols],
+        )
+    )

@@ -1571,3 +1571,149 @@ def q_holt_trend(spark, sf_dir):
         events, "user_id", "ts", "value", "event_id",
         alpha=0.5, beta=0.3, chunk_size=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 11: CDC changelog extraction + ranking-quality NDCG
+# ---------------------------------------------------------------------------
+
+from ..operators.ranking import bm25_topk, sql_bm25_topk  # noqa: E402
+
+_NDCG_TERMS = ["table", "spark", "customer", "window", "stream"]
+
+
+@query(
+    "q_cdc_extract",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ), new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_acctbal, 'NEW'
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT 'I' AS op, n.c_custkey, n.c_acctbal, n.c_mktsegment
+    FROM new n LEFT JOIN old o USING (c_custkey) WHERE o.c_custkey IS NULL
+    UNION ALL
+    SELECT 'D', o.c_custkey, o.c_acctbal, o.c_mktsegment
+    FROM old o LEFT JOIN new n USING (c_custkey) WHERE n.c_custkey IS NULL
+    UNION ALL
+    SELECT 'U', n.c_custkey, n.c_acctbal, n.c_mktsegment
+    FROM new n JOIN old o USING (c_custkey)
+    WHERE n.c_acctbal <> o.c_acctbal OR n.c_mktsegment <> o.c_mktsegment
+    """,
+)
+def q_cdc_extract(spark, sf_dir):
+    """CDC changelog EXTRACTION — the inverse of q_cdc_apply: given two
+    table versions, emit the minimal I/U/D row set that transforms old
+    into new (what a change-data-feed produces when the upstream system
+    can't). One full-outer join on the key, struct inequality for the
+    update test, unchanged rows never leave the join; round-trips
+    through operators/scd.cdc_apply back to the new snapshot
+    (pinned in tests). Deterministic synthetic drift: +50 balance on %7
+    keys, %11 keys deleted, %13 keys re-inserted under new ids."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    new = (
+        base.filter(k % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 50)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).select(
+                (k + 10_000_000).alias("c_custkey"),
+                "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    from ..operators.scd import cdc_extract
+
+    return cdc_extract(base, new, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
+@query(
+    "q_ndcg",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({sql_bm25_topk(_NDCG_TERMS, k=20)})
+    ), rel AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({_NDCG_TERMS!r}, x))) AS BIGINT) AS rel
+      FROM documents
+    ), dcg AS (
+      SELECT SUM(rel.rel / log2(ranked.r + 1)) AS dcg
+      FROM ranked JOIN rel USING (doc_id)
+    ), ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS r
+      FROM rel ORDER BY rel DESC, doc_id LIMIT 20
+    ), idcg AS (
+      SELECT SUM(rel / log2(r + 1)) AS idcg FROM ideal
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           ROUND(dcg.dcg, 6) AS dcg,
+           ROUND(idcg.idcg, 6) AS idcg,
+           ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_ndcg(spark, sf_dir):
+    """NDCG@20 of the BM25 ranking against a term-frequency relevance
+    proxy — the standard search-quality gate (complements the ANN
+    family's recall rows with a RANKING-quality metric): DCG discounts
+    each ranked doc's relevance by log2(rank+1); the ideal ordering
+    (relevance-sorted, id tie-break) normalizes to [0,1]. Relevance =
+    total query-term occurrences, integer-exact both engines; the
+    ideal top-20 is a TakeOrderedAndProject over the corpus, and all
+    final frames are ≤20 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = bm25_topk(docs, _NDCG_TERMS, k=20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    terms_arr = F.array(*[F.lit(t) for t in _NDCG_TERMS])
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda x: F.array_contains(terms_arr, x),
+            )
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("r") + 1)).alias("dcg"))
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        )
+    )
+    idcg = ideal.agg(F.sum(F.col("rel") / F.log2(F.col("r") + 1)).alias("idcg"))
+    return (
+        dcg.join(F.broadcast(idcg))
+        .select(
+            F.lit(20).cast("long").alias("k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

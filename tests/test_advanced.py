@@ -619,3 +619,53 @@ def test_holt_single_key_100k_events(spark):
     assert row.n_obs == 100_000
     # trend of sin + t/1000 drift hovers near the drift slope
     assert abs(row.trend) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Phase 11: CDC extract round-trip + NDCG
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_extract_apply_roundtrip(spark):
+    """cdc_apply(old, cdc_extract(old, new)) == new, row for row — the
+    extract/apply pair is a lossless codec for table diffs."""
+    from legislative_bills_database_spark.operators.scd import (
+        cdc_apply,
+        cdc_extract,
+    )
+
+    rng = random.Random(31)
+    old_rows = [(k, rng.randrange(1000), f"s{k % 5}") for k in range(200)]
+    new_rows = []
+    for k, v, s in old_rows:
+        if k % 9 == 0:
+            continue  # deleted
+        if k % 4 == 0:
+            new_rows.append((k, v + 7, s))  # updated
+        else:
+            new_rows.append((k, v, s))
+    new_rows += [(1000 + k, k, "new") for k in range(17)]  # inserted
+    old = spark.createDataFrame(old_rows, "k long, v long, s string")
+    new = spark.createDataFrame(new_rows, "k long, v long, s string")
+    chg = cdc_extract(old, new, "k", ["v", "s"])
+    ops = {r.op for r in chg.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+    replayed = cdc_apply(
+        old, chg.withColumn("seq", F.lit(1)), "k", ["v", "s"]
+    )
+    assert replayed.exceptAll(new).count() == 0
+    assert new.exceptAll(replayed).count() == 0
+    # minimality: unchanged rows never appear in the changelog
+    n_changed = sum(
+        1 for k, v, s in old_rows if k % 9 == 0 or (k % 4 == 0)
+    ) + 17
+    assert chg.count() == n_changed
+
+
+def test_ndcg_bounds_and_perfect_ranking(spark):
+    """NDCG ∈ (0, 1]; ranking BY relevance itself scores exactly 1."""
+    from legislative_bills_database_spark.plans.advanced_queries import q_ndcg
+
+    row = q_ndcg(spark, SF_DIR).collect()[0]
+    assert 0 < row.ndcg <= 1
+    assert row.dcg <= row.idcg
