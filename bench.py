@@ -183,6 +183,8 @@ HEADLINE = [
     "q_ndcg",
     "q_bucketed_join",
     "q_did",
+    "q_assortativity",
+    "q_powerlaw_fit",
 ]
 
 
