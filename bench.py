@@ -185,6 +185,9 @@ HEADLINE = [
     "q_did",
     "q_assortativity",
     "q_powerlaw_fit",
+    "q_ivf_sweep",
+    # (q_stream_totals costs a 5th stream census run; the 4 existing
+    # censuses already bound bench wall — certified via preflight/pytest)
 ]
 
 

@@ -1983,3 +1983,149 @@ def q_powerlaw_fit(spark, sf_dir):
         F.round(F.regr_slope(ly, lx), 6).alias("ccdf_slope"),
         F.round(F.regr_r2(ly, lx), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 14: stateful-custom-operator census + IVF tuning sweep
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_totals")  # runs a real availableNow stream → rows-only
+def q_stream_totals(spark, sf_dir):
+    """Driver-visible census for the CUSTOM stateful operator
+    (streaming/stateful.running_user_totals via applyInPandasWithState)
+    — the last streaming capability without a driver row: per-user
+    running (count, value-total) state carried across 4 time-ordered
+    micro-batches, final per-user totals diffed against the batch
+    aggregate. A green row certifies the Arrow state-handoff path
+    (get/update/timeout plumbing), not just the built-in operators the
+    other censuses cover."""
+    from ..streaming.stateful import running_user_totals
+
+    # update-mode emits one row per user per batch; the LAST row per
+    # user is the final running total — the census reduces to it
+    # before diffing against the batch aggregate
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_totals_")
+    name = "q_stream_totals_" + _uuid.uuid4().hex[:8]
+    try:
+        json_dir = f"{tmp}/events_json"
+        events.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartitionByRange(4, "ts").write.json(json_dir)
+        landed_schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        stream_df = (
+            spark.readStream.format("json")
+            .schema(landed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(json_dir)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                running_user_totals(stream_df)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        n_batches = len(q.recentProgress)
+        # last update per user = running total after the final batch
+        # seen for that user; n_events is monotone so max() selects it
+        streamed = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max(F.struct("n_events", "total_value")).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                F.round(F.col("s.total_value"), 4).alias("total_value"),
+            )
+        )
+        batch_df = (
+            spark.read.schema(landed_schema)
+            .json(json_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        row = (
+            streamed.withColumn("__side", F.lit(1))
+            .unionByName(batch_df.withColumn("__side", F.lit(0)))
+            .groupBy("user_id", "n_events", "total_value")
+            .agg(
+                F.sum("__side").alias("ns"),
+                F.sum(1 - F.col("__side")).alias("nb"),
+            )
+            .agg(
+                F.coalesce(F.sum("nb"), F.lit(0)).alias("n_batch"),
+                F.coalesce(F.sum("ns"), F.lit(0)).alias("n_stream"),
+                F.coalesce(
+                    F.sum(F.abs(F.col("ns") - F.col("nb"))), F.lit(0)
+                ).alias("n_mismatch"),
+            )
+            .collect()[0]
+        )
+        equal = bool(
+            row.n_mismatch == 0 and row.n_batch == row.n_stream
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row.n_batch,
+                    row.n_stream,
+                    row.n_mismatch,
+                    int(n_batches),
+                    equal,
+                )
+            ],
+            "n_batch long, n_stream long, n_mismatch long,"
+            " n_microbatches long, equal boolean",
+        )
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_ivf_sweep")  # seeded IVF recall curve → rows-only
+def q_ivf_sweep(spark, sf_dir):
+    """IVF tuning curve, driver-visible: recall@5 for nprobe ∈ {1, 2, 4}
+    against the exact cosine top-5 — the measure-don't-guess artifact
+    behind choosing nprobe (recall must be monotone in nprobe since
+    probed posting lists are nested; pinned in pytest). Exact side is
+    the bounded brute-force baseline; each sweep point reuses the same
+    cached centroids, so the sweep costs three posting-list searches,
+    not three k-means fits."""
+    from ..operators.ivf import ivf_centroids_cached, ivf_recall
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf_centroids_cached(emb, "embedding", (sf_dir, "lt500"), k=16)
+    rows = []
+    for nprobe in (1, 2, 4):
+        r = ivf_recall(
+            emb, queries_df, "vec_id", "embedding", centroids,
+            nprobe=nprobe, k=5,
+        )
+        rows.append((nprobe, round(r, 4)))
+    return spark.createDataFrame(rows, "nprobe long, recall_at_5 double")

@@ -730,3 +730,35 @@ def test_did_cancels_common_trend(spark):
         cells[(False, True)] - cells[(False, False)]
     )
     assert abs(did - 5.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Phase 14: stateful census / IVF sweep
+# ---------------------------------------------------------------------------
+
+
+def test_stream_totals_census_equal(spark):
+    """applyInPandasWithState running totals across 4 micro-batches
+    reproduce the batch per-user aggregates exactly."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_stream_totals,
+    )
+
+    row = q_stream_totals(spark, SF_DIR).collect()[0]
+    assert row.equal, row
+    assert row.n_microbatches >= 2, "cross-batch state must be exercised"
+    assert row.n_batch == row.n_stream > 0
+
+
+def test_ivf_sweep_recall_monotone(spark):
+    """Probed posting lists are nested in nprobe, so recall must be
+    non-decreasing along the sweep."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_ivf_sweep,
+    )
+
+    rows = sorted(q_ivf_sweep(spark, SF_DIR).collect(), key=lambda r: r.nprobe)
+    rs = [r.recall_at_5 for r in rows]
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert rs == sorted(rs)
+    assert rs[-1] > 0.3
