@@ -186,6 +186,8 @@ HEADLINE = [
     "q_assortativity",
     "q_powerlaw_fit",
     "q_ivf_sweep",
+    "q_rrf_fusion",
+    "q_multimodal_pipeline",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
 ]

@@ -2129,3 +2129,181 @@ def q_ivf_sweep(spark, sf_dir):
         )
         rows.append((nprobe, round(r, 4)))
     return spark.createDataFrame(rows, "nprobe long, recall_at_5 double")
+
+
+# ---------------------------------------------------------------------------
+# Phase 15: hybrid-retrieval fusion + multimodal curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rrf_fusion",
+    f"""
+    WITH bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({sql_bm25_topk(_NDCG_TERMS, k=20)})
+    ), rel AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({_NDCG_TERMS!r}, x))) AS BIGINT) AS hits
+      FROM documents
+    ), tfrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS r
+      FROM rel WHERE hits > 0
+      ORDER BY hits DESC, doc_id LIMIT 20
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, tf.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + bm.r), 0)
+                   + COALESCE(1.0 / (60 + tf.r), 0), 6) AS rrf
+      FROM bm FULL OUTER JOIN tfrank tf ON bm.doc_id = tf.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion — the standard hybrid-retrieval merge in
+    RAG stacks: BM25's top-20 fused with a term-hit-count ranking via
+    Σ 1/(60 + rank), which rewards agreement between retrievers without
+    needing their scores on a common scale (the k=60 constant is the
+    original Cormack et al. setting). Both candidate lists are ≤20
+    rows, so the fusion join, the full-outer coalesce, and the final
+    rank are all broadcast-sized; each retriever keeps its own
+    scale-path (BM25: corpus stats broadcast, no fact shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _NDCG_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r_bm"),
+    )
+    terms_arr = F.array(*[F.lit(t) for t in _NDCG_TERMS])
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda x: F.array_contains(terms_arr, x),
+            )
+        )
+        .cast("long")
+        .alias("hits"),
+    ).filter(F.col("hits") > 0)
+    tf = (
+        rel.orderBy(F.col("hits").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("hits").desc(), "doc_id"))
+            .alias("r_tf"),
+        )
+    )
+    fused = (
+        bm.join(tf, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_tf")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query("q_multimodal_pipeline")  # pandas-UDF pipeline → rows-only
+def q_multimodal_pipeline(spark, sf_dir):
+    """The multimodal curation pipeline COMPOSED — the binary-modality
+    twin of q_corpus_filter_pipeline: land (with PLANTED duplicates so
+    every stage provably fires: 10% byte-exact copies under new ids +
+    10% re-encoded copies, same content padded with trailing
+    whitespace) → exact payload dedup (sha2 over raw bytes — catches
+    the byte-exact class only) → canonicalize + feature extraction
+    (Arrow mapInPandas over the TRIMMED payload, the stand-in for
+    decode-normalization) → feature-digest near-dup (catches the
+    re-encoded class exact hashing cannot) → size gate. One census row
+    per stage (stage, n_in, n_out, n_dropped); payload bytes never
+    reach the driver — only digests and counts leave the executors."""
+    from ..sources.multimodal import fake_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "n_chars")
+    planted = (
+        base.unionByName(
+            # byte-exact copies: same payload, new ids
+            base.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                "n_chars",
+            )
+        )
+        .unionByName(
+            # re-encoded copies: same content, different bytes
+            base.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("   ")).alias("text"),
+                "n_chars",
+            )
+        )
+    )
+    payloads = planted.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.col("n_chars").cast("long").alias("size_hint"),
+        ).alias("meta"),
+    )
+    n0 = payloads.count()
+    # stage 1: exact binary dedup (sha2 over RAW payload bytes)
+    w = Window.partitionBy(F.sha2("payload", 256)).orderBy("doc_id")
+    exact = (
+        payloads.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    n1 = exact.count()
+    # stage 2: canonicalize (decode-normalization stand-in: trim) →
+    # feature extraction → feature-digest near-dup. Re-encoded copies
+    # collapse HERE because their canonical features are identical even
+    # though their raw bytes differ.
+    canonical = exact.withColumn(
+        "payload", F.encode(F.rtrim(F.decode("payload", "utf-8")), "utf-8")
+    )
+    feats = fake_image_features(canonical).withColumn(
+        "__fd", F.sha2(F.to_json(F.col("features")), 256)
+    )
+    w2 = Window.partitionBy("__fd").orderBy("doc_id")
+    near = (
+        feats.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    n2 = near.count()
+    # stage 3: size gate (canonical payload must be ≥ 200 bytes)
+    kept = near.filter(F.col("n_bytes") >= 200)
+    n3 = kept.count()
+    return spark.createDataFrame(
+        [
+            ("landed", n0, n0, 0),
+            ("exact_dedup", n0, n1, n0 - n1),
+            ("feature_neardup", n1, n2, n1 - n2),
+            ("size_gate", n2, n3, n2 - n3),
+        ],
+        "stage string, n_in long, n_out long, n_dropped long",
+    )

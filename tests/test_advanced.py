@@ -762,3 +762,40 @@ def test_ivf_sweep_recall_monotone(spark):
     assert [r.nprobe for r in rows] == [1, 2, 4]
     assert rs == sorted(rs)
     assert rs[-1] > 0.3
+
+
+# ---------------------------------------------------------------------------
+# Phase 15: RRF fusion / multimodal pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_rewards_agreement(spark):
+    """A doc in BOTH candidate lists must outrank a doc that appears in
+    only one at comparable depth; fused scores are in (0, 2/61]."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_rrf_fusion,
+    )
+
+    rows = q_rrf_fusion(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.rrf <= round(2 / 61, 6) + 1e-9
+    ranks = [r.fused_rank for r in sorted(rows, key=lambda r: -r.rrf)]
+    assert ranks == sorted(ranks)
+
+
+def test_multimodal_pipeline_stages_all_fire(spark):
+    """Each stage drops exactly its planted duplicate class: byte-exact
+    copies at exact_dedup, re-encoded (whitespace-padded) copies at
+    feature_neardup."""
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_multimodal_pipeline,
+    )
+
+    rows = {r.stage: r for r in q_multimodal_pipeline(spark, SF_DIR).collect()}
+    assert rows["exact_dedup"].n_dropped == 50
+    assert rows["feature_neardup"].n_dropped == 50
+    assert rows["size_gate"].n_dropped > 0
+    # conservation: n_out of each stage == n_in of the next
+    assert rows["exact_dedup"].n_out == rows["feature_neardup"].n_in
+    assert rows["feature_neardup"].n_out == rows["size_gate"].n_in
