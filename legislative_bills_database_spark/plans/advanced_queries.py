@@ -1854,23 +1854,13 @@ def q_did(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
         )
     ).localCheckpoint(eager=False)
-    pick = (
-        lambda t, p: cells.filter(
-            (F.col("treated") == t) & (F.col("post") == p)
-        ).select(F.col("mean_v_raw").alias(f"m_{int(t)}{int(p)}"))
-    )
-    did = (
-        pick(True, True)
-        .join(pick(True, False))
-        .join(pick(False, True))
-        .join(pick(False, False))
-        .select(
-            F.round(
-                (F.col("m_11") - F.col("m_10"))
-                - (F.col("m_01") - F.col("m_00")),
-                6,
-            ).alias("did")
-        )
+    # DiD as ONE signed aggregation over the 4-row cell frame
+    # (+ for concordant cells, − for discordant): (m11−m10)−(m01−m00).
+    # Four filter-and-cross-join picks would plan 4 nested-loop joins —
+    # over the whole-repo ≤2-BNLJ budget for what is a single scalar.
+    sign = F.when(F.col("treated") == F.col("post"), 1.0).otherwise(-1.0)
+    did = cells.agg(
+        F.round(F.sum(sign * F.col("mean_v_raw")), 6).alias("did")
     )
     return cells.join(F.broadcast(did)).select(
         "treated",
