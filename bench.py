@@ -188,6 +188,8 @@ HEADLINE = [
     "q_ivf_sweep",
     "q_rrf_fusion",
     "q_multimodal_pipeline",
+    "q_benford",
+    "q_stl_decompose",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
 ]

@@ -2297,3 +2297,146 @@ def q_multimodal_pipeline(spark, sf_dir):
         ],
         "stage string, n_in long, n_out long, n_dropped long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 16: Benford audit + STL-lite decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_benford",
+    """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS share,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(POWER(COUNT(*) - t.n * log10(1.0 + 1.0 / d), 2)
+                 / (t.n * log10(1.0 + 1.0 / d)), 6) AS chi2_term
+    FROM digits CROSS JOIN tot t
+    GROUP BY d, t.n
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law audit of order totals — the classic fabricated-data
+    screen: the observed first-significant-digit distribution against
+    log10(1 + 1/d), with per-digit chi-square contributions. The digit
+    is extracted from the INTEGER cents string (scaling by 100 never
+    changes the leading significant digit), not floor(log10(x)) — the
+    float log of an exact power of ten can land at 2.999…96 and
+    misbucket the row cross-engine. One map-side-combined digit count +
+    a 1-row total broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    tot = digits.agg(F.count("*").cast("long").alias("n"))
+    p = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        digits.join(F.broadcast(tot))
+        .groupBy("d", "n")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .select(
+            "d",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+            F.round(p, 6).alias("benford_p"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("n") * p, 2) / (F.col("n") * p),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "q_stl_decompose",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), trended AS (
+      SELECT event_type, h, v,
+             AVG(v) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING
+             ) AS trend
+      FROM hourly
+    ), seasonal AS (
+      SELECT event_type, EXTRACT(hour FROM h) AS hod,
+             AVG(v - trend) AS s
+      FROM trended GROUP BY 1, 2
+    ), resid AS (
+      SELECT t.event_type, t.v, t.trend, se.s,
+             t.v - t.trend - se.s AS r
+      FROM trended t
+      JOIN seasonal se
+        ON t.event_type = se.event_type
+       AND EXTRACT(hour FROM t.h) = se.hod
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(stddev_samp(r), 3) AS sigma_resid,
+           ROUND(1.0 - var_samp(r) / var_samp(v), 3) AS var_explained
+    FROM resid GROUP BY 1
+    """,
+)
+def q_stl_decompose(spark, sf_dir):
+    """STL-lite decomposition of the hourly value series per event type:
+    trend = centered 24-hour moving average, seasonal = mean hour-of-day
+    deviation from trend, residual = the rest — summarized as residual
+    σ and variance explained (how much of the raw variance the
+    trend+seasonal structure absorbs; the go/no-go check before
+    residual-based alerting replaces plain z-scores). Every window and
+    join runs on the ALREADY-AGGREGATED hourly frame (≤ |types|×|hours|
+    rows, decimal-exact cells); the seasonal profile is a ≤|types|×24
+    broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-11, 12)
+    )
+    trended = hourly.select(
+        "event_type", "h", "v", F.avg("v").over(w).alias("trend")
+    )
+    seasonal = trended.groupBy(
+        F.col("event_type").alias("se_type"), F.hour("h").alias("se_hod")
+    ).agg(F.avg(F.col("v") - F.col("trend")).alias("s"))
+    resid = trended.withColumn("hod", F.hour("h")).join(
+        F.broadcast(seasonal),
+        (F.col("event_type") == F.col("se_type"))
+        & (F.col("hod") == F.col("se_hod")),
+    ).select(
+        "event_type",
+        "v",
+        (F.col("v") - F.col("trend") - F.col("s")).alias("r"),
+    )
+    return resid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.stddev_samp("r"), 3).alias("sigma_resid"),
+        F.round(1.0 - F.var_samp("r") / F.var_samp("v"), 3).alias(
+            "var_explained"
+        ),
+    )

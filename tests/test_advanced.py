@@ -799,3 +799,53 @@ def test_multimodal_pipeline_stages_all_fire(spark):
     # conservation: n_out of each stage == n_in of the next
     assert rows["exact_dedup"].n_out == rows["feature_neardup"].n_in
     assert rows["feature_neardup"].n_out == rows["size_gate"].n_in
+
+
+# ---------------------------------------------------------------------------
+# Phase 16: Benford / STL
+# ---------------------------------------------------------------------------
+
+
+def test_benford_shares_sum_to_one(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_benford,
+    )
+
+    rows = q_benford(spark, SF_DIR).collect()
+    assert {r.d for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_stl_decomposition_on_planted_seasonality(spark):
+    """A pure hour-of-day signal + noiseless trend must be almost fully
+    explained by the trend+seasonal structure (var_explained ≈ 1)."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 2, 1)
+    rows = []
+    for i in range(24 * 21):  # 3 weeks of hourly points
+        ts = d0 + datetime.timedelta(hours=i)
+        v = 100.0 + 0.2 * i + 30.0 * (ts.hour in (9, 10, 11))
+        rows.append((i, ts, 1, "a", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import Window as W
+
+    hourly = df.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-11, 12)
+    trended = hourly.select("event_type", "h", "v", F.avg("v").over(w).alias("trend"))
+    seasonal = trended.groupBy(
+        F.col("event_type").alias("t2"), F.hour("h").alias("hod")
+    ).agg(F.avg(F.col("v") - F.col("trend")).alias("s"))
+    resid = trended.withColumn("hh", F.hour("h")).join(
+        seasonal, (F.col("event_type") == F.col("t2")) & (F.col("hh") == F.col("hod"))
+    ).select((F.col("v") - F.col("trend") - F.col("s")).alias("r"), "v")
+    ve = resid.agg(
+        (1.0 - F.var_samp("r") / F.var_samp("v")).alias("ve")
+    ).collect()[0].ve
+    assert ve > 0.9
