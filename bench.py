@@ -190,6 +190,7 @@ HEADLINE = [
     "q_multimodal_pipeline",
     "q_benford",
     "q_stl_decompose",
+    "q_event_pattern",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
 ]

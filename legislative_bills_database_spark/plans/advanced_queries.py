@@ -2440,3 +2440,67 @@ def q_stl_decompose(spark, sf_dir):
             "var_explained"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 17: CEP-style event-pattern matching
+# ---------------------------------------------------------------------------
+
+# initials: signup/click/view/purchase/error → s c v p e
+_CEP_PATTERN = "s[^p]*c[^p]*p"  # funnel completion with no purchase between
+
+
+@query(
+    "q_event_pattern",
+    f"""
+    WITH seqs AS (
+      SELECT user_id,
+             list_reduce(
+               [substring(e, 1, 1)
+                FOR e IN list(event_type ORDER BY ts, event_id)],
+               (a, b) -> a || b
+             ) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}'))
+                AS BIGINT) AS n_matches
+    FROM seqs
+    """,
+)
+def q_event_pattern(spark, sf_dir):
+    """CEP-style sequence-pattern matching (the MATCH_RECOGNIZE / Flink
+    CEP shape): each user's event history collapses to an ordered
+    initials string and a regex counts non-overlapping occurrences of
+    signup →(no purchase)→ click →(no purchase)→ purchase — ordering
+    constraints with NEGATIVE gap conditions, which the stage-count
+    funnel (q_funnel) structurally cannot express. One user-key
+    shuffle; the pattern runs over a ≤n_events-char string per key, and
+    the leftmost-non-overlapping match rule is identical in Java regex
+    and RE2, making the count oracle-checkable. At true scale the
+    per-key sequence is bounded by session windows first (q_sessionize)
+    rather than whole-history strings — documented, same plan shape."""
+    events = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.size(F.regexp_extract_all("seq", F.lit(_CEP_PATTERN), 0))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )

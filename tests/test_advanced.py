@@ -849,3 +849,45 @@ def test_stl_decomposition_on_planted_seasonality(spark):
         (1.0 - F.var_samp("r") / F.var_samp("v")).alias("ve")
     ).collect()[0].ve
     assert ve > 0.9
+
+
+def test_event_pattern_counts_nonoverlapping_funnels(spark):
+    """Hand-built sequence: s c p s e c p v → 2 matches; a purchase
+    inside the gap (s p c p) blocks the [^p]* constraint → the first s
+    cannot pair with the later p through the interior purchase."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 5, 1)
+    seq1 = ["signup", "click", "purchase", "signup", "error", "click", "purchase", "view"]
+    seq2 = ["signup", "purchase", "click", "purchase"]
+    rows = []
+    eid = 0
+    for uid, seq in ((1, seq1), (2, seq2)):
+        for i, t in enumerate(seq):
+            rows.append((eid, d0 + datetime.timedelta(minutes=i), uid, t, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    seq_col = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    out = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id")
+        .agg(
+            F.size(
+                F.regexp_extract_all(seq_col, F.lit("s[^p]*c[^p]*p"), 0)
+            ).alias("n")
+        )
+        .collect()
+    }
+    assert out == {1: 2, 2: 0}
