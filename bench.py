@@ -191,6 +191,8 @@ HEADLINE = [
     "q_benford",
     "q_stl_decompose",
     "q_event_pattern",
+    "q_join_fanout",
+    "q_partition_skew",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
 ]

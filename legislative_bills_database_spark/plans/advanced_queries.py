@@ -2504,3 +2504,85 @@ def q_event_pattern(spark, sf_dir):
             .alias("n_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 18: join fan-out pre-audit + physical partition skew census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_fanout",
+    """
+    WITH ak AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM orders GROUP BY 1
+    ), bk AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM customer GROUP BY 1
+    ), fan AS (
+      SELECT ak.k, ak.ca, bk.cb, ak.ca * bk.cb AS out_rows
+      FROM ak JOIN bk USING (k)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(SUM(out_rows) AS BIGINT) AS predicted_rows,
+           CAST(MAX(out_rows) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(out_rows) AS DOUBLE)
+                 / (SUM(out_rows) / COUNT(*)), 2) AS skew_factor
+    FROM fan
+    """,
+)
+def q_join_fanout(spark, sf_dir):
+    """Join fan-out PRE-audit — the planner-advisory census run BEFORE a
+    big join: per-key counts on both sides multiply into the exact
+    output cardinality per key (Σ cntA·cntB is the join size without
+    running the join), plus the hottest key's share as a skew factor —
+    the number that decides between plain, broadcast, and salted plans
+    (q_salted_join is the remedy this census prescribes). Two
+    map-side-combined key counts + a count-grain join; the fact tables
+    are scanned once each and never joined."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    ak = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("ca")
+    )
+    bk = customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    fan = ak.join(bk, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("out_rows")
+    )
+    return fan.agg(
+        F.count("*").cast("long").alias("n_join_keys"),
+        F.sum("out_rows").cast("long").alias("predicted_rows"),
+        F.max("out_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("out_rows").cast("double")
+            / (F.sum("out_rows") / F.count("*")),
+            2,
+        ).alias("skew_factor"),
+    )
+
+
+@query("q_partition_skew")  # physical introspection → rows-only
+def q_partition_skew(spark, sf_dir):
+    """Physical partition-skew census: per-task row counts of the events
+    scan AFTER a user-key repartition, summarized as min/avg/max and a
+    skew ratio — the empirical check that a chosen partitioning
+    actually balances (hash collisions and hot keys both surface here;
+    the straggler predictor for any downstream stage reusing the
+    layout). Uses spark_partition_id(), so the census is inherently
+    engine-physical (rows-only by design); only |partitions| count
+    rows aggregate up."""
+    events = load_table(spark, sf_dir, "events")
+    per_part = (
+        events.repartition(32, "user_id")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+    )
+    return per_part.agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.round(F.avg("n"), 2).alias("avg_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.max("n") / F.avg("n"), 3).alias("skew_ratio"),
+    )

@@ -891,3 +891,30 @@ def test_event_pattern_counts_nonoverlapping_funnels(spark):
         .collect()
     }
     assert out == {1: 2, 2: 0}
+
+
+def test_join_fanout_prediction_is_exact(spark):
+    """The pre-audit's predicted cardinality must equal the actual join
+    output size exactly (it is Σ cntA·cntB by construction)."""
+    from legislative_bills_database_spark.io import load_tables
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_join_fanout,
+    )
+
+    row = q_join_fanout(spark, SF_DIR).collect()[0]
+    orders, customer = load_tables(spark, SF_DIR, "orders", "customer")
+    actual = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    assert row.predicted_rows == actual
+    assert row.skew_factor >= 1.0
+
+
+def test_partition_skew_census_is_balanced_enough(spark):
+    from legislative_bills_database_spark.plans.advanced_queries import (
+        q_partition_skew,
+    )
+
+    row = q_partition_skew(spark, SF_DIR).collect()[0]
+    assert row.min_rows > 0
+    assert row.skew_ratio >= 1.0
