@@ -119,8 +119,8 @@ _WINDOW = [
 # q_multimodal_pipeline (staged-funnel census), q_benford,
 # q_stl_decompose, q_event_pattern (CEP regex over ordered event
 # sequences), q_join_fanout (exact pre-join cardinality audit),
-# q_partition_skew, q_stream_join / q_stream_late (rows-only
-# censuses); then:
+# q_partition_skew, q_fiscal_rollup, q_cumulative_users,
+# q_stream_join / q_stream_late (rows-only censuses); then:
 # oracle-checked — q_ks_test (exact distributed KS), q_gini,
 # q_sparse_cosine, q_weighted_median, q_survival, q_ab_test,
 # q_chi_square, q_psi, q_mutual_info, q_target_encode,

@@ -193,6 +193,8 @@ HEADLINE = [
     "q_event_pattern",
     "q_join_fanout",
     "q_partition_skew",
+    "q_fiscal_rollup",
+    "q_cumulative_users",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
 ]

@@ -2586,3 +2586,92 @@ def q_partition_skew(spark, sf_dir):
         F.max("n").cast("long").alias("max_rows"),
         F.round(F.max("n") / F.avg("n"), 3).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 19: fiscal-calendar rollup + cumulative-distinct growth curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fiscal_rollup",
+    f"""
+    WITH cal AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN EXTRACT(month FROM o_orderdate) >= 2
+                  THEN EXTRACT(year FROM o_orderdate)
+                  ELSE EXTRACT(year FROM o_orderdate) - 1 END AS fy,
+             ((EXTRACT(month FROM o_orderdate) + 10) % 12) // 3 + 1 AS fq
+      FROM orders
+    )
+    SELECT CAST(fy AS BIGINT) AS fy, CAST(fq AS BIGINT) AS fq,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_exact_sum("o_totalprice")} AS revenue
+    FROM cal GROUP BY 1, 2
+    """,
+)
+def q_fiscal_rollup(spark, sf_dir):
+    """Fiscal-calendar revenue rollup (fiscal year starts February —
+    the offset-calendar aggregation every finance warehouse needs and
+    naive EXTRACT(quarter) gets wrong): fiscal year/quarter derived by
+    pure month arithmetic INSIDE the scan stage (no calendar-dimension
+    join — the derivation is a closed form, so the dim table a
+    traditional warehouse materializes becomes two codegen
+    expressions), one map-side-combined aggregate, exact-decimal
+    revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    fy = F.when(m >= 2, F.year("o_orderdate")).otherwise(
+        F.year("o_orderdate") - 1
+    )
+    fq = F.floor(((m + 10) % 12) / 3) + 1
+    return orders.groupBy(
+        fy.cast("long").alias("fy"), fq.cast("long").alias("fq")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        exact_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "q_cumulative_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), per_day AS (
+      SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_users(spark, sf_dir):
+    """Cumulative converted-user growth curve (first PURCHASE per user)
+    — the all-time-reach metric a naive per-day COUNT(DISTINCT) CANNOT
+    produce without rescanning ever-growing history each day: each user
+    contributes exactly once at their first conversion day, so the
+    curve is a running sum over the |days|-row new-converter aggregate.
+    One user-key shuffle (first-seen min) + one tiny day-grain window;
+    the event stream is scanned once, ever. (Conversion, not first
+    activity: the fixture's users are all active from day one, which
+    would collapse the curve to a single point.)"""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    )
