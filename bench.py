@@ -2,7 +2,17 @@
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "headline_queries_wall", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": <scale factor>}
+   "queries": {"q_...": sec, ...}, "sf": <scale factor>, ...}
+
+The round driver captures only the TAIL (~2000 chars) of stdout —
+round 4's line carried all 134 per-query timings plus vs_prev ratios,
+overflowed that window, and reached the judge as ``parsed: None``. So
+the printed line now carries a REPRESENTATIVE per-query subset (the
+round-1..3 graded set plus the heaviest newcomers) and is asserted
+< 1800 chars; the COMPLETE per-query timings + vs_prev ratios for the
+full headline set are written to ``BENCH_FULL.json`` next to this file
+(committed with the round, referenced from the printed line). ``value``
+remains the total across ALL headline queries.
 
 Everything else (Spark logs, progress) goes to stderr. Each query is
 materialized with count(hash(*)) — count() alone would let Catalyst
@@ -200,6 +210,31 @@ HEADLINE = [
 ]
 
 
+# Subset whose timings ride the printed JSON line (must stay well under
+# the driver's ~2000-char stdout tail): the 42 queries the judge graded
+# against BASELINE.md in rounds 1-3 (stable cross-round baselines), plus
+# the heaviest round-4 newcomers so the costliest new plans stay
+# driver-visible. Everything else is in BENCH_FULL.json.
+PRINTED = [
+    "q_pivot_count", "q_rowwise_total", "q_fallback_join",
+    "q_exact_dedup", "q_near_dedup", "q_simhash", "q_ngram_jaccard",
+    "q_embedding_neardup", "q_cosine_topk", "q_ann_lsh_pairs",
+    "q_ann_ivf_topk", "q_text_stats", "q_quality_score", "q_sessionize",
+    "q_tumbling_window_batch", "q_salted_count", "q_asof_join",
+    "q_range_join", "q_near_dedup_corpus", "q_pipeline_legislator_counts",
+    "q_pipeline_keyword_search", "q_global_index", "q_salted_join",
+    "q_unigram_score", "q_boilerplate_strip", "q_ngram_novelty",
+    "q_semdedup", "q_pq_topk", "q_shard_manifest", "q_gap_fill",
+    "q_ewma", "q_inverted_index", "q_phrase_search", "q_char_entropy",
+    "q_scd2_merge", "q_fk_orphans", "q_cohort_retention",
+    "q_zscore_outliers", "q_hll_merge", "q_triangle_count",
+    "q_dq_constraints", "q_snapshot_diff",
+    # heaviest newcomers (round-4 bench: the only entries >2.5 s)
+    "q_item_cf_recs", "q_closeness", "q_stream_join",
+    "q_frequent_triples", "q_stream_late", "q_ivf_sweep",
+]
+
+
 def _prev_bench() -> tuple[str | None, dict[str, float]]:
     """Latest committed BENCH_r{N}.json → (filename, per-query timings).
     Regressions must be machine-visible: the emitted vs_prev ratios let
@@ -213,17 +248,30 @@ def _prev_bench() -> tuple[str | None, dict[str, float]]:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None, {}
-    _, latest = max(rounds)
-    try:
-        with open(latest) as fh:
-            doc = json.load(fh)
-        # the round driver wraps bench stdout under "parsed"
-        queries = doc.get("parsed", doc).get("queries", {})
-        return os.path.basename(latest), dict(queries)
-    except (OSError, json.JSONDecodeError, AttributeError):
-        return None, {}
+    # Prefer the committed full-detail file (this harness writes it each
+    # run; it always carries the complete per-query map), else walk the
+    # driver-recorded rounds newest-first skipping unparseable ones
+    # (BENCH_r04.json is parsed:None — its stdout line overflowed the
+    # driver's capture window).
+    candidates = [os.path.join(here, "BENCH_FULL.json")] + [
+        p for _, p in sorted(rounds, reverse=True)
+    ]
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    cur_sf = float(m.group(1)) if m else None
+    for path in candidates:
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            # the round driver wraps bench stdout under "parsed"
+            doc = doc.get("parsed") or doc
+            queries = doc.get("queries") or {}
+            # a local run at another scale factor (e.g. an sf0.01 smoke)
+            # must not become the baseline for the driver's sf0.1 run
+            if queries and doc.get("sf") == cur_sf:
+                return os.path.basename(path), dict(queries)
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    return None, {}
 
 
 def main() -> None:
@@ -280,16 +328,46 @@ def main() -> None:
         for name in timings
         if prev.get(name)
     }
-    result = {
+    total = round(sum(timings.values()), 3)
+    full = {
         "metric": "headline_queries_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "vs_prev": vs_prev,
         "vs_prev_baseline": prev_file,
     }
-    print(json.dumps(result))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # worst 8 regressions only — an unbounded dict could overflow the line
+    regressions = dict(
+        sorted(
+            ((k, v) for k, v in vs_prev.items() if v > 1.5),
+            key=lambda kv: -kv[1],
+        )[:8]
+    )
+    printed = [n for n in PRINTED if n in timings]
+    # the driver records only the tail of stdout; an overflowing line
+    # reaches the judge unparseable (see round 4). Shrink, never crash.
+    while True:
+        line = {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in printed},
+            "sf": sf,
+            "n_queries": len(timings),
+            "full_detail": "BENCH_FULL.json",
+            "vs_prev_gt_1.5x": regressions,
+            "vs_prev_baseline": prev_file,
+        }
+        out = json.dumps(line, separators=(",", ":"))
+        if len(out) < 1800 or not printed:
+            break
+        printed = printed[:-3]
+    print(out)
     spark.stop()
 
 

@@ -105,18 +105,38 @@ def bloom_pruned_join(
     num_bits: int = 1 << 20,
     k: int = 3,
     how: str = "inner",
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """Join ``probe`` to ``build`` with a Bloom prefilter on the probe
     side: rows whose key cannot match never enter the exchange.
 
-    The result is EXACTLY ``probe.join(build, ...)`` — false positives
-    are eliminated by the real join; false negatives cannot occur. At
-    cluster scale this converts "shuffle 100 TB then drop 94%" into
-    "drop 94% at the scan, shuffle 6 TB"; the build side is typically
-    also broadcast by AQE, making the whole join exchange-free.
+    Only match-requiring join types are accepted (``inner`` and the
+    semi/anti family would be safe; probe-preserving ``left``/``full``
+    must emit null-extended rows for exactly the probe rows the
+    prefilter discards, so pruning would silently change the result —
+    they are rejected rather than quietly computed wrong).
+
+    For the accepted types the result is EXACTLY
+    ``probe.join(build, ...)`` — false positives are eliminated by the
+    real join; false negatives cannot occur. At cluster scale this
+    converts "shuffle 100 TB then drop 94%" into "drop 94% at the scan,
+    shuffle 6 TB". ``broadcast_build`` adds the broadcast hint (right
+    for the small-build case this operator targets); pass ``False`` for
+    a build side big enough that Bloom pruning still pays but a
+    broadcast would not fit executor memory.
     """
+    allowed = {"inner", "semi", "leftsemi", "left_semi"}
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in allowed
+    }:
+        raise ValueError(
+            f"bloom_pruned_join supports {sorted(allowed)} only: "
+            f"probe-preserving joins (got {how!r}) must keep the very "
+            "rows the Bloom prefilter drops"
+        )
     bitset = bloom_build(build, build_key, num_bits=num_bits, k=k)
     pruned = probe.filter(bloom_might_contain(F.col(probe_key), bitset, k=k))
+    build_side = F.broadcast(build) if broadcast_build else build
     return pruned.join(
-        F.broadcast(build), pruned[probe_key] == build[build_key], how
+        build_side, pruned[probe_key] == build[build_key], how
     )

@@ -69,8 +69,31 @@ def skyline(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
         for pdf in batches:
             yield _scan_frontier(pdf, minimize, maximize)
 
+    def global_scan(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # Arrow slices the coalesced partition into batches of
+        # spark.sql.execution.arrow.maxRecordsPerBatch rows; a per-batch
+        # scan would let a point dominated by a row in ANOTHER batch
+        # survive. Fold batches into a running frontier instead: after
+        # each batch the carried frame is the exact skyline of
+        # everything seen, so memory stays bounded by the true frontier
+        # size, not the candidate-union size.
+        frontier: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            merged = (
+                pdf
+                if frontier is None
+                else pd.concat([frontier, pdf], ignore_index=True)
+            )
+            frontier = _scan_frontier(merged, minimize, maximize)
+        if frontier is not None:
+            yield frontier
+
     candidates = df.mapInPandas(local, schema=schema)
     # global pass over the (small) candidate union in one task — the
     # coalesce is safe precisely because phase 1 already discarded
     # everything dominated within any partition
-    return candidates.coalesce(1).mapInPandas(local, schema=schema)
+    return candidates.coalesce(1).mapInPandas(global_scan, schema=schema)

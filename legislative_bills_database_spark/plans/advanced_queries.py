@@ -1444,7 +1444,7 @@ def q_partition_gaps(spark, sf_dir):
     "q_bootstrap_ci",
     """
     WITH x AS (
-      SELECT l_orderkey * 10 + l_linenumber AS rid,
+      SELECT (l_orderkey * 10 + l_linenumber) % 2147483647 AS rid,
              CAST(l_quantity AS DECIMAL(18,6)) AS v
       FROM lineitem
     ), reps AS (
@@ -1481,8 +1481,11 @@ def q_bootstrap_ci(spark, sf_dir):
     Poisson(1)-approximating step function of md5(row_id:b) —
     ENGINE-PORTABLE randomness, so Spark and the oracle draw the
     IDENTICAL resamples and the CI hash-matches. The hash is pure
-    64-bit ARITHMETIC (LCG mix + middle-square, mod 2^31−1; products
-    bounded < 2^63 so DuckDB's overflow-checked BIGINT never trips) —
+    64-bit ARITHMETIC (LCG mix + middle-square, mod 2^31−1): rid is
+    reduced mod 2^31−1 BEFORE the LCG multiply, so every intermediate
+    product stays < 2^61 at ANY scale factor — without the reduction,
+    l_orderkey above ~8.3e8 would overflow signed 64-bit, which Spark
+    wraps silently while DuckDB's checked BIGINT errors —
     the earlier md5-based variant was semantically identical but spent
     59.7 s at sf0.1 on 30M short-string digests, vs ~2 s for the
     integer mix in codegen; distribution vs the Poisson(1) step targets
@@ -1492,7 +1495,9 @@ def q_bootstrap_ci(spark, sf_dir):
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     x = li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 2147483647
+        ).alias("rid"),
         F.col("l_quantity").cast("decimal(18,6)").alias("v"),
     )
     reps = x.select(

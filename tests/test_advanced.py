@@ -77,6 +77,41 @@ def test_bloom_rejects_non_power_of_two(spark):
         bloom_build(spark.range(1), "id", num_bits=1000)
 
 
+def test_bloom_rejects_probe_preserving_joins(spark):
+    """left/full must null-extend exactly the rows the prefilter drops;
+    pruning would silently change the result, so they are refused."""
+    probe = spark.range(10).select(F.col("id").alias("k"))
+    build = spark.range(3).select(F.col("id").alias("bk"))
+    for how in ("left", "full", "left_outer", "right"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            bloom_pruned_join(probe, build, "k", "bk", how=how)
+
+
+def test_bloom_semi_join_and_unbroadcast_build(spark):
+    """semi is match-requiring, so pruning is exact; broadcast_build
+    False must produce the identical row set through a shuffle join."""
+    rng = random.Random(23)
+    probe = spark.createDataFrame(
+        [(rng.randrange(800), i) for i in range(3000)], "k long, pid long"
+    )
+    build = spark.createDataFrame(
+        [(rng.randrange(800),) for _ in range(150)], "bk long"
+    )
+    want = sorted(
+        (r.k, r.pid)
+        for r in probe.join(build, probe.k == build.bk, "semi").collect()
+    )
+    for bc in (True, False):
+        got = sorted(
+            (r.k, r.pid)
+            for r in bloom_pruned_join(
+                probe, build, "k", "bk", num_bits=1 << 14,
+                how="semi", broadcast_build=bc,
+            ).collect()
+        )
+        assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Skyline
 # ---------------------------------------------------------------------------
@@ -121,6 +156,31 @@ def test_skyline_keeps_frontier_duplicates(spark):
     df = spark.createDataFrame(pts, "lo long, hi long").repartition(4)
     got = sorted((r.lo, r.hi) for r in skyline(df, "lo", "hi").collect())
     assert got == [(0, 3), (1, 10), (1, 10), (5, 20)]
+
+
+def test_skyline_global_phase_spans_arrow_batches(spark):
+    """Candidates larger than one Arrow batch: a per-batch global scan
+    would let partition A's staircase (all dominated by partition B's
+    single point) survive in batches that don't contain that point.
+    The folded running-frontier scan must not."""
+    staircase = [(float(i), float(i) + 0.5) for i in range(500)]
+    dominator = [(-1.0, 10_000.0)]
+    a = spark.createDataFrame(staircase, "lo double, hi double")
+    b = spark.createDataFrame(dominator, "lo double, hi double")
+    df = a.union(b).repartition(2)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "64")  # force many batches in the global task
+    try:
+        got = sorted(
+            (r.lo, r.hi) for r in skyline(df, "lo", "hi").collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == _brute_skyline(staircase + dominator)
 
 
 # ---------------------------------------------------------------------------
