@@ -207,6 +207,17 @@ HEADLINE = [
     "q_cumulative_users",
     # (q_stream_totals costs a 5th stream census run; the 4 existing
     # censuses already bound bench wall — certified via preflight/pytest)
+    # round-5 phase 19: star rollup, portable KMV sketch, interval
+    # union, hash-certified CC + weighted SSSP, survivorship,
+    # embedding drift, feature hashing
+    "q_star_join",
+    "q_kmv_distinct",
+    "q_interval_coverage",
+    "q_cc_labels",
+    "q_sssp",
+    "q_survivorship",
+    "q_embedding_drift",
+    "q_feature_hash",
 ]
 
 

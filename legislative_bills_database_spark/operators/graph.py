@@ -477,3 +477,69 @@ def multi_source_bfs(
         return out
     finally:
         sym.unpersist()
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Hop-bounded single/multi-source shortest path over a DIRECTED
+    weighted edge list — exactly ``rounds`` Bellman-Ford relaxation
+    sweeps, so the result is "cheapest cost using at most ``rounds``
+    edges" (the bounded-blast-radius form that stays affordable on a
+    big graph; run more rounds for a larger horizon). Weights must be
+    integral (long) so min-costs are exact and engine-portable — the
+    DuckDB twin chains the same ``rounds`` min-merge CTE sweeps and the
+    value hash certifies every relaxation round.
+
+    Scale shape, same discipline as :func:`bfs_hops` / :func:`pagerank`:
+    the edge list is hash-partitioned on ``src`` and persisted once;
+    each sweep joins the (bounded) distance frame against that layout,
+    merges with a ``groupBy(node).min`` — one co-located join + one
+    aggregate shuffle per round, distance frame ``localCheckpoint``-ed
+    so lineage depth stays O(1). A fixed round count (not a convergence
+    probe) keeps the semantics deterministic and identical to the
+    oracle regardless of cluster size or scheduling.
+
+    ``seeds``: one-column node frame. Returns (node, dist) for every
+    node reachable within ``rounds`` hops (seeds at dist 0).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(rounds):
+            relaxed = (
+                dist.join(e, dist.node == e.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+            )
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(dist)
+            dist = nxt
+        return dist
+    finally:
+        e.unpersist()

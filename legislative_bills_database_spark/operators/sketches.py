@@ -133,3 +133,115 @@ def hll_merge_report(
             ),
         )
     )
+
+
+def kmv_distinct_report(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch with an ENGINE-PORTABLE
+    hash (md5 of the key's string form), so — unlike HLL, whose
+    xxhash64-based registers no other engine reproduces — the estimate
+    itself is value-hash-checkable against a SQL oracle: both engines
+    rank the identical lowercase-hex digests.
+
+    Estimator: with h(k-th smallest of n distinct hashes) mapped to
+    (0,1) via its first 8 nibbles / 2^32, E[distinct] ≈ (k−1)/h_(k).
+    Below k distinct values the sketch is EXACT (it holds every hash).
+
+    Scale shape: the distinct pre-pass is the only key shuffle; the
+    k-smallest selection is a TakeOrdered (per-partition top-k, O(k)
+    rows to one reducer — the mergeability that lets per-shard sketches
+    union without rescanning, same posture as the HLL rollup above).
+    Returns one row: (n_exact, kmv_k, kmv_estimate, rel_err).
+    """
+    hashed = (
+        df.select(F.col(col).cast("string").alias("s"))
+        .na.drop()
+        .distinct()
+        .select(F.md5("s").alias("hx"))
+        .persist()
+    )
+    n_exact = hashed.count()
+    smallest = hashed.orderBy("hx").limit(k)
+
+    def nib(pos: int):
+        a = F.ascii(F.substring(F.col("hx"), pos, 1))
+        return (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))).cast(
+            "long"  # 8 nibbles reach 2^32-1 — int32 would overflow
+        )
+
+    frac_num = nib(1)
+    for p in range(2, 9):
+        frac_num = frac_num * 16 + nib(p)
+    out = (
+        smallest.select(
+            F.col("hx"), frac_num.cast("double").alias("num")
+        )
+        .agg(
+            F.count("*").alias("kmv_k"),
+            F.max("num").alias("kth_num"),
+        )
+        .select(
+            F.lit(n_exact).cast("long").alias("n_exact"),
+            F.col("kmv_k").cast("long").alias("kmv_k"),
+            F.round(
+                F.when(
+                    F.col("kmv_k") < k, F.col("kmv_k").cast("double")
+                ).otherwise(
+                    (F.lit(float(k - 1)))
+                    / (F.col("kth_num") / F.lit(float(1 << 32)))
+                ),
+                2,
+            ).alias("kmv_estimate"),
+        )
+        .select(
+            "n_exact",
+            "kmv_k",
+            "kmv_estimate",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    hashed.unpersist()
+    return out
+
+
+def sql_kmv_distinct(table: str, col: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_distinct_report`."""
+
+    def nib(pos: int) -> str:
+        c = f"ascii(substring(hx, {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    # seed the fold as BIGINT: 8 nibbles reach 2^32-1, past INT32
+    num = f"CAST({nib(1)} AS BIGINT)"
+    for p in range(2, 9):
+        num = f"({num} * 16 + {nib(p)})"
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT md5(CAST({col} AS VARCHAR)) AS hx
+      FROM {table} WHERE {col} IS NOT NULL
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM h
+    ), small AS (
+      SELECT hx FROM h ORDER BY hx LIMIT {k}
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kmv_k,
+             MAX(CAST({num} AS DOUBLE)) AS kth_num
+      FROM small
+    ), est AS (
+      SELECT t.n_exact, a.kmv_k,
+             ROUND(CASE WHEN a.kmv_k < {k}
+                        THEN CAST(a.kmv_k AS DOUBLE)
+                        ELSE {float(k - 1)} / (a.kth_num / {float(1 << 32)})
+                   END, 2) AS kmv_estimate
+      FROM tot t CROSS JOIN agg a
+    )
+    SELECT n_exact, kmv_k, kmv_estimate,
+           ROUND(ABS(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
+    FROM est
+    """

@@ -175,3 +175,65 @@ def max_concurrency(
         .agg(F.min("ts").alias("peak_start"))
         .select("peak_concurrency", "peak_start")
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key total length of the UNION of (possibly overlapping)
+    integer intervals ``[start, end)`` — the gaps-and-islands merge:
+    double-billing overlap is the classic error in "time spent" /
+    "coverage" metrics, and the fix is merging intervals BEFORE summing.
+
+    Physical shape: one shuffle on ``key_col`` shared by both windows —
+    a running ``max(end)`` over preceding rows marks island starts
+    (``start > max_end_so_far``), a running sum of those markers numbers
+    the islands, then per-island extents aggregate to per-key totals.
+    No self-join, no explode-per-unit-time (the naive minute-explosion
+    is O(duration) rows per interval — unusable at scale); cost is
+    O(n log n) per key partition, exactly one exchange end to end.
+
+    Returns (key, n_intervals, n_islands, covered) with ``covered`` in
+    the interval unit (exact integer arithmetic).
+    """
+    # windows rank the RENAMED (key, s, e) frame built below — both
+    # share one (key) partitioning, so the whole operator is one exchange
+    w_order = (
+        Window.partitionBy("key")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("key")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.max("e").over(w_order), F.lit(1)
+        ).otherwise(
+            F.when(F.max("e").over(w_order).isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = marked.groupBy("key", "island").agg(
+        F.count("*").alias("n_intervals"),
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+    )
+    return islands.groupBy(F.col("key")).agg(
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("covered"),
+    )

@@ -10,3 +10,4 @@ from . import extension_queries  # noqa: F401  (registers on import)
 from . import pipeline_queries  # noqa: F401  (registers on import)
 from . import analytics_queries  # noqa: F401  (registers on import)
 from . import advanced_queries  # noqa: F401  (registers on import)
+from . import roundfive_queries  # noqa: F401  (registers on import)

@@ -1,0 +1,532 @@
+"""Round-5 phase-19 queries: star-schema rollup, portable KMV distinct
+sketch, interval-union coverage, hash-certified connected components and
+weighted shortest paths, MDM survivorship, embedding drift, and the
+hashing-trick vectorizer.
+
+Two themes: (a) close the gap between "iterative graph op exists" and
+"iterative graph op is VALUE-HASH-PROVEN" (q_cc_labels / q_sssp follow
+q_bfs_hops / q_closeness: every label-propagation round and Bellman-Ford
+sweep is certified by a DuckDB twin, not just row-counted), and (b) the
+warehouse classics a reference user reaches for daily — the multiway
+star join the R scripts approximate with chained merge() calls
+(legiscan_main.R's bill↔person↔session merges), duplicate-record
+survivorship, and union-of-intervals time accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import exact_sum, sql_exact_sum
+from ..io import load_table, load_tables
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Star-schema rollup (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_star_join",
+    f"""
+    SELECT n.n_name,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND({sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)")}, 2)
+             AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1, 2
+    """,
+)
+def q_star_join(spark, sf_dir):
+    """Local-supplier revenue by nation and year for one region — the
+    TPC-H Q5 star shape, and the engine analog of the reference's
+    chained merge() pipelines (legiscan_main.R joins bills→people→
+    sessions one merge at a time). Physical posture: every dimension
+    (region→nation→customer chain, supplier) is broadcast — at bench SF
+    AQE broadcasts every join and the only hash exchange left is the
+    final per-(nation, year) aggregation; at cluster scale the one wide
+    exchange is the orders⋈lineitem orderkey join, which co-located
+    bucketing removes (q_bucketed_join demonstrates exactly that), and
+    the aggregation ships map-side partials only. The s_nationkey =
+    c_nationkey local-supplier predicate rides the broadcast join
+    condition, not a post-join filter."""
+    region, nation, customer, supplier, orders, lineitem = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier",
+        "orders", "lineitem",
+    )
+    dim = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "n_nationkey", "c_custkey")
+    )
+    facts = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == F.col("n_nationkey")),
+        )
+    )
+    return facts.groupBy(
+        "n_name", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (engine-portable, estimate itself hash-checked)
+# ---------------------------------------------------------------------------
+
+from ..operators.sketches import kmv_distinct_report, sql_kmv_distinct  # noqa: E402
+
+
+@query("q_kmv_distinct", sql_kmv_distinct("lineitem", "l_partkey", k=256))
+def q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch over l_partkey
+    (operators/sketches.kmv_distinct_report): md5-ranked bottom-k, so
+    the ESTIMATE — not just a row count — hash-matches the DuckDB twin,
+    which the xxhash64-register HLL pair (q_hll_merge, q_approx_distinct)
+    structurally cannot. The bottom-k selection is a TakeOrdered
+    (per-partition top-k then O(k) merge), the mergeable shape that
+    unions per-shard sketches without rescanning; rel_err lands ~1/√k
+    (≈6% at k=256), emitted as a column so the driver sees the
+    accuracy, not only the estimate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_report(lineitem, "l_partkey", k=256)
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage
+# ---------------------------------------------------------------------------
+
+from ..operators.temporal import interval_union_length  # noqa: E402
+
+
+@query(
+    "q_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1
+                  WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL THEN 1
+                  ELSE 0 END AS new_island
+      FROM iv
+    ), runs AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ), islands AS (
+      SELECT user_id, island, COUNT(*) AS n_iv,
+             MIN(s) AS island_s, MAX(e) AS island_e
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id AS key,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered
+    FROM islands GROUP BY 1
+    """,
+)
+def q_interval_coverage(spark, sf_dir):
+    """Per-user active time as the UNION of 5-minute activity intervals
+    (operators/temporal.interval_union_length): overlapping sessions
+    merge before summing, so concurrent events never double-bill —
+    the gaps-and-islands merge in one exchange (both windows and both
+    aggregates share the user_id partitioning), versus the naive
+    per-minute explode that costs O(duration) rows per interval."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    return interval_union_length(iv, "user_id", "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# Hash-certified connected components + weighted shortest paths over the
+# sampled co-purchase graph
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES = """
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(MIN(CAST(a.l_quantity + b.l_quantity AS BIGINT)) AS BIGINT)
+               AS w
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 97 = 0
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT src, dst, w FROM e
+      UNION ALL
+      SELECT dst, src, w FROM e
+    )
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """(src, dst, w) canonical a<b co-purchase edges over the %97 order
+    sample: parts bought together in one sampled order, weight = min
+    total quantity over linking orders. The a<b self-join is an
+    equi-join on l_orderkey (shuffle-hash, never a theta join); the %97
+    sample bounds the clique fan-out the way any real co-occurrence
+    pipeline bounds baskets."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"),
+                  F.col("l_quantity").alias("qa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"),
+                  F.col("l_quantity").alias("qb"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.min((F.col("qa") + F.col("qb")).cast("long")).alias("w")
+        )
+    )
+
+
+@query(
+    "q_cc_labels",
+    f"""
+    WITH RECURSIVE {_COPURCHASE_EDGES},
+    nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ),
+    r AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT s.dst, r.label FROM r JOIN sym s ON r.node = s.src
+    ),
+    lab AS (SELECT node, MIN(label) AS label FROM r GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM lab GROUP BY 1
+    """,
+)
+def q_cc_labels(spark, sf_dir):
+    """Connected-component census of the co-purchase graph with a FULL
+    value-hash proof: every (node → min-label) assignment from
+    operators/dedup.connected_components (union-find fast path under
+    the 2M-edge bound, checkpointed pointer-jumping loop above it) must
+    agree with the DuckDB recursive min-label fixpoint. q_near_dedup_
+    corpus exercises the same operator rows-only on LSH pairs; this
+    query pins its SEMANTICS, component for component, so a labeling
+    bug (e.g. a split component) fails the driver hash, not just a
+    pytest invariant."""
+    from ..operators.dedup import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir)
+    pairs = edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    # NOT id_col="node": connected_components' union-find fast path
+    # joins back through an internal frame whose key is literally
+    # named "node", and a same-named id column is ambiguous there
+    ids = (
+        pairs.select(F.col("id_a").alias("part"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    labels = connected_components(pairs, ids, id_col="part")
+    return labels.groupBy(
+        F.col("component").cast("long").alias("component")
+    ).agg(F.count("*").cast("long").alias("n_parts"))
+
+
+def _sql_sssp(rounds: int) -> str:
+    steps = [
+        """
+    r0 AS (
+      SELECT (SELECT MIN(src) FROM sym) AS node, CAST(0 AS BIGINT) AS dist
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r{i - 1}
+        UNION ALL
+        SELECT s.dst AS node, p.dist + s.w AS dist
+        FROM r{i - 1} p JOIN sym s ON p.node = s.src
+      ) GROUP BY 1
+    )""")
+    return f"""
+    WITH {_COPURCHASE_EDGES},
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM r{rounds}
+    """
+
+
+@query("q_sssp", _sql_sssp(6))
+def q_sssp(spark, sf_dir):
+    """Weighted shortest paths from the smallest co-purchase node, hop-
+    bounded at 6 relaxation sweeps (operators/graph.shortest_paths).
+    Third hash-proven iterative operator after q_bfs_hops/q_closeness —
+    here the oracle chains six explicit min-merge CTE sweeps, so the
+    value hash certifies each Bellman-Ford round's join + min-merge,
+    with integral weights keeping min-costs exact in both engines.
+    Physical shape per sweep: one join against the src-partitioned
+    persisted edge list + one groupBy(node) min, distance frame
+    localCheckpoint-ed so plan depth stays O(1)."""
+    from ..operators.graph import shortest_paths
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "w",
+        )
+    )
+    seeds = sym.agg(F.min("src").alias("node"))
+    return shortest_paths(sym, seeds, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (MDM golden record)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_survivorship",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dup_date,
+             o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+             CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey, CAST(o_orderdate AS DATE))
+               AS BIGINT) AS n_dups,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey, CAST(o_orderdate AS DATE))
+               AS DOUBLE) AS merged_total
+      FROM orders
+    )
+    SELECT o_custkey, dup_date,
+           o_orderkey AS survivor_orderkey,
+           n_dups,
+           ROUND(o_totalprice, 2) AS kept_price,
+           ROUND(merged_total, 2) AS merged_price
+    FROM g WHERE rn = 1 AND n_dups >= 2
+    """,
+)
+def q_survivorship(spark, sf_dir):
+    """Duplicate-record survivorship: orders by the same customer on
+    the same day are a duplicate group; the golden record is the
+    highest-value order (orderkey as the deterministic tiebreak), with
+    the group's merged total carried alongside — the master-data-
+    management step after any dedup pass, here in ONE window shuffle
+    (rank, census, and merged sum all share the (custkey, day)
+    partitioning; no self-join back to the group)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM-dd")
+    w = Window.partitionBy("o_custkey", day)
+    w_rank = w.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    g = orders.select(
+        "o_custkey",
+        day.alias("dup_date"),
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w).cast("long").alias("n_dups"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("merged_total"),
+    )
+    return g.filter((F.col("rn") == 1) & (F.col("n_dups") >= 2)).select(
+        "o_custkey",
+        "dup_date",
+        F.col("o_orderkey").alias("survivor_orderkey"),
+        "n_dups",
+        F.round("o_totalprice", 2).alias("kept_price"),
+        F.round("merged_total", 2).alias("merged_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_drift",
+    """
+    WITH x AS (
+      SELECT vec_id % 2 AS grp,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), agg AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             ROUND(CAST(SUM(CASE WHEN grp = 0
+                       THEN CAST(v AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN grp = 0 THEN 1 END), 6) AS mean_a,
+             ROUND(CAST(SUM(CASE WHEN grp = 1
+                       THEN CAST(v AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN grp = 1 THEN 1 END), 6) AS mean_b
+      FROM x GROUP BY 1
+    ), ranked AS (
+      SELECT dim, mean_a, mean_b,
+             ROUND(mean_b - mean_a, 6) AS shift,
+             ROW_NUMBER() OVER (
+               ORDER BY ABS(ROUND(mean_b - mean_a, 6)) DESC, dim ASC)
+               AS rk
+      FROM agg
+    )
+    SELECT dim, mean_a, mean_b, shift FROM ranked WHERE rk <= 5
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Per-dimension embedding centroid drift between two populations
+    (even/odd vec_id standing in for yesterday/today): top-5 dimensions
+    by |mean shift| — the distribution-drift monitor a feature store
+    runs on every embedding refresh. Slim (grp, dim, v) triples are the
+    only shuffled rows (posexplode at the scan, never the full array);
+    per-dim conditional decimal sums give order-insensitive means, so
+    the drift ranking is exact and engine-portable. The final top-5 is
+    a 1-task TakeOrdered over |dims| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("grp", "dim", F.col("v").cast("double").alias("v"))
+    dec = F.col("v").cast("decimal(18,6)")
+    agg = x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.round(
+            F.sum(F.when(F.col("grp") == 0, dec)).cast("double")
+            / F.count(F.when(F.col("grp") == 0, F.lit(1))),
+            6,
+        ).alias("mean_a"),
+        F.round(
+            F.sum(F.when(F.col("grp") == 1, dec)).cast("double")
+            / F.count(F.when(F.col("grp") == 1, F.lit(1))),
+            6,
+        ).alias("mean_b"),
+    )
+    ranked = agg.select(
+        "dim", "mean_a", "mean_b",
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("shift"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.abs(F.col("shift")).desc(), F.col("dim").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 5).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer
+# ---------------------------------------------------------------------------
+
+
+def _sql_feature_bucket(tok_expr: str) -> str:
+    def nib(pos: int) -> str:
+        c = f"ascii(substring(md5({tok_expr}), {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    return f"(({nib(1)} * 16 + {nib(2)}) * 16 + {nib(3)})"
+
+
+@query(
+    "q_feature_hash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, {_sql_feature_bucket("tok")} AS bucket
+      FROM tok WHERE tok <> ''
+    ), agg AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM b GROUP BY 1
+    ), ranked AS (
+      SELECT bucket, n_tokens, n_docs,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, bucket ASC) AS rk
+      FROM agg
+    )
+    SELECT bucket, n_tokens, n_docs FROM ranked WHERE rk <= 20
+    """,
+)
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick (feature-hashing) vectorizer census: tokens map to
+    a fixed 4096-bucket space via three engine-portable md5 nibbles —
+    the unbounded-vocabulary answer (no dictionary to build, broadcast,
+    or version) used by every large-scale linear/CTR featurizer. Top-20
+    buckets by token mass, with per-bucket document frequency. Zero
+    Python: explode → nibble arithmetic → one (bucket) aggregation;
+    the doc-frequency COUNT(DISTINCT doc_id) rides the same shuffle as
+    the token count (partial-distinct map-side), and the top-20 is a
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("raw"),
+    ).select("doc_id", F.lower("raw").alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    h = F.md5("tok")
+
+    def nib(pos: int):
+        a = F.ascii(F.substring(h, pos, 1))
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    bucket = ((nib(1) * 16 + nib(2)) * 16 + nib(3)).cast("long")
+    agg = tok.select(bucket.alias("bucket"), "doc_id").groupBy(
+        "bucket"
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    ranked = agg.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_tokens").desc(), F.col("bucket").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 20).drop("rk")

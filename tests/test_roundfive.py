@@ -1,0 +1,227 @@
+"""Round-5 phase-19 operators: weighted shortest paths, KMV distinct
+sketch, interval-union coverage, and the query-level invariants for the
+star join / survivorship / embedding drift / feature hashing."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.operators.graph import shortest_paths
+from legislative_bills_database_spark.operators.sketches import (
+    kmv_distinct_report,
+)
+from legislative_bills_database_spark.operators.temporal import (
+    interval_union_length,
+)
+
+from conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+
+def _brute_bellman_ford(edges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_shortest_paths_matches_bruteforce(spark):
+    """Exactly `rounds` relaxation sweeps == the classic per-round dict
+    relax, including nodes whose 6-hop cost exceeds their true shortest
+    cost (hop-bound semantics, the property the oracle pins)."""
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(60), rng.randrange(60), rng.randrange(1, 10))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(df, seeds, rounds=4).collect()
+    }
+    assert got == _brute_bellman_ford(edges, [0], 4)
+
+
+def test_shortest_paths_multi_seed_min(spark):
+    """Multiple seeds: each node gets the cheapest cost from ANY seed."""
+    edges = [(1, 2, 5), (3, 2, 1), (2, 4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(df, seeds, rounds=3).collect()
+    }
+    assert got == {1: 0, 3: 0, 2: 1, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_report
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct values than k: the sketch holds every hash and the
+    estimate IS the exact count."""
+    df = spark.range(0, 1000).select((F.col("id") % 100).alias("v"))
+    row = kmv_distinct_report(df, "v", k=256).collect()[0]
+    assert row.n_exact == 100
+    assert row.kmv_k == 100
+    assert row.kmv_estimate == 100.0
+    assert row.rel_err == 0.0
+
+
+def test_kmv_estimate_within_bound(spark):
+    """At n >> k the estimate lands within ~3/sqrt(k) of truth (md5 is
+    a good-enough uniformizer; bound is ~5 sigma so the test is
+    deterministic-stable, not flaky)."""
+    df = spark.range(0, 20000).select((F.col("id") * 7919).alias("v"))
+    row = kmv_distinct_report(df, "v", k=256).collect()[0]
+    assert row.n_exact == 20000
+    assert row.kmv_k == 256
+    assert abs(row.kmv_estimate - 20000) / 20000 < 3 / (256 ** 0.5)
+
+
+# ---------------------------------------------------------------------------
+# interval_union_length
+# ---------------------------------------------------------------------------
+
+
+def _brute_coverage(ivs):
+    ivs = sorted(ivs)
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    return sum(e - s for s, e in islands), len(islands)
+
+
+def test_interval_union_matches_bruteforce(spark):
+    """Random overlapping/nested/duplicate intervals per key == the
+    sorted sweep-line merge."""
+    rng = random.Random(11)
+    rows = []
+    per_key = {}
+    for _ in range(400):
+        k = rng.randrange(5)
+        s = rng.randrange(1000)
+        e = s + rng.randrange(1, 50)
+        rows.append((k, s, e))
+        per_key.setdefault(k, []).append((s, e))
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {
+        r.key: (r.covered, r.n_islands, r.n_intervals)
+        for r in interval_union_length(df, "k", "s", "e").collect()
+    }
+    for k, ivs in per_key.items():
+        covered, n_islands = _brute_coverage(ivs)
+        assert got[k] == (covered, n_islands, len(ivs))
+
+
+def test_interval_union_touching_intervals_merge(spark):
+    """[0,10) and [10,20) touch: zero gap means one island, and
+    coverage must not double-count the boundary."""
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 10, 20), (1, 5, 12)], "k long, s long, e long"
+    )
+    r = interval_union_length(df, "k", "s", "e").collect()[0]
+    assert (r.covered, r.n_islands, r.n_intervals) == (20, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# query-level invariants
+# ---------------------------------------------------------------------------
+
+
+def test_survivorship_survivor_is_group_max(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_survivorship,
+    )
+
+    rows = q_survivorship(spark, SF_DIR).collect()
+    assert rows, "sf0.001 fixture has same-day duplicate orders"
+    for r in rows:
+        assert r.n_dups >= 2
+        # the kept price participates in (and can't exceed) the merge
+        assert r.kept_price <= r.merged_price + 1e-6
+
+
+def test_embedding_drift_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_embedding_drift,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    a = np.array([r.embedding for r in emb if r.vec_id % 2 == 0], "f8")
+    b = np.array([r.embedding for r in emb if r.vec_id % 2 == 1], "f8")
+    shift = b.mean(axis=0) - a.mean(axis=0)
+    want = sorted(
+        range(len(shift)), key=lambda d: (-abs(round(shift[d], 6)), d)
+    )[:5]
+    got = q_embedding_drift(spark, SF_DIR).collect()
+    assert sorted(r.dim for r in got) == sorted(want)
+    for r in got:
+        assert abs(r.shift - round(float(shift[r.dim]), 6)) < 1e-4
+
+
+def test_feature_hash_buckets_in_range(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_feature_hash,
+    )
+
+    rows = q_feature_hash(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    counts = [r.n_tokens for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 <= r.bucket < 4096
+        assert 1 <= r.n_docs
+
+
+def test_star_join_all_dims_broadcast(spark):
+    """No sort-merge/shuffled-hash join at fixture SF: dims broadcast,
+    the only hash exchange is the final aggregation."""
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_star_join,
+    )
+
+    df = q_star_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 4
+    # revenue sanity: every (nation, yr) cell strictly positive
+    for r in df.collect():
+        assert r.revenue > 0 and r.n_items > 0
+
+
+def test_cc_labels_component_sizes_cover_every_node(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        _copurchase_edges,
+        q_cc_labels,
+    )
+
+    census = q_cc_labels(spark, SF_DIR).collect()
+    edges = _copurchase_edges(spark, SF_DIR)
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select("dst"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in census) == n_nodes
+    # every component label is one of its member nodes (min semantics)
+    assert all(r.n_parts >= 2 for r in census)  # edges imply pairs
