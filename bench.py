@@ -218,6 +218,12 @@ HEADLINE = [
     "q_survivorship",
     "q_embedding_drift",
     "q_feature_hash",
+    # round-5 phase 20: fuzzy decontamination, QQ compare, ACF,
+    # categorical drift
+    "q_fuzzy_decontaminate",
+    "q_qq_deciles",
+    "q_autocorrelation",
+    "q_category_drift",
 ]
 
 

@@ -530,3 +530,318 @@ def q_feature_hash(spark, sf_dir):
         ),
     )
     return ranked.filter(F.col("rk") <= 20).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# Phase 20: fuzzy decontamination, QQ deciles, autocorrelation,
+# categorical drift
+# ---------------------------------------------------------------------------
+
+from ..functions import text as T  # noqa: E402
+
+
+@query(
+    "q_fuzzy_decontaminate",
+    f"""
+    WITH bsh AS (
+      SELECT doc_id AS bid,
+             unnest(list_distinct({T.sql_shingles("string_split(text, ' ')", 3)}))
+               AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ), tsh AS (
+      SELECT doc_id AS tid,
+             unnest(list_distinct({T.sql_shingles("string_split(text, ' ')", 3)}))
+               AS s
+      FROM documents WHERE doc_id % 97 <> 0
+    ), bdeg AS (
+      SELECT bid, CAST(COUNT(*) AS BIGINT) AS db FROM bsh GROUP BY 1
+    ), tdeg AS (
+      SELECT tid, CAST(COUNT(*) AS BIGINT) AS dt FROM tsh GROUP BY 1
+    ), inter AS (
+      SELECT t.tid, b.bid, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM tsh t JOIN bsh b USING (s) GROUP BY 1, 2
+    ), j AS (
+      SELECT i.tid, i.bid,
+             ROUND(CAST(i.ni AS DOUBLE) / (td.dt + bd.db - i.ni), 6)
+               AS jaccard
+      FROM inter i
+      JOIN tdeg td ON i.tid = td.tid
+      JOIN bdeg bd ON i.bid = bd.bid
+    )
+    SELECT tid AS doc_id, bid AS bench_id, jaccard
+    FROM j WHERE jaccard >= 0.2
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY tid ORDER BY jaccard DESC, bid ASC) = 1
+    """,
+)
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination: where q_decontaminate kills on
+    ANY shared 5-gram (exact containment), this flags training docs
+    whose 3-gram Jaccard against some benchmark doc clears 0.2 — the
+    paraphrase/partial-overlap contamination the exact rule misses, with
+    the best-matching benchmark doc as evidence. Physical shape: the
+    benchmark shingle set is bounded by contract and BROADCASTS; the
+    training side is one explode + broadcast join aggregated to slim
+    (tid, bid, ni) triples — intersection counts, never shingle lists,
+    are the only shuffled rows; per-doc degrees re-join at count grain.
+    At 100 TB the 0-match training majority never leaves its scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles, tokens
+
+    sh = lambda side: F.explode(  # noqa: E731
+        F.array_distinct(shingles(tokens(F.col("text")), 3))
+    ).alias("s")
+    bsh = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), sh("b")
+    )
+    tsh = docs.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("tid"), sh("t")
+    )
+    bdeg = bsh.groupBy("bid").agg(F.count("*").cast("long").alias("db"))
+    tdeg = tsh.groupBy("tid").agg(F.count("*").cast("long").alias("dt"))
+    inter = (
+        tsh.join(F.broadcast(bsh), "s")
+        .groupBy("tid", "bid")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    j = (
+        inter.join(tdeg, "tid")
+        .join(F.broadcast(bdeg), "bid")
+        .select(
+            "tid", "bid",
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("dt") + F.col("db") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    best = Window.partitionBy("tid").orderBy(
+        F.col("jaccard").desc(), F.col("bid").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("tid").alias("doc_id"),
+            F.col("bid").alias("bench_id"),
+            "jaccard",
+        )
+    )
+
+
+@query(
+    "q_qq_deciles",
+    """
+    WITH qa AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    ), qb AS (
+      SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'MACHINERY'
+    )
+    SELECT CAST(i AS BIGINT) AS decile,
+           ROUND(qa.qs[i], 4) AS v_building,
+           ROUND(qb.qs[i], 4) AS v_machinery,
+           ROUND(qb.qs[i] - qa.qs[i], 4) AS gap
+    FROM qa CROSS JOIN qb
+    CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) g
+    """,
+)
+def q_qq_deciles(spark, sf_dir):
+    """Quantile-quantile comparison of order value across two market
+    segments — the distribution-shift diagnostic that says WHERE two
+    populations diverge (tails vs body), where q_ks_test says only by
+    how much overall. Each side reduces to ONE 9-value percentile row
+    (exact linear-interpolation percentiles, matching quantile_cont);
+    the pairing is a 1-row × 1-row broadcast zip + posexplode — no
+    fact-side join at any point."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    qs = [i / 10 for i in range(1, 10)]
+
+    def side(segment, name):
+        return (
+            orders.join(
+                F.broadcast(
+                    customer.filter(F.col("c_mktsegment") == segment)
+                ),
+                orders.o_custkey == customer.c_custkey,
+            )
+            .agg(F.percentile("o_totalprice", qs).alias(name))
+        )
+    a = side("BUILDING", "qa")
+    b = side("MACHINERY", "qb")
+    zipped = a.join(b).select(
+        F.posexplode(F.zip_with("qa", "qb", lambda x, y: F.struct(
+            x.alias("va"), y.alias("vb")
+        ))).alias("pos", "v")
+    )
+    return zipped.select(
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        F.round(F.col("v.va"), 4).alias("v_building"),
+        F.round(F.col("v.vb"), 4).alias("v_machinery"),
+        F.round(F.col("v.vb") - F.col("v.va"), 4).alias("gap"),
+    )
+
+
+@query(
+    "q_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - CAST('1970-01-01' AS DATE) AS BIGINT)
+               AS dn,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n * n) AS BIGINT) AS sxx
+      FROM daily
+    ), lags AS (
+      SELECT unnest(generate_series(1, 7)) AS lag
+    ), pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sab,
+             CAST(SUM(a.n) AS BIGINT) AS sa,
+             CAST(SUM(b.n) AS BIGINT) AS sb
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.dn = a.dn + l.lag
+      GROUP BY 1
+    )
+    SELECT CAST(p.lag AS BIGINT) AS lag, p.np AS n_pairs,
+           ROUND(
+             (CAST(p.sab AS DOUBLE)
+              - (CAST(s.sx AS DOUBLE) / s.nd) * (p.sa + p.sb)
+              + p.np * (CAST(s.sx AS DOUBLE) / s.nd)
+                     * (CAST(s.sx AS DOUBLE) / s.nd))
+             / (CAST(s.sxx AS DOUBLE)
+                - CAST(s.sx AS DOUBLE) * s.sx / s.nd),
+             6) AS acf
+    FROM pairs p CROSS JOIN stats s
+    """,
+)
+def q_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily event count at lags 1..7 — the
+    seasonality detector behind q_seasonality/q_stl_decompose, computed
+    the scale-safe way: the fact table reduces to a |days|-row integer
+    aggregate FIRST; lagged pairing is an equi-join on day-number + lag
+    (never a window over raw events, never a theta join); and every
+    moment (Σx, Σx², Σxᵃxᵇ) is an exact BIGINT sum, so the assembled
+    double is order-insensitive and engine-portable — products of
+    centered doubles would hash-drift under parallel summation."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = daily.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("dn").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("dn").alias("db"), F.col("n").alias("nb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("np"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("sab"),
+            F.sum("na").cast("long").alias("sa"),
+            F.sum("nb").cast("long").alias("sb"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("nd")
+    out = pairs.join(F.broadcast(stats)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.round(
+            (
+                F.col("sab").cast("double")
+                - mu * (F.col("sa") + F.col("sb"))
+                + F.col("np") * mu * mu
+            )
+            / (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("nd")
+            ),
+            6,
+        ).alias("acf"),
+    )
+    return out
+
+
+@query(
+    "q_category_drift",
+    """
+    WITH a AS (
+      SELECT o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY 1
+    ), b AS (
+      SELECT o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      GROUP BY 1
+    ), ta AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM a),
+    tb AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM b)
+    SELECT COALESCE(a.v, b.v) AS value,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_after,
+           ROUND(CAST(COALESCE(a.n, 0) AS DOUBLE) / ta.t, 6) AS share_before,
+           ROUND(CAST(COALESCE(b.n, 0) AS DOUBLE) / tb.t, 6) AS share_after,
+           ROUND(ABS(CAST(COALESCE(b.n, 0) AS DOUBLE) / tb.t
+                     - CAST(COALESCE(a.n, 0) AS DOUBLE) / ta.t), 6) AS drift
+    FROM a FULL OUTER JOIN b ON a.v = b.v
+    CROSS JOIN ta CROSS JOIN tb
+    """,
+)
+def q_category_drift(spark, sf_dir):
+    """Categorical distribution drift across a time split — per-value
+    share shift (the total-variation-distance decomposition), the
+    data-quality monitor for enum/categorical columns where q_psi's
+    numeric binning doesn't apply. Both snapshots reduce to value-grain
+    counts before the FULL OUTER reconciliation (values appearing on
+    only one side surface with share 0, the case a naive inner join
+    silently drops); totals ride as 1-row broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    a = (
+        orders.filter(split)
+        .groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(F.count("*").cast("long").alias("na"))
+    )
+    b = (
+        orders.filter(~split)
+        .groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(F.count("*").cast("long").alias("nb"))
+    )
+    ta = a.agg(F.sum("na").cast("long").alias("t_a"))
+    tb = b.agg(F.sum("nb").cast("long").alias("t_b"))
+    merged = (
+        a.join(b, "v", "full_outer")
+        .select(
+            F.col("v").alias("value"),
+            F.coalesce("na", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_after"),
+        )
+        .join(F.broadcast(ta))
+        .join(F.broadcast(tb))
+    )
+    share_a = F.col("n_before").cast("double") / F.col("t_a")
+    share_b = F.col("n_after").cast("double") / F.col("t_b")
+    return merged.select(
+        "value", "n_before", "n_after",
+        F.round(share_a, 6).alias("share_before"),
+        F.round(share_b, 6).alias("share_after"),
+        F.round(F.abs(share_b - share_a), 6).alias("drift"),
+    )

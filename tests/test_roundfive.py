@@ -225,3 +225,60 @@ def test_cc_labels_component_sizes_cover_every_node(spark):
     assert sum(r.n_parts for r in census) == n_nodes
     # every component label is one of its member nodes (min semantics)
     assert all(r.n_parts >= 2 for r in census)  # edges imply pairs
+
+
+# ---------------------------------------------------------------------------
+# Phase 20 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_decontaminate_flags_only_training_docs(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_fuzzy_decontaminate,
+    )
+
+    rows = q_fuzzy_decontaminate(spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_id % 97 != 0          # flagged docs are train-side
+        assert r.bench_id % 97 == 0        # evidence is bench-side
+        assert r.jaccard >= 0.2
+        assert r.doc_id not in seen        # one best match per doc
+        seen.add(r.doc_id)
+
+
+def test_qq_deciles_monotone(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_qq_deciles,
+    )
+
+    rows = sorted(q_qq_deciles(spark, SF_DIR).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 10))
+    va = [r.v_building for r in rows]
+    vb = [r.v_machinery for r in rows]
+    assert va == sorted(va) and vb == sorted(vb)  # quantiles monotone
+
+
+def test_autocorrelation_bounded(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_autocorrelation,
+    )
+
+    rows = q_autocorrelation(spark, SF_DIR).collect()
+    assert sorted(r.lag for r in rows) == list(range(1, 8))
+    for r in rows:
+        assert -1.001 <= r.acf <= 1.001
+        assert r.n_pairs > 0
+
+
+def test_category_drift_shares_sum_to_one(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_category_drift,
+    )
+
+    rows = q_category_drift(spark, SF_DIR).collect()
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.drift - abs(r.share_after - r.share_before)) < 1e-5
