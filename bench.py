@@ -224,6 +224,9 @@ HEADLINE = [
     "q_qq_deciles",
     "q_autocorrelation",
     "q_category_drift",
+    # round-5 phase 21: XML source layer
+    "q_xml_roundtrip",
+    "q_from_xml",
 ]
 
 

@@ -845,3 +845,80 @@ def q_category_drift(spark, sf_dir):
         F.round(share_b, 6).alias("share_after"),
         F.round(F.abs(share_b - share_a), 6).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 21: XML source layer (Spark 4 native spark-xml)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_xml_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_xml_roundtrip(spark, sf_dir):
+    """XML source/sink roundtrip via Spark 4's NATIVE xml format — the
+    third file format after parquet/ORC, and the one the reference's
+    domain actually ships data in (LegiScan datasets are base64'd
+    JSON/XML payloads, legiscan_data_pull.R:61). The dimension is
+    written rowTag-per-record, read back with an EXPLICIT schema
+    (schema inference on XML costs a full extra pass at scale — never
+    infer on 100 TB), and content-verified against the parquet-backed
+    oracle."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lbd_xml_") + "/nation"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(path)
+    )
+
+
+@query(
+    "q_from_xml",
+    """
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 191 = 0
+    """,
+)
+def q_from_xml(spark, sf_dir):
+    """Embedded-XML field extraction with ``from_xml`` — the in-row
+    sibling of the q_json_scan props parse, for feeds that deliver XML
+    payload columns (the LegiScan bill-text shape). A deterministic
+    XML fragment is synthesized per sampled order, then parsed back
+    through the real from_xml expression path with an explicit struct
+    schema; the oracle checks the extracted fields against the source
+    columns, proving parse-extract identity. Pure codegen expression —
+    no UDF, no driver round-trip."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 191 == 0
+    )
+    xml = F.concat(
+        F.lit("<order><cust>"),
+        F.col("o_custkey"),
+        F.lit("</cust><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio></order>"),
+    )
+    parsed = orders.select(
+        "o_orderkey",
+        F.from_xml(xml, "cust long, prio string").alias("x"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.cust").alias("cust"),
+        F.col("x.prio").alias("prio"),
+    )

@@ -282,3 +282,38 @@ def test_category_drift_shares_sum_to_one(spark):
     assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert abs(r.drift - abs(r.share_after - r.share_before)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Phase 21: XML source layer
+# ---------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_preserves_content(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_xml_roundtrip,
+    )
+
+    got = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in q_xml_roundtrip(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        (r.n_nationkey, r.n_name, int(r.n_regionkey))
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    )
+    assert got == want
+
+
+def test_from_xml_malformed_yields_null_struct(spark):
+    """Malformed XML must parse to a null struct (PERMISSIVE), not
+    throw — the production posture for dirty feed columns."""
+    df = spark.createDataFrame(
+        [("<order><cust>5</cust></order>",), ("<order><cust>oops",)],
+        "raw string",
+    )
+    out = df.select(
+        F.from_xml("raw", "cust long").alias("x")
+    ).collect()
+    assert out[0].x.cust == 5
+    assert out[1].x is None or out[1].x.cust is None
