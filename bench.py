@@ -227,6 +227,10 @@ HEADLINE = [
     # round-5 phase 21: XML source layer
     "q_xml_roundtrip",
     "q_from_xml",
+    # round-5 phase 22: interval-overlap join, domain cap, hierarchy shares
+    "q_interval_join",
+    "q_domain_cap",
+    "q_share_of_parent",
 ]
 
 

@@ -922,3 +922,203 @@ def q_from_xml(spark, sf_dir):
         F.col("x.cust").alias("cust"),
         F.col("x.prio").alias("prio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 22: interval-overlap join, per-domain contribution cap,
+# percent-of-parent rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_join",
+    """
+    WITH a AS (
+      SELECT event_id AS aid, user_id,
+             epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events WHERE event_id % 7 = 0
+    ), b AS (
+      SELECT event_id AS bid, user_id,
+             epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events WHERE event_id % 7 = 1
+    )
+    SELECT a.aid, b.bid,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+             AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """INTERVAL-OVERLAP join (two interval sets, same user): which
+    activity windows from stream A overlap which from stream B — the
+    temporal-join sibling of q_asof_join (nearest-past point) and
+    q_range_join (point-in-interval). Scale strategy: each interval
+    explodes to its covering fixed-width buckets (width = interval
+    length ⇒ ≤2 buckets/row), the join is a hash equi-join on
+    (user, bucket) — never the theta join the BETWEEN predicate would
+    plan — duplicate bucket-pair hits collapse with a distinct at pair
+    grain, and the exact overlap predicate re-verifies after the
+    bucket recall stage. Oracle = the quadratic overlap theta-join."""
+    events = load_table(spark, sf_dir, "events")
+    width = 600_000_000  # bucket = interval width → ≤2 buckets per row
+
+    def side(mod, idc):
+        return events.filter(F.col("event_id") % 7 == mod).select(
+            F.col("event_id").alias(idc),
+            F.col("user_id").alias(f"u_{idc}"),
+            F.unix_micros("ts").alias(f"s_{idc}"),
+            (F.unix_micros("ts") + width).alias(f"e_{idc}"),
+        )
+
+    a, b = side(0, "aid"), side(1, "bid")
+    buckets = lambda s, e: F.sequence(  # noqa: E731
+        F.floor(F.col(s) / width), F.floor((F.col(e) - 1) / width)
+    )
+    ax = a.withColumn("bk", F.explode(buckets("s_aid", "e_aid")))
+    bx = b.withColumn("bk", F.explode(buckets("s_bid", "e_bid")))
+    pairs = (
+        ax.join(
+            bx,
+            (ax.u_aid == bx.u_bid) & (ax.bk == bx.bk),
+        )
+        .filter(
+            (F.col("s_aid") < F.col("e_bid"))
+            & (F.col("s_bid") < F.col("e_aid"))
+        )
+        .select(
+            "aid", "bid",
+            (
+                F.least("e_aid", "e_bid") - F.greatest("s_aid", "s_bid")
+            ).cast("long").alias("overlap_us"),
+        )
+        .distinct()  # a pair can meet in two adjacent buckets
+    )
+    return pairs
+
+
+@query(
+    "q_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 50 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-domain contribution cap — at most 50 docs per source, chosen
+    by engine-portable md5(doc_id) order (a deterministic uniform
+    shuffle, so the cap samples the domain rather than keeping its
+    first-ingested prefix — the mixture-control step that stops one
+    crawl domain from dominating a training corpus; q_data_mixture
+    reweights, this HARD-caps). The census carries kept_id_sum so the
+    oracle certifies the EXACT selected set, not just its size. One
+    window shuffle at (source) grain; the rank never leaves the
+    executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("rk") <= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 50, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
+@query(
+    "q_share_of_parent",
+    f"""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {sql_exact_sum("o.o_totalprice")} AS revenue
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+               AS reg_rev
+      FROM (SELECT region, ROUND(revenue, 2) AS revenue FROM nat)
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(CAST(reg_rev AS DECIMAL(18,2))) AS DOUBLE) AS t
+      FROM reg
+    )
+    SELECT nat.region, nat.nation,
+           ROUND(nat.revenue, 2) AS revenue,
+           ROUND(ROUND(nat.revenue, 2) / reg.reg_rev, 6)
+             AS share_of_region,
+           ROUND(reg.reg_rev / tot.t, 6) AS region_share
+    FROM nat JOIN reg USING (region) CROSS JOIN tot
+    """,
+)
+def q_share_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchical rollup: nation revenue as a share
+    of its region, region as a share of the total — the drill-down
+    ratio every BI layer needs and naive window-over-raw-facts plans
+    recompute at fact grain. Here shares are computed at AGGREGATE
+    grain only: facts reduce once to |nations| rows, the region and
+    grand totals derive from that tiny frame (broadcast back), so the
+    fact table is scanned exactly once. Revenue is rounded to cents
+    BEFORE the parent sums, keeping every ratio a pure function of
+    already-hashed outputs (engine-portable)."""
+    region, nation, customer, orders = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    dim = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+        )
+    )
+    nat = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("region", "nation")
+        .agg(F.round(exact_sum("o_totalprice"), 2).alias("revenue"))
+    )
+    reg = nat.groupBy("region").agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("reg_rev")
+    )
+    tot = reg.agg(
+        F.sum(F.col("reg_rev").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("t")
+    )
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region", "nation", "revenue",
+            F.round(F.col("revenue") / F.col("reg_rev"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("reg_rev") / F.col("t"), 6).alias(
+                "region_share"
+            ),
+        )
+    )

@@ -317,3 +317,90 @@ def test_from_xml_malformed_yields_null_struct(spark):
     ).collect()
     assert out[0].x.cust == 5
     assert out[1].x is None or out[1].x.cust is None
+
+
+# ---------------------------------------------------------------------------
+# Phase 22 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_bucket_recall_complete(spark):
+    """Bucketed overlap join == quadratic theta join on a synthetic set
+    engineered so many overlaps span bucket boundaries."""
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_interval_join,  # noqa: F401  (query itself is oracle-checked)
+    )
+
+    rows_a, rows_b, want = [], [], set()
+    ivs = [(i, 100 * i, 100 * i + 250) for i in range(40)]  # width 250
+    for i, s, e in ivs:
+        (rows_a if i % 2 == 0 else rows_b).append((i, 1, s, e))
+    for aid, _, sa, ea in rows_a:
+        for bid, _, sb, eb in rows_b:
+            if sa < eb and sb < ea:
+                want.add((aid, bid, min(ea, eb) - max(sa, sb)))
+    # same bucket-join shape as the query, width != interval width
+    from pyspark.sql import functions as F2
+
+    width = 128
+    a = spark.createDataFrame(rows_a, "aid long, u long, s long, e long")
+    b = spark.createDataFrame(rows_b, "bid long, u long, s long, e long")
+    bk = lambda df: df.withColumn(  # noqa: E731
+        "bk",
+        F2.explode(
+            F2.sequence(
+                F2.floor(F2.col("s") / width),
+                F2.floor((F2.col("e") - 1) / width),
+            )
+        ),
+    )
+    got = {
+        (r.aid, r.bid, r.ov)
+        for r in bk(a)
+        .join(
+            bk(b).withColumnsRenamed({"s": "sb", "e": "eb", "u": "ub"}),
+            ["bk"],
+        )
+        .filter(
+            (F2.col("u") == F2.col("ub"))
+            & (F2.col("s") < F2.col("eb"))
+            & (F2.col("sb") < F2.col("e"))
+        )
+        .select(
+            "aid", "bid",
+            (
+                F2.least("e", "eb") - F2.greatest("s", "sb")
+            ).alias("ov"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_domain_cap_caps_and_is_deterministic(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_domain_cap,
+    )
+
+    r1 = {r.source: r for r in q_domain_cap(spark, SF_DIR).collect()}
+    r2 = {r.source: r for r in q_domain_cap(spark, SF_DIR).collect()}
+    for s, r in r1.items():
+        assert r.n_kept == min(r.n_total, 50)
+        assert r.kept_id_sum == r2[s].kept_id_sum  # same sample each run
+
+
+def test_share_of_parent_shares_sum_to_one(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_share_of_parent,
+    )
+
+    rows = q_share_of_parent(spark, SF_DIR).collect()
+    by_region = {}
+    region_share = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r.share_of_region)
+        region_share[r.region] = r.region_share
+    for shares in by_region.values():
+        assert abs(sum(shares) - 1.0) < 1e-3
+    assert abs(sum(region_share.values()) - 1.0) < 1e-3
