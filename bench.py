@@ -231,6 +231,11 @@ HEADLINE = [
     "q_interval_join",
     "q_domain_cap",
     "q_share_of_parent",
+    # round-5 phase 23: sketch algebra, bitmap set ops, integer power
+    # iteration
+    "q_join_card_est",
+    "q_bitmap_rollup",
+    "q_markov_stationary",
 ]
 
 

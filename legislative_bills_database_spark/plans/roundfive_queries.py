@@ -1122,3 +1122,336 @@ def q_share_of_parent(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 23: sketch algebra (join-cardinality estimate), bitmap day-set
+# rollup, integer-exact Markov stationary distribution
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+def _sql_kmv_est(cte: str) -> str:
+    """(k-1)/frac estimate over a one-column hash CTE, exact below k."""
+
+    def nib(pos: int) -> str:
+        c = f"ascii(substring(hx, {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    num = f"CAST({nib(1)} AS BIGINT)"
+    for p in range(2, 9):
+        num = f"({num} * 16 + {nib(p)})"
+    return f"""(
+      SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)}
+                       / (MAX(CAST({num} AS DOUBLE)) / {float(1 << 32)})
+             END
+      FROM (SELECT hx FROM {cte} ORDER BY hx LIMIT {_KMV_K})
+    )"""
+
+
+@query(
+    "q_join_card_est",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+    ), hb AS (
+      SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer WHERE c_acctbal > 0
+    ), hu AS (
+      SELECT hx FROM ha UNION SELECT hx FROM hb
+    ), est AS (
+      SELECT ROUND({_sql_kmv_est("ha")}, 2) AS est_a,
+             ROUND({_sql_kmv_est("hb")}, 2) AS est_b,
+             ROUND({_sql_kmv_est("hu")}, 2) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 2) AS est_inter,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ha JOIN hb USING (hx))
+             AS exact_inter
+    FROM est
+    """,
+)
+def q_join_card_est(spark, sf_dir):
+    """Pre-join cardinality ESTIMATION from KMV sketch algebra: distinct
+    active customers ∩ positive-balance customers via inclusion-
+    exclusion over three bottom-k sketches (A, B, and their union —
+    KMV's union is just bottom-k of the merged hash stream, the
+    mergeability q_kmv_distinct establishes). Where q_join_fanout
+    answers the planning question exactly by scanning both sides at
+    count grain, this answers it from k-row sketches that could have
+    been computed YESTERDAY per shard — the sketch-algebra tradeoff,
+    with the exact intersection alongside so the error is driver-
+    visible. All hashes md5-portable, so even the estimates hash-match
+    the oracle."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+
+    def hashes(df, col):
+        return (
+            df.select(F.col(col).cast("string").alias("s"))
+            .distinct()
+            .select(F.md5("s").alias("hx"))
+        )
+
+    ha = hashes(orders, "o_custkey").persist()
+    hb = hashes(
+        customer.filter(F.col("c_acctbal") > 0), "c_custkey"
+    ).persist()
+    hu = ha.union(hb).distinct()
+
+    def nib(pos):
+        a = F.ascii(F.substring(F.col("hx"), pos, 1))
+        return (
+            a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+        ).cast("long")
+
+    num = nib(1)
+    for p in range(2, 9):
+        num = num * 16 + nib(p)
+
+    def est(df, name):
+        return (
+            df.orderBy("hx")
+            .limit(_KMV_K)
+            .select(num.cast("double").alias("num"))
+            .agg(
+                F.round(
+                    F.when(
+                        F.count("*") < _KMV_K,
+                        F.count("*").cast("double"),
+                    ).otherwise(
+                        F.lit(float(_KMV_K - 1))
+                        / (F.max("num") / F.lit(float(1 << 32)))
+                    ),
+                    2,
+                ).alias(name)
+            )
+        )
+
+    exact = ha.join(hb, "hx").agg(
+        F.count("*").cast("long").alias("exact_inter")
+    )
+    out = (
+        est(ha, "est_a")
+        .join(est(hb, "est_b"))
+        .join(est(hu, "est_union"))
+        .join(exact)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    ).localCheckpoint(eager=True)
+    ha.unpersist()
+    hb.unpersist()
+    return out
+
+
+@query(
+    "q_bitmap_rollup",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_orderdate AS DATE)
+                  - CAST('1970-01-01' AS DATE) AS BIGINT) AS dn
+      FROM orders
+    ), lo AS (
+      SELECT MIN(dn) AS d0 FROM base
+    ), bits AS (
+      SELECT st, (dn - d0) // 62 AS word,
+             BIT_OR(CAST(1 AS BIGINT) << CAST((dn - d0) % 62 AS INTEGER))
+               AS w
+      FROM base CROSS JOIN lo GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.st AS st_a, b.st AS st_b,
+             CAST(SUM(bit_count(a.w)) AS BIGINT) AS words_a_bits,
+             CAST(SUM(bit_count(b.w)) AS BIGINT) AS words_b_bits,
+             CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS days_both
+      FROM bits a JOIN bits b ON a.word = b.word AND a.st < b.st
+      GROUP BY 1, 2
+    ), days AS (
+      SELECT st, CAST(COUNT(DISTINCT dn) AS BIGINT) AS days_total
+      FROM base GROUP BY 1
+    )
+    SELECT p.st_a, p.st_b, da.days_total AS days_a,
+           db.days_total AS days_b, p.days_both
+    FROM pairs p
+    JOIN days da ON p.st_a = da.st
+    JOIN days db ON p.st_b = db.st
+    """,
+)
+def q_bitmap_rollup(spark, sf_dir):
+    """Bitmap-index set algebra: each order status's active-day SET
+    folds into 62-day bitset words via BIT_OR aggregation (62, not 64:
+    bit 63 is the sign bit and DuckDB's checked BIGINT refuses 1<<63 —
+    the roaring-bitmap pattern, sign-safe in every engine); co-active
+    days between statuses are then
+    SUM(bit_count(a & b)) over word-aligned joins — set intersection
+    WITHOUT touching row grain again. The same shape answers audience-
+    overlap / retention-set questions at 100 TB: bitmaps are built
+    map-side (≤ days/64 longs per group), move once, and every set
+    operation afterwards is word-wise AND/OR on kilobyte frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderstatus").alias("st"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+    )
+    lo = base.agg(F.min("dn").alias("d0"))
+    off = F.col("dn") - F.col("d0")
+    bits = (
+        base.join(F.broadcast(lo))
+        .select(
+            "st",
+            F.floor(off / 62).cast("long").alias("word"),
+            # F.shiftleft only takes a literal shift — call the SQL
+            # function directly for a column shift (bloom.py precedent)
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (off % 62).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("st", "word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    a = bits.select(
+        F.col("st").alias("st_a"), "word", F.col("w").alias("wa")
+    )
+    b = bits.select(
+        F.col("st").alias("st_b"), "word", F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("st_a") < F.col("st_b"))
+        .groupBy("st_a", "st_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("days_both")
+        )
+    )
+    days = base.groupBy("st").agg(
+        F.countDistinct("dn").cast("long").alias("days_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(days.select(F.col("st").alias("st_a"),
+                                    F.col("days_total").alias("days_a"))),
+            "st_a",
+        )
+        .join(
+            F.broadcast(days.select(F.col("st").alias("st_b"),
+                                    F.col("days_total").alias("days_b"))),
+            "st_b",
+        )
+        .select("st_a", "st_b", "days_a", "days_b", "days_both")
+    )
+
+
+def _sql_markov(rounds: int, scale: int = 100_000_000) -> str:
+    steps = [f"""
+    r0 AS (
+      SELECT st AS state, CAST({scale} // (SELECT n FROM ns) AS BIGINT) AS v
+      FROM states
+    )"""]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT p.to_type AS state,
+             CAST(SUM((r.v * p.pi) // 1000000) AS BIGINT) AS v
+      FROM r{i - 1} r JOIN pint p ON r.state = p.from_type
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1
+    ), pint AS (
+      SELECT c.from_type, c.to_type,
+             CAST((c.n * 1000000) // t.t AS BIGINT) AS pi
+      FROM cnt c JOIN tot t USING (from_type)
+    ), states AS (
+      SELECT DISTINCT from_type AS st FROM cnt
+    ), ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states
+    ),
+    {",".join(steps)}
+    SELECT state, v AS v_scaled,
+           ROUND(CAST(v AS DOUBLE)
+                 / (SELECT SUM(v) FROM r{rounds}), 6) AS stationary_p
+    FROM r{rounds}
+    """
+
+
+@query("q_markov_stationary", _sql_markov(10))
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the q_transition_matrix chain by TEN
+    power-iteration sweeps in FIXED-POINT integer arithmetic: transition
+    probabilities quantized to parts-per-million BIGINTs, the state
+    vector to 1e8, every sweep a floor-divided integer mat-vec — so the
+    iterate is bit-identical in any engine and summation order, and the
+    DuckDB twin (ten chained CTE sweeps) certifies every round, which a
+    floating-point power iteration could never guarantee (parallel
+    double sums drift in the last ulp). Mirrors q_sssp's proof pattern
+    for linear-algebra iteration; the |types|²-row quantized matrix
+    broadcasts, each sweep is a tiny join + integer aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    pint = (
+        cnt.join(tot, "from_type")
+        .select(
+            "from_type", "to_type",
+            F.expr("n * 1000000 div t").cast("long").alias("pi"),
+        )
+        .localCheckpoint(eager=True)  # bounded |types|^2 frame, reused 10x
+    )
+    states = pint.select(
+        F.col("from_type").alias("state")
+    ).distinct()
+    n_states = states.count()  # bounded: |event types|
+    v = states.select(
+        "state",
+        F.lit(100_000_000 // n_states).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    for _ in range(10):
+        v = (
+            v.join(pint, v.state == pint.from_type)
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("v * pi div 1000000").alias("vv"),
+            )
+            .groupBy("state")
+            .agg(F.sum("vv").cast("long").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    tot_v = v.agg(F.sum("v").alias("tv"))
+    return v.join(F.broadcast(tot_v)).select(
+        "state",
+        F.col("v").alias("v_scaled"),
+        F.round(F.col("v").cast("double") / F.col("tv"), 6).alias(
+            "stationary_p"
+        ),
+    )

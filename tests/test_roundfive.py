@@ -404,3 +404,56 @@ def test_share_of_parent_shares_sum_to_one(spark):
     for shares in by_region.values():
         assert abs(sum(shares) - 1.0) < 1e-3
     assert abs(sum(region_share.values()) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Phase 23 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_join_card_est_brackets_exact(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_join_card_est,
+    )
+
+    r = q_join_card_est(spark, SF_DIR).collect()[0]
+    # inclusion-exclusion estimate within 3/sqrt(k) * union of exact
+    assert abs(r.est_inter - r.exact_inter) <= 3 / (256 ** 0.5) * r.est_union + 1
+    assert r.est_union <= r.est_a + r.est_b + 1
+
+
+def test_bitmap_rollup_matches_distinct_day_intersection(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_bitmap_rollup,
+    )
+
+    rows = q_bitmap_rollup(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    days = {
+        st: {
+            r.d
+            for r in orders.filter(F.col("o_orderstatus") == st)
+            .select(F.to_date("o_orderdate").alias("d"))
+            .distinct()
+            .collect()
+        }
+        for st in ("F", "O", "P")
+    }
+    assert rows
+    for r in rows:
+        assert r.days_both == len(days[r.st_a] & days[r.st_b])
+        assert r.days_a == len(days[r.st_a])
+        assert r.days_b == len(days[r.st_b])
+
+
+def test_markov_stationary_is_probability_vector(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_markov_stationary,
+    )
+
+    rows = q_markov_stationary(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.stationary_p for r in rows) - 1.0) < 1e-3
+    # fixed-point iteration loses at most |S| ppm of mass per sweep
+    total = sum(r.v_scaled for r in rows)
+    assert 0.99 * 100_000_000 <= total <= 100_000_000
