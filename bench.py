@@ -236,6 +236,9 @@ HEADLINE = [
     "q_join_card_est",
     "q_bitmap_rollup",
     "q_markov_stationary",
+    # round-5 phase 24: hierarchy rollup, DP release
+    "q_tree_rollup",
+    "q_dp_counts",
 ]
 
 

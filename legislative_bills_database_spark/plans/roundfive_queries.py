@@ -1455,3 +1455,158 @@ def q_markov_stationary(spark, sf_dir):
             "stationary_p"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 24: hierarchical tree rollup, differentially-private counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tree_rollup",
+    f"""
+    WITH anc AS (
+      SELECT unnest(list_distinct(list_filter(
+               [o_custkey, o_custkey // 10, o_custkey // 100,
+                o_custkey // 1000, o_custkey // 10000],
+               x -> x > 0))) AS node,
+             o_totalprice AS price
+      FROM orders
+    )
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND({sql_exact_sum("price")}, 2) AS subtree_rev
+    FROM anc WHERE node < 100 GROUP BY 1
+    """,
+)
+def q_tree_rollup(spark, sf_dir):
+    """Hierarchical subtree rollup over an implicit digit-prefix tree
+    (node c's parent is c/10 — the org-chart/category-tree/BOM shape):
+    every order contributes to ALL its ancestors' subtree totals. The
+    scale insight: no recursion and NO JOINS — each fact row explodes
+    to its ≤5-node ancestor path (closed-form arithmetic in the scan
+    stage), then one map-side-combined aggregate; a recursive-CTE or
+    iterative-join formulation would pay one pass per tree level. For
+    explicit parent-pointer tables the same shape applies after a
+    bounded path-materialization. Output bounded to the top two tree
+    levels (node < 100)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.col("o_custkey")
+    anc = orders.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.array(
+                        c,
+                        (c / 10).cast("long"),
+                        (c / 100).cast("long"),
+                        (c / 1000).cast("long"),
+                        (c / 10000).cast("long"),
+                    ),
+                    lambda x: x > 0,
+                )
+            )
+        ).alias("node"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        anc.filter(F.col("node") < 100)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(exact_sum("price"), 2).alias("subtree_rev"),
+        )
+    )
+
+
+# Discrete-Laplace (two-sided geometric) CDF thresholds for eps=0.5,
+# support clipped to ±12 (tail mass < 1e-3). Computed ONCE in Python and
+# embedded as literals in BOTH engines, so sampling needs no
+# transcendental function at query time — ln()'s last-ulp differences
+# across math libraries would break hash parity.
+_DP_THRESHOLDS = [
+    (-12, 0.000608231), (-11, 0.001611035), (-10, 0.003264378),
+    (-9, 0.005990281), (-8, 0.010484534), (-7, 0.017894305),
+    (-6, 0.030110953), (-5, 0.0502528), (-4, 0.083461091),
+    (-3, 0.138212307), (-2, 0.228481801), (-1, 0.377311037),
+    (0, 0.622688963), (1, 0.771518199), (2, 0.861787693),
+    (3, 0.916538909), (4, 0.9497472), (5, 0.969889047),
+    (6, 0.982105695), (7, 0.989515466), (8, 0.994009719),
+    (9, 0.996735622), (10, 0.998388965), (11, 0.999391769),
+    (12, 1.0),
+]
+
+
+def _sql_u01(col_expr: str) -> str:
+    """Uniform (0,1) from the first 8 md5 nibbles — portable."""
+
+    def nib(pos: int) -> str:
+        c = f"ascii(substring(md5({col_expr}), {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    num = f"CAST({nib(1)} AS BIGINT)"
+    for p in range(2, 9):
+        num = f"({num} * 16 + {nib(p)})"
+    return f"(CAST({num} AS DOUBLE) / 4294967296.0)"
+
+
+def _sql_dp_noise(u_expr: str) -> str:
+    expr = "12"
+    for k, t in reversed(_DP_THRESHOLDS[:-1]):
+        expr = f"CASE WHEN {u_expr} < {t} THEN {k} ELSE {expr} END"
+    return expr
+
+
+@query(
+    "q_dp_counts",
+    f"""
+    WITH cnt AS (
+      SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY 1
+    )
+    SELECT segment, n_true,
+           CAST({_sql_dp_noise(_sql_u01("segment || ':dp1'"))} AS BIGINT)
+             AS noise,
+           n_true + CAST({_sql_dp_noise(_sql_u01("segment || ':dp1'"))}
+                         AS BIGINT) AS n_noisy
+    FROM cnt
+    """,
+)
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private histogram: per-segment customer counts
+    with discrete-Laplace (two-sided geometric, ε=0.5) noise — the
+    geometric mechanism, the integer-exact DP release for counting
+    queries (k_anonymity suppresses small groups; this perturbs all of
+    them with a privacy budget). Noise is sampled by inverse-CDF over
+    thresholds PRECOMPUTED in Python and embedded as literals in both
+    engines, from a portable md5 uniform seeded per (segment, release
+    tag) — deterministic for the test harness (true counts and noise
+    are emitted ONLY for verification; a production release drops
+    them), no ln() at query time whose last-ulp math-library drift
+    would break cross-engine parity. One |segments|-row aggregate; the
+    noise attaches at aggregate grain, never at fact grain."""
+    customer = load_table(spark, sf_dir, "customer")
+    cnt = customer.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").cast("long").alias("n_true"))
+    h = F.md5(F.concat(F.col("segment"), F.lit(":dp1")))
+
+    def nib(pos):
+        a = F.ascii(F.substring(h, pos, 1))
+        return (
+            a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+        ).cast("long")
+
+    num = nib(1)
+    for p in range(2, 9):
+        num = num * 16 + nib(p)
+    u = num.cast("double") / F.lit(4294967296.0)
+    noise = F.lit(12)
+    for k, t in reversed(_DP_THRESHOLDS[:-1]):
+        noise = F.when(u < t, F.lit(k)).otherwise(noise)
+    return cnt.select(
+        "segment",
+        "n_true",
+        noise.cast("long").alias("noise"),
+        (F.col("n_true") + noise).cast("long").alias("n_noisy"),
+    )

@@ -457,3 +457,38 @@ def test_markov_stationary_is_probability_vector(spark):
     # fixed-point iteration loses at most |S| ppm of mass per sweep
     total = sum(r.v_scaled for r in rows)
     assert 0.99 * 100_000_000 <= total <= 100_000_000
+
+
+# ---------------------------------------------------------------------------
+# Phase 24 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_tree_rollup_parent_contains_children(spark):
+    """Digit-prefix tree: node n's subtree total >= the sum over its
+    children n*10..n*10+9 that appear (strict containment semantics)."""
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_tree_rollup,
+    )
+
+    rows = {r.node: r for r in q_tree_rollup(spark, SF_DIR).collect()}
+    assert rows
+    for node, r in rows.items():
+        kids = [rows[c] for c in range(node * 10, node * 10 + 10)
+                if c in rows]
+        if kids:
+            assert r.n_orders >= sum(k.n_orders for k in kids)
+            assert r.subtree_rev >= sum(k.subtree_rev for k in kids) - 0.05
+
+
+def test_dp_counts_noise_distribution(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_dp_counts,
+    )
+
+    r1 = sorted(q_dp_counts(spark, SF_DIR).collect())
+    r2 = sorted(q_dp_counts(spark, SF_DIR).collect())
+    assert r1 == r2  # deterministic release for a fixed tag
+    for r in r1:
+        assert -12 <= r.noise <= 12  # clipped support
+        assert r.n_noisy == r.n_true + r.noise
