@@ -239,6 +239,11 @@ HEADLINE = [
     # round-5 phase 24: hierarchy rollup, DP release
     "q_tree_rollup",
     "q_dp_counts",
+    # round-5 phase 25: ordered listagg, multi-measure pivot, rolling
+    # median
+    "q_string_agg",
+    "q_pivot_multi_agg",
+    "q_rolling_median",
 ]
 
 

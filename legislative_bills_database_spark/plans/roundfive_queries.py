@@ -1610,3 +1610,142 @@ def q_dp_counts(spark, sf_dir):
         noise.cast("long").alias("noise"),
         (F.col("n_true") + noise).cast("long").alias("n_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 25: ordered string aggregation, multi-measure pivot, rolling
+# median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_agg",
+    """
+    WITH top3 AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           string_agg(c_name, ',' ORDER BY c_name) AS top_names
+    FROM top3 WHERE rk <= 3 GROUP BY 1
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """ORDERED string aggregation (string_agg / listagg): the top-3
+    account holders per nation assembled into one deterministic CSV
+    cell — the report/document-assembly op. Spark has no ordered
+    string_agg aggregate; the portable form is collect_list →
+    array_sort → concat_ws, which pins an explicit total order instead
+    of inheriting arrival order (the nondeterminism that makes naive
+    listagg results unhashable anywhere). Top-3 bound keeps every
+    assembled cell O(k); the rank and the aggregation share the
+    nationkey partitioning."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top3 = customer.select(
+        "c_nationkey", "c_name", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+    return top3.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count("*").cast("long").alias("n_top"),
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+            "top_names"
+        ),
+    )
+
+
+@query(
+    "q_pivot_multi_agg",
+    f"""
+    SELECT o_orderpriority AS prio,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_n,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)
+                AS DOUBLE), 2) AS f_rev,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_n,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)
+                AS DOUBLE), 2) AS o_rev,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_n,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)
+                AS DOUBLE), 2) AS p_rev
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot_multi_agg(spark, sf_dir):
+    """Multi-MEASURE pivot: count AND revenue per pivoted status column
+    in one pass — q_pivot_count widens one measure; real report tables
+    want several, and the wrong plan runs one aggregation per measure.
+    Spark's pivot(values).agg(m1, m2) emits every (value × measure)
+    cell from a single map-side-combined aggregate; pivot values are
+    DECLARED (['F','O','P']) so no discovery pre-pass scans the fact
+    table, and decimal partials keep the revenue cells
+    order-insensitive."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderpriority").alias("prio"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(lit(1)): Pivot rejects the star expansion count(*)
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(exact_sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return piv.select(
+        "prio",
+        F.col("F_n").alias("f_n"), F.col("F_rev").alias("f_rev"),
+        F.col("O_n").alias("o_n"), F.col("O_rev").alias("o_rev"),
+        F.col("P_n").alias("p_n"), F.col("P_rev").alias("p_rev"),
+    )
+
+
+@query(
+    "q_rolling_median",
+    """
+    WITH daily AS (
+      SELECT o_orderstatus AS st,
+             CAST(CAST(o_orderdate AS DATE)
+                  - CAST('1970-01-01' AS DATE) AS BIGINT) AS dn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT st, dn,
+           ROUND(quantile_cont(rev, 0.5) OVER (
+             PARTITION BY st ORDER BY dn
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS med7
+    FROM daily
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Rolling 7-day MEDIAN of daily revenue per status — the robust
+    trend line where q_rolling_range's moving min/max and mean-based
+    smoothing are outlier-hostage. Median needs the frame's values, so
+    the scale discipline is to aggregate FIRST: the window runs over
+    the |status × days| daily frame (thousands of rows), never raw
+    orders, and both the daily rollup and the window share the status
+    partitioning. Exact interpolated median (percentile 0.5) matches
+    quantile_cont; daily revenue is decimal-summed before the double
+    conversion so the frame contents are engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderstatus").alias("st"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("st").orderBy("dn").rowsBetween(-6, 0)
+    return daily.select(
+        "st", "dn",
+        F.round(F.percentile("rev", 0.5).over(w), 2).alias("med7"),
+    )

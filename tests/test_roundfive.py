@@ -492,3 +492,43 @@ def test_dp_counts_noise_distribution(spark):
     for r in r1:
         assert -12 <= r.noise <= 12  # clipped support
         assert r.n_noisy == r.n_true + r.noise
+
+
+# ---------------------------------------------------------------------------
+# Phase 25 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_string_agg_is_ordered_and_bounded(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_string_agg,
+    )
+
+    for r in q_string_agg(spark, SF_DIR).collect():
+        names = r.top_names.split(",")
+        assert 1 <= r.n_top <= 3 and len(names) == r.n_top
+        assert names == sorted(names)  # explicit order, not arrival order
+
+
+def test_pivot_multi_agg_cells_reconcile(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_pivot_multi_agg,
+    )
+
+    rows = q_pivot_multi_agg(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.f_n + r.o_n + r.p_n for r in rows) == orders.count()
+
+
+def test_rolling_median_bounded_by_frame_extremes(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_rolling_median,
+    )
+
+    rows = q_rolling_median(spark, SF_DIR).collect()
+    by_st = {}
+    for r in sorted(rows, key=lambda r: (r.st, r.dn)):
+        by_st.setdefault(r.st, []).append(r.med7)
+    # median of a 7-frame is always within that status's global range
+    for st, meds in by_st.items():
+        assert len(meds) >= 7
