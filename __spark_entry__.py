@@ -117,7 +117,15 @@ _WINDOW = [
 # q_interarrival, q_transition_matrix; rows-only -- q_approx_quantiles,
 # q_canonical_docs, q_minhash_calibration, q_leakage_safe_split,
 # q_stream_sessions, q_kcore, q_stream_dedup, q_cm_sketch,
-# q_label_prop; plus any round-5 newcomers.
+# q_label_prop; then the 25 round-5 phase-19..25 newcomers (all
+# preflight-green at both SFs, never driver-windowed): q_star_join,
+# q_kmv_distinct, q_interval_coverage, q_cc_labels, q_sssp,
+# q_survivorship, q_embedding_drift, q_feature_hash,
+# q_fuzzy_decontaminate, q_qq_deciles, q_autocorrelation,
+# q_category_drift, q_xml_roundtrip, q_from_xml, q_interval_join,
+# q_domain_cap, q_share_of_parent, q_join_card_est, q_bitmap_rollup,
+# q_markov_stationary, q_tree_rollup, q_dp_counts, q_string_agg,
+# q_pivot_multi_agg, q_rolling_median.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
