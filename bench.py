@@ -244,6 +244,11 @@ HEADLINE = [
     "q_string_agg",
     "q_pivot_multi_agg",
     "q_rolling_median",
+    # round-5 phase 26: epoch reshuffle, rare-category merge, join
+    # strategy census
+    "q_epoch_shuffle",
+    "q_rare_category_merge",
+    "q_join_strategy_census",
 ]
 
 

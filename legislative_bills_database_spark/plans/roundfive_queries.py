@@ -1749,3 +1749,157 @@ def q_rolling_median(spark, sf_dir):
         "st", "dn",
         F.round(F.percentile("rev", 0.5).over(w), 2).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 26: training-epoch reshuffle, rare-category merge, join-strategy
+# census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_epoch_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS k1,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch2') AS k2
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS pos_e1,
+             ROW_NUMBER() OVER (ORDER BY k2, doc_id) AS pos_e2
+      FROM keyed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pos_e1 = pos_e2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fixed_points,
+           CAST(SUM(CASE WHEN pos_e1 <= 10 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS head10_e1_idsum,
+           CAST(SUM(CASE WHEN pos_e2 <= 10 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS head10_e2_idsum
+    FROM r
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-epoch reshuffle: each epoch's global
+    sample order is rank-by-md5(doc_id:epoch) — reproducible across
+    reruns and engines (the property torch-style RNG shuffles can't
+    give a distributed reader), different BETWEEN epochs (fixed-point
+    census ≈ 0 pins that), with the head-of-epoch id-sums certifying
+    the exact orders. Scale posture: the rank itself would be a global
+    sort, but a SHARDED loader never needs it — epoch key ranges split
+    by prefix give each worker its slice (q_global_index holds the
+    general sorted-index recipe); this census reduces to two window
+    ranks over the slim (doc_id, k1, k2) frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
+        .alias("k1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch2")))
+        .alias("k2"),
+    )
+    r = keyed.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("k1", "doc_id")).alias("pos_e1"),
+        F.row_number().over(Window.orderBy("k2", "doc_id")).alias("pos_e2"),
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pos_e1") == F.col("pos_e2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fixed_points"),
+        F.sum(F.when(F.col("pos_e1") <= 10, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("head10_e1_idsum"),
+        F.sum(F.when(F.col("pos_e2") <= 10, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("head10_e2_idsum"),
+    )
+
+
+@query(
+    "q_rare_category_merge",
+    """
+    WITH cnt AS (
+      SELECT o_orderpriority AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt
+    ), mapped AS (
+      SELECT CASE WHEN n * 20 >= t THEN v ELSE 'OTHER' END AS category, n
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT category,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_source_values
+    FROM mapped GROUP BY 1
+    """,
+)
+def q_rare_category_merge(spark, sf_dir):
+    """Rare-category consolidation: values under a 5% share collapse
+    into 'OTHER' — the cardinality-control step before one-hot/target
+    encoding (q_target_encode) and the long-tail guard for q_category_
+    drift. The share test uses INTEGER cross-multiplication
+    (n*20 >= t), not a float share, so the cut is exact at the
+    boundary in both engines; everything happens at value grain (the
+    fact table reduces once), the total rides as a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy(F.col("o_orderpriority").alias("v")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").cast("long").alias("t"))
+    mapped = cnt.join(F.broadcast(tot)).select(
+        F.when(F.col("n") * 20 >= F.col("t"), F.col("v"))
+        .otherwise(F.lit("OTHER"))
+        .alias("category"),
+        "n",
+    )
+    return mapped.groupBy("category").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_source_values"),
+    )
+
+
+@query("q_join_strategy_census")  # engine-physical — rows-only by design
+def q_join_strategy_census(spark, sf_dir):
+    """Physical join-strategy census (the q_partition_skew sibling for
+    joins): the same orders⋈customer equi-join planned under (a) the
+    session default and (b) broadcast disabled, reporting which
+    operator Catalyst actually chose and the configured threshold. The
+    observability row an engine owes its operators: q_join_fanout says
+    what the join WILL produce, this says HOW the planner will run it
+    — the first thing to check when a 100 TB join picks a
+    sort-merge where a broadcast was expected (threshold too low,
+    stats missing, AQE off)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+
+    def strategy(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for op in ("BroadcastHashJoin", "SortMergeJoin",
+                   "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            if op in plan:
+                return op
+        return "unknown"
+
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    default_strategy = strategy(joined)
+    # default when unset is 10 MiB; restoring "" would be rejected
+    thr = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760b"
+    )
+    old = thr
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        no_bcast_strategy = strategy(forced)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(
+        [(default_strategy, no_bcast_strategy, str(thr))],
+        "default_strategy string, no_broadcast_strategy string, "
+        "broadcast_threshold string",
+    )

@@ -532,3 +532,43 @@ def test_rolling_median_bounded_by_frame_extremes(spark):
     # median of a 7-frame is always within that status's global range
     for st, meds in by_st.items():
         assert len(meds) >= 7
+
+
+# ---------------------------------------------------------------------------
+# Phase 26 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_orders_differ_between_epochs(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_epoch_shuffle,
+    )
+
+    r = q_epoch_shuffle(spark, SF_DIR).collect()[0]
+    assert r.n_docs > 0
+    # two md5-keyed epochs agree on ~n/n! positions — effectively none
+    assert r.n_fixed_points <= max(3, r.n_docs // 50)
+    assert r.head10_e1_idsum != r.head10_e2_idsum
+
+
+def test_rare_category_merge_threshold_exact(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_rare_category_merge,
+    )
+
+    rows = q_rare_category_merge(spark, SF_DIR).collect()
+    total = sum(r.n_orders for r in rows)
+    for r in rows:
+        if r.category != "OTHER":
+            assert r.n_orders * 20 >= total  # kept ⇒ ≥5% share
+            assert r.n_source_values == 1
+
+
+def test_join_strategy_census_detects_broadcast_flip(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_join_strategy_census,
+    )
+
+    r = q_join_strategy_census(spark, SF_DIR).collect()[0]
+    assert r.default_strategy == "BroadcastHashJoin"
+    assert r.no_broadcast_strategy in ("SortMergeJoin", "ShuffledHashJoin")
