@@ -249,6 +249,9 @@ HEADLINE = [
     "q_epoch_shuffle",
     "q_rare_category_merge",
     "q_join_strategy_census",
+    # round-5 phase 27: SRM gate, funnel latency
+    "q_ab_srm_check",
+    "q_funnel_latency",
 ]
 
 

@@ -1903,3 +1903,133 @@ def q_join_strategy_census(spark, sf_dir):
         "default_strategy string, no_broadcast_strategy string, "
         "broadcast_threshold string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 27: A/B sample-ratio-mismatch gate, funnel time-to-convert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ab_srm_check",
+    f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_sql_u01("CAST(user_id AS VARCHAR) || ':srm'")}
+                  < 0.5 THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), cnt AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM assigned
+    )
+    SELECT n_a, n_b,
+           ROUND(POWER(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + POWER(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0),
+                 4) AS chi2,
+           CAST(CASE WHEN
+             POWER(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             + POWER(n_b - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+             > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM cnt
+    """,
+)
+def q_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate — the FIRST check on any experiment
+    readout (a 50/50 assignment that lands 52/48 invalidates q_ab_test's
+    effect estimate before anyone reads it): users assigned to arms by
+    the portable md5 uniform, observed counts chi-squared against the
+    declared ratio, flag raised at the 0.05 critical value (3.841, 1
+    dof — a LITERAL, no chi-square CDF at query time). One distinct +
+    one 1-row aggregate; the arm assignment never materializes at event
+    grain."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":srm")))
+
+    def nib(pos):
+        a = F.ascii(F.substring(h, pos, 1))
+        return (
+            a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+        ).cast("long")
+
+    num = nib(1)
+    for p in range(2, 9):
+        num = num * 16 + nib(p)
+    u = num.cast("double") / F.lit(4294967296.0)
+    cnt = users.select(
+        F.when(u < 0.5, F.lit("A")).otherwise(F.lit("B")).alias("arm")
+    ).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - exp, 2) / exp
+        + F.pow(F.col("n_b") - exp, 2) / exp
+    )
+    return cnt.select(
+        "n_a", "n_b",
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+@query(
+    "q_funnel_latency",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_buy
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT (t_buy - t_view) / 1000000.0 AS secs
+      FROM stage WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+                   AND t_buy >= t_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(secs, 0.5), 2) AS p50_secs,
+           ROUND(quantile_cont(secs, 0.9), 2) AS p90_secs,
+           ROUND(quantile_cont(secs, 0.99), 2) AS p99_secs
+    FROM conv
+    """,
+)
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution: view→purchase latency percentiles
+    over first-touch pairs — q_funnel/q_timed_funnel count WHO
+    converts; this says HOW LONG conversion takes, the SLA-shaped
+    readout. The event stream reduces to one conditional-min row per
+    user in a single map-side-combined pass (never a per-user event
+    sort); exact interpolated percentiles run over the |converted|-row
+    frame. Integer-microsecond mins make the latency inputs
+    engine-identical before the single double division."""
+    events = load_table(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_buy"),
+    )
+    conv = stage.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        ((F.col("t_buy") - F.col("t_view")) / 1_000_000.0).alias("secs")
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("secs", 0.5), 2).alias("p50_secs"),
+        F.round(F.percentile("secs", 0.9), 2).alias("p90_secs"),
+        F.round(F.percentile("secs", 0.99), 2).alias("p99_secs"),
+    )

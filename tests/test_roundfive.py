@@ -572,3 +572,31 @@ def test_join_strategy_census_detects_broadcast_flip(spark):
     r = q_join_strategy_census(spark, SF_DIR).collect()[0]
     assert r.default_strategy == "BroadcastHashJoin"
     assert r.no_broadcast_strategy in ("SortMergeJoin", "ShuffledHashJoin")
+
+
+# ---------------------------------------------------------------------------
+# Phase 27 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ab_srm_balanced_assignment_passes(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_ab_srm_check,
+    )
+
+    r = q_ab_srm_check(spark, SF_DIR).collect()[0]
+    # a fair md5 coin must NOT trip the gate (chi2 below critical) —
+    # absolute imbalance is expected at the sf0.001 user count (n=15)
+    assert r.srm_flag == 0
+    assert r.chi2 <= 3.841
+    assert r.n_a + r.n_b > 0
+
+
+def test_funnel_latency_percentiles_ordered(spark):
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_funnel_latency,
+    )
+
+    r = q_funnel_latency(spark, SF_DIR).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.p50_secs <= r.p90_secs <= r.p99_secs
