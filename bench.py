@@ -252,6 +252,9 @@ HEADLINE = [
     # round-5 phase 27: SRM gate, funnel latency
     "q_ab_srm_check",
     "q_funnel_latency",
+    # round-5 phase 28: revenue bridge, calendar heatmap
+    "q_revenue_bridge",
+    "q_calendar_heatmap",
 ]
 
 

@@ -2033,3 +2033,125 @@ def q_funnel_latency(spark, sf_dir):
         F.round(F.percentile("secs", 0.9), 2).alias("p90_secs"),
         F.round(F.percentile("secs", 0.99), 2).alias("p99_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 28: revenue bridge (price/volume decomposition), calendar heatmap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_revenue_bridge",
+    """
+    WITH yr AS (
+      SELECT l.l_partkey % 25 AS grp,
+             EXTRACT(year FROM o.o_orderdate) AS y,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT a.grp,
+             a.qty AS qty0, b.qty AS qty1,
+             a.rev AS rev0, b.rev AS rev1,
+             a.rev / a.qty AS p0, b.rev / b.qty AS p1
+      FROM yr a JOIN yr b ON a.grp = b.grp AND a.y = 1996 AND b.y = 1997
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           ROUND(rev1 - rev0, 2) + 0 AS delta_rev,
+           ROUND((qty1 - qty0) * p0, 2) + 0 AS volume_effect,
+           ROUND((p1 - p0) * qty1, 2) + 0 AS price_effect,
+           ROUND(rev1 - rev0 - ((qty1 - qty0) * p0 + (p1 - p0) * qty1),
+                 2) + 0 AS residual
+    FROM w
+    """,
+)
+def q_revenue_bridge(spark, sf_dir):
+    """Period-over-period revenue BRIDGE: Δrevenue split into a volume
+    effect ((q1−q0)·p0) and a price effect ((p1−p0)·q1) per part group
+    — the FP&A decomposition behind every "why did revenue move"
+    readout (residual ≡ 0 under this two-term split; emitted as the
+    machine check). Both periods reduce to group-grain integer qty +
+    exact-decimal revenue in ONE scan of the fact join (year filter
+    pushed to the scan); the bridge arithmetic runs on the tiny
+    group×year frame after a self-join at aggregate grain."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    yr = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            (F.col("l_partkey") % 25).alias("grp"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    a = yr.filter(F.col("y") == 1996).select(
+        "grp", F.col("qty").alias("qty0"), F.col("rev").alias("rev0")
+    )
+    b = yr.filter(F.col("y") == 1997).select(
+        "grp", F.col("qty").alias("qty1"), F.col("rev").alias("rev1")
+    )
+    w = a.join(b, "grp")
+    p0 = F.col("rev0") / F.col("qty0")
+    p1 = F.col("rev1") / F.col("qty1")
+    vol = (F.col("qty1") - F.col("qty0")) * p0
+    price = (p1 - p0) * F.col("qty1")
+    # + 0.0 after every round: IEEE -0 + +0 = +0, so a rounded -0.0
+    # (e.g. a residual that is exactly zero approached from below)
+    # canonicalizes identically in both engines instead of hash-
+    # mismatching on the sign of zero
+    z = F.lit(0.0)
+    return w.select(
+        F.col("grp").cast("long").alias("grp"),
+        (F.round(F.col("rev1") - F.col("rev0"), 2) + z).alias("delta_rev"),
+        (F.round(vol, 2) + z).alias("volume_effect"),
+        (F.round(price, 2) + z).alias("price_effect"),
+        (
+            F.round(F.col("rev1") - F.col("rev0") - (vol + price), 2) + z
+        ).alias("residual"),
+    )
+
+
+@query(
+    "q_calendar_heatmap",
+    """
+    WITH x AS (
+      SELECT (CAST(CAST(ts AS DATE) - CAST('1970-01-01' AS DATE)
+                   AS BIGINT) + 4) % 7 AS dow,
+             EXTRACT(hour FROM ts) AS hod,
+             value
+      FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_calendar_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity matrix — the calendar heatmap
+    feed. Day-of-week comes from EXPLICIT epoch-day arithmetic
+    ((days_since_1970 + 4) % 7, Thursday anchor) because the builtin
+    disagrees across engines (Spark dayofweek: 1=Sunday; DuckDB
+    dayofweek: 0=Sunday) — the kind of silent convention skew that
+    poisons cross-system reports. One map-side-combined aggregate to a
+    ≤168-row frame; the timestamp arithmetic is scan-stage codegen."""
+    events = load_table(spark, sf_dir, "events")
+    dn = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    return events.groupBy(
+        ((dn + 4) % 7).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_value"),
+    )

