@@ -39,93 +39,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-5 rotation: round 4's window gave first driver rows to the 39
-# previously-blind r1-r3 queries (all 36 oracle-checked entries
-# hash-green in CORRECTNESS_r04; the rest clean rows-only). This round
-# the window turns over to the round-4 phase-5..18 newcomers that have
-# never had a driver row, plus nine earlier oracle-checked queries that
-# were still outside every window. Kept: the flagship q_pivot_count
-# (entry() twin, anchors driver t1/t2 parity).
+# Round-6 rotation: round 5's window gave first driver rows to the
+# round-4 phase-5..18 newcomers (44 hash-green + 6 rows-only in
+# CORRECTNESS_r05, zero failures). This round the window turns over to
+# the remaining driver-blind backlog in the priority order VERDICT r5
+# fixed: the 31 oracle-checked round-4 leftovers, the 9 rows-only
+# leftovers, then the first 9 of the 25 round-5 phase-19..25 newcomers.
+# Kept: the flagship q_pivot_count (entry() twin, anchors driver t1/t2
+# parity).
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- round-4 phase-5/6 newcomers, never driver-windowed --
-    "q_bloom_join",  # bloom pruned==unpruned join, value-hash proof
-    "q_skyline",  # two-phase frontier vs quadratic NOT EXISTS oracle
-    "q_corr_matrix",
-    "q_woe_iv",
-    "q_graph_jaccard",
-    "q_frequent_triples",
-    "q_winsorize",
-    "q_seasonal_anomaly",
-    "q_k_anonymity",
-    "q_time_decay_attribution",
-    "q_doc_keyphrases",
-    # -- phase-7/8 --
-    "q_closeness",  # multi-seed BFS vs recursive-CTE oracle
-    "q_streaks",
-    "q_degree_distribution",
-    "q_capped_runsum",  # chunked clamp == sequential list_reduce proof
-    "q_allocation",
-    "q_cusum",
-    # -- phase-9/10 --
-    "q_lm_perplexity",
-    "q_item_cf_recs",
-    "q_rolling_corr",
-    "q_quarantine",
-    "q_partition_gaps",
-    "q_bootstrap_ci",  # engine-portable hash bootstrap (overflow-safe rid)
-    # -- phase-11/12/13 --
-    "q_holt_trend",  # chunked matrix-affine scan vs recursive-CTE oracle
-    "q_cdc_extract",
-    "q_ndcg",
-    "q_bucketed_join",  # exchange-free co-located join, asserted at build
-    "q_did",
-    "q_assortativity",
-    "q_powerlaw_fit",
-    "q_ivf_sweep",  # rows-only: nprobe recall sweep census
-    "q_rrf_fusion",
-    "q_multimodal_pipeline",  # rows-only: staged-funnel census
-    # -- phase-14..18 --
-    "q_benford",
-    "q_stl_decompose",
-    "q_event_pattern",  # CEP regex over ordered event sequences
-    "q_join_fanout",
-    "q_partition_skew",  # rows-only: physical partition census
-    "q_fiscal_rollup",
-    "q_cumulative_users",
-    # -- streaming censuses, rows-only by design, never driver-windowed --
-    "q_stream_join",
-    "q_stream_late",
-    "q_stream_totals",
-    # -- earlier oracle-checked queries still outside every window --
-    "q_ks_test",  # exact distributed Kolmogorov-Smirnov
-    "q_gini",
-    "q_sparse_cosine",
-    "q_weighted_median",
-    "q_survival",
-    "q_ab_test",
+    # -- oracle-checked round-4 leftovers, never driver-windowed --
+    "q_basket_lift",
+    "q_weighted_sample",
+    "q_timed_funnel",
+    "q_token_budget_fill",
+    "q_rolling_range",
+    "q_mad_outliers",
+    "q_histogram",
+    "q_group_trend",
+    "q_percent_rank",
+    "q_window_distinct",
+    "q_event_trigrams",
+    "q_trending",
+    "q_chi_square",
+    "q_psi",
+    "q_geo_rollup",
+    "q_sourcing_depth",
+    "q_behavior_entropy",
+    "q_abc_classification",
+    "q_conversion_paths",
+    "q_attribution",
+    "q_rfm_segments",
+    "q_unpivot",
+    "q_target_encode",
+    "q_growth_accounting",
+    "q_label_centroids",
+    "q_forecast_backtest",
+    "q_seasonality",
+    "q_hhi",
+    "q_mutual_info",
+    "q_interarrival",
+    "q_transition_matrix",
+    # -- rows-only leftovers (nondeterministic / census by design) --
+    "q_approx_quantiles",
+    "q_canonical_docs",
+    "q_minhash_calibration",
+    "q_leakage_safe_split",
+    "q_stream_sessions",
+    "q_kcore",
+    "q_stream_dedup",
+    "q_cm_sketch",
+    "q_label_prop",
+    # -- first 9 of the round-5 phase-19..25 newcomers --
+    "q_star_join",
+    "q_kmv_distinct",
+    "q_interval_coverage",
+    "q_cc_labels",  # hash-certified components vs recursive-CTE fixpoint
+    "q_sssp",
+    "q_survivorship",
+    "q_embedding_drift",
+    "q_feature_hash",
+    "q_fuzzy_decontaminate",
 ]
-# Round-6 rotation queue (still driver-blind after r5, in priority
-# order): oracle-checked -- q_basket_lift, q_weighted_sample,
-# q_timed_funnel, q_token_budget_fill, q_rolling_range, q_mad_outliers,
-# q_histogram, q_group_trend, q_percent_rank, q_window_distinct,
-# q_event_trigrams, q_trending, q_chi_square, q_psi, q_geo_rollup,
-# q_sourcing_depth, q_behavior_entropy, q_abc_classification,
-# q_conversion_paths, q_attribution, q_rfm_segments, q_unpivot,
-# q_target_encode, q_growth_accounting, q_label_centroids,
-# q_forecast_backtest, q_seasonality, q_hhi, q_mutual_info,
-# q_interarrival, q_transition_matrix; rows-only -- q_approx_quantiles,
-# q_canonical_docs, q_minhash_calibration, q_leakage_safe_split,
-# q_stream_sessions, q_kcore, q_stream_dedup, q_cm_sketch,
-# q_label_prop; then the 25 round-5 phase-19..25 newcomers (all
-# preflight-green at both SFs, never driver-windowed): q_star_join,
-# q_kmv_distinct, q_interval_coverage, q_cc_labels, q_sssp,
-# q_survivorship, q_embedding_drift, q_feature_hash,
-# q_fuzzy_decontaminate, q_qq_deciles, q_autocorrelation,
-# q_category_drift, q_xml_roundtrip, q_from_xml, q_interval_join,
-# q_domain_cap, q_share_of_parent, q_join_card_est, q_bitmap_rollup,
-# q_markov_stationary, q_tree_rollup, q_dp_counts, q_string_agg,
-# q_pivot_multi_agg, q_rolling_median.
+# Round-7 rotation queue (still driver-blind after r6, in priority
+# order): the remaining 16 round-5 phase-19..25 newcomers --
+# q_qq_deciles, q_autocorrelation, q_category_drift, q_xml_roundtrip,
+# q_from_xml, q_interval_join, q_domain_cap, q_share_of_parent,
+# q_join_card_est, q_bitmap_rollup, q_markov_stationary, q_tree_rollup,
+# q_dp_counts, q_string_agg, q_pivot_multi_agg, q_rolling_median; then
+# the round-5 phase-26..28 newcomers -- q_epoch_shuffle,
+# q_rare_category_merge, q_join_strategy_census, q_ab_srm_check,
+# q_funnel_latency, q_revenue_bridge, q_calendar_heatmap; then any
+# round-6 newcomers.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
