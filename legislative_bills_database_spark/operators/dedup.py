@@ -464,6 +464,9 @@ def connected_components(
     labels (which would split one component and keep duplicate
     "representatives" downstream) if ``max_iter`` rounds don't converge.
 
+    Internal frames use ``__cc_``-prefixed columns so ANY caller
+    ``id_col`` (including "node"/"component") works without renames.
+
     ``small_graph_threshold``: pair sets at or below this size take an
     exact driver-side union-find fast path (O(edges) driver memory,
     min-root semantics identical to the loop); set 0 to force the
@@ -508,17 +511,17 @@ def connected_components(
             spark = pairs.sparkSession
             if labeled:
                 lab_df = spark.createDataFrame(
-                    labeled, f"node {id_type}, __comp {id_type}"
+                    labeled, f"__cc_node {id_type}, __cc_comp {id_type}"
                 )
             else:
                 lab_df = spark.createDataFrame(
-                    [], f"node {id_type}, __comp {id_type}"
+                    [], f"__cc_node {id_type}, __cc_comp {id_type}"
                 )
             return ids.join(
-                F.broadcast(lab_df), ids[id_col] == F.col("node"), "left"
+                F.broadcast(lab_df), ids[id_col] == F.col("__cc_node"), "left"
             ).select(
                 id_col,
-                F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"),
+                F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias("component"),
             )
         finally:
             pairs.unpersist()
@@ -531,7 +534,7 @@ def connected_components(
         .persist()
     )
     labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+        F.col(id_col).alias("__cc_node"), F.col(id_col).alias("__cc_comp")
     ).localCheckpoint(eager=True)
     # convergence check: labels are element-wise monotonically
     # NON-INCREASING (least/min only), so sum(component) strictly
@@ -541,37 +544,40 @@ def connected_components(
     # at 1e9 nodes × 1e12 ids a bigint sum would overflow.
     def _label_sum(lbl: DataFrame):
         return lbl.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
+            F.sum(F.col("__cc_comp").cast("decimal(38,0)"))
         ).collect()[0][0]
 
     prev_sum = _label_sum(labels)
     try:
         for _ in range(max_iter):
             nbr_min = (
-                edges.join(labels, edges.dst == labels.node)
+                edges.join(labels, edges.dst == labels.__cc_node)
                 .groupBy("src")
-                .agg(F.min("component").alias("nbr_component"))
+                .agg(F.min("__cc_comp").alias("__cc_nbr"))
             )
-            prop = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
-                "node",
+            prop = labels.join(
+                nbr_min, labels.__cc_node == nbr_min.src, "left"
+            ).select(
+                "__cc_node",
                 F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                    F.col("__cc_comp"),
+                    F.coalesce(F.col("__cc_nbr"), F.col("__cc_comp")),
+                ).alias("__cc_comp"),
             )
             # pointer jumping: component ← label(component). Labels only
             # ever shrink (label(x) ≤ x), so the shortcut is monotone and
             # every component value is itself a node id present in `prop`.
             lut = prop.select(
-                F.col("node").alias("__ln"), F.col("component").alias("__lc")
+                F.col("__cc_node").alias("__ln"),
+                F.col("__cc_comp").alias("__lc"),
             )
             new_labels = (
                 prop.alias("p")
-                .join(lut, F.col("p.component") == F.col("__ln"), "left")
+                .join(lut, F.col("p.__cc_comp") == F.col("__ln"), "left")
                 .select(
-                    F.col("p.node").alias("node"),
-                    F.coalesce(F.col("__lc"), F.col("p.component")).alias(
-                        "component"
+                    F.col("p.__cc_node").alias("__cc_node"),
+                    F.coalesce(F.col("__lc"), F.col("p.__cc_comp")).alias(
+                        "__cc_comp"
                     ),
                 )
                 .localCheckpoint(eager=True)  # truncate lineage each round
@@ -590,7 +596,10 @@ def connected_components(
                 f"(label sum still decreasing). Raise max_iter (pointer "
                 f"jumping needs ~log2(component diameter) rounds)."
             )
-        return labels.select(F.col("node").alias(id_col), "component")
+        return labels.select(
+            F.col("__cc_node").alias(id_col),
+            F.col("__cc_comp").alias("component"),
+        )
     finally:
         edges.unpersist()
         pairs.unpersist()

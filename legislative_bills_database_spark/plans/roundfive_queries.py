@@ -255,15 +255,12 @@ def q_cc_labels(spark, sf_dir):
     pairs = edges.select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b")
     )
-    # NOT id_col="node": connected_components' union-find fast path
-    # joins back through an internal frame whose key is literally
-    # named "node", and a same-named id column is ambiguous there
     ids = (
-        pairs.select(F.col("id_a").alias("part"))
+        pairs.select(F.col("id_a").alias("node"))
         .union(pairs.select("id_b"))
         .distinct()
     )
-    labels = connected_components(pairs, ids, id_col="part")
+    labels = connected_components(pairs, ids, id_col="node")
     return labels.groupBy(
         F.col("component").cast("long").alias("component")
     ).agg(F.count("*").cast("long").alias("n_parts"))

@@ -375,3 +375,32 @@ def test_connected_components_fast_path_equals_loop(spark):
         )
     )
     assert fast == loop
+
+
+def test_connected_components_id_col_node_both_paths(spark):
+    """Regression (VERDICT r5 #2): ``id_col="node"`` used to collide
+    with an internal frame column in the union-find fast path's label
+    join. Internal columns are now ``__cc_``-prefixed, so caller
+    columns named ``node`` (or ``component``) work on BOTH paths with
+    no call-site rename."""
+    from legislative_bills_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, ids, id_col="node").collect()
+    }
+    assert fast == want
+    loop = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, ids, id_col="node", small_graph_threshold=0
+        ).collect()
+    }
+    assert loop == want
