@@ -296,13 +296,15 @@ def _prev_bench() -> tuple[str | None, dict[str, float]]:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    # Prefer the committed full-detail file (this harness writes it each
-    # run; it always carries the complete per-query map), else walk the
-    # driver-recorded rounds newest-first skipping unparseable ones
-    # (BENCH_r04.json is parsed:None — its stdout line overflowed the
-    # driver's capture window).
-    candidates = [os.path.join(here, "BENCH_FULL.json")] + [
-        p for _, p in sorted(rounds, reverse=True)
+    # Prefer the highest driver-recorded round file with a parseable
+    # per-query map (skipping e.g. BENCH_r04.json, parsed:None from the
+    # stdout-overflow round): main() overwrites BENCH_FULL.json on every
+    # run, so preferring it would make a second same-round invocation
+    # silently baseline against the immediately preceding local run and
+    # mute cross-round regression ratios (ADVICE r5). BENCH_FULL.json is
+    # the fallback only when no round file parses.
+    candidates = [p for _, p in sorted(rounds, reverse=True)] + [
+        os.path.join(here, "BENCH_FULL.json")
     ]
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     cur_sf = float(m.group(1)) if m else None

@@ -110,11 +110,12 @@ def bloom_pruned_join(
     """Join ``probe`` to ``build`` with a Bloom prefilter on the probe
     side: rows whose key cannot match never enter the exchange.
 
-    Only match-requiring join types are accepted (``inner`` and the
-    semi/anti family would be safe; probe-preserving ``left``/``full``
-    must emit null-extended rows for exactly the probe rows the
-    prefilter discards, so pruning would silently change the result —
-    they are rejected rather than quietly computed wrong).
+    Only match-requiring join types are accepted: ``inner`` and the
+    semi family are safe. ``anti`` (and probe-preserving ``left``/
+    ``full``) must KEEP the very rows the Bloom prefilter drops —
+    cannot-match probe rows are exactly the anti-join output, and
+    left/full must null-extend them — so pruning would silently change
+    the result; they are rejected rather than quietly computed wrong.
 
     For the accepted types the result is EXACTLY
     ``probe.join(build, ...)`` — false positives are eliminated by the

@@ -188,8 +188,12 @@ def kmv_distinct_report(
                 F.when(
                     F.col("kmv_k") < k, F.col("kmv_k").cast("double")
                 ).otherwise(
+                    # GREATEST(kth_num,1): if the k-th smallest digest
+                    # starts with 8 zero nibbles (p ~ k*2^-32), Spark's
+                    # /0 returns NULL while DuckDB errors — clamp both
                     (F.lit(float(k - 1)))
-                    / (F.col("kth_num") / F.lit(float(1 << 32)))
+                    / (F.greatest(F.col("kth_num"), F.lit(1.0))
+                       / F.lit(float(1 << 32)))
                 ),
                 2,
             ).alias("kmv_estimate"),
@@ -237,7 +241,7 @@ def sql_kmv_distinct(table: str, col: str, k: int = 256) -> str:
       SELECT t.n_exact, a.kmv_k,
              ROUND(CASE WHEN a.kmv_k < {k}
                         THEN CAST(a.kmv_k AS DOUBLE)
-                        ELSE {float(k - 1)} / (a.kth_num / {float(1 << 32)})
+                        ELSE {float(k - 1)} / (GREATEST(a.kth_num, 1.0) / {float(1 << 32)})
                    END, 2) AS kmv_estimate
       FROM tot t CROSS JOIN agg a
     )

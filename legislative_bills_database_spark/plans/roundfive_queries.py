@@ -862,14 +862,20 @@ def q_xml_roundtrip(spark, sf_dir):
     (schema inference on XML costs a full extra pass at scale — never
     infer on 100 TB), and content-verified against the parquet-backed
     oracle."""
+    import os
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="lbd_xml_") + "/nation"
+    # fixed per-process path + overwrite: a fresh mkdtemp per invocation
+    # leaked one temp dir per bench/preflight run (ADVICE r5)
+    path = os.path.join(
+        tempfile.gettempdir(), f"lbd_xml_{os.getuid()}", "nation"
+    )
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     (
         nation.write.format("xml")
+        .mode("overwrite")
         .option("rootTag", "nations")
         .option("rowTag", "nation")
         .save(path)
@@ -1142,7 +1148,8 @@ def _sql_kmv_est(cte: str) -> str:
     return f"""(
       SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
                   ELSE {float(_KMV_K - 1)}
-                       / (MAX(CAST({num} AS DOUBLE)) / {float(1 << 32)})
+                       / (GREATEST(MAX(CAST({num} AS DOUBLE)), 1.0)
+                          / {float(1 << 32)})
              END
       FROM (SELECT hx FROM {cte} ORDER BY hx LIMIT {_KMV_K})
     )"""
@@ -1219,7 +1226,8 @@ def q_join_card_est(spark, sf_dir):
                         F.count("*").cast("double"),
                     ).otherwise(
                         F.lit(float(_KMV_K - 1))
-                        / (F.max("num") / F.lit(float(1 << 32)))
+                        / (F.greatest(F.max("num"), F.lit(1.0))
+                           / F.lit(float(1 << 32)))
                     ),
                     2,
                 ).alias(name)
@@ -1698,11 +1706,19 @@ def q_pivot_multi_agg(spark, sf_dir):
             F.round(exact_sum("o_totalprice"), 2).alias("rev"),
         )
     )
+    # coalesce every pivoted cell: Spark emits NULL for an absent
+    # (priority, status) cell while the oracle's CASE ... ELSE 0 emits
+    # 0 — parity must not depend on every cell being populated at the
+    # tested SFs (ADVICE r5)
+    def cell(src_name, out_name, zero):
+        return F.coalesce(F.col(src_name), zero).alias(out_name)
+
+    zl, zd = F.lit(0).cast("long"), F.lit(0.0)
     return piv.select(
         "prio",
-        F.col("F_n").alias("f_n"), F.col("F_rev").alias("f_rev"),
-        F.col("O_n").alias("o_n"), F.col("O_rev").alias("o_rev"),
-        F.col("P_n").alias("p_n"), F.col("P_rev").alias("p_rev"),
+        cell("F_n", "f_n", zl), cell("F_rev", "f_rev", zd),
+        cell("O_n", "o_n", zl), cell("O_rev", "o_rev", zd),
+        cell("P_n", "p_n", zl), cell("P_rev", "p_rev", zd),
     )
 
 
