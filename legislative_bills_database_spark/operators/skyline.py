@@ -16,8 +16,13 @@ Distributed strategy (the classic two-phase skyline):
    and provably a superset filter: a global skyline point is undominated
    in every subset, so it survives its partition's local scan.
 2. **Global phase** — local skylines are tiny (bounded by the number of
-   distinct frontier points per partition), so the union is re-scanned
-   once more with the same algorithm in a single task.
+   distinct frontier points per partition), so the union is folded by a
+   bounded two-level fan-in tree: a ``coalesce(fan_in)`` pass first
+   reduces each group of partition frontiers to its own frontier, then
+   a single task folds the ≤ ``fan_in`` surviving frontiers. The final
+   task's input is bounded by ``fan_in`` × max-frontier-size, not by
+   the number of scan partitions — at 100k scan tasks the old single
+   ``coalesce(1)`` funnel would pull 100k frontiers into one task.
 
 At 100 TB the local phase does all the discarding at the scan; only
 frontier candidates — typically thousands of rows — ever move. The
@@ -60,25 +65,15 @@ def _scan_frontier(
     return pdf.iloc[keep]
 
 
-def skyline(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
-    """Rows of ``df`` not dominated under (min ``minimize``,
-    max ``maximize``); both phases run the same exact sort-scan."""
-    schema = df.schema
+def _frontier_fold(minimize: str, maximize: str):
+    """mapInPandas fn: fold a partition's Arrow batches into ONE exact
+    frontier. Arrow slices the partition into batches of
+    spark.sql.execution.arrow.maxRecordsPerBatch rows; a per-batch scan
+    would let a point dominated by a row in ANOTHER batch survive. The
+    running-frontier fold keeps memory bounded by the true frontier
+    size, not the partition's candidate-union size."""
 
-    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _scan_frontier(pdf, minimize, maximize)
-
-    def global_scan(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        # Arrow slices the coalesced partition into batches of
-        # spark.sql.execution.arrow.maxRecordsPerBatch rows; a per-batch
-        # scan would let a point dominated by a row in ANOTHER batch
-        # survive. Fold batches into a running frontier instead: after
-        # each batch the carried frame is the exact skyline of
-        # everything seen, so memory stays bounded by the true frontier
-        # size, not the candidate-union size.
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frontier: pd.DataFrame | None = None
         for pdf in batches:
             if pdf.empty:
@@ -92,8 +87,31 @@ def skyline(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
         if frontier is not None:
             yield frontier
 
+    return fold
+
+
+def skyline(
+    df: DataFrame, minimize: str, maximize: str, fan_in: int = 16
+) -> DataFrame:
+    """Rows of ``df`` not dominated under (min ``minimize``,
+    max ``maximize``); every phase runs the same exact sort-scan.
+
+    ``fan_in`` bounds the single-task final fold: the intermediate
+    ``coalesce(fan_in)`` level reduces each group of partition
+    frontiers to its own frontier first (a frontier of frontiers is a
+    frontier, so the fold is associative and every level is exact).
+    """
+    schema = df.schema
+    fold = _frontier_fold(minimize, maximize)
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _scan_frontier(pdf, minimize, maximize)
+
     candidates = df.mapInPandas(local, schema=schema)
-    # global pass over the (small) candidate union in one task — the
-    # coalesce is safe precisely because phase 1 already discarded
-    # everything dominated within any partition
-    return candidates.coalesce(1).mapInPandas(global_scan, schema=schema)
+    # two-level fan-in tree (coalesce is narrow — no shuffle at either
+    # level): level 1 folds partition frontiers in groups, so the final
+    # task's input is ≤ fan_in already-reduced frontiers instead of one
+    # frontier per scan partition
+    level1 = candidates.coalesce(fan_in).mapInPandas(fold, schema=schema)
+    return level1.coalesce(1).mapInPandas(fold, schema=schema)
