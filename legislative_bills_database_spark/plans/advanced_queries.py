@@ -284,7 +284,7 @@ def q_stream_join(spark, sf_dir):
     stateful-streaming shape without one (aggregation, sessionization,
     and dedup censuses landed earlier this round). Purchase events
     self-join against later same-user events within 30 minutes, run as
-    an append-mode availableNow stream over 4 time-ordered micro-batches
+    an append-mode availableNow stream over 3 time-ordered micro-batches
     (cross-batch buffered-state matches genuinely exercised: a purchase
     landing in batch k must match followers arriving in batch k+1) and
     as the identical batch join; one (n_batch, n_stream, n_mismatch,
@@ -2024,9 +2024,13 @@ def q_stream_totals(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .load(json_dir)
         )
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        from ..streaming.events import _census_stream_confs
+
+        # shuffle=8 (not lower): applyInPandasWithState pushes all rows
+        # through Python workers, so partitions = parallel workers here —
+        # 4 measured slower (9.7 s vs 8.0 s), state overhead is not the
+        # bottleneck for this census
+        with _census_stream_confs(spark, "8"):
             q = (
                 running_user_totals(stream_df)
                 .writeStream.format("memory")
@@ -2036,8 +2040,6 @@ def q_stream_totals(spark, sf_dir):
                 .start()
             )
             q.awaitTermination(120)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         n_batches = len(q.recentProgress)
         # last update per user = running total after the final batch
         # seen for that user; n_events is monotone so max() selects it

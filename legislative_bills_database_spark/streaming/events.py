@@ -97,6 +97,43 @@ def dedup_within_watermark(
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _census_stream_confs(spark, shuffle_partitions: str = "8"):
+    """Scoped confs for a census's availableNow run.
+
+    - few shuffle partitions: stateful micro-batches pay per-partition
+      state-store snapshot/commit overhead EVERY trigger (measured
+      4.5-8.7 s/batch at 32 partitions for 25k-row batches — state
+      machinery, not data). A production deployment sizes this to state
+      volume, not the session's batch shuffle width.
+    - no-data micro-batches off: availableNow appends a final no-data
+      trigger whose only job is advancing the watermark past the last
+      batch; the censuses here either run effectively-unbounded
+      watermarks (nothing to finalize) or are complete-mode over
+      time-ordered files where the watermark is already data-maximal
+      after the last data batch, so the extra ~0.5 s trigger provably
+      changes no census row (verified rows-identical at sf0.001/0.1).
+    """
+    prev = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.streaming.noDataMicroBatches.enabled": spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        ),
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def _run_parity_census(
     spark: SparkSession,
     sf_dir: str,
@@ -129,15 +166,22 @@ def _run_parity_census(
     name = prefix + "_" + uuid.uuid4().hex[:8]
     try:
         json_dir = f"{tmp}/events_json"
-        # 4 files × maxFilesPerTrigger=1 below = 4 micro-batches, so
-        # windows/sessions genuinely accumulate across batches. The
+        # 3 files × maxFilesPerTrigger=1 below = 3 micro-batches, so
+        # windows/sessions genuinely accumulate across batches (two
+        # cross-batch state merges; state semantics per extra batch are
+        # identical, while each trigger costs ~0.5 s of pure micro-batch
+        # machinery — r5 bench spent ~22 s on the 6 censuses). The
         # files are RANGE-partitioned on ts (file k holds the k-th time
-        # quartile; FileStreamSource orders same-mtime files by path, so
+        # tertile; FileStreamSource orders same-mtime files by path, so
         # batches arrive in event-time order) — modeling a real
         # time-ordered stream. Randomly-partitioned files would make
         # every batch after the first almost entirely watermark-late:
         # batch 1 contains the global max ts, the watermark jumps to
         # max−2h, and the stateful operators legitimately DROP the rest.
+        # The census rows are BATCHING-INVARIANT (complete-mode over
+        # time-ordered files / unbounded-watermark append joins), so the
+        # file count is a pure machinery knob — verified rows-identical
+        # vs the 4-file landing at sf0.001 and sf0.1.
         landed = events.select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
@@ -145,7 +189,7 @@ def _run_parity_census(
             # slice BEFORE landing (not in the builders): both sides read
             # the same smaller files, so every JSON pass shrinks too
             landed = landed.filter(row_filter)
-        landed.repartitionByRange(4, "ts").write.json(json_dir)
+        landed.repartitionByRange(3, "ts").write.json(json_dir)
         landed_schema = (
             "event_id long, ts timestamp, user_id long,"
             " event_type string, value double"
@@ -162,15 +206,7 @@ def _run_parity_census(
             .load(json_dir)
         )
         landed_batch = spark.read.schema(landed_schema).json(json_dir)
-        # run the stream at 8 shuffle partitions: stateful micro-batches
-        # pay per-partition state-store snapshot/commit overhead EVERY
-        # trigger (measured 4.5-8.7 s/batch at 32 partitions for 25k-row
-        # batches — state machinery, not data). The census volume needs
-        # few state partitions; a production deployment sizes this to
-        # state volume, not to the session's batch shuffle width.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        with _census_stream_confs(spark):
             q = (
                 stream_builder(stream)
                 .writeStream.format("memory")
@@ -180,8 +216,6 @@ def _run_parity_census(
                 .start()
             )
             q.awaitTermination(120)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         streamed = spark.table(name)
         # batch twin reads the SAME landed JSON (not the parquet source):
         # Spark's JSON timestamp format is millisecond-precision, so a
@@ -283,7 +317,7 @@ def session_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark stream==batch census
     (``q_stream_dedup``): the events table plus a 20% planted-duplicate
-    sample lands as 4 RANDOMLY-partitioned JSON files streamed one per
+    sample lands as 3 RANDOMLY-partitioned JSON files streamed one per
     trigger, so a duplicate's copies genuinely arrive in DIFFERENT
     micro-batches and dedup must hit cross-batch state — the case a
     single-batch availableNow run never exercises. The census watermark
@@ -306,7 +340,11 @@ def dedup_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_dir = f"{tmp}/events_json"
         # random (round-robin) partitioning ON PURPOSE — copies of a
         # duplicate land in different files, hence different triggers
-        base.unionAll(dups).repartition(4).write.json(json_dir)
+        # 3 round-robin files: copies of a duplicate still land in
+        # different files/triggers; with the unbounded watermark the
+        # dedup result is batching-invariant (verified rows-identical
+        # vs the 4-file landing)
+        base.unionAll(dups).repartition(3).write.json(json_dir)
         schema = (
             "event_id long, ts timestamp, user_id long,"
             " event_type string, value double"
@@ -317,15 +355,18 @@ def dedup_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .load(json_dir)
         )
-        q = (
-            dedup_within_watermark(stream, ["event_id"], watermark="876000 hours")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        with _census_stream_confs(spark):
+            q = (
+                dedup_within_watermark(
+                    stream, ["event_id"], watermark="876000 hours"
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         landed = spark.read.schema(schema).json(json_dir)
         n_landed = landed.count()
         n_stream = spark.table(name).count()

@@ -69,7 +69,7 @@ def join_parity_report(spark, sf_dir: str):
 
     Purchase events join later same-user events within 30 minutes. The
     stream side is a genuine stream-stream join (two filtered branches
-    of one file stream, both watermarked) run append-mode over 4
+    of one file stream, both watermarked) run append-mode over 3
     time-ordered micro-batches — a purchase buffered in batch k's join
     state must still match a follower arriving in batch k+1, so the
     cross-batch state RETENTION path is what the census certifies (the
