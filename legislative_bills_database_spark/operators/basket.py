@@ -115,6 +115,18 @@ def cooccurrence_pairs(
     incident edges) exactly as hot shingles are capped in the MinHash
     band join.
 
+    Measured negative result (r6, sf0.1, 587k edges, avg degree 39,
+    1000 items → the 499.5k-pair space is fully dense): a per-key
+    top-N edge cap before pairing (row_number over hash(item)) runs
+    the q_graph_jaccard top-100 1.8× faster at N=30 and 3.4× at N=20 —
+    but only 24/100 (N=30) resp. 15/100 (N=20) of the exact top-100
+    jaccard pairs survive, because n_shared shrinks per-pair while the
+    uncapped degrees don't, reshuffling the entire ranking. The cap is
+    therefore NOT applied anywhere an exact top-k is the contract; it
+    remains the right guard for genuinely skewed keys (hot-customer
+    d²/2 blowup) where approximate neighborhoods are acceptable and
+    the threshold is documented at the call site.
+
     Returns (i1, i2, n_shared).
     """
     e = edges.select(F.col(key_col).alias("k"), F.col(item_col).alias("i"))

@@ -237,7 +237,10 @@ def q_graph_jaccard(spark, sf_dir):
     scale hot customers get degree-capped (sample their incident edges)
     exactly as hot shingles do in the MinHash band join — the supplier
     fan-in here is naturally bounded (≤ |suppliers|), documented rather
-    than capped."""
+    than capped. A blanket per-customer top-N cap was measured and
+    REJECTED for this query (r6): 1.8×/3.4× faster at N=30/20, but
+    only 24/15 of the exact top-100 pairs survive — see the negative
+    result at operators/basket.cooccurrence_pairs."""
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
     # checkpoint: deg + both self-join sides reference cs — uncheckpointed
     # the orders-lineitem join and distinct execute three times
