@@ -78,6 +78,15 @@ class RestClient:
     def get_bill_text(self, doc_id: int) -> dict:
         return self._get("getBillText", id=doc_id)["text"]
 
+    def get_session_people(self, session_id: int) -> list[dict]:
+        """Legislator roster for one session (legiscan_main.R:373-379 —
+        the reference keeps this op as a commented-out scrap; the row
+        shape is ``content(request)$sessionpeople$people``, most-recent
+        session first in the dataset list)."""
+        return self._get("getSessionPeople", id=session_id)[
+            "sessionpeople"
+        ]["people"]
+
 
 def decode_zip_to_tree(b64_zip: str, dest_dir: str) -> list[str]:
     """base64 → zip → extracted file tree (legiscan_data_pull.R:58-62).

@@ -70,6 +70,15 @@ def _fake_api(calls: list):
         if params["op"] == "getBillText":
             return 200, {"text": {"doc_id": params["id"],
                                   "doc": base64.b64encode(b"<html>x</html>").decode()}}
+        if params["op"] == "getSessionPeople":
+            assert params["id"] == 2172
+            return 200, {"sessionpeople": {"session": {"session_id": 2172},
+                                           "people": [
+                {"people_id": 9, "name": "A. Member", "party": "D",
+                 "role": "Rep", "district": "AD-01"},
+                {"people_id": 10, "name": "B. Member", "party": "R",
+                 "role": "Sen", "district": "SD-02"},
+            ]}}
         return 404, {}
 
     return transport
@@ -127,6 +136,17 @@ def test_fetch_bill_text_html():
     client = RestClient("https://api.test/", "KEY", transport=_fake_api([]),
                         rate_limit_per_sec=10_000)
     assert fetch_bill_text_html(client, 23) == b"<html>x</html>"
+
+
+def test_get_session_people():
+    """getSessionPeople parity with the reference's commented block
+    (legiscan_main.R:373-379): rows come from
+    content$sessionpeople$people for the requested session id."""
+    client = RestClient("https://api.test/", "KEY", transport=_fake_api([]),
+                        rate_limit_per_sec=10_000)
+    people = client.get_session_people(2172)
+    assert [p["people_id"] for p in people] == [9, 10]
+    assert people[0]["district"] == "AD-01"
 
 
 def test_decode_zip_to_tree(tmp_path):
