@@ -255,6 +255,14 @@ HEADLINE = [
     # round-5 phase 28: revenue bridge, calendar heatmap
     "q_revenue_bridge",
     "q_calendar_heatmap",
+    # round-6 phase 29: hash-certified pagerank + corpus governance
+    "q_pagerank_exact",
+    "q_dataset_card",
+    "q_pii_scrub",
+    "q_cross_source_overlap",
+    "q_vocab_growth",
+    "q_ngram_coverage",
+    "q_customer_ltv",
 ]
 
 

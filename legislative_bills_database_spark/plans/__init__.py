@@ -11,3 +11,4 @@ from . import pipeline_queries  # noqa: F401  (registers on import)
 from . import analytics_queries  # noqa: F401  (registers on import)
 from . import advanced_queries  # noqa: F401  (registers on import)
 from . import roundfive_queries  # noqa: F401  (registers on import)
+from . import roundsix_queries  # noqa: F401  (registers on import)

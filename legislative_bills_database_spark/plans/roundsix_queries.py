@@ -1,0 +1,503 @@
+"""Round-6 phase-29 queries: hash-certified fixed-point PageRank, and
+the corpus-governance ops a training-data
+pipeline publishes with every dataset release — the datasheet
+(dataset card), term-scrub accounting, cross-source shingle
+contamination, vocabulary growth, n-gram coverage — plus the
+customer-LTV cohort rollup warehouse classic.
+
+Engine-parity notes carried from earlier phases: every oracle SUM over
+integers is CAST AS BIGINT (DuckDB HUGEINT → pandas float64 mismatch),
+integer division is ``//`` in DuckDB / ``div`` in Spark with explicit
+parens so associativity matches, and the PageRank iterate follows the
+q_markov_stationary fixed-point pattern (ppm-quantized BIGINT
+arithmetic — floating-point power iteration can never hash-match across
+engines because parallel double sums drift in the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.compat import exact_sum, sql_exact_sum
+from ..io import load_table, load_tables
+from .registry import query
+from .roundfive_queries import _COPURCHASE_EDGES, _copurchase_edges
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer PageRank (hash-certified iteration)
+# ---------------------------------------------------------------------------
+
+_PR_TOTAL = 100_000_000
+_PR_DAMP_PPM = 850_000  # 0.85 in parts-per-million
+_PR_ROUNDS = 8
+
+
+def _sql_pagerank(rounds: int) -> str:
+    steps = [
+        f"""
+    r0 AS (
+      SELECT node, CAST({_PR_TOTAL} // (SELECT n FROM ns) AS BIGINT) AS v
+      FROM nodes
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST((SELECT b FROM basec)
+                  + COALESCE(SUM(((r.v * {_PR_DAMP_PPM}) // 1000000)
+                                 // w.deg), 0) AS BIGINT) AS v
+      FROM nodes n
+      LEFT JOIN ws w ON w.dst = n.node
+      LEFT JOIN r{i - 1} r ON r.node = w.src
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH {_COPURCHASE_EDGES},
+    edges AS (SELECT DISTINCT src, dst FROM sym),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+    ),
+    ws AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d USING (src)),
+    basec AS (
+      SELECT CAST((({_PR_TOTAL} // (SELECT n FROM ns)) * 150000) // 1000000
+                  AS BIGINT) AS b
+    ),
+    {",".join(steps)}
+    SELECT node, v AS pr_scaled,
+           ROUND(CAST(v AS DOUBLE) / (SELECT SUM(v) FROM r{rounds}), 6)
+             AS pr
+    FROM r{rounds}
+    """
+
+
+@query("q_pagerank_exact", _sql_pagerank(_PR_ROUNDS))
+def q_pagerank_exact(spark, sf_dir):
+    """Hash-certified twin of the rows-only floating-point q_pagerank
+    (analytics_queries.py): PageRank over the co-purchase part graph by
+    EIGHT fixed-point power sweeps, every round certified against the
+    DuckDB chained-CTE twin (the q_markov_stationary proof pattern applied to
+    the damped web-graph recurrence): rank mass quantized to 1e8
+    BIGINTs, the damping factor to ppm, every sweep an integer
+    floor-divided gather — bit-identical in any engine and summation
+    order. The symmetric co-purchase graph has no dangling nodes, so
+    the teleport term is the constant (0.15 · total/N) per node.
+    Physical posture: the per-round job is one key-join of the rank
+    vector against the (src, dst, deg) edge list plus a sum — the
+    standard distributed PageRank shape; rounds checkpoint eagerly so
+    lineage stays flat (the q_markov/connected-components discipline)."""
+    from ..session import release_checkpoint
+
+    canon = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    # symmetrize: _copurchase_edges is canonical a<b; the random walk
+    # (and the oracle's sym CTE) runs over BOTH directions
+    edges = canon.unionByName(
+        canon.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    ws = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = ws.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # bounded: |sampled parts|
+    base = ((_PR_TOTAL // n_nodes) * 150_000) // 1_000_000
+    v = nodes.select(
+        "node", F.lit(_PR_TOTAL // n_nodes).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            v.join(ws, v.node == ws.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"((v * {_PR_DAMP_PPM}) div 1000000) div deg"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("cs"))
+        )
+        new_v = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("cs"), F.lit(0)))
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(v)
+        v = new_v
+    tot = v.agg(F.sum("v").alias("tv"))
+    return v.join(F.broadcast(tot)).select(
+        "node",
+        F.col("v").alias("pr_scaled"),
+        F.round(F.col("v").cast("double") / F.col("tv"), 6).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (corpus datasheet)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dataset_card",
+    """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 1) AS med_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_dataset_card(spark, sf_dir):
+    """Per-(source, lang) corpus datasheet — the summary table every
+    dataset release ships (doc counts, char/token volumes, central
+    tendency): one map-side-combined aggregation pass, token counts as
+    JVM split+size expressions (no Python). Median is the exact
+    interpolated percentile (matches quantile_cont — the
+    q_rolling_median parity precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 2
+        ).alias("avg_chars"),
+        F.round(F.percentile("n_chars", 0.5), 1).alias("med_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term-scrub accounting (the PII-redaction pipeline shape)
+# ---------------------------------------------------------------------------
+
+_SCRUB_TERMS = ("key", "hash", "value")  # stand-in sensitive-term list
+_MASK_LEN = 6  # len('[TERM]')
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             {" + ".join(
+                 f"len(list_filter(string_split(text, ' '),"
+                 f" t -> t = '{w}'))" for w in _SCRUB_TERMS
+             )} AS hits,
+             {" + ".join(
+                 f"len(list_filter(string_split(text, ' '),"
+                 f" t -> t = '{w}')) * {len(w)}" for w in _SCRUB_TERMS
+             )} AS hit_chars,
+             n_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_hits,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(n_chars - hit_chars + hits * {_MASK_LEN}) AS BIGINT)
+             AS masked_chars
+    FROM per_doc GROUP BY 1
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """Sensitive-term scrub ACCOUNTING per source — the audit row a
+    redaction pipeline emits before committing a masked corpus (how
+    many documents were touched, how many tokens masked, what the
+    masked corpus size will be). The fixture term list stands in for a
+    real PII lexicon; the op shape (token-membership hit counts folded
+    into size deltas, all JVM array expressions) is what scales —
+    counting via token filters rather than regex keeps the arithmetic
+    engine-exact and sidesteps regex-dialect drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+
+    def term_eq(w):
+        # NOT `lambda t, w=w: ...` — F.filter dispatches on lambda
+        # ARITY, so a default arg makes it pass (element, index) and
+        # the index lands in w
+        return lambda t: t == w
+
+    hits = None
+    hit_chars = None
+    for w in _SCRUB_TERMS:
+        h = F.size(F.filter(toks, term_eq(w)))
+        hits = h if hits is None else hits + h
+        hc = F.size(F.filter(toks, term_eq(w))) * len(w)
+        hit_chars = hc if hit_chars is None else hit_chars + hc
+    per_doc = docs.select(
+        "source",
+        hits.alias("hits"),
+        hit_chars.alias("hit_chars"),
+        "n_chars",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_hits"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.sum(
+            F.col("n_chars") - F.col("hit_chars")
+            + F.col("hits") * _MASK_LEN
+        )
+        .cast("long")
+        .alias("masked_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle contamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cross_source_overlap",
+    f"""
+    WITH docs AS (
+      SELECT source, {T.sql_shingles("string_split(text, ' ')", 3)} AS sh
+      FROM documents WHERE doc_id < 1000
+    ), e AS (
+      SELECT DISTINCT source, unnest(sh) AS s FROM docs
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    """,
+)
+def q_cross_source_overlap(spark, sf_dir):
+    """Pairwise 3-gram shingle Jaccard BETWEEN SOURCES — the
+    split-contamination matrix (is source A's content leaking into
+    source B?) that decontamination pipelines compute before assigning
+    train/eval splits by source. Same inverted-index join shape as
+    q_ngram_jaccard but at source grain: the distinct (source, shingle)
+    edge list is the only shuffled payload, per-shingle fan-out is
+    bounded by |sources| (≤ C(|sources|,2) pairs per shingle), and
+    degrees broadcast back onto the pair counts."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1000
+    )
+    e = (
+        docs.select(
+            "source", F.explode(T.shingles(T.tokens("text"), 3)).alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by sizes + both join sides
+    )
+    sizes = e.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = e.select(F.col("source").alias("src_a"), "s")
+    b = e.select(F.col("source").alias("src_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (type-token ratio per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*), 6) AS ttr
+    FROM toks GROUP BY 1
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary size vs token volume per source (type-token ratio —
+    the Heaps'-law scatter a corpus-quality report plots; a source
+    whose TTR collapses is template/boilerplate-heavy and a dedup
+    candidate). Distinct-within-group runs as the standard two-phase
+    aggregate: partial per-partition (source, token) dedup before the
+    one exchange, then count — token strings cross the wire once per
+    distinct (source, token), not once per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    )
+    return toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("n_types"),
+        F.round(
+            F.countDistinct("t").cast("double") / F.count("*"), 6
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram coverage curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+    ), cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), top AS (
+      SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk
+      FROM cnt QUALIFY rk <= 100
+    ), buckets AS (
+      SELECT CAST((rk + 9) // 10 AS BIGINT) AS bucket,
+             CAST(SUM(c) AS BIGINT) AS bucket_occ
+      FROM top GROUP BY 1
+    )
+    SELECT bucket, bucket_occ,
+           CAST(SUM(bucket_occ) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_occ,
+           ROUND(CAST(SUM(bucket_occ) OVER (ORDER BY bucket) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS cum_share
+    FROM buckets
+    """,
+)
+def q_ngram_coverage(spark, sf_dir):
+    """Coverage curve of the top-100 unigrams in rank-decile buckets:
+    what share of ALL token occurrences the k most frequent types
+    cover — the curve that sizes a tokenizer vocabulary or a stopword
+    list. Scale shape: one token-count aggregate (map-side combined),
+    a top-100 TakeOrdered (never a global sort of the vocabulary), and
+    the 10-row bucket frame finishes on whatever single task — the
+    heavy lifting is all in the first aggregate. Deterministic
+    tie-break (count DESC, token) keeps rank assignment engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("t"))
+    toks = toks.localCheckpoint(eager=False)  # reused: total + counts
+    tot = toks.agg(F.count("*").cast("long").alias("n"))
+    cnt = toks.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    top = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(100)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "t")
+            ),
+        )
+    )
+    buckets = top.groupBy(
+        F.expr("(rk + 9) div 10").cast("long").alias("bucket")
+    ).agg(F.sum("c").cast("long").alias("bucket_occ"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.join(F.broadcast(tot)).select(
+        "bucket",
+        "bucket_occ",
+        F.sum("bucket_occ").over(w).cast("long").alias("cum_occ"),
+        F.round(
+            F.sum("bucket_occ").over(w).cast("double") / F.col("n"), 6
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer LTV cohort rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_customer_ltv",
+    f"""
+    WITH first_order AS (
+      SELECT o_custkey AS cust,
+             CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT)
+               AS cohort_yr
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT o_custkey AS cust,
+             {sql_exact_sum("o_totalprice")} AS ltv
+      FROM orders GROUP BY 1
+    )
+    SELECT f.cohort_yr, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(r.ltv AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_rev,
+           ROUND(CAST(SUM(CAST(r.ltv AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_ltv
+    FROM first_order f
+    JOIN rev r ON f.cust = r.cust
+    JOIN customer c ON c.c_custkey = f.cust
+    GROUP BY 1, 2
+    """,
+)
+def q_customer_ltv(spark, sf_dir):
+    """Customer lifetime value by acquisition cohort × market segment —
+    the retention-economics rollup (which cohorts/segments pay back).
+    One orders pass produces BOTH the cohort year and the per-customer
+    revenue (same groupBy key — Catalyst collapses the two CTE aggs
+    into one when expressed as a single agg here), then the slim
+    per-customer frame joins the customer dim. Decimal-exact revenue
+    sums keep cross-engine cents identical (the exact_sum discipline)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_yr"),
+        exact_sum("o_totalprice").alias("ltv"),
+    )
+    return (
+        per_cust.join(
+            customer, per_cust.cust == customer.c_custkey
+        )
+        .groupBy("cohort_yr", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                exact_sum(F.col("ltv")), 2
+            ).alias("total_rev"),
+            F.round(
+                exact_sum(F.col("ltv")) / F.count("*"), 2
+            ).alias("avg_ltv"),
+        )
+    )

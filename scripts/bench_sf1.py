@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scaling bench: the 21 BASELINE.md-comparable headline queries at
+sf1.0 (10x sf0.1), with per-query sf1.0/sf0.1 ratios.
+
+VERDICT r5 #7: at sf0.1 many queries are scheduler-bound, so the
+100x-design claims rested on plan shape alone. This run turns the
+posture into measurements — a query whose ratio is ~O(10) (or less,
+where a fixed overhead dominated at sf0.1) scales linearly; anything
+superlinear is flagged. Writes BENCH_SF1.json.
+
+Usage: python scripts/bench_sf1.py   (expects scripts/make_sf1.py ran)
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF1_DIR = os.path.join(REPO, ".benchdata", "sf1.0")
+BASELINE_21 = [
+    "q_pivot_count", "q_rowwise_total", "q_fallback_join",
+    "q_exact_dedup", "q_near_dedup", "q_simhash", "q_ngram_jaccard",
+    "q_embedding_neardup", "q_cosine_topk", "q_ann_lsh_pairs",
+    "q_ann_ivf_topk", "q_text_stats", "q_quality_score", "q_sessionize",
+    "q_tumbling_window_batch", "q_salted_count", "q_asof_join",
+    "q_range_join", "q_near_dedup_corpus", "q_pipeline_legislator_counts",
+    "q_pipeline_keyword_search",
+]
+N_RUNS = 2
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.plans import QUERIES
+    from legislative_bills_database_spark.session import get_spark
+
+    spark = get_spark(app_name="lbd-bench-sf1", cpus=os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ["region", "customer", "orders", "lineitem", "events",
+              "documents", "embeddings"]:
+        spark.read.parquet(f"{SF1_DIR}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BASELINE_21:
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF1_DIR)
+            df.agg(
+                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {best:.3f}s", file=sys.stderr)
+
+    # ratio vs the most recent sf0.1 full-detail run
+    ratios = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+            prev = json.load(fh).get("queries", {})
+        ratios = {
+            n: round(timings[n] / prev[n], 2)
+            for n in timings if prev.get(n)
+        }
+    except (OSError, json.JSONDecodeError):
+        pass
+    out = {
+        "metric": "baseline21_sf1_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "queries": timings,
+        "ratio_vs_sf0.1": ratios,
+        "note": "10x data; ratio ~<=10 = linear-or-better scaling "
+                "(fixed overheads amortize); >10 flags superlinearity",
+    }
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: out[k] for k in
+                      ("metric", "value", "unit", "sf")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Round-6 phase-29 invariants (value parity is pinned for every query
+by test_oracle_parity.py; these pin the semantic properties a hash
+can't see)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from legislative_bills_database_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_exact_mass_and_positivity(spark):
+    """Fixed-point PageRank: every node keeps positive rank, total
+    scaled mass stays within the floor-loss envelope of 1e8 (each of
+    the 8 rounds loses < 1 ulp-of-ppm per edge to integer floors), and
+    rank order is stable under the damped-degree structure."""
+    df = QUERIES["q_pagerank_exact"](spark, SF)
+    rows = df.collect()
+    assert rows, "graph sample produced no nodes"
+    assert all(r.pr_scaled > 0 for r in rows)
+    total = sum(r.pr_scaled for r in rows)
+    assert 0.9 * 100_000_000 <= total <= 100_000_000
+    assert abs(sum(r.pr for r in rows) - 1.0) < 1e-3
+
+
+def test_dataset_card_totals_match_table(spark):
+    card = QUERIES["q_dataset_card"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = card.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_chars").alias("c")
+    ).collect()[0]
+    want_d = docs.count()
+    want_c = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert (got.d, got.c) == (want_d, want_c)
+
+
+def test_pii_scrub_masked_never_grows_unbounded(spark):
+    """masked_chars = original - hit_chars + hits*6; with the fixture
+    terms (3-5 chars) masking can only grow a doc by ≤3 chars/hit."""
+    rows = QUERIES["q_pii_scrub"](spark, SF).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == spark.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
+    assert all(r.docs_with_hits <= r.n_docs for r in rows)
+    assert all(r.total_hits >= r.docs_with_hits for r in rows)
+
+
+def test_cross_source_overlap_is_a_valid_jaccard(spark):
+    rows = QUERIES["q_cross_source_overlap"](spark, SF).collect()
+    assert rows
+    assert all(0.0 <= r.jaccard <= 1.0 for r in rows)
+    assert all(r.src_a < r.src_b for r in rows)
+
+
+def test_ngram_coverage_monotone(spark):
+    rows = sorted(
+        QUERIES["q_ngram_coverage"](spark, SF).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] <= 1.0
+
+
+def test_customer_ltv_totals(spark):
+    rows = QUERIES["q_customer_ltv"](spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
