@@ -110,8 +110,11 @@ _WINDOW = [
 # q_dp_counts, q_string_agg, q_pivot_multi_agg, q_rolling_median; then
 # the round-5 phase-26..28 newcomers -- q_epoch_shuffle,
 # q_rare_category_merge, q_join_strategy_census, q_ab_srm_check,
-# q_funnel_latency, q_revenue_bridge, q_calendar_heatmap; then any
-# round-6 newcomers.
+# q_funnel_latency, q_revenue_bridge, q_calendar_heatmap; then the
+# round-6 phase-29 newcomers (all oracle-checked, preflight-green) --
+# q_pagerank_exact, q_dataset_card, q_pii_scrub,
+# q_cross_source_overlap, q_vocab_growth, q_ngram_coverage,
+# q_customer_ltv; then any phase-30+ round-6 newcomers.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -263,6 +263,12 @@ HEADLINE = [
     "q_vocab_growth",
     "q_ngram_coverage",
     "q_customer_ltv",
+    # round-6 phase 30: SCD2 as-of, reservoir sample, governance audits
+    "q_scd2_asof_enrich",
+    "q_reservoir_sample",
+    "q_key_skew_audit",
+    "q_gdpr_delete_audit",
+    "q_embedding_norm_audit",
 ]
 
 

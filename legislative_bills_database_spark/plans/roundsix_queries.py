@@ -501,3 +501,309 @@ def q_customer_ltv(spark, sf_dir):
             ).alias("avg_ltv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 30: SCD2 point-in-time enrichment, portable reservoir sampling,
+# key-skew audit, right-to-be-forgotten audit, embedding-norm audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_asof_enrich",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey AS cust, c_mktsegment AS seg, 1 AS version,
+             CAST('1900-01-01' AS DATE) AS valid_from,
+             CAST('1994-01-01' AS DATE)
+               + (c_custkey % 1461) * INTERVAL 1 DAY AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '+', 2,
+             CAST('1994-01-01' AS DATE)
+               + (c_custkey % 1461) * INTERVAL 1 DAY,
+             CAST('9999-12-31' AS DATE)
+      FROM customer
+    )
+    SELECT d.version,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND({sql_exact_sum("o.o_totalprice")}, 2) AS revenue
+    FROM orders o
+    JOIN dim d ON d.cust = o.o_custkey
+              AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY 1, 2
+    """,
+)
+def q_scd2_asof_enrich(spark, sf_dir):
+    """Point-in-time (as-of) enrichment against an SCD2 dimension: each
+    order picks the dimension VERSION that was valid on its order date
+    — the join every warehouse does against q_scd2_merge's output, and
+    the one naive equi-joins silently get wrong (joining current-state
+    attributes onto historical facts). The two-version dim is derived
+    deterministically from customer (version flip at a per-key date),
+    so the oracle certifies the interval-membership join row-for-row.
+    Physical posture: the dim (2 rows/key) BROADCASTS; the interval
+    predicate rides the broadcast-hash-join condition as a residual
+    filter on the key-matched candidates (2 per probe row — never a
+    range-explosion), so the fact side streams map-side only."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    split = F.date_add(
+        F.lit("1994-01-01").cast("date"),
+        (F.col("c_custkey") % 1461).cast("int"),
+    )
+    v1 = customer.select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("version"),
+        F.lit("1900-01-01").cast("date").alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = customer.select(
+        F.col("c_custkey").alias("cust"),
+        F.concat(F.col("c_mktsegment"), F.lit("+")).alias("seg"),
+        F.lit(2).alias("version"),
+        split.alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    od = F.to_date("o_orderdate")
+    enriched = orders.join(
+        F.broadcast(dim),
+        (orders.o_custkey == dim.cust)
+        & (od >= dim.valid_from)
+        & (od < dim.valid_to),
+    )
+    return enriched.groupBy(
+        "version", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(exact_sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_RES_KEY_SQL = (
+    "md5(l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' "
+    "|| l_suppkey || '-' || CAST(l_quantity AS BIGINT))"
+)
+
+
+@query(
+    "q_reservoir_sample",
+    f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY {_RES_KEY_SQL}) AS BIGINT)
+             AS rk,
+           l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity
+    FROM lineitem
+    ORDER BY {_RES_KEY_SQL}
+    LIMIT 256
+    """,
+)
+def q_reservoir_sample(spark, sf_dir):
+    """Fixed-size uniform sample as a PORTABLE bottom-k by md5 rank —
+    the distributed equivalent of reservoir sampling (mergeable: the
+    bottom-256 of a union is the bottom-256 of each shard's bottom-256,
+    so shards sample independently and a tiny merge finishes — exactly
+    how a 100 TB table yields a 256-row sample without a global
+    shuffle). Spark's plan is a TakeOrderedAndProject on the hash rank:
+    per-partition top-k heaps + one driver merge, never a full sort.
+    md5 keying makes the sample deterministic and engine-portable — the
+    sampled ROWS hash-match the oracle, not just the sample size."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # the hash key covers enough fields to be UNIQUE per row:
+    # (l_orderkey, l_linenumber) alone has fixture duplicates, and md5
+    # ties make the rank/boundary selection engine-ambiguous
+    keyed = lineitem.select(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_quantity").cast("long"),
+            )
+        ).alias("hx"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity",
+    )
+    w = Window.orderBy("hx")
+    return (
+        keyed.orderBy("hx")
+        .limit(256)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("rk", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def _sql_skew_branch(table: str, key: str) -> str:
+    return f"""
+    SELECT '{key}' AS keyspace,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           ROUND(quantile_cont(c, 0.5), 1) AS p50_freq,
+           ROUND(CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.5), 2)
+             AS skew_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+    FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "q_key_skew_audit",
+    " UNION ALL ".join(
+        _sql_skew_branch(t, k)
+        for t, k in (
+            ("orders", "o_custkey"),
+            ("lineitem", "l_partkey"),
+            ("events", "user_id"),
+        )
+    ),
+)
+def q_key_skew_audit(spark, sf_dir):
+    """Join-key skew audit across the three hot key families — the
+    measurement behind every salting / AQE-skew-join decision (max
+    key frequency, its ratio to the median, and the hottest key's
+    share of all rows). Each branch is one map-side-combined count
+    aggregate over a single column (column pruning reaches the scan)
+    plus a tiny stats pass over the per-key counts; the three branches
+    union as independent jobs. This is q_partition_skew's logical-key
+    sibling: that one censuses PHYSICAL partitions rows-only, this one
+    is the engine-portable logical audit the planner actually needs."""
+
+    def branch(table, key):
+        df = load_table(spark, sf_dir, table)
+        cnt = df.groupBy(key).agg(F.count("*").cast("long").alias("c"))
+        return cnt.agg(
+            F.lit(key).alias("keyspace"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_freq"),
+            F.round(F.percentile("c", 0.5), 1).alias("p50_freq"),
+            F.round(
+                F.max("c").cast("double") / F.percentile("c", 0.5), 2
+            ).alias("skew_ratio"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_share"),
+        )
+
+    return (
+        branch("orders", "o_custkey")
+        .unionByName(branch("lineitem", "l_partkey"))
+        .unionByName(branch("events", "user_id"))
+    )
+
+
+@query(
+    "q_gdpr_delete_audit",
+    """
+    WITH subjects AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0
+    ), del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM subjects) AS n_subjects,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders) AS n_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+        AS n_lineitems,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+       WHERE user_id IN (SELECT c_custkey FROM subjects)) AS n_events
+    """,
+)
+def q_gdpr_delete_audit(spark, sf_dir):
+    """Right-to-be-forgotten blast-radius audit: given a deletion list
+    of data subjects, count every row that a purge must touch across
+    the fact tables (orders → their lineitems via the key chain, plus
+    the event stream) — the dry-run report a compliance pipeline emits
+    before executing deletes. Physical posture: the subject list and
+    the derived order-key list BROADCAST into left-semi joins, so each
+    fact table is scanned once with the semi filter applied map-side —
+    the same plan a real purge's anti-join (keep side) runs."""
+    customer, orders, lineitem, events = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "events"
+    )
+    subjects = customer.filter(F.col("c_custkey") % 997 == 0).select(
+        "c_custkey"
+    )
+    del_orders = orders.join(
+        F.broadcast(subjects),
+        orders.o_custkey == subjects.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+    n_subjects = subjects.agg(
+        F.count("*").cast("long").alias("n_subjects")
+    )
+    n_orders = del_orders.agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    n_lineitems = (
+        lineitem.join(
+            F.broadcast(del_orders),
+            lineitem.l_orderkey == del_orders.o_orderkey,
+            "left_semi",
+        ).agg(F.count("*").cast("long").alias("n_lineitems"))
+    )
+    n_events = (
+        events.join(
+            F.broadcast(subjects),
+            events.user_id == subjects.c_custkey,
+            "left_semi",
+        ).agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return (
+        n_subjects.crossJoin(n_orders)
+        .crossJoin(n_lineitems)
+        .crossJoin(n_events)
+    )
+
+
+from ..functions.vectors import l2_norm, sql_norm2  # noqa: E402
+
+
+@query(
+    "q_embedding_norm_audit",
+    f"""
+    WITH norms AS (
+      SELECT label, sqrt({sql_norm2("embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM norms GROUP BY 1
+    """,
+)
+def q_embedding_norm_audit(spark, sf_dir):
+    """Embedding-quality gate per label: L2-norm distribution (count,
+    exact-decimal mean, min, max) — the audit run before cosine ANN,
+    where zero/degenerate-norm vectors poison similarity and un-normed
+    corpora need an explicit normalize pass. Norms are sequential
+    double folds over the float array (functions/vectors.l2_norm —
+    identical element order in both engines), and the group mean sums
+    decimal-quantized norms so it is summation-order-insensitive (the
+    exact_sum discipline applied to a derived measure)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.col("label").cast("long").alias("label"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )

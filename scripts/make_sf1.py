@@ -78,8 +78,17 @@ def main() -> None:
                         ELSE regexp_replace(text, '(\\S+)', '\\1_{i}', 'g')
                    END) AS BIGINT) AS n_chars
             FROM src""",
+        # rotate each vector by the copy index: identical replicated
+        # vectors would make every LSH bucket quadratic in the copy
+        # count (measured: q_ann_lsh_pairs 60.7 s at sf1.0 with
+        # verbatim copies — a data artifact, not an engine cost).
+        # Rotation preserves the norm and the intra-copy geometry.
         "embeddings": """
-            SELECT vec_id + {off} AS vec_id, embedding, label
+            SELECT vec_id + {off} AS vec_id,
+                   CASE WHEN {i} = 0 THEN embedding
+                        ELSE embedding[{i} + 1:] || embedding[1:{i}]
+                   END AS embedding,
+                   label
             FROM src""",
     }
     for t, tpl in plans.items():

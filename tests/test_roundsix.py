@@ -70,3 +70,43 @@ def test_customer_ltv_totals(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     n_cust = orders.select("o_custkey").distinct().count()
     assert sum(r.n_customers for r in rows) == n_cust
+
+
+def test_scd2_asof_every_order_matches_exactly_one_version(spark):
+    """Interval-membership join: the two versions tile each key's
+    timeline with no gap/overlap, so the enriched row count equals the
+    orders row count."""
+    rows = QUERIES["q_scd2_asof_enrich"](spark, SF).collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert {r.version for r in rows} <= {1, 2}
+
+
+def test_reservoir_sample_is_exactly_k_and_ranked(spark):
+    rows = QUERIES["q_reservoir_sample"](spark, SF).collect()
+    assert len(rows) == 256
+    assert sorted(r.rk for r in rows) == list(range(1, 257))
+
+
+def test_key_skew_audit_families(spark):
+    rows = {r.keyspace: r for r in
+            QUERIES["q_key_skew_audit"](spark, SF).collect()}
+    assert set(rows) == {"o_custkey", "l_partkey", "user_id"}
+    for r in rows.values():
+        assert r.max_freq >= r.p50_freq >= 1
+        assert 0 < r.top_share <= 1
+
+
+def test_gdpr_delete_audit_consistency(spark):
+    row = QUERIES["q_gdpr_delete_audit"](spark, SF).collect()[0]
+    assert row.n_subjects >= 1
+    # lineitems can only exist under deleted orders
+    assert row.n_lineitems >= row.n_orders >= row.n_subjects
+
+
+def test_embedding_norm_audit_bounds(spark):
+    rows = QUERIES["q_embedding_norm_audit"](spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r.min_norm <= r.avg_norm <= r.max_norm
