@@ -324,14 +324,29 @@ def q_neardup_precision(spark, sf_dir):
 
 @query("q_ann_lsh_pairs")  # recall<1 by construction → rows-only
 def q_ann_lsh_pairs(spark, sf_dir):
-    """Scale-path ANN: banded multi-table hyperplane LSH (8 tables × 8
-    planes), bucket-size cap bounding intra-bucket quadratic work, exact
-    cosine verification of candidates only (see operators/similarity.py
-    for the 100 TB story; recall measured in tests/test_operators.py)."""
+    """Scale-path ANN: banded multi-table hyperplane LSH (8 tables),
+    bucket-size cap bounding intra-bucket quadratic work, exact cosine
+    verification of candidates only (see operators/similarity.py for
+    the 100 TB story; recall measured in tests/test_operators.py).
+
+    n_planes is sized from the corpus per the operator's own rule —
+    n_planes ≈ log2(n_rows / target_bucket_size) — instead of a fixed
+    8: the r6 sf1.0 scaling run measured the fixed-8 config at 53× cost
+    for 10× data (bucket space constant ⇒ bucket size ∝ n ⇒ candidate
+    pairs ∝ n²); adaptive planes keep expected bucket size ~8 and the
+    candidate count ~linear. At the driver-tested SFs (≤2k vectors)
+    the formula floors at 8, so results there are byte-identical to
+    the fixed config."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()  # parquet-metadata count: no data scan
+    n_planes = min(
+        20, max(8, math.ceil(math.log2(max(n_rows / 8, 2))))
+    )
     return lsh_bucketed_pairs(
-        emb, "vec_id", "embedding", dim=64, n_planes=8, n_tables=8,
-        min_cosine=0.3, bucket_cap=1000,
+        emb, "vec_id", "embedding", dim=64, n_planes=n_planes,
+        n_tables=8, min_cosine=0.3, bucket_cap=1000,
     )
 
 
