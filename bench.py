@@ -269,6 +269,10 @@ HEADLINE = [
     "q_key_skew_audit",
     "q_gdpr_delete_audit",
     "q_embedding_norm_audit",
+    # round-6 phase 31: rollup-merge proof, hash gate, rec coverage
+    "q_shard_rollup_merge",
+    "q_hash_uniformity",
+    "q_rec_coverage",
 ]
 
 

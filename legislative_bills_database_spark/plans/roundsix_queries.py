@@ -807,3 +807,187 @@ def q_embedding_norm_audit(spark, sf_dir):
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 31: hash-certified incremental-rollup merge, hash-uniformity
+# gate, recommendation coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shard_rollup_merge",
+    f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND({sql_exact_sum("o_totalprice")}, 2) AS rev
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_shard_rollup_merge(spark, sf_dir):
+    """Incremental-rollup MERGEABILITY, hash-certified: three disjoint
+    shard partials (orders split by key mod 3) folded pairwise through
+    operators/aggregates.merge_rollup must equal the direct full
+    aggregate bit-for-bit — the nightly-ingest maintenance path proven
+    against the recompute, which is exactly the invariant an
+    incremental warehouse depends on. Partial revenue stays DECIMAL
+    through every merge (summing double partials would re-introduce
+    order-sensitivity); only the final projection casts out. The
+    fact table is scanned once per shard (in production each shard is
+    one arriving partition — history is never re-read)."""
+    from ..operators.aggregates import merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(shard):
+        return shard.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "rev_dec"
+            ),
+        )
+
+    shards = [
+        partial(orders.filter(F.col("o_orderkey") % 3 == i))
+        for i in range(3)
+    ]
+    merged = merge_rollup(
+        merge_rollup(
+            shards[0], shards[1], ["status", "prio"],
+            {"n": "sum", "rev_dec": "sum"},
+        ),
+        shards[2],
+        ["status", "prio"],
+        {"n": "sum", "rev_dec": "sum"},
+    )
+    return merged.select(
+        "status", "prio",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("rev_dec").cast("double"), 2).alias("rev"),
+    )
+
+
+def _sql_nibble_fold(expr: str, nibbles: int = 8) -> str:
+    """Portable BIGINT fold of the first md5 hex nibbles (the KMV
+    pattern: seed as BIGINT — 8 nibbles reach 2^32, past INT32)."""
+
+    def nib(pos: int) -> str:
+        c = f"ascii(substring(md5(CAST({expr} AS VARCHAR)), {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    num = f"CAST({nib(1)} AS BIGINT)"
+    for p in range(2, nibbles + 1):
+        num = f"({num} * 16 + {nib(p)})"
+    return num
+
+
+@query(
+    "q_hash_uniformity",
+    f"""
+    WITH b AS (
+      SELECT {_sql_nibble_fold("o_orderkey")} % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b)
+    SELECT (SELECT n FROM tot) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(c) AS BIGINT) AS min_c,
+           CAST(MAX(c) AS BIGINT) AS max_c,
+           ROUND(CAST(SUM((64 * c - (SELECT n FROM tot))
+                          * (64 * c - (SELECT n FROM tot))) AS DOUBLE)
+                 / (64.0 * (SELECT n FROM tot)), 4) AS chi2
+    FROM b
+    """,
+)
+def q_hash_uniformity(spark, sf_dir):
+    """Uniformity gate for the engine's PORTABLE randomness primitive
+    (the md5 nibble-fold behind sampling/bootstrap/DP queries):
+    64-bucket occupancy chi-square, computed in INTEGERS — Σ(64·o−n)²
+    / (64n) ≡ Σ(o−e)²/e with e = n/64 — so the statistic itself
+    hash-matches the oracle (a float expected-count formulation could
+    not). Under uniformity chi2 ~ χ²(63): the gate a pipeline checks
+    before trusting hash-salted sampling. One count aggregate, one
+    63-row stats pass."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def nib(pos):
+        a = F.ascii(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), pos, 1)
+        )
+        return (
+            a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+        ).cast("long")
+
+    num = nib(1)
+    for p in range(2, 9):
+        num = num * 16 + nib(p)
+    b = orders.groupBy((num % 64).alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    dev = 64 * F.col("c") - F.col("n")
+    return (
+        b.join(F.broadcast(b.agg(F.sum("c").cast("long").alias("n"))))
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.min("c").cast("long").alias("min_c"),
+            F.max("c").cast("long").alias("max_c"),
+            F.round(
+                F.sum(dev * dev).cast("double")
+                / (64.0 * F.max("n")),
+                4,
+            ).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "q_rec_coverage",
+    f"""
+    WITH {_COPURCHASE_EDGES},
+    covered AS (
+      SELECT DISTINCT src AS part FROM sym
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN c.part IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(CASE WHEN c.part IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM part p LEFT JOIN covered c ON p.p_partkey = c.part
+    GROUP BY 1
+    """,
+)
+def q_rec_coverage(spark, sf_dir):
+    """Cold-start coverage of the co-purchase recommender per brand:
+    which share of the catalog even APPEARS in the co-purchase graph
+    q_item_cf_recs/q_graph_jaccard mine — uncovered items get no
+    collaborative signal and need a content-based fallback; the
+    coverage table is the report that sizes that fallback. The covered
+    set (graph endpoints, bounded by the sampled edge list) broadcasts
+    into a left join against the part dim; one aggregate per brand."""
+    part = load_table(spark, sf_dir, "part")
+    canon = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    covered = (
+        canon.select(F.col("src").alias("part"))
+        .unionByName(canon.select(F.col("dst").alias("part")))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = part.join(
+        F.broadcast(covered), part.p_partkey == covered.part, "left"
+    )
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_covered"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("coverage"),
+    )

@@ -110,3 +110,49 @@ def test_embedding_norm_audit_bounds(spark):
     assert sum(r.n_vecs for r in rows) == emb.count()
     for r in rows:
         assert 0 <= r.min_norm <= r.avg_norm <= r.max_norm
+
+
+def test_shard_rollup_merge_equals_direct(spark):
+    """Maintained-vs-recomputed bit-equality (the mergeability
+    contract): the pairwise-merged shard partials equal the one-pass
+    aggregate on every cell."""
+    merged = {
+        (r.status, r.prio): (r.n, r.rev)
+        for r in QUERIES["q_shard_rollup_merge"](spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    direct = {
+        (r.status, r.prio): (r.n, r.rev)
+        for r in orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double"),
+                2,
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hash_uniformity_all_buckets_hit(spark):
+    row = QUERIES["q_hash_uniformity"](spark, SF).collect()[0]
+    assert row.n_buckets == 64
+    assert row.min_c >= 1
+    # a catastrophically non-uniform fold would blow chi2 far past the
+    # chi2(63) right tail (~92 at p=0.01); the portable fold must pass
+    assert row.chi2 < 120
+
+
+def test_rec_coverage_bounds(spark):
+    rows = QUERIES["q_rec_coverage"](spark, SF).collect()
+    part_total = spark.read.parquet(f"{SF}/part.parquet").count()
+    assert sum(r.n_parts for r in rows) == part_total
+    for r in rows:
+        assert 0 <= r.n_covered <= r.n_parts
+        assert 0.0 <= r.coverage <= 1.0
