@@ -111,10 +111,12 @@ _WINDOW = [
 # the round-5 phase-26..28 newcomers -- q_epoch_shuffle,
 # q_rare_category_merge, q_join_strategy_census, q_ab_srm_check,
 # q_funnel_latency, q_revenue_bridge, q_calendar_heatmap; then the
-# round-6 phase-29 newcomers (all oracle-checked, preflight-green) --
-# q_pagerank_exact, q_dataset_card, q_pii_scrub,
+# round-6 phase-29..31 newcomers (all oracle-checked,
+# preflight-green) -- q_pagerank_exact, q_dataset_card, q_pii_scrub,
 # q_cross_source_overlap, q_vocab_growth, q_ngram_coverage,
-# q_customer_ltv; then any phase-30+ round-6 newcomers.
+# q_customer_ltv, q_scd2_asof_enrich, q_reservoir_sample,
+# q_key_skew_audit, q_gdpr_delete_audit, q_embedding_norm_audit,
+# q_shard_rollup_merge, q_hash_uniformity, q_rec_coverage.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
