@@ -116,7 +116,9 @@ _WINDOW = [
 # q_cross_source_overlap, q_vocab_growth, q_ngram_coverage,
 # q_customer_ltv, q_scd2_asof_enrich, q_reservoir_sample,
 # q_key_skew_audit, q_gdpr_delete_audit, q_embedding_norm_audit,
-# q_shard_rollup_merge, q_hash_uniformity, q_rec_coverage.
+# q_shard_rollup_merge, q_hash_uniformity, q_rec_coverage,
+# q_price_elasticity, q_duplicate_payments, q_cohort_ltv_curve,
+# q_ship_latency.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -273,6 +273,11 @@ HEADLINE = [
     "q_shard_rollup_merge",
     "q_hash_uniformity",
     "q_rec_coverage",
+    # round-6 phase 32: elasticity, dup payments, LTV curve, ship SLA
+    "q_price_elasticity",
+    "q_duplicate_payments",
+    "q_cohort_ltv_curve",
+    "q_ship_latency",
 ]
 
 

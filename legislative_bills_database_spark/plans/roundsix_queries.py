@@ -991,3 +991,239 @@ def q_rec_coverage(spark, sf_dir):
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 32: price elasticity (exact-decimal OLS), duplicate-payment
+# audit, cohort LTV curve, shipping-latency percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_elasticity",
+    """
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_discount AS DECIMAL(18,6)) AS x,
+             CAST(l.l_quantity AS DECIMAL(18,6)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), s AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT brand, n,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) AS DOUBLE), 6) AS slope
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q_price_elasticity(spark, sf_dir):
+    """Per-brand OLS slope of quantity on discount — the demand-
+    elasticity readout pricing teams pull from the fact table. The
+    closed-form slope is computed from EXACT DECIMAL moment sums
+    (Σx, Σy, Σxy, Σx²) so the statistic is summation-order-insensitive
+    and hash-matches the oracle — regr_slope()'s double accumulators
+    could never guarantee that across engines. One join + one
+    map-side-combined moment aggregate; the final 25-row arithmetic is
+    free."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    pts = lineitem.join(
+        part, lineitem.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").cast("decimal(18,6)").alias("x"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "brand",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope"
+        ),
+    )
+
+
+@query(
+    "q_duplicate_payments",
+    """
+    WITH cand AS (
+      SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+             CAST(EXTRACT(year FROM a.o_orderdate) AS BIGINT) AS yr
+      FROM orders a
+      JOIN orders b ON a.o_custkey = b.o_custkey
+                   AND a.o_totalprice = b.o_totalprice
+                   AND a.o_orderkey < b.o_orderkey
+      WHERE ABS(CAST(a.o_orderdate AS DATE) - CAST(b.o_orderdate AS DATE))
+            <= 30
+    )
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT k1) + COUNT(DISTINCT k2) AS BIGINT)
+             AS n_flagged
+    FROM cand GROUP BY 1
+    """,
+)
+def q_duplicate_payments(spark, sf_dir):
+    """Duplicate-payment audit: same customer, identical order total,
+    within 30 days — the classic AP-fraud / double-charge rule. The
+    self-join keys on (custkey, totalprice) EQUALITY (price equality is
+    the rule's point), so it is a hash join whose per-key fan-out is
+    the count of equal-priced orders per customer — tiny — with the
+    date proximity as a residual predicate, never a date-range theta
+    join. Flag counts roll up per order year of the earlier order."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("k1"),
+        F.to_date("o_orderdate").alias("d1"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("k2"),
+        F.to_date("o_orderdate").alias("d2"),
+    )
+    cand = (
+        a.join(b, ["cust", "price"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff("d1", "d2")) <= 30)
+        )
+        .select(
+            "k1", "k2", F.year("d1").cast("long").alias("yr")
+        )
+    )
+    return cand.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (F.countDistinct("k1") + F.countDistinct("k2"))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+@query(
+    "q_cohort_ltv_curve",
+    f"""
+    WITH first_order AS (
+      SELECT o_custkey AS cust, MIN(CAST(o_orderdate AS DATE)) AS d0
+      FROM orders GROUP BY 1
+    ), offs AS (
+      SELECT CAST(EXTRACT(year FROM f.d0) AS BIGINT) AS cohort_yr,
+             CAST(LEAST((CAST(o.o_orderdate AS DATE) - f.d0) // 90, 7)
+                  AS BIGINT) AS qtr_off,
+             o.o_totalprice AS p
+      FROM orders o JOIN first_order f ON o.o_custkey = f.cust
+    ), per AS (
+      SELECT cohort_yr, qtr_off,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_exact_sum("p")} AS rev
+      FROM offs GROUP BY 1, 2
+    )
+    SELECT cohort_yr, qtr_off, n_orders,
+           ROUND(rev, 2) AS rev,
+           ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (
+             PARTITION BY cohort_yr ORDER BY qtr_off) AS DOUBLE), 2)
+             AS cum_rev
+    FROM per
+    """,
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    """Cumulative revenue CURVE per acquisition cohort in quarters-
+    since-first-order (capped at 7+) — the payback plot behind
+    q_customer_ltv's end-state totals. The per-(cohort, offset) rollup
+    happens BEFORE the running window, so the cumulative sum runs over
+    |cohorts|×8 rows, never raw orders; decimal arithmetic end to end
+    keeps the curve engine-exact. first-order dates broadcast back
+    onto orders for the offset computation."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.to_date("o_orderdate")).alias("d0")
+    )
+    offs = orders.join(
+        F.broadcast(first), orders.o_custkey == first.cust
+    ).select(
+        F.year("d0").cast("long").alias("cohort_yr"),
+        F.least(
+            F.expr("datediff(to_date(o_orderdate), d0) div 90"),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("qtr_off"),
+        F.col("o_totalprice").alias("p"),
+    )
+    per = offs.groupBy("cohort_yr", "qtr_off").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        exact_sum("p").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_yr")
+        .orderBy("qtr_off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_yr",
+        "qtr_off",
+        "n_orders",
+        F.round(F.col("rev"), 2).alias("rev"),
+        F.round(
+            F.sum(F.col("rev").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("cum_rev"),
+    )
+
+
+@query(
+    "q_ship_latency",
+    """
+    WITH lags AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(CAST(l.l_shipdate AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+           ROUND(quantile_cont(lag_days, 0.5), 1) AS p50_lag,
+           ROUND(quantile_cont(lag_days, 0.9), 1) AS p90_lag,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag
+    FROM lags GROUP BY 1
+    """,
+)
+def q_ship_latency(spark, sf_dir):
+    """Order-to-ship latency distribution per priority class (exact
+    interpolated p50/p90) — the fulfillment-SLA table ops reviews
+    weekly. The orderkey join is the natural co-partitioned fact join
+    (bucketed twin proven exchange-free in q_bucketed_join); exact
+    percentiles run per priority group over integer day-lags, so the
+    stats hash-match quantile_cont."""
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    lags = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return lags.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.min("lag_days").cast("long").alias("min_lag"),
+        F.round(F.percentile("lag_days", 0.5), 1).alias("p50_lag"),
+        F.round(F.percentile("lag_days", 0.9), 1).alias("p90_lag"),
+        F.max("lag_days").cast("long").alias("max_lag"),
+    )

@@ -156,3 +156,47 @@ def test_rec_coverage_bounds(spark):
     for r in rows:
         assert 0 <= r.n_covered <= r.n_parts
         assert 0.0 <= r.coverage <= 1.0
+
+
+def test_price_elasticity_slope_matches_numpy(spark):
+    """Closed-form decimal OLS == numpy polyfit per brand (one brand
+    spot-checked end to end)."""
+    import numpy as np
+
+    rows = QUERIES["q_price_elasticity"](spark, SF).collect()
+    assert rows
+    brand = rows[0].brand
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF}/part.parquet").filter(
+        F.col("p_brand") == brand
+    )
+    pts = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_discount", "l_quantity"
+    ).collect()
+    x = np.array([r.l_discount for r in pts])
+    y = np.array([r.l_quantity for r in pts])
+    want = np.polyfit(x, y, 1)[0]
+    got = {r.brand: r.slope for r in rows}[brand]
+    assert abs(got - want) < 1e-3
+
+
+def test_duplicate_payments_pairs_are_real(spark):
+    rows = QUERIES["q_duplicate_payments"](spark, SF).collect()
+    for r in rows:
+        assert r.n_pairs >= 1
+        assert r.n_flagged >= 2  # a pair flags at least 2 keys
+
+
+def test_cohort_ltv_curve_monotone_cumulative(spark):
+    rows = QUERIES["q_cohort_ltv_curve"](spark, SF).collect()
+    by_cohort = {}
+    for r in sorted(rows, key=lambda r: (r.cohort_yr, r.qtr_off)):
+        prev = by_cohort.get(r.cohort_yr, 0.0)
+        assert r.cum_rev >= prev - 1e-9
+        by_cohort[r.cohort_yr] = r.cum_rev
+
+
+def test_ship_latency_percentile_order(spark):
+    rows = QUERIES["q_ship_latency"](spark, SF).collect()
+    for r in rows:
+        assert r.min_lag <= r.p50_lag <= r.p90_lag <= r.max_lag
