@@ -118,7 +118,7 @@ _WINDOW = [
 # q_key_skew_audit, q_gdpr_delete_audit, q_embedding_norm_audit,
 # q_shard_rollup_merge, q_hash_uniformity, q_rec_coverage,
 # q_price_elasticity, q_duplicate_payments, q_cohort_ltv_curve,
-# q_ship_latency.
+# q_ship_latency, q_zorder_stats, q_format_federation.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -278,6 +278,9 @@ HEADLINE = [
     "q_duplicate_payments",
     "q_cohort_ltv_curve",
     "q_ship_latency",
+    # round-6 phase 33: z-order layout stats, multi-format federation
+    "q_zorder_stats",
+    "q_format_federation",
 ]
 
 

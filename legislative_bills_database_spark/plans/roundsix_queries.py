@@ -1227,3 +1227,125 @@ def q_ship_latency(spark, sf_dir):
         F.round(F.percentile("lag_days", 0.9), 1).alias("p90_lag"),
         F.max("lag_days").cast("long").alias("max_lag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 33: z-order layout stats, multi-format federation
+# ---------------------------------------------------------------------------
+
+
+def _sql_morton16(x: str, y: str) -> str:
+    """Portable 32-bit Morton interleave of two 16-bit ints (bit i of x
+    → bit 2i, bit i of y → bit 2i+1). Pure shifts/masks — identical
+    BIGINT arithmetic in both engines."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "q_zorder_stats",
+    f"""
+    WITH pts AS (
+      SELECT (o_custkey % 65536) AS x,
+             ((CAST(o_orderdate AS DATE) - CAST('1970-01-01' AS DATE))
+              % 65536) AS y
+      FROM orders
+    ), coded AS (
+      SELECT x, y, {_sql_morton16("x", "y")} >> 26 AS bucket FROM pts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+           CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+    FROM coded GROUP BY 1
+    """,
+)
+def q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton-curve) layout census: interleave (custkey, day)
+    into a 32-bit space-filling code, split the curve into 64 file-
+    sized buckets, and report each bucket's per-dimension value span —
+    the locality evidence behind lakehouse OPTIMIZE ZORDER decisions
+    (bounded spans per file ⇒ min/max file skipping works for BOTH
+    predicates; a single-column sort gives one tight span and one
+    full-range span). The interleave is 32 shift/mask terms of BIGINT
+    arithmetic inside codegen; one aggregate per bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).alias("x")
+    y = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        % 65536
+    ).alias("y")
+    pts = orders.select(x, y)
+    code = None
+    for i in range(16):
+        tx = F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", F.col("x"), F.lit(i))
+            .bitwiseAND(F.lit(1)),
+            F.lit(2 * i),
+        )
+        ty = F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", F.col("y"), F.lit(i))
+            .bitwiseAND(F.lit(1)),
+            F.lit(2 * i + 1),
+        )
+        t = tx.bitwiseOR(ty)
+        code = t if code is None else code.bitwiseOR(t)
+    coded = pts.select(
+        "x", "y",
+        F.call_function("shiftright", code, F.lit(26)).alias("bucket"),
+    )
+    return coded.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+        (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+    )
+
+
+@query(
+    "q_format_federation",
+    """
+    SELECT n_regionkey,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_per_format
+    FROM nation GROUP BY 1
+    """,
+)
+def q_format_federation(spark, sf_dir):
+    """One logical table federated across THREE physical formats:
+    the nation dim re-landed as CSV, JSON, and ORC, read back with one
+    EXPLICIT schema each, unioned, and aggregated — the polyglot-
+    landing-zone reality (the reference itself juggles JSON payloads,
+    CSV reports, and HTML/PDF docs) certified by an oracle that knows
+    the union must be exactly 3x the source per key. Explicit schemas
+    keep every reader a zero-inference scan; unionByName guarantees
+    column alignment across the format readers."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"lbd_fed_{os.getuid()}")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    nation.write.mode("overwrite").option("header", True).csv(
+        f"{base}/csv"
+    )
+    nation.write.mode("overwrite").json(f"{base}/json")
+    nation.write.mode("overwrite").orc(f"{base}/orc")
+    csv = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(f"{base}/csv")
+    )
+    js = spark.read.schema(schema).json(f"{base}/json")
+    orc = spark.read.schema(schema).orc(f"{base}/orc")
+    fed = csv.unionByName(js).unionByName(orc)
+    return fed.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") / 3).cast("long").alias("n_per_format"),
+    )

@@ -200,3 +200,33 @@ def test_ship_latency_percentile_order(spark):
     rows = QUERIES["q_ship_latency"](spark, SF).collect()
     for r in rows:
         assert r.min_lag <= r.p50_lag <= r.p90_lag <= r.max_lag
+
+
+def test_zorder_buckets_bound_both_spans(spark):
+    """Z-order locality: curve buckets must bound BOTH dimensions far
+    tighter than the full value range (the file-skipping property).
+    The top 26-bit shift keeps the 6 high interleaved bits: ~3 bits
+    per dimension => expected span ~1/8 of the range per dim."""
+    rows = QUERIES["q_zorder_stats"](spark, SF).collect()
+    assert rows
+    # every bucket's span must be a strict subset of the 65536 range
+    # on both dimensions simultaneously (single-column sorts fail y)
+    for r in rows:
+        assert r.x_span < 65536 and r.y_span < 65536
+    avg_x = sum(r.x_span for r in rows) / len(rows)
+    avg_y = sum(r.y_span for r in rows) / len(rows)
+    assert avg_x < 65536 / 2 and avg_y < 65536 / 2
+
+
+def test_format_federation_three_copies(spark):
+    rows = QUERIES["q_format_federation"](spark, SF).collect()
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    want = {
+        r.n_regionkey: r.cnt
+        for r in nation.groupBy("n_regionkey")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = {r.n_regionkey: (r.n_rows, r.n_per_format) for r in rows}
+    assert {k: v[1] for k, v in got.items()} == want
+    assert all(v[0] == 3 * v[1] for v in got.values())
