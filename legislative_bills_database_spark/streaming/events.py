@@ -116,6 +116,12 @@ def _census_stream_confs(spark, shuffle_partitions: str = "8"):
       time-ordered files where the watermark is already data-maximal
       after the last data batch, so the extra ~0.5 s trigger provably
       changes no census row (verified rows-identical at sf0.001/0.1).
+
+    Measured negative result (r6): RocksDBStateStoreProvider ran the
+    parity/session censuses ~10% SLOWER (3.97/4.39 s vs 3.55/4.04 s,
+    min-of-2 at sf0.1) — native-store setup dominates at census-sized
+    state; RocksDB pays off when state exceeds executor heap, which a
+    production deployment opts into per stream, not globally.
     """
     prev = {
         "spark.sql.shuffle.partitions": spark.conf.get(
