@@ -19,6 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF1_DIR = os.path.join(REPO, ".benchdata", "sf1.0")
+# heaviest non-baseline plans: iterative graph loops, the CF/jaccard
+# self-joins, the hash-certified fixed-point sweeps — the queries whose
+# 100x posture most needs a measured scaling point
+EXTRA_HEAVY = [
+    "q_item_cf_recs", "q_graph_jaccard", "q_cc_labels", "q_sssp",
+    "q_pagerank_exact", "q_star_join", "q_closeness",
+    "q_frequent_triples",
+]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
     "q_exact_dedup", "q_near_dedup", "q_simhash", "q_ngram_jaccard",
@@ -45,7 +53,7 @@ def main() -> None:
         spark.read.parquet(f"{SF1_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in BASELINE_21:
+    for name in BASELINE_21 + EXTRA_HEAVY:
         best = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -71,7 +79,8 @@ def main() -> None:
         pass
     out = {
         "metric": "baseline21_sf1_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in BASELINE_21), 3),
+        "extra_heavy": {n: timings[n] for n in EXTRA_HEAVY},
         "unit": "sec",
         "sf": 1.0,
         "queries": timings,

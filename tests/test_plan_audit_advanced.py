@@ -26,11 +26,13 @@ def test_bloom_join_prunes_at_scan_below_broadcast_join(spark):
 
 
 def test_skyline_is_exchange_free(spark):
-    """Both phases are mapInPandas over existing partitioning — no
-    shuffle anywhere (the coalesce(1) is not an exchange)."""
+    """All phases are mapInPandas over existing partitioning — no
+    shuffle anywhere (the two-level coalesce fan-in tree added in r6 is
+    narrow, not an exchange): local frontier scan, coalesce(fan_in)
+    fold, coalesce(1) final fold = 3 MapInPandas stages."""
     plan = _plan(spark, "q_skyline")
     assert "Exchange hashpartitioning" not in plan
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 3
 
 
 def test_corr_matrix_single_scan(spark):
