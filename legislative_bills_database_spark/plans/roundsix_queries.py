@@ -737,30 +737,44 @@ def q_gdpr_delete_audit(spark, sf_dir):
         orders.o_custkey == subjects.c_custkey,
         "left_semi",
     ).select("o_orderkey")
-    n_subjects = subjects.agg(
-        F.count("*").cast("long").alias("n_subjects")
+    li_hit = lineitem.join(
+        F.broadcast(del_orders),
+        lineitem.l_orderkey == del_orders.o_orderkey,
+        "left_semi",
     )
-    n_orders = del_orders.agg(
-        F.count("*").cast("long").alias("n_orders")
+    ev_hit = events.join(
+        F.broadcast(subjects),
+        events.user_id == subjects.c_custkey,
+        "left_semi",
     )
-    n_lineitems = (
-        lineitem.join(
-            F.broadcast(del_orders),
-            lineitem.l_orderkey == del_orders.o_orderkey,
-            "left_semi",
-        ).agg(F.count("*").cast("long").alias("n_lineitems"))
+    # single-row assembly WITHOUT scalar cross-joins (which plan as
+    # BroadcastNestedLoopJoins): union the four tagged 1-row counts and
+    # fold them with conditional MAX — zero join operators
+    counts = (
+        subjects.agg(F.lit("s").alias("m"), F.count("*").alias("v"))
+        .unionByName(
+            del_orders.agg(F.lit("o").alias("m"), F.count("*").alias("v"))
+        )
+        .unionByName(
+            li_hit.agg(F.lit("l").alias("m"), F.count("*").alias("v"))
+        )
+        .unionByName(
+            ev_hit.agg(F.lit("e").alias("m"), F.count("*").alias("v"))
+        )
     )
-    n_events = (
-        events.join(
-            F.broadcast(subjects),
-            events.user_id == subjects.c_custkey,
-            "left_semi",
-        ).agg(F.count("*").cast("long").alias("n_events"))
-    )
-    return (
-        n_subjects.crossJoin(n_orders)
-        .crossJoin(n_lineitems)
-        .crossJoin(n_events)
+    return counts.agg(
+        F.max(F.when(F.col("m") == "s", F.col("v")))
+        .cast("long")
+        .alias("n_subjects"),
+        F.max(F.when(F.col("m") == "o", F.col("v")))
+        .cast("long")
+        .alias("n_orders"),
+        F.max(F.when(F.col("m") == "l", F.col("v")))
+        .cast("long")
+        .alias("n_lineitems"),
+        F.max(F.when(F.col("m") == "e", F.col("v")))
+        .cast("long")
+        .alias("n_events"),
     )
 
 

@@ -37,6 +37,10 @@ def test_gdpr_delete_audit_semi_joins_broadcast(spark):
     plan = _plan(spark, "q_gdpr_delete_audit")
     assert plan.count("LeftSemi") >= 3
     assert "SortMergeJoin" not in plan
+    # single-row assembly is a tagged union + conditional-MAX fold, not
+    # scalar cross-joins (which plan as BroadcastNestedLoopJoins)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_pagerank_exact_no_python_in_loop(spark):
