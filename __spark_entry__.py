@@ -118,7 +118,10 @@ _WINDOW = [
 # q_key_skew_audit, q_gdpr_delete_audit, q_embedding_norm_audit,
 # q_shard_rollup_merge, q_hash_uniformity, q_rec_coverage,
 # q_price_elasticity, q_duplicate_payments, q_cohort_ltv_curve,
-# q_ship_latency, q_zorder_stats, q_format_federation.
+# q_ship_latency, q_zorder_stats, q_format_federation; then the
+# round-6 phase-34 evaluation-metric newcomers (all oracle-checked) --
+# q_auc, q_calibration_bins, q_lorenz_curve, q_tokenizer_fertility,
+# q_pca_power.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
