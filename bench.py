@@ -281,6 +281,12 @@ HEADLINE = [
     # round-6 phase 33: z-order layout stats, multi-format federation
     "q_zorder_stats",
     "q_format_federation",
+    # round-6 phase 34: evaluation metrics
+    "q_auc",
+    "q_calibration_bins",
+    "q_lorenz_curve",
+    "q_tokenizer_fertility",
+    "q_pca_power",
 ]
 
 
