@@ -121,7 +121,9 @@ _WINDOW = [
 # q_ship_latency, q_zorder_stats, q_format_federation; then the
 # round-6 phase-34 evaluation-metric newcomers (all oracle-checked) --
 # q_auc, q_calibration_bins, q_lorenz_curve, q_tokenizer_fertility,
-# q_pca_power.
+# q_pca_power; then the phase-35 mixture newcomers (all
+# oracle-checked) -- q_l_diversity, q_modularity, q_ipf_raking,
+# q_js_divergence.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -287,6 +287,11 @@ HEADLINE = [
     "q_lorenz_curve",
     "q_tokenizer_fertility",
     "q_pca_power",
+    # round-6 phase 35: mixture & structure diagnostics
+    "q_l_diversity",
+    "q_modularity",
+    "q_ipf_raking",
+    "q_js_divergence",
 ]
 
 

@@ -13,3 +13,4 @@ from . import advanced_queries  # noqa: F401  (registers on import)
 from . import roundfive_queries  # noqa: F401  (registers on import)
 from . import roundsix_queries  # noqa: F401  (registers on import)
 from . import evaluation_queries  # noqa: F401  (registers on import)
+from . import mixture_queries  # noqa: F401  (registers on import)
