@@ -123,7 +123,9 @@ _WINDOW = [
 # q_auc, q_calibration_bins, q_lorenz_curve, q_tokenizer_fertility,
 # q_pca_power; then the phase-35 mixture newcomers (all
 # oracle-checked) -- q_l_diversity, q_modularity, q_ipf_raking,
-# q_js_divergence.
+# q_js_divergence; then the phase-36 training-ops newcomers (all
+# oracle-checked) -- q_hard_negatives, q_negative_sampling,
+# q_dim_truncation_recall, q_quantile_normalize.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -292,6 +292,11 @@ HEADLINE = [
     "q_modularity",
     "q_ipf_raking",
     "q_js_divergence",
+    # round-6 phase 36: contrastive-training data ops
+    "q_hard_negatives",
+    "q_negative_sampling",
+    "q_dim_truncation_recall",
+    "q_quantile_normalize",
 ]
 
 
