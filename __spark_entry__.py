@@ -125,7 +125,9 @@ _WINDOW = [
 # oracle-checked) -- q_l_diversity, q_modularity, q_ipf_raking,
 # q_js_divergence; then the phase-36 training-ops newcomers (all
 # oracle-checked) -- q_hard_negatives, q_negative_sampling,
-# q_dim_truncation_recall, q_quantile_normalize.
+# q_dim_truncation_recall, q_quantile_normalize; then the phase-37
+# drift newcomers (all oracle-checked) -- q_wasserstein, q_spearman,
+# q_burstiness, q_ece.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

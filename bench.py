@@ -297,6 +297,11 @@ HEADLINE = [
     "q_negative_sampling",
     "q_dim_truncation_recall",
     "q_quantile_normalize",
+    # round-6 phase 37: distribution distance & reliability
+    "q_wasserstein",
+    "q_spearman",
+    "q_burstiness",
+    "q_ece",
 ]
 
 
