@@ -302,6 +302,9 @@ HEADLINE = [
     "q_spearman",
     "q_burstiness",
     "q_ece",
+    # round-6 phase 38: hash-certified clustering
+    "q_kmeans_exact",
+    "q_dbscan_labels",
 ]
 
 
