@@ -127,8 +127,9 @@ _WINDOW = [
 # oracle-checked) -- q_hard_negatives, q_negative_sampling,
 # q_dim_truncation_recall, q_quantile_normalize; then the phase-37
 # drift newcomers (all oracle-checked) -- q_wasserstein, q_spearman,
-# q_burstiness, q_ece; then the phase-38 clustering newcomers (all
-# oracle-checked) -- q_kmeans_exact, q_dbscan_labels.
+# q_burstiness, q_ece; then the phase-38/39 clustering newcomers (all
+# oracle-checked) -- q_kmeans_exact, q_dbscan_labels, q_silhouette,
+# q_cluster_scatter.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -305,6 +305,9 @@ HEADLINE = [
     # round-6 phase 38: hash-certified clustering
     "q_kmeans_exact",
     "q_dbscan_labels",
+    # round-6 phase 39: cluster-quality metrics
+    "q_silhouette",
+    "q_cluster_scatter",
 ]
 
 

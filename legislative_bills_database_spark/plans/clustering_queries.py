@@ -39,7 +39,10 @@ _SQL_EX = """
     )"""
 
 
-def _sql_kmeans(rounds: int, k: int) -> str:
+def _sql_km_chain(rounds: int, k: int) -> str:
+    """The shared CTE chain ex → seeds → c0 → (d, a, c){1..rounds} —
+    composed by q_kmeans_exact, q_silhouette, and q_cluster_scatter so
+    all three certify the SAME fit."""
     steps = []
     for r in range(1, rounds + 1):
         steps.append(f"""
@@ -63,8 +66,7 @@ def _sql_kmeans(rounds: int, k: int) -> str:
       FROM ex x JOIN a{r} a USING (vec_id)
       GROUP BY 1, 2
     )""")
-    return f"""
-    WITH {_SQL_EX},
+    return f"""{_SQL_EX},
     seeds AS (
       SELECT vec_id,
              CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -75,7 +77,12 @@ def _sql_kmeans(rounds: int, k: int) -> str:
       SELECT s.cid, x.dim, x.e AS c
       FROM ex x JOIN seeds s USING (vec_id)
     ),
-    {",".join(steps)},
+    {",".join(steps)}"""
+
+
+def _sql_kmeans(rounds: int, k: int) -> str:
+    return f"""
+    WITH {_sql_km_chain(rounds, k)},
     sizes AS (
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
       FROM a{rounds} GROUP BY 1
@@ -86,34 +93,51 @@ def _sql_kmeans(rounds: int, k: int) -> str:
     """
 
 
-@query("q_kmeans_exact", _sql_kmeans(_KM_ROUNDS, _KM_K))
-def q_kmeans_exact(spark, sf_dir):
-    """Hash-certified integer k-means (the rows-only seeded-float
-    q_kmeans_clusters' exact twin, the q_pagerank_exact discipline
-    applied to Lloyd's): milli-quantized elements, THREE sweeps of
-    integer squared-distance assignment (argmin tie-broken by cluster
-    id via struct ordering) and sign-safe truncating-division centroid
-    updates — every centroid coordinate after every sweep hash-matches
-    the chained-CTE oracle. Physical shape per sweep: the exploded
-    (vec, dim, e) frame joins a BROADCAST k·d centroid table, two hash
-    aggregations — the standard distributed Lloyd's; the k·d centroid
-    collect between sweeps is bounded state (the ivf.py precedent),
-    never data-sized. Empty clusters simply drop their rows (both
-    engines agree by construction)."""
+def _km_explode(spark, sf_dir):
+    """(vec_id, dim, e): milli-quantized exploded embeddings (the ex CTE)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select(
-            "vec_id", F.posexplode("embedding").alias("dim", "ev")
-        )
-        .select(
-            "vec_id",
-            "dim",
-            F.round(F.col("ev").cast("double") * 1000)
-            .cast("long")
-            .alias("e"),
-        )
-        .localCheckpoint(eager=True)  # reused every sweep
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "ev")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("ev").cast("double") * 1000).cast("long").alias("e"),
     )
+
+
+def _km_assign(ex, cent_df):
+    """Integer squared-distance argmin assignment vs a broadcast k·d
+    centroid table (struct ordering = tie-break by cluster id)."""
+    d = (
+        ex.join(F.broadcast(cent_df), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+#: memoized final fit per (sf_dir, k, rounds): bounded k·d driver rows
+#: for c_{R-1} AND c_R (the ivf_centroids_cached precedent). c_{R-1}
+#: reproduces the final assignment a_R (the one that PRODUCED c_R) —
+#: assigning against c_R instead would be sweep R+1 and diverge from
+#: the oracle's a{R}.
+_KM_CACHE: dict = {}
+
+
+def _km_fit(spark, sf_dir):
+    """Run the Lloyd's sweeps once; return (c_prev_rows, c_last_rows)."""
+    key = (sf_dir, _KM_K, _KM_ROUNDS)
+    if key in _KM_CACHE:
+        return _KM_CACHE[key]
+    ex = _km_explode(spark, sf_dir).localCheckpoint(eager=True)
     seeds = [
         r["vec_id"]
         for r in ex.select("vec_id")
@@ -130,22 +154,10 @@ def q_kmeans_exact(spark, sf_dir):
         .select("cid", "dim", F.col("e").alias("c"))
         .localCheckpoint(eager=True)
     )
-    assign = None
+    prev = cent
     for _ in range(_KM_ROUNDS):
-        d = (
-            ex.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))
-                ).alias("d2")
-            )
-        )
-        assign = (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"))
-        )
+        prev = cent
+        assign = _km_assign(ex, cent)
         cent = (
             ex.join(assign, "vec_id")
             .groupBy("cid", "dim")
@@ -158,12 +170,263 @@ def q_kmeans_exact(spark, sf_dir):
             )
             .localCheckpoint(eager=True)  # pin the sweep; flat lineage
         )
+    out = (
+        [(r["cid"], r["dim"], r["c"]) for r in prev.collect()],
+        [(r["cid"], r["dim"], r["c"]) for r in cent.collect()],
+    )
+    _KM_CACHE[key] = out
+    return out
+
+
+_KM_SCHEMA = "cid int, dim int, c long"
+
+
+@query("q_kmeans_exact", _sql_kmeans(_KM_ROUNDS, _KM_K))
+def q_kmeans_exact(spark, sf_dir):
+    """Hash-certified integer k-means (the rows-only seeded-float
+    q_kmeans_clusters' exact twin, the q_pagerank_exact discipline
+    applied to Lloyd's): milli-quantized elements, THREE sweeps of
+    integer squared-distance assignment (argmin tie-broken by cluster
+    id via struct ordering) and sign-safe truncating-division centroid
+    updates — every centroid coordinate after every sweep hash-matches
+    the chained-CTE oracle. Physical shape per sweep: the exploded
+    (vec, dim, e) frame joins a BROADCAST k·d centroid table, two hash
+    aggregations — the standard distributed Lloyd's; the k·d centroid
+    collect between sweeps is bounded state (the ivf.py precedent),
+    never data-sized. Empty clusters simply drop their rows (both
+    engines agree by construction). The fit is memoized per sf_dir
+    (_km_fit) so the silhouette/scatter companions certify the SAME
+    sweeps without re-running them."""
+    prev_rows, last_rows = _km_fit(spark, sf_dir)
+    ex = _km_explode(spark, sf_dir)
+    cp = spark.createDataFrame(prev_rows, _KM_SCHEMA)
+    cl = spark.createDataFrame(last_rows, _KM_SCHEMA)
+    assign = _km_assign(ex, cp)  # == the oracle's a{R}
     sizes = assign.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members")
     )
-    return cent.join(F.broadcast(sizes), "cid").select(
+    return cl.join(F.broadcast(sizes), "cid").select(
         "cid", "n_members", F.col("dim").cast("int").alias("dim"),
         F.col("c").alias("c_fp"),
+    )
+
+
+_SIL_N = 200  # scored sample: silhouette is all-pairs in the sample dim
+
+
+@query(
+    "q_silhouette",
+    f"""
+    WITH {_sql_km_chain(_KM_ROUNDS, _KM_K)},
+    pp AS (
+      SELECT xi.vec_id AS i, xj.vec_id AS j,
+             SUM((xi.e - xj.e) * (xi.e - xj.e)) AS d2
+      FROM ex xi JOIN ex xj
+        ON xi.dim = xj.dim AND xj.vec_id <> xi.vec_id
+      WHERE xi.vec_id < {_SIL_N}
+      GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT pp.i, ai.cid AS ca, aj.cid AS cj,
+             CAST(SUM(pp.d2) AS BIGINT) AS sd2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pp
+      JOIN a{_KM_ROUNDS} ai ON ai.vec_id = pp.i
+      JOIN a{_KM_ROUNDS} aj ON aj.vec_id = pp.j
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT i, ca,
+             MAX(CASE WHEN cj = ca
+                 THEN CAST(sd2 AS DOUBLE) / cnt END) AS a,
+             MIN(CASE WHEN cj <> ca
+                 THEN CAST(sd2 AS DOUBLE) / cnt END) AS b
+      FROM pc GROUP BY 1, 2
+    )
+    SELECT i AS vec_id, ca AS cid,
+           ROUND(CASE WHEN a IS NULL OR b IS NULL THEN 0.0
+                      ELSE (b - a) / GREATEST(a, b) END, 6) AS sil
+    FROM ab
+    """,
+)
+def q_silhouette(spark, sf_dir):
+    """Per-point silhouette of the certified k-means partition
+    (squared-distance variant — means of exact integer d² stay
+    rational, so a(i) and b(i) are each ONE IEEE division and the
+    score is engine-identical with no parallel-float drift; the
+    documented trade for hash-certifiability). a(i) excludes the point
+    itself (cnt = |own cluster|−1); singletons score 0 by the standard
+    convention. Scored over a bounded {_SIL_N}-point sample against
+    the FULL corpus — the all-pairs half is the sample, never n²."""
+    prev_rows, _ = _km_fit(spark, sf_dir)
+    ex = _km_explode(spark, sf_dir).localCheckpoint(eager=True)
+    assign = _km_assign(
+        ex, spark.createDataFrame(prev_rows, _KM_SCHEMA)
+    ).localCheckpoint(eager=True)
+    pi = ex.filter(F.col("vec_id") < _SIL_N).select(
+        F.col("vec_id").alias("i"), "dim", F.col("e").alias("ei")
+    )
+    pj = ex.select(
+        F.col("vec_id").alias("j"), "dim", F.col("e").alias("ej")
+    )
+    pp = (
+        pi.join(pj, "dim")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("ei") - F.col("ej")) * (F.col("ei") - F.col("ej"))
+            ).alias("d2")
+        )
+    )
+    ai = assign.select(
+        F.col("vec_id").alias("i"), F.col("cid").alias("ca")
+    )
+    aj = assign.select(
+        F.col("vec_id").alias("j"), F.col("cid").alias("cj")
+    )
+    pc = (
+        pp.join(F.broadcast(ai), "i")
+        .join(F.broadcast(aj), "j")
+        .groupBy("i", "ca", "cj")
+        .agg(
+            F.sum("d2").cast("long").alias("sd2"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    mean_d = F.col("sd2").cast("double") / F.col("cnt")
+    ab = pc.groupBy("i", "ca").agg(
+        F.max(F.when(F.col("cj") == F.col("ca"), mean_d)).alias("a"),
+        F.min(F.when(F.col("cj") != F.col("ca"), mean_d)).alias("b"),
+    )
+    return ab.select(
+        F.col("i").alias("vec_id"),
+        F.col("ca").alias("cid"),
+        F.round(
+            F.when(
+                F.col("a").isNull() | F.col("b").isNull(), F.lit(0.0)
+            ).otherwise(
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.col("a"), F.col("b"))
+            ),
+            6,
+        ).alias("sil"),
+    )
+
+
+@query(
+    "q_cluster_scatter",
+    f"""
+    WITH {_sql_km_chain(_KM_ROUNDS, _KM_K)},
+    dd AS (
+      SELECT x.vec_id, c.cid,
+             SUM((x.e - c.c) * (x.e - c.c)) AS d2
+      FROM ex x JOIN c{_KM_ROUNDS} c ON c.dim = x.dim
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT a.cid, CAST(SUM(dd.d2) AS BIGINT) AS sd2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dd JOIN a{_KM_ROUNDS} a
+        ON a.vec_id = dd.vec_id AND a.cid = dd.cid
+      GROUP BY 1
+    ),
+    cc AS (
+      SELECT ci.cid AS i, cj.cid AS j,
+             CAST(SUM((ci.c - cj.c) * (ci.c - cj.c)) AS BIGINT) AS dcc
+      FROM c{_KM_ROUNDS} ci JOIN c{_KM_ROUNDS} cj
+        ON ci.dim = cj.dim AND ci.cid <> cj.cid
+      GROUP BY 1, 2
+    )
+    SELECT si.cid, si.n AS n_members,
+           ROUND(CAST(si.sd2 AS DOUBLE) / si.n, 3) AS scatter,
+           ROUND(MAX((CAST(si.sd2 AS DOUBLE) / si.n
+                      + CAST(sj.sd2 AS DOUBLE) / sj.n)
+                     / cc.dcc), 6) AS db_component
+    FROM cc
+    JOIN sc si ON si.cid = cc.i
+    JOIN sc sj ON sj.cid = cc.j
+    GROUP BY 1, 2, si.sd2
+    """,
+)
+def q_cluster_scatter(spark, sf_dir):
+    """Davies-Bouldin components of the certified k-means partition
+    (squared-distance variant, same rationale as q_silhouette): per
+    cluster, the mean d² of members to their centroid (scatter) and
+    max_j (s_i + s_j)/d²(c_i, c_j) — the worst separation ratio, whose
+    mean is the DB index. Members-to-centroid is one broadcast k·d
+    join + hash agg over the exploded frame; the centroid-pair matrix
+    is k²·d rows. Every input an exact integer; each output a fixed
+    dag of IEEE ops."""
+    prev_rows, last_rows = _km_fit(spark, sf_dir)
+    ex = _km_explode(spark, sf_dir).localCheckpoint(eager=True)
+    cl = spark.createDataFrame(last_rows, _KM_SCHEMA)
+    assign = _km_assign(
+        ex, spark.createDataFrame(prev_rows, _KM_SCHEMA)
+    )
+    dd = (
+        ex.join(F.broadcast(cl), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    sc = (
+        dd.join(assign, ["vec_id", "cid"])
+        .groupBy("cid")
+        .agg(
+            F.sum("d2").cast("long").alias("sd2"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    ci = cl.select(
+        F.col("cid").alias("i"), "dim", F.col("c").alias("cci")
+    )
+    cj = cl.select(
+        F.col("cid").alias("j"), "dim", F.col("c").alias("ccj")
+    )
+    cc = (
+        ci.join(cj, "dim")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("cci") - F.col("ccj"))
+                * (F.col("cci") - F.col("ccj"))
+            )
+            .cast("long")
+            .alias("dcc")
+        )
+    )
+    si = sc.select(
+        F.col("cid").alias("i"),
+        F.col("sd2").alias("sd2_i"),
+        F.col("n").alias("n_i"),
+    )
+    sj = sc.select(
+        F.col("cid").alias("j"),
+        F.col("sd2").alias("sd2_j"),
+        F.col("n").alias("n_j"),
+    )
+    s_i = F.col("sd2_i").cast("double") / F.col("n_i")
+    s_j = F.col("sd2_j").cast("double") / F.col("n_j")
+    return (
+        cc.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy(
+            F.col("i").alias("cid"),
+            F.col("n_i").alias("n_members"),
+            F.col("sd2_i"),
+        )
+        .agg(
+            F.round(F.max(s_i), 3).alias("scatter"),
+            F.round(F.max((s_i + s_j) / F.col("dcc")), 6).alias(
+                "db_component"
+            ),
+        )
+        .drop("sd2_i")
     )
 
 
