@@ -441,6 +441,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
     small_graph_threshold: int = 2_000_000,
+    label_col: str = "component",
 ) -> DataFrame:
     """(id, component) labels from near-duplicate pairs — min-label
     propagation WITH pointer jumping (each round every node takes the
@@ -465,13 +466,24 @@ def connected_components(
     "representatives" downstream) if ``max_iter`` rounds don't converge.
 
     Internal frames use ``__cc_``-prefixed columns so ANY caller
-    ``id_col`` (including "node"/"component") works without renames.
+    ``id_col`` (including "node") works without renames. The OUTPUT
+    label column is ``label_col`` (default "component"); ``id_col ==
+    label_col`` raises ``ValueError`` up front — it would emit two
+    identically-named columns, ambiguous downstream. Pass a different
+    ``label_col`` to label a frame whose id column is literally named
+    "component".
 
     ``small_graph_threshold``: pair sets at or below this size take an
     exact driver-side union-find fast path (O(edges) driver memory,
     min-root semantics identical to the loop); set 0 to force the
     distributed loop.
     """
+    if id_col == label_col:
+        raise ValueError(
+            f"id_col and label_col are both {id_col!r}; the output would "
+            "carry two identically-named columns. Pass a distinct "
+            "label_col."
+        )
     # persist pairs BEFORE the symmetrize union: Spark does not reuse the
     # common subplan across union legs (verified: 0 ReusedExchange, double
     # FileScan), so an expensive pair-generation lineage (e.g. the full
@@ -521,7 +533,9 @@ def connected_components(
                 F.broadcast(lab_df), ids[id_col] == F.col("__cc_node"), "left"
             ).select(
                 id_col,
-                F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias("component"),
+                F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias(
+                    label_col
+                ),
             )
         finally:
             pairs.unpersist()
@@ -598,7 +612,7 @@ def connected_components(
             )
         return labels.select(
             F.col("__cc_node").alias(id_col),
-            F.col("__cc_comp").alias("component"),
+            F.col("__cc_comp").alias(label_col),
         )
     finally:
         edges.unpersist()

@@ -170,7 +170,11 @@ def auc_exact(
     Every term is an exact integer; the single IEEE division at the end
     makes the statistic bit-identical cross-engine, so a DuckDB oracle
     hash-checks the EXACT AUC. NULL scores are excluded (they have no
-    rank).
+    rank). Degenerate inputs: one-class data yields auc=0.0 (GREATEST
+    guard, no division by zero); an ALL-NULL-score input still emits the
+    one global-agg row (n_pos=0, n_neg=0, auc=0.0) — Spark's grand
+    aggregate semantics — whereas a GROUP BY-shaped oracle would emit
+    zero rows, so oracle twins must aggregate globally too.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -211,10 +215,17 @@ def auc_exact(
         n_pos += r["tp"]
         n_neg += r["tq"]
     off = spark.createDataFrame(offsets, "__pid int, __oq bigint")
+    # The numerator equals AUC·2·n_pos·n_neg, which exceeds int64 once
+    # n_pos·n_neg > ~4.6e18 (plausible at 100 TB). Spark longs wrap
+    # SILENTLY (non-ANSI) where DuckDB's HUGEINT would stay exact, so
+    # every product rides decimal(38,0) — same posture as
+    # :func:`wasserstein_1`.
+    qb = (F.col("qb_l") + F.col("__oq")).cast("decimal(38,0)")
+    p_dec = F.col("p_n").cast("decimal(38,0)")
     num2 = F.sum(
-        2 * (F.col("qb_l") + F.col("__oq")) * F.col("p_n")
-        + F.col("p_n") * F.col("q_n")
-    ).cast("long")
+        F.lit(2).cast("decimal(38,0)") * qb * p_dec
+        + p_dec * F.col("q_n").cast("decimal(38,0)")
+    )
     return (
         local.join(F.broadcast(off), "__pid")
         .agg(
@@ -308,11 +319,16 @@ def wasserstein_1(
         offsets, "__pid int, __oa bigint, __ob bigint, __nxt bigint"
     )
     gap = F.coalesce(F.col("nv_l"), F.col("__nxt")) - F.col("v")
+    # dev can approach n_a·n_b and gap the full quantized value range:
+    # BOTH the cum·n products and the gap·dev product must already be
+    # decimal(38,0), or Spark's non-ANSI long multiply wraps silently
+    # BEFORE the decimal sum ever sees the term (the oracle's HUGEINT
+    # arithmetic is exact throughout, so a wrap breaks the hash claim).
     dev = F.abs(
-        (F.col("ca_l") + F.col("__oa")) * F.lit(n_b)
-        - (F.col("cb_l") + F.col("__ob")) * F.lit(n_a)
+        (F.col("ca_l") + F.col("__oa")).cast("decimal(38,0)") * F.lit(n_b)
+        - (F.col("cb_l") + F.col("__ob")).cast("decimal(38,0)") * F.lit(n_a)
     )
-    term = (F.coalesce(gap, F.lit(0)) * dev).cast("decimal(38,0)")
+    term = F.coalesce(gap, F.lit(0)).cast("decimal(38,0)") * dev
     return (
         local.join(F.broadcast(off), "__pid")
         .agg(

@@ -461,12 +461,22 @@ _DB_MINPTS = 3  # core point: ≥ minPts neighbors within ε (excl. self)
           SELECT v AS vec_id FROM pairs
         ) GROUP BY 1
       ) n USING (vec_id)
+    ),
+    core AS (SELECT vec_id FROM deg WHERE n_eps >= {_DB_MINPTS}),
+    nbr AS (
+      SELECT u AS vec_id, v AS nb FROM pairs
+      UNION ALL
+      SELECT v AS vec_id, u AS nb FROM pairs
+    ),
+    bord AS (
+      SELECT DISTINCT n.vec_id
+      FROM nbr n JOIN core c ON n.nb = c.vec_id
     )
-    SELECT vec_id, n_eps,
-           CASE WHEN n_eps >= {_DB_MINPTS} THEN 'core'
-                WHEN n_eps > 0 THEN 'border'
+    SELECT d.vec_id, d.n_eps,
+           CASE WHEN d.n_eps >= {_DB_MINPTS} THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
                 ELSE 'noise' END AS role
-    FROM deg
+    FROM deg d LEFT JOIN bord b ON d.vec_id = b.vec_id
     """,
 )
 def q_dbscan_labels(spark, sf_dir):
@@ -478,7 +488,10 @@ def q_dbscan_labels(spark, sf_dir):
     core/border/noise label — is engine-identical, no float-boundary
     flicker. The pair join is dim-aligned with map-side partial sums
     and a HAVING on the exact distance; degrees from one union-all
-    aggregate."""
+    aggregate. Textbook DBSCAN roles: border = a NON-core point with at
+    least one CORE ε-neighbor (a neighbor-of-core join against the core
+    set, not merely n_eps > 0); non-core points whose only ε-neighbors
+    are themselves non-core are noise."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 300
     )
@@ -506,22 +519,41 @@ def q_dbscan_labels(spark, sf_dir):
         )
         .filter(F.col("d2") <= _DB_EPS_FP * _DB_EPS_FP)
     )
+    pairs = pairs.localCheckpoint(eager=False)  # reused 3× below
     deg = (
         pairs.select(F.col("u").alias("vec_id"))
         .unionByName(pairs.select(F.col("v").alias("vec_id")))
         .groupBy("vec_id")
         .agg(F.count("*").alias("c"))
     )
+    # border = non-core with >=1 CORE ε-neighbor (textbook DBSCAN): a
+    # neighbor-of-core semi-join against the core set — the core table
+    # is a bounded fraction of the ε-graph's vertices, broadcastable
+    core = deg.filter(F.col("c") >= _DB_MINPTS).select(
+        F.col("vec_id").alias("nb")
+    )
+    nbr = pairs.select(
+        F.col("u").alias("vec_id"), F.col("v").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("v").alias("vec_id"), F.col("u").alias("nb"))
+    )
+    bord = (
+        nbr.join(F.broadcast(core), "nb", "leftsemi")
+        .select("vec_id")
+        .distinct()
+        .withColumn("has_core_nb", F.lit(1))
+    )
     pts = emb.select("vec_id").distinct()
     return (
         pts.join(deg, "vec_id", "left")
+        .join(bord, "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_eps"),
             F.when(
                 F.coalesce(F.col("c"), F.lit(0)) >= _DB_MINPTS, "core"
             )
-            .when(F.coalesce(F.col("c"), F.lit(0)) > 0, "border")
+            .when(F.col("has_core_nb").isNotNull(), "border")
             .otherwise("noise")
             .alias("role"),
         )
