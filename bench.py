@@ -308,6 +308,15 @@ HEADLINE = [
     # round-6 phase 39: cluster-quality metrics
     "q_silhouette",
     "q_cluster_scatter",
+    # round-7 phase 40: degree-capped approx graph siblings + their
+    # recall certificates (the recall queries run exact+approx chains)
+    "q_graph_jaccard_approx",
+    "q_graph_jaccard_recall",
+    "q_item_cf_recs_approx",
+    "q_item_cf_recall",
+    # round-7 phase 41: hash-certified fixed-round graph twins
+    "q_kcore_exact",
+    "q_label_prop_exact",
 ]
 
 

@@ -171,3 +171,45 @@ def cooccurrence_triples(
         )
         .agg(F.count("*").cast("long").alias("support"))
     )
+
+
+def degree_capped_edges(
+    edges: DataFrame, key_col: str, item_col: str, cap: int
+) -> DataFrame:
+    """Deterministic per-key degree cap: keep at most ``cap`` incident
+    edges per key, chosen by md5(key:item) rank — the hot-key guard for
+    any downstream per-key-quadratic operator (cooccurrence_pairs' d²/2
+    in-task pair fan-out, the scale-killer on skewed keys at 100×).
+
+    md5 of the ``key:item`` string is a PORTABLE pseudo-random order
+    (identical hex in Spark and DuckDB, unlike xxhash64/rand()), so the
+    sampled subgraph — and everything computed on it — is bit-identical
+    cross-engine and oracle-checkable: the approximation is in the
+    GRAPH, not in the engine. The rank is a per-key window sort:
+    O(d log d) per key, never d² — a hot key costs one big sort task,
+    not a quadratic pair blowup.
+
+    Items surviving the cap are an unbiased uniform sample of the key's
+    incident edges (md5 order is independent of item identity), so
+    per-key neighborhoods shrink proportionally and similarity measures
+    computed WITHIN the capped graph (degrees AND intersections from
+    the same sample) remain consistent estimates — cap only the
+    intersections while keeping exact degrees and the ranking collapses
+    (measured: 24/100 top-jaccard survival, see the negative result at
+    :func:`cooccurrence_pairs`).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(key_col).cast("string"),
+            F.col(item_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(item_col).asc())
+    return (
+        edges.withColumn("__dc_rk", F.row_number().over(w))
+        .filter(F.col("__dc_rk") <= cap)
+        .drop("__dc_rk")
+    )

@@ -543,3 +543,62 @@ def shortest_paths(
         return dist
     finally:
         e.unpersist()
+
+
+def k_core_fixed(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """:func:`k_core` with a FIXED peel-round count — the hash-
+    certifiable form (the q_pagerank_exact discipline: fixed sweeps, no
+    convergence probe, so a chained-CTE oracle can replay the identical
+    computation round for round).
+
+    Peeling is IDEMPOTENT at the fixpoint — a round with no weak nodes
+    leaves the edge set unchanged — so running ``rounds`` ≥ the peel
+    depth returns exactly the converged k-core, and fewer returns the
+    deterministic partial peel; either way both engines agree bit for
+    bit. No driver actions in the loop (the convergence probe is what
+    costs :func:`k_core` one extra job per round); each round still
+    eagerly checkpoints so lineage stays O(1) in ``rounds``.
+
+    Returns (node, degree) on the surviving subgraph — degrees computed
+    AFTER the last peel, unfiltered (equals the k-core when converged).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = und
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .union(und.select("b"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k)
+        ka = keep.select(F.col("n").alias("a"))
+        kb = keep.select(F.col("n").alias("b"))
+        und = (
+            und.join(ka, "a", "left_semi")
+            .join(kb, "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(prev)
+        prev = und
+    return (
+        und.select(F.col("a").alias("n"))
+        .union(und.select("b"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .withColumnRenamed("n", "node")
+    )

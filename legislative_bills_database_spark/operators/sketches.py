@@ -249,3 +249,308 @@ def sql_kmv_distinct(table: str, col: str, k: int = 256) -> str:
            ROUND(ABS(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
     FROM est
     """
+
+
+def _fold8(hx):
+    """First 8 nibbles of a lowercase-hex md5 column folded to a BIGINT
+    in [0, 2^32) — the engine-portable 32-bit hash both DuckDB and Spark
+    reproduce digit for digit (the kmv fold, factored for reuse; seeded
+    long — 8 nibbles reach 2^32-1, past int32)."""
+
+    def nib(pos: int):
+        a = F.ascii(F.substring(hx, pos, 1))
+        return (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))).cast(
+            "long"
+        )
+
+    num = nib(1)
+    for p in range(2, 9):
+        num = num * 16 + nib(p)
+    return num
+
+
+def _sql_fold8(hx: str) -> str:
+    """DuckDB twin of :func:`_fold8` over hex expression ``hx``."""
+
+    def nib(pos: int) -> str:
+        c = f"ascii(substring({hx}, {pos}, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    num = f"CAST({nib(1)} AS BIGINT)"
+    for p in range(2, 9):
+        num = f"({num} * 16 + {nib(p)})"
+    return num
+
+
+def cm_sketch_portable_report(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """:func:`cm_sketch_report` with ENGINE-PORTABLE bucket hashes —
+    ``fold8(md5(key ':' row)) % width`` instead of xxhash64 — so the
+    whole sketch (bucket counters, probe minima, overcounts) is
+    value-hash-checkable against a DuckDB oracle. Identical relational
+    shape: explode(depth) + one map-side-combined groupBy to
+    depth×width counter rows, mergeable by plain SUM; estimates are the
+    per-key MIN across hash rows of the broadcast sketch. md5 costs
+    more per row than xxhash64 — the xxhash64 original stays as the
+    perf path; this twin certifies the algorithm.
+
+    Returns (key, exact_n, cm_est, overcount), (exact_n DESC, key).
+    """
+    key = F.col(key_col).cast("string")
+    rows = df.select(key.alias("k")).filter(F.col("k").isNotNull())
+
+    def buckets(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        _fold8(F.md5(F.concat_ws(":", c, F.lit(i)))),
+                        F.lit(width),
+                    ).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    sketch = (
+        rows.select(F.explode(buckets("k")).alias("hb"))
+        .groupBy(F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_top = (
+        rows.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "k")
+        .limit(top_k)
+    )
+    probes = exact_top.select(
+        "k", F.explode(buckets("k")).alias("hb")
+    ).select("k", F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return (
+        exact_top.join(est, "k")
+        .select(
+            F.col("k").alias("key"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_n"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "key")
+    )
+
+
+def sql_cm_sketch_portable(
+    table: str,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cm_sketch_portable_report`."""
+    bexpr = (
+        "("
+        + _sql_fold8("md5(k || ':' || CAST(i AS VARCHAR))")
+        + f") % {width}"
+    )
+    return f"""
+    WITH rws AS (
+      SELECT CAST({col} AS VARCHAR) AS k FROM {table}
+      WHERE {col} IS NOT NULL
+    ), hs AS (SELECT unnest(range({depth})) AS i),
+    sk AS (
+      SELECT i, {bexpr} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rws, hs GROUP BY 1, 2
+    ), exact_top AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM rws GROUP BY 1
+      ORDER BY exact_n DESC, k LIMIT {top_k}
+    ), probes AS (
+      SELECT e.k, h.i, {bexpr.replace("(k ||", "(e.k ||")} AS b
+      FROM exact_top e, hs h
+    ), est AS (
+      SELECT p.k, MIN(s.c) AS cm_est
+      FROM probes p JOIN sk s ON p.i = s.i AND p.b = s.b
+      GROUP BY 1
+    )
+    SELECT e.k AS key, e.exact_n,
+           CAST(est.cm_est AS BIGINT) AS cm_est,
+           CAST(est.cm_est - e.exact_n AS BIGINT) AS overcount
+    FROM exact_top e JOIN est ON e.k = est.k
+    ORDER BY e.exact_n DESC, key
+    """
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant α_m (Flajolet et al. 2007) for
+    register count m ≥ 128 — embedded as the same Python-computed
+    double literal in both engines (no query-time transcendentals)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_portable_cert(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Register-level certification of the HLL merge algebra with an
+    ENGINE-PORTABLE hash — the certified twin of
+    :func:`hll_merge_report`, whose DataSketches binaries no other
+    engine can replay.
+
+    The portable HLL is fully relational: h32 = fold8(md5(key)),
+    bucket = h32 % m (low p bits), w = h32 // m (the remaining
+    q = 32−p bits), register ρ = (leading zeros of w in q bits) + 1 via
+    an integer threshold CASE — no floats anywhere in the registers.
+    Three register sets are built: DIRECT (one pass), per-``group_col``
+    shards, and their MAX-merge; max is associative, so
+    merged ≡ direct is an ALGEBRAIC identity — n_regs_equal == n_regs
+    is the merge certificate, and any engine/shuffle bug that breaks
+    register mergeability flips it.
+
+    The estimate avoids the classic float harmonic sum: Σ 2^{−ρ} over
+    registers is a dyadic rational, so it rides the INTEGER
+    s_int = Σ 2^{32−ρ} + (m − n_used)·2^32 exactly (max term 2^31·m ≪
+    2^63), with the single double division α_m·m²·2^32 / s_int at the
+    end — bit-identical cross-engine. Raw estimator only (no
+    small/large-range correction) — this is an algebra certificate,
+    not a production cardinality path; rel_err vs exact is emitted so
+    the raw bias stays driver-visible.
+
+    Returns one row: (m, n_regs_used, n_regs_equal, merge_exact,
+    hll_est, exact, rel_err).
+    """
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    hashed = df.select(
+        key.alias("s"), F.col(group_col).alias("g")
+    ).filter(F.col("s").isNotNull())
+    h32 = _fold8(F.md5("s"))
+    q = 32 - p
+    w = F.shiftright(h32, p)  # literal shift — the only kind F.shiftright takes
+
+    def rho(wcol):
+        expr = F.lit(q + 1)  # w == 0: all q bits zero
+        for r in range(q, 0, -1):  # w >= 2^(q-r) → rho = r
+            expr = F.when(wcol >= F.lit(1 << (q - r)), F.lit(r)).otherwise(
+                expr
+            )
+        return expr
+
+    base = hashed.select(
+        "g", F.pmod(h32, F.lit(m)).alias("b"), rho(w).alias("r")
+    ).localCheckpoint(eager=False)  # feeds direct + sharded registers
+    direct = base.groupBy("b").agg(F.max("r").alias("rd"))
+    merged = (
+        base.groupBy("g", "b")
+        .agg(F.max("r").alias("rs"))
+        .groupBy("b")
+        .agg(F.max("rs").alias("rm"))
+    )
+    regs = direct.join(merged, "b")
+    pow_term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(32) - F.col("rm"))
+    )
+    stats = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_used"),
+        F.sum((F.col("rd") == F.col("rm")).cast("int"))
+        .cast("long")
+        .alias("n_regs_equal"),
+        F.sum(pow_term).cast("long").alias("s_used"),
+    )
+    exact = hashed.agg(F.count_distinct("s").alias("exact"))
+    alpha = _hll_alpha(m)
+    est = (
+        F.lit(alpha * m * m * float(1 << 32))
+        / (
+            F.col("s_used")
+            + (F.lit(m) - F.col("n_regs_used")) * F.lit(1 << 32)
+        ).cast("double")
+    )
+    return (
+        stats.crossJoin(exact)  # two 1-row aggregates
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "n_regs_used",
+            "n_regs_equal",
+            (F.col("n_regs_equal") == F.col("n_regs_used"))
+            .cast("int")
+            .alias("merge_exact"),
+            F.round(est, 2).alias("hll_est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.round(
+                F.abs(est - F.col("exact")) / F.col("exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def sql_hll_portable_cert(
+    table: str, group_col: str, key_col: str, p: int = 9
+) -> str:
+    """DuckDB twin of :func:`hll_portable_cert`."""
+    m = 1 << p
+    q = 32 - p
+    alpha = _hll_alpha(m)
+    # the SAME Python-precomputed double numerator the Spark side embeds
+    # (α·m²·2³²); CAST AS DOUBLE — a bare literal parses as DECIMAL in
+    # DuckDB and its checked multiply overflows
+    num = alpha * m * m * float(1 << 32)
+    fold = _sql_fold8("md5(s)")
+    rho = f"CASE WHEN w = 0 THEN {q + 1}"
+    for r in range(1, q + 1):  # first match wins: largest threshold first
+        rho += f" WHEN w >= {1 << (q - r)} THEN {r}"
+    rho += " END"
+    return f"""
+    WITH hashed AS (
+      SELECT CAST({key_col} AS VARCHAR) AS s, {group_col} AS g
+      FROM {table} WHERE {key_col} IS NOT NULL
+    ), hb AS (
+      SELECT g, h32 % {m} AS b, (h32 // {m}) AS w
+      FROM (SELECT g, {fold} AS h32 FROM hashed)
+    ), base AS (
+      SELECT g, b, {rho} AS r FROM hb
+    ), direct AS (
+      SELECT b, MAX(r) AS rd FROM base GROUP BY 1
+    ), merged AS (
+      SELECT b, MAX(rs) AS rm FROM (
+        SELECT g, b, MAX(r) AS rs FROM base GROUP BY 1, 2
+      ) GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_regs_used,
+             CAST(SUM(CASE WHEN d.rd = mg.rm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_regs_equal,
+             CAST(SUM(CAST(1 AS BIGINT) << (32 - mg.rm)) AS BIGINT)
+               AS s_used
+      FROM direct d JOIN merged mg ON d.b = mg.b
+    ), ex AS (
+      SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS exact FROM hashed
+    )
+    SELECT CAST({m} AS BIGINT) AS m, n_regs_used, n_regs_equal,
+           CAST(CASE WHEN n_regs_equal = n_regs_used THEN 1 ELSE 0 END
+                AS INTEGER) AS merge_exact,
+           ROUND(CAST({num!r} AS DOUBLE)
+                 / CAST(s_used + ({m} - n_regs_used)
+                        * CAST({1 << 32} AS BIGINT) AS DOUBLE), 2)
+             AS hll_est,
+           exact,
+           ROUND(ABS(CAST({num!r} AS DOUBLE)
+                     / CAST(s_used + ({m} - n_regs_used)
+                            * CAST({1 << 32} AS BIGINT) AS DOUBLE)
+                     - exact) / CAST(exact AS DOUBLE), 4) AS rel_err
+    FROM stats, ex
+    """

@@ -17,3 +17,4 @@ from . import mixture_queries  # noqa: F401  (registers on import)
 from . import trainops_queries  # noqa: F401  (registers on import)
 from . import drift_queries  # noqa: F401  (registers on import)
 from . import clustering_queries  # noqa: F401  (registers on import)
+from . import roundseven_queries  # noqa: F401  (registers on import)

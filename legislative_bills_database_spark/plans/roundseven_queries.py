@@ -1,0 +1,606 @@
+"""Round-7 phase-40 queries: approximate scale siblings for the two
+degree-quadratic graph plans (VERDICT r6 "What's wrong" #1).
+
+q_graph_jaccard / q_item_cf_recs are exact and within baseline locally,
+but their (cust, supp) co-occurrence self-join fans out quadratically in
+per-customer degree — the named scale-killer on skewed keys at 100×.
+The fix here is the twin discipline already used for ANN and k-means:
+
+- ``q_graph_jaccard_approx`` / ``q_item_cf_recs_approx`` run the SAME
+  pipeline on a deterministically degree-capped subgraph
+  (operators/basket.degree_capped_edges: per-customer md5-ordered
+  incident-edge sample). The cap is DEGREE-ADAPTIVE — the exact p90 of
+  the per-customer degree distribution (integer histogram quantile,
+  floor 30) — so it binds only on the skewed tail it exists to guard,
+  the same corpus-sized-parameter discipline as the r6 LSH plane-count
+  fix. Degrees AND intersections both come from the capped subgraph —
+  capping only intersections while keeping exact degrees collapses the
+  ranking (measured negative result at
+  operators/basket.cooccurrence_pairs), and a Horvitz-Thompson
+  reweighted estimator (exact integer numerator Σ max(d_c(d_c−1), K))
+  was measured WORSE (0.26 vs 0.39 recall at a worst-case uniform
+  cap=30): per-pair HT variance swamps the tightly-clustered ranking,
+  while the within-sample estimator's correlated errors cancel in the
+  Jaccard ratio. md5 is portable hex in both engines, so unlike
+  rand()/xxhash64 samplers these approximations are fully
+  DuckDB-oracle-checkable: the approximation lives in the graph, not
+  the engine.
+- ``q_graph_jaccard_recall`` / ``q_item_cf_recall`` are the
+  driver-visible quality certificates: one row comparing the approx
+  result set against the exact one (n_exact, n_approx, n_overlap,
+  recall), hash-checked against an oracle that recomputes BOTH chains.
+  A silent approximation-quality regression flips a driver hash instead
+  of hiding; pytest pins the recall floor.
+
+Engine-parity notes: every oracle COUNT/SUM over integers is CAST AS
+BIGINT (DuckDB HUGEINT → pandas float64 mismatch); the p90 rank is
+computed as ceil(9n/10) in INTEGER arithmetic on both sides (0.9·n in
+doubles can land an ulp above an integer and ceil one rank too far);
+scores decimal-sum before the one double cast so the ranking is
+associativity-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..operators.basket import cooccurrence_pairs, degree_capped_edges
+from .registry import query
+
+# cap floor: tiny fixtures never cap below the r6 measured operating
+# point; at any real scale the adaptive p90 dominates
+_GJ_MIN_CAP = 30
+
+_SQL_CS = """cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )"""
+
+# Degree-adaptive cap: exact p90 of the per-customer degree distribution
+# via an integer histogram quantile (degrees are low-cardinality ints,
+# so the histogram — not the customer list — is the only state the
+# quantile needs), then the portable md5-ordered per-customer top-cap
+# edge sample (degree_capped_edges twin).
+_SQL_CAPPED = f"""degc AS (
+      SELECT cust, CAST(COUNT(*) AS BIGINT) AS dc FROM cs GROUP BY 1
+    ), dhist AS (
+      SELECT dc, CAST(COUNT(*) AS BIGINT) AS c FROM degc GROUP BY 1
+    ), dthr AS (
+      SELECT CAST((9 * SUM(c) + 9) // 10 AS BIGINT) AS k FROM dhist
+    ), capv AS (
+      SELECT GREATEST(MIN(dc), {_GJ_MIN_CAP}) AS cap
+      FROM (SELECT dc, SUM(c) OVER (ORDER BY dc) AS cum FROM dhist), dthr
+      WHERE cum >= k
+    ), capped AS (
+      SELECT cust, supp FROM (
+        SELECT cust, supp,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cust
+                 ORDER BY md5(CAST(cust AS VARCHAR) || ':'
+                              || CAST(supp AS VARCHAR)), supp
+               ) AS rk
+        FROM cs)
+      WHERE rk <= (SELECT cap FROM capv)
+    )"""
+
+
+def _sql_top100(edge_cte: str, tag: str) -> str:
+    """CTE chain deg{tag}/inter{tag}/top{tag}: top-100 supplier pairs by
+    neighborhood Jaccard over the given (cust, supp) edge CTE."""
+    return f"""deg{tag} AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
+      FROM {edge_cte} GROUP BY 1
+    ), inter{tag} AS (
+      SELECT a.supp AS s1, b.supp AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM {edge_cte} a JOIN {edge_cte} b
+        ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), top{tag} AS (
+      SELECT i.s1, i.s2, i.n_shared,
+             ROUND(CAST(i.n_shared AS DOUBLE)
+                   / (d1.d + d2.d - i.n_shared), 6) AS jaccard
+      FROM inter{tag} i
+      JOIN deg{tag} d1 ON i.s1 = d1.supp
+      JOIN deg{tag} d2 ON i.s2 = d2.supp
+      ORDER BY jaccard DESC, i.s1, i.s2
+      LIMIT 100
+    )"""
+
+
+def _sql_cf(tag: str) -> str:
+    """CTE chain sym{tag}/cand{tag}/rec{tag}: item-CF recommendations
+    (≤3 novel suppliers per customer) from the top{tag} similarity
+    table, candidates generated over the FULL edge list (that join is
+    map-side-broadcast-shaped, never quadratic)."""
+    return f"""sym{tag} AS (
+      SELECT s1 AS a, s2 AS b, jaccard AS sim FROM top{tag}
+      UNION ALL
+      SELECT s2, s1, jaccard FROM top{tag}
+    ), cand{tag} AS (
+      SELECT cs.cust, s.b AS rec,
+             CAST(SUM(CAST(s.sim AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM cs JOIN sym{tag} s ON cs.supp = s.a
+      GROUP BY 1, 2
+    ), rec{tag} AS (
+      SELECT cust, rec, ROUND(score, 6) AS score, n_paths FROM cand{tag} c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cs WHERE cs.cust = c.cust AND cs.supp = c.rec)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY cust ORDER BY ROUND(score, 6) DESC, rec) <= 3
+    )"""
+
+
+def _cs_edges(spark, sf_dir) -> DataFrame:
+    """Slim DISTINCT (cust, supp) bipartite edge list; checkpointed —
+    deg + both self-join sides reference it (uncheckpointed the
+    orders⋈lineitem + distinct would execute three times)."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    ).localCheckpoint(eager=False)
+
+
+def _adaptive_cap(cs: DataFrame) -> int:
+    """Exact p90 of the per-customer degree distribution (floor
+    ``_GJ_MIN_CAP``) — the degree-adaptive cap for the approx twins.
+
+    Distributed shape: degrees are low-cardinality integers, so the
+    exact discrete quantile needs only the (dc, count) HISTOGRAM — one
+    hash aggregate whose result is ≤ max-degree rows of bounded driver
+    state (never a TakeOrdered over the customer list, which would ship
+    0.9·|customers| rows to one task). The rank is ceil(9n/10) in
+    integer arithmetic, matching the oracle exactly.
+    """
+    hist = sorted(
+        cs.groupBy("cust")
+        .agg(F.count("*").alias("dc"))
+        .groupBy("dc")
+        .agg(F.count("*").alias("c"))
+        .collect(),
+        key=lambda r: r["dc"],
+    )
+    n = sum(r["c"] for r in hist)
+    k = (9 * n + 9) // 10
+    cum = 0
+    for r in hist:
+        cum += r["c"]
+        if cum >= k:
+            return max(int(r["dc"]), _GJ_MIN_CAP)
+    return _GJ_MIN_CAP
+
+
+def _capped_edges(cs: DataFrame) -> DataFrame:
+    return degree_capped_edges(cs, "cust", "supp", _adaptive_cap(cs))
+
+
+def _jaccard_top100(edges: DataFrame) -> DataFrame:
+    """Top-100 supplier pairs by neighborhood Jaccard over (cust, supp)
+    edges — q_graph_jaccard's pipeline, parameterized on the edge set so
+    the exact and degree-capped variants share one plan shape."""
+    deg = edges.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
+    inter = (
+        cooccurrence_pairs(edges, "cust", "supp")
+        .select(F.col("i1").alias("s1"), F.col("i2").alias("s2"), "n_shared")
+        .filter(F.col("n_shared") >= 2)
+    )
+    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
+    return (
+        inter.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(100)
+    )
+
+
+def _cf_recs(cs: DataFrame, simtop: DataFrame) -> DataFrame:
+    """Item-CF recommendations from a k-bounded similarity table —
+    q_item_cf_recs' pipeline parameterized on simtop: symmetrize,
+    broadcast, one map-side candidate join over the slim edge list,
+    anti-join novelty filter, top-3 per customer."""
+    sym = simtop.select(
+        F.col("s1").alias("a"),
+        F.col("s2").alias("b"),
+        F.col("jaccard").alias("sim"),
+    ).unionAll(
+        simtop.select(
+            F.col("s2").alias("a"),
+            F.col("s1").alias("b"),
+            F.col("jaccard").alias("sim"),
+        )
+    )
+    cand = (
+        cs.join(F.broadcast(sym), cs.supp == F.col("a"))
+        .groupBy("cust", F.col("b").alias("rec"))
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count("*").cast("long").alias("n_paths"),
+        )
+    )
+    novel = cand.join(
+        cs.select("cust", F.col("supp").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    pick = Window.partitionBy("cust").orderBy(F.col("score").desc(), "rec")
+    return (
+        novel.select(
+            "cust", "rec", F.round("score", 6).alias("score"), "n_paths"
+        )
+        .withColumn("rr", F.row_number().over(pick))
+        .filter(F.col("rr") <= 3)
+        .drop("rr")
+    )
+
+
+def _set_recall(
+    exact: DataFrame, approx: DataFrame, keys: list[str]
+) -> DataFrame:
+    """One (n_exact, n_approx, n_overlap, recall) row comparing two key
+    sets — one union + one two-level aggregation, no cross joins."""
+    tagged = (
+        exact.select(*keys)
+        .withColumn("he", F.lit(1))
+        .withColumn("ha", F.lit(0))
+        .unionByName(
+            approx.select(*keys)
+            .withColumn("he", F.lit(0))
+            .withColumn("ha", F.lit(1))
+        )
+    )
+    per = tagged.groupBy(*keys).agg(
+        F.max("he").alias("he"), F.max("ha").alias("ha")
+    )
+    both = F.sum(F.col("he") * F.col("ha"))
+    return per.agg(
+        F.sum("he").cast("long").alias("n_exact"),
+        F.sum("ha").cast("long").alias("n_approx"),
+        both.cast("long").alias("n_overlap"),
+        F.round(both / F.sum("he"), 6).alias("recall"),
+    )
+
+
+_SQL_RECALL_TAIL = """tagged AS (
+      SELECT {k}, 1 AS he, 0 AS ha FROM {exact}
+      UNION ALL
+      SELECT {k}, 0, 1 FROM {approx}
+    ), per AS (
+      SELECT {k}, MAX(he) AS he, MAX(ha) AS ha FROM tagged GROUP BY {knums}
+    )
+    SELECT CAST(SUM(he) AS BIGINT) AS n_exact,
+           CAST(SUM(ha) AS BIGINT) AS n_approx,
+           CAST(SUM(he * ha) AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(he * ha) AS DOUBLE) / SUM(he), 6) AS recall
+    FROM per"""
+
+
+@query(
+    "q_graph_jaccard_approx",
+    f"""
+    WITH {_SQL_CS},
+    {_SQL_CAPPED},
+    {_sql_top100("capped", "a")}
+    SELECT s1, s2, n_shared, jaccard FROM topa
+    ORDER BY jaccard DESC, s1, s2
+    """,
+)
+def q_graph_jaccard_approx(spark, sf_dir):
+    """q_graph_jaccard's scale sibling: identical top-100 neighborhood-
+    Jaccard pipeline on the md5-degree-capped subgraph, so the
+    co-occurrence self-join's per-customer fan-out is bounded at cap²/2
+    — hot customers cost a constant, not d²/2, which is the plan that
+    survives Zipf-skewed keys at 100×. The cap is the exact p90 of the
+    customer-degree distribution (operators/basket.degree_capped_edges
+    + the histogram quantile in _adaptive_cap), so it binds only on the
+    skewed tail it guards; degrees and intersections both come from the
+    capped subgraph, keeping Jaccard a consistent within-sample
+    estimate. The md5 sampler is portable, so the whole approximation
+    is hash-checked by the oracle. Quality is certified by
+    q_graph_jaccard_recall (the exact plan stays as the oracle)."""
+    cs = _cs_edges(spark, sf_dir)
+    return _jaccard_top100(_capped_edges(cs))
+
+
+@query(
+    "q_graph_jaccard_recall",
+    f"""
+    WITH {_SQL_CS},
+    {_SQL_CAPPED},
+    {_sql_top100("cs", "e")},
+    {_sql_top100("capped", "a")},
+    {_SQL_RECALL_TAIL.format(k="s1, s2", knums="1, 2", exact="tope", approx="topa")}
+    """,
+)
+def q_graph_jaccard_recall(spark, sf_dir):
+    """Driver-visible quality certificate for q_graph_jaccard_approx:
+    one (n_exact, n_approx, n_overlap, recall) row comparing the capped
+    top-100 pair set against the exact top-100 — the q_ann_recall twin
+    discipline, but fully oracle-checked because the md5 sampler is
+    portable. A quality regression in the approximation flips a driver
+    hash instead of hiding; pytest pins the recall floor."""
+    cs = _cs_edges(spark, sf_dir)
+    exact = _jaccard_top100(cs)
+    approx = _jaccard_top100(_capped_edges(cs))
+    return _set_recall(exact, approx, ["s1", "s2"])
+
+
+@query(
+    "q_item_cf_recs_approx",
+    f"""
+    WITH {_SQL_CS},
+    {_SQL_CAPPED},
+    {_sql_top100("capped", "a")},
+    {_sql_cf("a")}
+    SELECT cust, rec, score, n_paths FROM reca
+    """,
+)
+def q_item_cf_recs_approx(spark, sf_dir):
+    """q_item_cf_recs' scale sibling: the similarity table comes from
+    the degree-capped subgraph (only the quadratic pair step is
+    approximated); candidate generation, novelty anti-join and top-3
+    ranking still run over the FULL edge list — those joins are
+    broadcast-map-side regardless of graph size, so there is nothing to
+    approximate. Oracle-checked end-to-end (portable md5 sampling);
+    quality certified by q_item_cf_recall."""
+    cs = _cs_edges(spark, sf_dir)
+    simtop = _jaccard_top100(_capped_edges(cs))
+    return _cf_recs(cs, simtop)
+
+
+@query(
+    "q_item_cf_recall",
+    f"""
+    WITH {_SQL_CS},
+    {_SQL_CAPPED},
+    {_sql_top100("cs", "e")},
+    {_sql_top100("capped", "a")},
+    {_sql_cf("e")},
+    {_sql_cf("a")},
+    {_SQL_RECALL_TAIL.format(k="cust, rec", knums="1, 2", exact="rece", approx="reca")}
+    """,
+)
+def q_item_cf_recall(spark, sf_dir):
+    """Driver-visible quality certificate for q_item_cf_recs_approx:
+    one row comparing the (cust, rec) recommendation sets produced from
+    the capped vs exact similarity tables. Hash-checked against an
+    oracle that recomputes both chains; pytest pins the recall floor."""
+    cs = _cs_edges(spark, sf_dir)
+    exact = _cf_recs(cs, _jaccard_top100(cs))
+    approx = _cf_recs(cs, _jaccard_top100(_capped_edges(cs)))
+    return _set_recall(exact, approx, ["cust", "rec"])
+
+
+# ---------------------------------------------------------------------------
+# Phase 41: hash-certified exact twins for the remaining rows-only
+# iterative graph ops (VERDICT r6 item #4) — the q_pagerank_exact
+# discipline: FIXED sweep counts so a chained-CTE oracle replays the
+# identical computation round for round. All-integer state (degrees,
+# vote counts, min-label tie-breaks), so no float drift can break the
+# cross-engine hash. The rows-only originals (q_kcore, q_label_prop)
+# stay as the convergence-probed perf paths.
+# ---------------------------------------------------------------------------
+
+_KC_K = 3
+_KC_ROUNDS = 6  # peel is idempotent at the fixpoint; extra rounds no-op
+
+_SQL_KC_BASE = """kbase AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )"""
+
+
+def _sql_kcore(rounds: int, k: int) -> str:
+    prev = "kbase"
+    ctes = []
+    for i in range(1, rounds + 1):
+        ctes.append(f"""kd{i} AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY 1
+    ), ke{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN kd{i} da ON e.a = da.n
+      JOIN kd{i} db ON e.b = db.n
+      WHERE da.degree >= {k} AND db.degree >= {k}
+    )""")
+        prev = f"ke{i}"
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
+    ) GROUP BY 1"""
+
+
+@query(
+    "q_kcore_exact",
+    f"""
+    WITH {_SQL_KC_BASE},
+    {_sql_kcore(_KC_ROUNDS, _KC_K)}
+    """,
+)
+def q_kcore_exact(spark, sf_dir):
+    """Hash-certified 3-core of the customer↔supplier purchase graph
+    (q_kcore's graph): exactly 6 fixed peel rounds — each round
+    recomputes integer degrees and keeps edges whose BOTH endpoints
+    hold degree ≥ k (operators/graph.k_core_fixed) — vs a chained-CTE
+    oracle replaying the same rounds. Peeling is idempotent at the
+    fixpoint, so when the peel converges within the budget (asserted
+    equal to the convergence-probed q_kcore in pytest) this IS the
+    k-core, per-node degrees and all; the rows-only q_kcore stays as
+    the convergence-probed path with its early-exit probe."""
+    from ..operators.graph import k_core_fixed
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return k_core_fixed(edges, k=_KC_K, rounds=_KC_ROUNDS)
+
+
+_LP_ROUNDS = 5
+
+_SQL_LP_BASE = """lbase AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM (
+        SELECT o.o_custkey, l.l_suppkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT o.o_orderkey) >= 3)
+    ), lsym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM lbase
+        UNION ALL
+        SELECT dst, src FROM lbase
+      ) WHERE src <> dst
+    ), lnodes AS (SELECT DISTINCT src AS node FROM lsym),
+    ll0 AS (SELECT node, node AS label FROM lnodes)"""
+
+
+def _sql_label_prop(rounds: int) -> str:
+    ctes = []
+    for i in range(1, rounds + 1):
+        ctes.append(f"""lv{i} AS (
+      SELECT s.src AS node, l.label
+      FROM lsym s JOIN ll{i - 1} l ON s.dst = l.node
+      UNION ALL
+      SELECT node, label FROM ll{i - 1}
+    ), lc{i} AS (
+      SELECT node, label, COUNT(*) AS n FROM lv{i} GROUP BY 1, 2
+    ), ll{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY n DESC, label) AS rn
+        FROM lc{i}) WHERE rn = 1
+    )""")
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM ll{rounds} GROUP BY 1
+    ORDER BY n_nodes DESC, label
+    LIMIT 10"""
+
+
+@query(
+    "q_label_prop_exact",
+    f"""
+    WITH {_SQL_LP_BASE},
+    {_sql_label_prop(_LP_ROUNDS)}
+    """,
+)
+def q_label_prop_exact(spark, sf_dir):
+    """Hash-certified label propagation over q_label_prop's strong-tie
+    purchase graph (≥3 distinct co-orders): the SAME 5 fixed rounds of
+    closed-neighborhood voting with min-label tie-break that
+    operators/graph.label_propagation already runs — the operator was
+    always deterministic (integer vote counts, min-struct argmax); this
+    twin adds the chained-CTE oracle that replays each voting round
+    (vote = neighbor labels + self label, argmax by count DESC then
+    label ASC), certifying the community structure end to end. Emits
+    the same (label, n_nodes) top-10 census as q_label_prop."""
+    from ..operators.graph import label_propagation
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count_distinct("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    labels = label_propagation(edges, n_iter=_LP_ROUNDS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "label")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 42: portable-hash certified sketch twins (VERDICT r6 item #5) —
+# shrink the rows-only set: the xxhash64 Count-Min and the DataSketches
+# HLL stay as perf paths; these twins replay the identical sketch
+# algebra on md5-folded 32-bit hashes both engines reproduce digit for
+# digit, so bucket counters / registers — not just the final estimate —
+# are value-hash-checked.
+# ---------------------------------------------------------------------------
+
+
+def _cm_exact_oracle() -> str:
+    from ..operators.sketches import sql_cm_sketch_portable
+
+    return sql_cm_sketch_portable(
+        "lineitem", "l_partkey", depth=4, width=256, top_k=20
+    )
+
+
+@query("q_cm_sketch_exact", _cm_exact_oracle())
+def q_cm_sketch_exact(spark, sf_dir):
+    """Hash-certified Count-Min sketch over part keys — q_cm_sketch's
+    relational sketch (explode(depth) + one map-side-combined groupBy
+    to depth×width counters, mergeable by plain SUM, probe = MIN across
+    hash rows) with portable md5-fold bucket hashes instead of
+    xxhash64, so the DuckDB oracle replays counters, probes, and
+    overcounts exactly (operators/sketches.cm_sketch_portable_report).
+    Same (key, exact_n, cm_est, overcount) top-20 report; the one-sided
+    error invariant overcount ≥ 0 is now oracle-visible too."""
+    from ..operators.sketches import cm_sketch_portable_report
+
+    lineitem = load_tables(spark, sf_dir, "lineitem")[0]
+    return cm_sketch_portable_report(
+        lineitem, "l_partkey", depth=4, width=256, top_k=20
+    )
+
+
+def _hll_cert_oracle() -> str:
+    from ..operators.sketches import sql_hll_portable_cert
+
+    return sql_hll_portable_cert("documents", "source", "doc_id", p=9)
+
+
+@query("q_hll_register_cert", _hll_cert_oracle())
+def q_hll_register_cert(spark, sf_dir):
+    """Register-level HLL merge certification — the certified twin of
+    q_hll_merge (whose DataSketches binaries no oracle can replay):
+    portable md5-fold hashes, integer threshold-CASE ρ registers, and
+    the dyadic-rational harmonic sum carried as the exact integer
+    Σ 2^(32−ρ), so per-source register shards, their MAX-merge, and the
+    direct registers are all value-hash-checked; merge_exact == 1 is
+    the algebraic merged ≡ direct identity any shuffle/engine bug would
+    flip (operators/sketches.hll_portable_cert). One row
+    (m, n_regs_used, n_regs_equal, merge_exact, hll_est, exact,
+    rel_err)."""
+    from ..operators.sketches import hll_portable_cert
+
+    docs = load_tables(spark, sf_dir, "documents")[0]
+    return hll_portable_cert(docs, "source", "doc_id", p=9)

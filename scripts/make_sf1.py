@@ -15,17 +15,39 @@ not the engine.
 
 Output: /root/repo/.benchdata/sf1.0/*.parquet (gitignored; ~180 MB).
 Deterministic — safe to re-run (overwrites).
+
+``--skew`` (VERDICT r6 #3): the plain replication is skew-free BY
+CONSTRUCTION — disjoint key strides keep per-key degree constant, so
+the scaling bench structurally cannot surface hot-key quadratics; it
+flatters exactly the plans that need scrutiny. The skew variant
+Zipf-reuses BASE-copy customer keys across copies: in copies i>0, 10%
+of orders (hash-selected, deterministic) are reassigned to hot base
+customers with idx = 997 // (h % 997 + 1) — a Zipf(1)-shaped pick
+where customer 1 absorbs ~half the reassigned mass — so hot-customer
+degree GROWS with scale (their baskets span every copy's suppliers)
+the way real power-law traffic does. Referential integrity holds
+(base custkeys exist in copy 0). Output: .benchdata/sf1.0-skew/.
 """
 import os
 import shutil
+import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".benchdata", "sf1.0")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SKEW = "--skew" in sys.argv
+DST = os.path.join(_REPO, ".benchdata", "sf1.0-skew" if SKEW else "sf1.0")
 STRIDE = 10_000_000
 COPIES = 10
+
+# deterministic Zipf(1)-shaped hot-customer reassignment for 10% of
+# copy>0 orders: h1 selects, h2 picks the hot base customer
+_SKEW_CUST = """
+            CASE WHEN {i} > 0 AND hash(o_orderkey) % 10 = 0
+                 THEN CAST(997 // ((hash(o_orderkey * 31) % 997) + 1)
+                           AS BIGINT)
+                 ELSE o_custkey + {off} END AS o_custkey"""
 
 
 def main() -> None:
@@ -53,8 +75,9 @@ def main() -> None:
                    p_brand, p_type, p_size, p_retailprice
             FROM src""",
         "orders": """
-            SELECT o_orderkey + {off} AS o_orderkey,
-                   o_custkey + {off} AS o_custkey,
+            SELECT o_orderkey + {off} AS o_orderkey,"""
+        + (_SKEW_CUST if SKEW else """
+                   o_custkey + {off} AS o_custkey""") + """,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
             FROM src""",
         "lineitem": """
