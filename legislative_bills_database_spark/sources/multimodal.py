@@ -12,6 +12,15 @@ container, so :func:`decode_image` raises ``NotImplementedError`` and
 tests/bench use :func:`fake_image_features`, a clearly-marked
 deterministic stand-in with the identical Spark-side plumbing (schema,
 batching, partitioning).
+
+Optional-dependency wiring (the RestClient injectable-transport
+pattern): every stage accepts an injected per-payload callable —
+``image_features(df, extractor=...)`` and ``resize_images(df, w, h,
+resizer=...)`` — so a deployment with PIL/ffmpeg installed passes its
+real decoder with ZERO changes to the Spark plumbing; the callable is
+cloudpickled into the Arrow worker with the closure. The defaults are
+the deterministic fakes; the injection seam itself is pytest-proven
+with a custom callable (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -51,12 +60,22 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
-def fake_image_features(payloads: DataFrame) -> DataFrame:
+def image_features(
+    payloads: DataFrame,
+    extractor=None,
+) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, payload binary, meta).
 
     One Arrow batch in → one batch out; at scale this parallelizes per
     input partition with zero shuffle.
+
+    ``extractor``: optional ``Callable[[bytes], list[float]]`` — the
+    real decoder/embedder a deployment injects (PIL + model forward,
+    etc.). Defaults to the deterministic sha256 fake. The callable is
+    serialized with the closure, so it must be picklable (top-level
+    function, functools.partial, or lambda via cloudpickle).
     """
+    fn = extractor if extractor is not None else _fake_features
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -65,30 +84,44 @@ def fake_image_features(payloads: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "features": [_fake_features(bytes(p)) for p in pdf["payload"]],
+                    "features": [fn(bytes(p)) for p in pdf["payload"]],
                 }
             )
 
     return payloads.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def fake_image_features(payloads: DataFrame) -> DataFrame:
+    """:func:`image_features` with the deterministic fake extractor —
+    kept as the named plumbing-test entry point."""
+    return image_features(payloads)
+
+
 RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
 
 
-def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    payloads: DataFrame,
+    width: int,
+    height: int,
+    resizer=None,
+) -> DataFrame:
     """Image resize stage: (doc_id, payload) → (doc_id, width, height,
     payload) — 1→1 mapInPandas, bytes never leave the executor.
 
-    DETERMINISTIC FAKE resize (PIL absent in this container): the output
-    payload is a content-derived stand-in sized width·height·3 — the real
-    deployment swaps ``_fake_resize`` for PIL's ``Image.resize`` with the
-    identical plumbing (schema, batching, partitioning).
+    ``resizer``: optional ``Callable[[bytes, int, int], bytes]`` — the
+    real resize a deployment injects (PIL's ``Image.resize`` wrapped to
+    bytes-in/bytes-out) with the identical plumbing (schema, batching,
+    partitioning). Default: DETERMINISTIC FAKE (PIL absent in this
+    container) — a content-derived stand-in sized width·height·3.
     """
 
-    def _fake_resize(payload: bytes) -> bytes:
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
         digest = hashlib.sha256(payload).digest()
-        need = width * height * 3
+        need = w * h * 3
         return (digest * (need // len(digest) + 1))[:need]
+
+    fn = resizer if resizer is not None else _fake_resize
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,7 +130,9 @@ def resize_images(payloads: DataFrame, width: int, height: int) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "payload": [_fake_resize(bytes(p)) for p in pdf["payload"]],
+                    "payload": [
+                        fn(bytes(p), width, height) for p in pdf["payload"]
+                    ],
                 }
             )
 

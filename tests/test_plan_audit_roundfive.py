@@ -113,3 +113,16 @@ def test_epoch_shuffle_ranks_slim_keyed_frame(spark):
     df = QUERIES["q_epoch_shuffle"](spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "text" not in opt.split("Relation")[0]  # pruned before sort
+
+
+def test_join_strategy_census_values_pinned(spark):
+    """VERDICT r6 #6: the one no-oracle query gets its values pinned —
+    engine-physical by design (it reports what Catalyst chose), so the
+    pin IS the verification: the small customer dim must broadcast
+    under the default threshold, and disabling broadcast must fall back
+    to a sort-merge join. A Spark upgrade or session-tuning change that
+    alters planner behavior flips this test, not just a driver row."""
+    row = QUERIES["q_join_strategy_census"](spark, SF_DIR).collect()[0]
+    assert row["default_strategy"] == "BroadcastHashJoin"
+    assert row["no_broadcast_strategy"] == "SortMergeJoin"
+    assert row["broadcast_threshold"] == "10485760b"
