@@ -171,3 +171,48 @@ def fingerprint(text: Column | str, n: int = 5) -> Column:
 def sql_fingerprint(text_expr: str, n: int = 5) -> str:
     sh = sql_shingles(f"string_split({text_expr}, ' ')", n)
     return f"list_min(list_transform({sh}, s -> md5(s)))"
+
+
+def skipgram_pairs_arr(tok: Column | str, max_dist: int) -> Column:
+    """ALL ordered skip-gram pairs "w_i w_{i+d}" for d = 1..max_dist —
+    the word2vec-style (center, context) training-pair generator
+    (window co-occurrence WITH multiplicity; duplicates kept like
+    :func:`ngrams_all`). Docs with ≤ d tokens contribute no pairs at
+    distance d. Index-lambda form (element_at over a generated
+    sequence) — the guard is an explicit when(): Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0], not an empty list."""
+    t = _c(tok)
+
+    def pair_fn(d: int):
+        # closure factory: a `lambda i, d=d` would read to Spark as the
+        # TWO-argument (element, index) higher-order lambda form
+        return lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + d)
+        )
+
+    per_d = [
+        F.when(
+            F.size(t) > d,
+            F.transform(F.sequence(F.lit(1), F.size(t) - d), pair_fn(d)),
+        ).otherwise(F.array().cast("array<string>"))
+        for d in range(1, max_dist + 1)
+    ]
+    out = per_d[0]
+    for arr in per_d[1:]:
+        out = F.concat(out, arr)
+    return out
+
+
+def sql_skipgram_pairs(tokens_expr: str, max_dist: int) -> str:
+    """DuckDB twin of :func:`skipgram_pairs_arr` (1-based list index)."""
+    parts = [
+        f"CASE WHEN len({tokens_expr}) > {d} THEN "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {d}),"
+        f" i -> ({tokens_expr})[i] || ' ' || ({tokens_expr})[i + {d}])"
+        f" ELSE CAST([] AS VARCHAR[]) END"
+        for d in range(1, max_dist + 1)
+    ]
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = f"list_concat({out}, {nxt})"
+    return out

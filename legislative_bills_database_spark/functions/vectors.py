@@ -61,3 +61,31 @@ def sql_norm2(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_norm2(a)}) * sqrt({sql_norm2(b)})))"
+
+
+def sign_word(vec, bits: int = 62):
+    """Sign-bit quantization of the first ``bits`` dims to ONE BIGINT —
+    the 1-bit-per-dim binary embedding (Charikar hyperplane sketch with
+    axis-aligned planes): bit d set iff element d > 0. Horner fold
+    acc·2 + bit from the high dim down, all integer multiplies — no
+    column-shift shiftleft (literal-only in Spark) and no 1<<63
+    (checked BIGINT refuses it in DuckDB; 62 bits stay clear of the
+    sign). Hamming distance between words ≈ angular distance: the
+    64×-compressed ANN prefilter."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.aggregate(
+        F.sequence(F.lit(bits), F.lit(1), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(v, i) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def sql_sign_word(expr: str, bits: int = 62) -> str:
+    """DuckDB twin of :func:`sign_word` (list_sum of powers — the plain
+    integer-accumulator shape; same bits, same 1-based dims)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {bits}), i -> "
+        f"CASE WHEN ({expr})[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )

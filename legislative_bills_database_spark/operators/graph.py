@@ -231,15 +231,22 @@ def bfs_hops(
     Returns (node, dist) for every node within max_hops of a seed.
     """
     raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    # NOT deduplicated: parallel edges only multiply the pre-distinct
-    # neighbor rows each round, and the per-round frontier distinct
-    # absorbs that — a global edge distinct would add a full edge-list
-    # shuffle up front to save work the rounds already do
+    # DEDUPLICATED up front (r7 reversal of a measured-on-uniform-data
+    # negative result): on skew-free graphs parallel edges only
+    # multiply the pre-distinct neighbor rows each round and the
+    # per-round frontier distinct absorbs it — but the skewed sf1.0
+    # bench (BENCH_SF1_SKEW, Zipf hot customer, degree ~9000 with ~60×
+    # edge multiplicity) showed the frontier join re-emitting a hot
+    # node's duplicate adjacency EVERY round it borders the frontier,
+    # degrading closeness 2.6×. BFS ignores multiplicity, so one global
+    # distinct bounds any node's adjacency at its distinct degree and
+    # the rounds join a strictly smaller layout.
     sym = (
         raw.union(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .repartition("src")
         .persist()
     )
@@ -435,11 +442,15 @@ def multi_source_bfs(
     Returns (seed, node, dist); each seed appears at dist 0.
     """
     raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # distinct before the loop: see bfs_hops — duplicate adjacency on a
+    # hot node re-enters the frontier join every round (2.6× closeness
+    # degradation on the Zipf-skewed bench before this)
     sym = (
         raw.union(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .repartition("src")
         .persist()
     )

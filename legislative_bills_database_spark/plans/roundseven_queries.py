@@ -604,3 +604,297 @@ def q_hll_register_cert(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir, "documents")[0]
     return hll_portable_cert(docs, "source", "doc_id", p=9)
+
+
+# ---------------------------------------------------------------------------
+# Phase 43: coverage widening — word2vec-style skip-gram pair
+# generation, readability scoring, exact higher moments, and
+# sign-quantized (binary) ANN with its recall certificate. All
+# oracle-checked; the only floats are single IEEE scalar ops on exact
+# integer/decimal aggregates (the engine-parity discipline).
+# ---------------------------------------------------------------------------
+
+from ..functions import text as _T  # noqa: E402  (module continues)
+from ..io import load_table  # noqa: E402
+
+
+@query(
+    "q_skipgram_pairs",
+    f"""
+    WITH pairs AS (
+      SELECT unnest({_T.sql_skipgram_pairs("string_split(text, ' ')", 2)})
+               AS pair
+      FROM documents
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts with window 2 — the
+    word2vec / GloVe co-occurrence generator every embedding-training
+    pipeline runs first: ordered "w_i w_{i+d}" pairs for d ∈ {1, 2}
+    WITH multiplicity (functions/text.skipgram_pairs_arr), one
+    explode + one map-side-combined count, top-50 (n DESC, pair).
+    In-row pair generation via index lambdas — no positional self-join,
+    so the only shuffle is the pair count aggregate; at corpus scale
+    the pair space, not the doc count, bounds the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(_T.skipgram_pairs_arr(_T.tokens(F.col("text")), 2)).alias(
+            "pair"
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q_readability",
+    """
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syll AS DOUBLE) / n_words)
+                 - 15.59, 4) AS fk_grade
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syll
+      FROM documents)
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade per document from three integer counts —
+    words (whitespace tokens), sentences (terminal punctuation,
+    clamped ≥1), and the standard vowel-group syllable proxy — with the
+    grade itself two divisions and a weighted sum of exact integers:
+    single IEEE scalar ops, bit-identical cross-engine. The quality-
+    scoring sibling of q_quality_score for curriculum / difficulty
+    bucketing; pure codegen expression tree, zero shuffles beyond the
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)),
+        F.lit(1),
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syll"),
+        F.round(
+            F.lit(0.39) * (n_words.cast("double") / n_sent)
+            + F.lit(11.8) * (n_syll.cast("double") / n_words)
+            - F.lit(15.59),
+            4,
+        ).alias("fk_grade"),
+    )
+
+
+@query(
+    "q_moments",
+    """
+    WITH cents AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), sums AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS DOUBLE) AS s4
+      FROM cents GROUP BY 1
+    )
+    SELECT flag, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n)
+                  * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n)
+                  * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n)
+                  * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS kurtosis
+    FROM sums ORDER BY flag
+    """,
+)
+def q_moments(spark, sf_dir):
+    """Exact skewness and excess kurtosis per return flag from integer
+    cent POWER SUMS: Σx..Σx⁴ ride decimal(38,0) (Σx⁴ ≈ n·10²⁸ is far
+    past int64; Spark's long würde silently wrap), then ONE
+    decimal→double conversion per sum — correctly rounded and identical
+    in both engines — and a fixed scalar expression tree for the
+    centered moments (x^1.5 spelled m2·sqrt(m2): pow(x, 1.5) is
+    libm-implementation-defined, sqrt is IEEE-exact). The one-pass
+    distributional-shape profile (beyond mean/variance) a drift monitor
+    wants per segment; one hash aggregate, no second pass."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    xd = F.col("x").cast("decimal(38,0)")  # against the projected frame
+    sums = (
+        lineitem.select(F.col("l_returnflag").alias("flag"), x.alias("x"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).cast("double").alias("s1"),
+            F.sum(xd * F.col("x")).cast("double").alias("s2"),
+            F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+            F.sum(xd * F.col("x") * F.col("x") * F.col("x"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - F.lit(3) * mean * (F.col("s2") / n) + F.lit(
+        2
+    ) * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4) * mean * (F.col("s3") / n)
+        + F.lit(6) * mean * mean * (F.col("s2") / n)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    return sums.select(
+        "flag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurtosis"),
+    ).orderBy("flag")
+
+
+from ..functions.vectors import sign_word, sql_cosine, sql_sign_word  # noqa: E402
+
+_BQ_BITS = 62
+_BQ_WORD = sql_sign_word("embedding", _BQ_BITS)
+_BQ_COS = sql_cosine("q.embedding", "n.embedding")
+
+
+@query(
+    "q_binary_quantize",
+    f"""
+    SELECT vec_id, {_BQ_WORD} AS sign_word,
+           CAST(bit_count({_BQ_WORD}) AS BIGINT) AS n_pos_dims
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def q_binary_quantize(spark, sf_dir):
+    """1-bit binary quantization of embeddings: the first 62 dims
+    sign-packed into ONE BIGINT word (functions/vectors.sign_word —
+    62 bits dodge both Spark's literal-only column shifts and DuckDB's
+    checked 1<<63), plus the population count. The 64×-compressed
+    representation whose Hamming distance approximates angular distance
+    — the ANN prefilter tier below PQ (q_pq_topk) and IVF: at 100 TB
+    the packed words are a 0.4%-of-corpus scan that fits a broadcast
+    where float vectors never could. Pure codegen fold, zero shuffles;
+    certified bit for bit by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    word = sign_word(F.col("embedding"), _BQ_BITS)
+    return emb.select(
+        "vec_id",
+        word.alias("sign_word"),
+        F.bit_count(word).cast("long").alias("n_pos_dims"),
+    )
+
+
+@query(
+    "q_bq_recall",
+    f"""
+    WITH words AS (
+      SELECT vec_id, {_BQ_WORD} AS w
+      FROM embeddings WHERE vec_id < 500
+    ), hamm AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid
+      FROM words q JOIN words n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY bit_count(xor(q.w, n.w)) ASC, n.vec_id ASC) <= 5
+    ), ex AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10 AND n.vec_id < 500
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_BQ_COS} DESC, n.vec_id ASC) <= 5
+    ), tagged AS (
+      SELECT qid, nid, 1 AS he, 0 AS ha FROM ex
+      UNION ALL
+      SELECT qid, nid, 0, 1 FROM hamm
+    ), per AS (
+      SELECT qid, nid, MAX(he) AS he, MAX(ha) AS ha
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(he) AS BIGINT) AS n_exact,
+           CAST(SUM(ha) AS BIGINT) AS n_approx,
+           CAST(SUM(he * ha) AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(he * ha) AS DOUBLE) / SUM(he), 6) AS recall
+    FROM per
+    """,
+)
+def q_bq_recall(spark, sf_dir):
+    """Quality certificate for the binary-quantized tier: per-query
+    top-5 by Hamming distance over the packed sign words
+    (bit_count(xor), integer — engine-identical) vs exact cosine top-5
+    on the same 500-vector slice, one (n_exact, n_approx, n_overlap,
+    recall) row — the q_graph_jaccard_recall discipline for the
+    quantization family (q_pq_recall's sibling, but fully
+    oracle-checked: sign bits and Hamming ranks are integers, where PQ
+    centroids are floats). Floor pinned in pytest."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    words = emb.select(
+        "vec_id", sign_word(F.col("embedding"), _BQ_BITS).alias("w")
+    )
+    qw = words.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("w").alias("qword")
+    )
+    pick = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("nid").asc()
+    )
+    hamm = (
+        words.select(F.col("vec_id").alias("nid"), F.col("w").alias("nw"))
+        .join(F.broadcast(qw), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.bit_count(
+                F.col("qword").bitwiseXOR(F.col("nw"))
+            ).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid")
+    )
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        "qid", "nid"
+    )
+    return _set_recall(exact, hamm, ["qid", "nid"])

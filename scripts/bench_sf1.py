@@ -26,6 +26,16 @@ EXTRA_HEAVY = [
     "q_item_cf_recs", "q_graph_jaccard", "q_cc_labels", "q_sssp",
     "q_pagerank_exact", "q_star_join", "q_closeness",
     "q_frequent_triples",
+    # VERDICT r6 #8: every remaining query >2 s at sf0.1 (BENCH_FULL)
+    # gets a measured 10x point — streams, graph loops, round-6
+    # newcomers — plus the round-7 approx siblings
+    "q_stream_join", "q_label_prop", "q_silhouette", "q_bfs_hops",
+    "q_leakage_safe_split", "q_stream_sessions", "q_stream_parity",
+    "q_kcore", "q_stream_late", "q_triangle_count", "q_stream_dedup",
+    "q_quarantine", "q_ivf_sweep", "q_basket_lift", "q_spearman",
+    "q_fuzzy_decontaminate",
+    "q_graph_jaccard_approx", "q_item_cf_recs_approx",
+    "q_kcore_exact", "q_label_prop_exact",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",

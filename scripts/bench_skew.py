@@ -40,6 +40,7 @@ QUERIES_TO_RUN = [
     "q_pagerank_exact",
     "q_star_join",
     "q_closeness",
+    "q_bfs_hops",
     "q_frequent_triples",
     "q_kcore_exact",
     "q_label_prop_exact",
