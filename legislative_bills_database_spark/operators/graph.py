@@ -562,6 +562,7 @@ def k_core_fixed(
     rounds: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    with_converged: bool = False,
 ) -> DataFrame:
     """:func:`k_core` with a FIXED peel-round count — the hash-
     certifiable form (the q_pagerank_exact discipline: fixed sweeps, no
@@ -578,6 +579,15 @@ def k_core_fixed(
 
     Returns (node, degree) on the surviving subgraph — degrees computed
     AFTER the last peel, unfiltered (equals the k-core when converged).
+
+    ``with_converged=True`` appends a constant ``converged`` column
+    (1 iff the last round removed no edges, i.e. round N-1's edge count
+    equals round N's). That makes a non-converged partial peel
+    OBSERVABLE in the driver's hash row instead of silently replaying
+    the same partial result on both engine and oracle sides (ADVICE
+    r7): at a scale where the peel needs more than ``rounds`` rounds,
+    the flag flips to 0 and the certificate says so. Cost: two count
+    jobs over already-checkpointed edge frames — O(blocks), no shuffle.
     """
     und = (
         edges.select(
@@ -589,7 +599,8 @@ def k_core_fixed(
         .localCheckpoint(eager=True)
     )
     prev = und
-    for _ in range(rounds):
+    converged = True
+    for i in range(rounds):
         deg = (
             und.select(F.col("a").alias("n"))
             .union(und.select("b"))
@@ -604,12 +615,19 @@ def k_core_fixed(
             .join(kb, "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if with_converged and i == rounds - 1:
+            converged = prev.count() == und.count()
         release_checkpoint(prev)
         prev = und
-    return (
+    out = (
         und.select(F.col("a").alias("n"))
         .union(und.select("b"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .withColumnRenamed("n", "node")
     )
+    if with_converged:
+        out = out.withColumn(
+            "converged", F.lit(1 if converged else 0).cast("long")
+        )
+    return out

@@ -360,25 +360,30 @@ def sql_cm_sketch_portable(
     top_k: int = 20,
 ) -> str:
     """DuckDB twin of :func:`cm_sketch_portable_report`."""
-    bexpr = (
-        "("
-        + _sql_fold8("md5(k || ':' || CAST(i AS VARCHAR))")
-        + f") % {width}"
-    )
+    def _bucket(key_expr: str, i_expr: str = "i") -> str:
+        # Parameterized on the key/row-qualifier expressions (not a
+        # textual rewrite of generated SQL) so a change to _sql_fold8's
+        # shape can never silently miss the probe-side qualification.
+        return (
+            "("
+            + _sql_fold8(f"md5({key_expr} || ':' || CAST({i_expr} AS VARCHAR))")
+            + f") % {width}"
+        )
+
     return f"""
     WITH rws AS (
       SELECT CAST({col} AS VARCHAR) AS k FROM {table}
       WHERE {col} IS NOT NULL
     ), hs AS (SELECT unnest(range({depth})) AS i),
     sk AS (
-      SELECT i, {bexpr} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      SELECT i, {_bucket("k")} AS b, CAST(COUNT(*) AS BIGINT) AS c
       FROM rws, hs GROUP BY 1, 2
     ), exact_top AS (
       SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
       FROM rws GROUP BY 1
       ORDER BY exact_n DESC, k LIMIT {top_k}
     ), probes AS (
-      SELECT e.k, h.i, {bexpr.replace("(k ||", "(e.k ||")} AS b
+      SELECT e.k, h.i, {_bucket("e.k", "h.i")} AS b
       FROM exact_top e, hs h
     ), est AS (
       SELECT p.k, MIN(s.c) AS cm_est

@@ -6,9 +6,10 @@ warehouse/feature-store team reaches for next: Bloom semi-join
 reduction (the scan-side answer to "join 100 TB of facts against a 6%
 dim slice"), Pareto skylines, one-pass correlation matrices, WOE/IV
 predictive-power encoding, and co-occurrence Jaccard between graph
-nodes. Reference analog: the R pipeline's merge()-then-filter joins and
-single-key rankings (legiscan_main.R, CA_Legislation_Topic_Modeling.R)
-— semantics generalized, physical strategy rebuilt for scale.
+nodes. Reference analog: the R pipeline's list-lookup joins and
+grepl-based filters (legiscan_main.R:158-235,
+legislator_bill_counts_run.R:97-126) — semantics generalized, physical
+strategy rebuilt for scale.
 """
 
 from __future__ import annotations

@@ -134,12 +134,28 @@ def _sql_cf(tag: str) -> str:
     )"""
 
 
+_CS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cs_edges(spark, sf_dir) -> DataFrame:
     """Slim DISTINCT (cust, supp) bipartite edge list; checkpointed —
     deg + both self-join sides reference it (uncheckpointed the
-    orders⋈lineitem + distinct would execute three times)."""
+    orders⋈lineitem + distinct would execute three times).
+
+    Memoized per (applicationId, sf_dir): bench/preflight sweeps invoke
+    the four phase-40 queries back-to-back in one session, and an
+    unmemoized localCheckpoint per call would accumulate orphaned
+    checkpoint blocks for the session's lifetime (ADVICE r7). One
+    shared frame per dataset bounds that to a single materialization —
+    and lets the exact/approx chains of the recall certificates reuse
+    the same scan.
+    """
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _CS_CACHE.get(key)
+    if cached is not None:
+        return cached
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
-    return (
+    df = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
@@ -147,6 +163,8 @@ def _cs_edges(spark, sf_dir) -> DataFrame:
         )
         .distinct()
     ).localCheckpoint(eager=False)
+    _CS_CACHE[key] = df
+    return df
 
 
 def _adaptive_cap(cs: DataFrame) -> int:
@@ -427,8 +445,12 @@ def _sql_kcore(rounds: int, k: int) -> str:
     )""")
         prev = f"ke{i}"
     body = ",\n    ".join(ctes)
+    penult = f"ke{rounds - 1}" if rounds > 1 else "kbase"
     return f"""{body}
-    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST((SELECT COUNT(*) FROM {penult})
+                = (SELECT COUNT(*) FROM {prev}) AS BIGINT) AS converged
+    FROM (
       SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
     ) GROUP BY 1"""
 
@@ -449,7 +471,13 @@ def q_kcore_exact(spark, sf_dir):
     fixpoint, so when the peel converges within the budget (asserted
     equal to the convergence-probed q_kcore in pytest) this IS the
     k-core, per-node degrees and all; the rows-only q_kcore stays as
-    the convergence-probed path with its early-exit probe."""
+    the convergence-probed path with its early-exit probe. The constant
+    ``converged`` column (1 iff the last round peeled nothing) makes a
+    partial peel at larger scale driver-OBSERVABLE — both engine and
+    oracle compute it from their own round N-1 vs N edge counts, so a
+    non-converged run flips the value (still hash-green, because both
+    sides report the same honest flag) instead of degrading the "this
+    IS the k-core" claim silently (ADVICE r7)."""
     from ..operators.graph import k_core_fixed
 
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
@@ -459,7 +487,9 @@ def q_kcore_exact(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
-    return k_core_fixed(edges, k=_KC_K, rounds=_KC_ROUNDS)
+    return k_core_fixed(
+        edges, k=_KC_K, rounds=_KC_ROUNDS, with_converged=True
+    )
 
 
 _LP_ROUNDS = 5

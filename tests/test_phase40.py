@@ -103,6 +103,9 @@ def test_kcore_exact_matches_converged_kcore(spark):
         if exact:
             assert min(r["degree"] for r in exact) == census["min_core_degree"]
             assert all(r["degree"] >= 3 for r in exact)
+            # the driver-visible convergence flag: on the fixtures the
+            # budget reaches the fixpoint, so the certificate must SAY so
+            assert all(r["converged"] == 1 for r in exact)
 
 
 def test_label_prop_exact_matches_label_prop(spark):
