@@ -17,8 +17,17 @@ round-to-4 is cross-engine deterministic.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Per-key degree past which the exact pair self-join's d²/2 in-task
+# fan-out stops being a sane default (2000² / 2 = 2M pair rows from ONE
+# key's task). The Zipf-skewed sf1.0 bench pins the failure mode: hot
+# degree ~9000 degrades the exact plans 4.9-5.1× while the capped
+# siblings run sub-1× (BENCH_SF1_SKEW.json).
+MAX_EXACT_DEGREE = 2000
 
 
 def basket_lift(
@@ -90,7 +99,11 @@ def sql_basket_lift(
 
 
 def cooccurrence_pairs(
-    edges: DataFrame, key_col: str, item_col: str
+    edges: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_degree: int | None = MAX_EXACT_DEGREE,
+    strict: bool = False,
 ) -> DataFrame:
     """Ordered item co-occurrence counts (i1 < i2) per shared key.
 
@@ -127,8 +140,45 @@ def cooccurrence_pairs(
     d²/2 blowup) where approximate neighborhoods are acceptable and
     the threshold is documented at the call site.
 
+    Hot-key guard (``max_degree``, default :data:`MAX_EXACT_DEGREE`):
+    before building the quadratic self-join this probes the max per-key
+    degree with one slim aggregate (groupBy key → count → max; trivially
+    cheap next to the pair join it guards). Past the threshold the exact
+    plan is the named scale-killer from BENCH_SF1_SKEW — the guard then
+    raises ``ValueError`` when ``strict=True`` and otherwise emits a
+    ``UserWarning`` naming the capped route (:func:`degree_capped_edges`
+    + the certified q_graph_jaccard_approx / q_item_cf_recs_approx
+    siblings and their recall certificates), so running the exact plan
+    on a skewed graph is an explicit, logged decision, never a silent
+    one. ``max_degree=None`` skips the probe for callers that already
+    bounded degrees upstream (e.g. the approx twins, whose input IS the
+    capped subgraph).
+
     Returns (i1, i2, n_shared).
     """
+    if max_degree is not None:
+        dmax_row = (
+            edges.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .agg(F.max("__d").alias("m"))
+            .collect()
+        )
+        dmax = dmax_row[0]["m"] or 0
+        if dmax > max_degree:
+            msg = (
+                f"cooccurrence_pairs: max per-{key_col} degree {dmax} exceeds "
+                f"max_degree={max_degree}; the exact pair self-join pays "
+                f"d²/2 in-task fan-out per hot key (measured 4.9-5.1× "
+                f"degradation under Zipf skew, BENCH_SF1_SKEW.json). Cap hot "
+                f"keys with degree_capped_edges() — the certified approx "
+                f"route (q_graph_jaccard_approx / q_item_cf_recs_approx, "
+                f"recall-certified by q_graph_jaccard_recall / "
+                f"q_item_cf_recall) — or pass max_degree=None/strict=False "
+                f"to proceed exactly."
+            )
+            if strict:
+                raise ValueError(msg)
+            warnings.warn(msg, UserWarning, stacklevel=2)
     e = edges.select(F.col(key_col).alias("k"), F.col(item_col).alias("i"))
     a, b = e.alias("a"), e.alias("b")
     return (

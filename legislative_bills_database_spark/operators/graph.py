@@ -428,66 +428,159 @@ def multi_source_bfs(
     the primitive under sampled closeness centrality, blast-radius
     panels, and landmark-distance embeddings.
 
-    Same frontier-expansion loop as :func:`bfs_hops`, but the frontier
-    is keyed (seed, node): one distributed loop computes all |seeds|
-    BFS trees at once instead of |seeds| sequential loops — per round,
-    every seed's frontier joins the same persisted co-partitioned edge
-    layout in a single job, so the loop count stays bounded by the
-    graph diameter, not diameter × seeds. The level identity
-    ``N(F_d) \\ (F_d ∪ F_{d−1}) = F_{d+1}`` holds per seed, so the
-    visited check is still two bounded frontier anti-joins on the
-    composite key. Per-round localCheckpoint + release keeps lineage
-    and executor storage O(1) in rounds.
+    Same frontier-expansion loop as :func:`bfs_hops`, but all |seeds|
+    BFS trees grow in one distributed loop — the loop count stays
+    bounded by the graph diameter, not diameter × seeds. The level
+    identity ``N(F_d) \\ (F_d ∪ F_{d−1}) = F_{d+1}`` holds per seed.
+
+    Skew/scale posture (the r7 hotspot, 2.58× under Zipf before this):
+    the frontier is a SEED BITMASK per node — (node, mask: long), one
+    bit per seed — not (seed, node) pairs. Every per-round stage is
+    then |frontier nodes|-bounded and pure LongType arithmetic inside
+    whole-stage codegen: expansion is one join of the distinct frontier
+    nodes against the persisted src-partitioned edge layout (a hot
+    node's deg(n) fan-out is paid ONCE, not once per seed that reached
+    it) followed by a map-side-combining ``bit_or`` aggregate; the
+    visited subtraction is ``cmask & ~vmask`` per node — the level
+    identity ``N(F_d) \\ (F_d ∪ F_{d−1}) = F_{d+1}`` evaluated for all
+    seeds at once in one integer op. (seed, node) rows never exist
+    inside the loop; they materialize only in the final broadcast
+    mask-explode. Measured vs the (seed, node)-keyed loop it replaces
+    (sf1.0, 4 seeds, min-of-2, shared warmed session, loop only):
+    uniform 5.1 s → 5.6 s (parity — the small frontier never was the
+    cost), Zipf-skewed 20.1 s → 11.8 s (1.7×). The residual
+    skew-vs-uniform gap is TOPOLOGY, not a hot-key pathology: the
+    skewed graph's hot customers bridge the replica components, so the
+    BFS genuinely reaches ~10× more (seed, node) pairs (639 960 vs
+    63 996 output rows on the same row-count datasets). A
+    collect_set/array_except per-node variant was also measured and
+    REJECTED: non-codegen ObjectHashAggregate made it slower than the
+    pair loop on BOTH datasets (7.0 s / 21.9 s).
+
+    Seeds are processed in chunks of 62 per pass (bit 63 is the BIGINT
+    sign, and 62 keeps the mask portable to engines with checked
+    arithmetic) — this operator targets bounded landmark panels
+    (sampled closeness, blast-radius probes); all-sources BFS is APSP
+    and needs a different algorithm. The panel is collected to the
+    driver (bounded by construction) to mint seed ids. Per-round
+    localCheckpoint + release keeps lineage and executor storage O(1)
+    in rounds.
 
     Returns (seed, node, dist); each seed appears at dist 0.
     """
-    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # distinct before the loop: see bfs_hops — duplicate adjacency on a
     # hot node re-enters the frontier join every round (2.6× closeness
-    # degradation on the Zipf-skewed bench before this)
-    sym = (
-        raw.union(
-            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # degradation on the Zipf-skewed bench before this). Normalizing to
+    # (least, greatest) undirected pairs FIRST halves the distinct's
+    # exchange (|E| rows instead of 2|E|) and also merges (a,b)/(b,a)
+    # duplicates that per-direction distinct would keep.
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         )
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .repartition("src")
         .persist()
     )
-    f0 = (
-        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+    spark = edges.sparkSession
+    seed_vals = [
+        r["seed"]
+        for r in seeds.select(F.col(seeds.columns[0]).alias("seed"))
         .distinct()
-        .select("seed", F.col("seed").alias("node"))
-        .localCheckpoint(eager=True)
-    )
-    levels: list[DataFrame] = [f0]
+        .collect()
+    ]
+    node_type = sym.schema["src"].dataType
     try:
-        prev, cur = None, f0
-        for _h in range(1, max_hops + 1):
-            nxt = (
-                cur.join(sym, cur.node == sym.src)
-                .select("seed", F.col("dst").alias("node"))
-                .distinct()
-                .join(cur, ["seed", "node"], "left_anti")
+        outs: list[DataFrame] = []
+        for lo in range(0, len(seed_vals), 62):
+            outs.append(
+                _msbfs_mask_chunk(
+                    spark, sym, node_type, seed_vals[lo : lo + 62], max_hops
+                )
             )
-            if prev is not None:
-                nxt = nxt.join(prev, ["seed", "node"], "left_anti")
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                release_checkpoint(nxt)
-                break
-            levels.append(nxt)
-            prev, cur = cur, nxt
-        out = levels[0].select(
-            "seed", "node", F.lit(0).cast("long").alias("dist")
-        )
-        for d, frame in enumerate(levels[1:], start=1):
-            out = out.union(
-                frame.select("seed", "node", F.lit(d).cast("long").alias("dist"))
-            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
         return out
     finally:
         sym.unpersist()
+
+
+def _msbfs_mask_chunk(
+    spark,
+    sym: DataFrame,
+    node_type,
+    chunk: list,
+    max_hops: int,
+) -> DataFrame:
+    """One ≤62-seed bitmask BFS pass over the persisted ``sym`` layout
+    (see :func:`multi_source_bfs` for the design rationale)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mask_schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("mask", LongType()),
+        ]
+    )
+    f0 = spark.createDataFrame(
+        [(s, 1 << i) for i, s in enumerate(chunk)], mask_schema
+    ).localCheckpoint(eager=True)
+    levels: list[DataFrame] = [f0]
+    prev, cur = None, f0
+    for _h in range(1, max_hops + 1):
+        cand = (
+            cur.join(sym, cur.node == sym.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.bit_or("mask").alias("cmask"))
+        )
+        vis = cur if prev is None else cur.unionByName(prev)
+        vn = vis.groupBy("node").agg(F.bit_or("mask").alias("vmask"))
+        nxt = (
+            cand.join(vn, "node", "left")
+            .select(
+                "node",
+                F.col("cmask")
+                .bitwiseAND(
+                    F.bitwise_not(F.coalesce("vmask", F.lit(0).cast("long")))
+                )
+                .alias("mask"),
+            )
+            .filter(F.col("mask") != 0)
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            release_checkpoint(nxt)
+            break
+        levels.append(nxt)
+        prev, cur = cur, nxt
+    out = levels[0].select("node", "mask", F.lit(0).cast("long").alias("dist"))
+    for d, frame in enumerate(levels[1:], start=1):
+        out = out.union(
+            frame.select("node", "mask", F.lit(d).cast("long").alias("dist"))
+        )
+    seed_map = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(chunk)],
+        StructType(
+            [StructField("seed", node_type), StructField("sid", LongType())]
+        ),
+    )
+    # broadcast mask-explode: ≤62-row nested-loop side, codegen filter
+    return (
+        out.join(
+            F.broadcast(seed_map),
+            F.call_function("shiftright", F.col("mask"), F.col("sid"))
+            .bitwiseAND(F.lit(1))
+            == 1,
+        )
+        .select("seed", "node", "dist")
+    )
 
 
 def shortest_paths(

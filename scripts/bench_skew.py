@@ -61,16 +61,27 @@ def main() -> None:
         for t in ("orders", "lineitem", "customer"):
             spark.read.parquet(f"{d}/{t}.parquet").count()
 
+    def one_run(name: str, d: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, d)
+        df.agg(
+            F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
+        ).collect()
+        return time.perf_counter() - t0
+
     result: dict[str, dict] = {}
     for name in QUERIES_TO_RUN:
         row: dict[str, float] = {}
         for label, d in (("uniform", UNIFORM), ("skew", SKEWED)):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, d)
-            df.agg(
-                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-            ).collect()
-            row[label] = round(time.perf_counter() - t0, 3)
+            # min-of-2 for sub-60s cells: single-run ratios on the small
+            # plans swung ±0.3× run-to-run (codegen compilation / page-
+            # cache luck), which is the size of the effects this bench
+            # exists to detect. The >60s quadratic cells are stable to a
+            # few % and a repeat would double the bench wall for nothing.
+            dt = one_run(name, d)
+            if dt < 60.0:
+                dt = min(dt, one_run(name, d))
+            row[label] = round(dt, 3)
         row["ratio"] = round(row["skew"] / row["uniform"], 2)
         result[name] = row
         print(f"  {name}: uniform {row['uniform']}s  skew {row['skew']}s  "
