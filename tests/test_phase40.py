@@ -4,8 +4,9 @@ The recall floors are the contract the approx twins exist to certify:
 a change that silently degrades the degree-capped approximation (cap
 selection, md5 sampling, estimator form) must fail HERE, not just shift
 a driver hash. Floors sit below the measured deterministic values
-(sf0.001: 1.0/1.0 — the adaptive cap doesn't bind; sf0.01: 0.77/0.554)
-to tolerate fixture regeneration, not algorithm drift.
+(sf0.001: 1.0/1.0 — the adaptive cap doesn't bind; sf0.01: 0.84/0.682
+at the r8 p95 cap, up from 0.77/0.554 at p90) to tolerate fixture
+regeneration, not algorithm drift.
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ def test_degree_capped_edges_bounds_every_key(spark):
         .filter(F.col("d") == cap)
         .count()
     )
-    assert n_at_cap <= n * 0.2  # p90 cap + ties headroom
+    assert n_at_cap <= n * 0.2  # p95 cap + ties headroom
 
 
 def test_degree_capped_edges_deterministic(spark):
@@ -54,14 +55,14 @@ def test_degree_capped_edges_deterministic(spark):
     assert a == b
 
 
-def test_adaptive_cap_is_p90_with_floor(spark):
+def test_adaptive_cap_is_p95_with_floor(spark):
     cs = _cs_edges(spark, SF2)
     cap = _adaptive_cap(cs)
     degs = sorted(
         r["d"]
         for r in cs.groupBy("cust").agg(F.count("*").alias("d")).collect()
     )
-    k = (9 * len(degs) + 9) // 10
+    k = (19 * len(degs) + 19) // 20
     assert cap == max(degs[k - 1], 30)
 
 
@@ -69,7 +70,7 @@ def test_graph_jaccard_recall_floor(spark):
     r1 = QUERIES["q_graph_jaccard_recall"](spark, SF1).collect()[0]
     assert r1["recall"] >= 0.95
     r2 = QUERIES["q_graph_jaccard_recall"](spark, SF2).collect()[0]
-    assert r2["recall"] >= 0.70
+    assert r2["recall"] >= 0.78
     assert r2["n_exact"] == 100 and r2["n_approx"] == 100
 
 
@@ -77,7 +78,9 @@ def test_item_cf_recall_floor(spark):
     r1 = QUERIES["q_item_cf_recall"](spark, SF1).collect()[0]
     assert r1["recall"] >= 0.9
     r2 = QUERIES["q_item_cf_recall"](spark, SF2).collect()[0]
-    assert r2["recall"] >= 0.45
+    # VERDICT r7 #4 "done" bar: >= 0.6 where the cap binds (measured
+    # 0.682 at the p95 cap)
+    assert r2["recall"] >= 0.6
 
 
 def test_approx_plans_stay_jvm_side(spark):
