@@ -39,77 +39,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-7 rotation: round 6's window gave first driver rows to the
-# round-4 leftovers + early round-5 newcomers (41 hash-green + 9
-# rows-only in CORRECTNESS_r06, zero failures). This round the window
-# turns over to the 65-query driver-blind backlog VERDICT r6 item #1
-# fixed, in its priority order: the 16 remaining round-5 phase-19..25
-# newcomers, the 7 phase-26..28 newcomers, then the first 26 round-6
-# newcomers (phases 29..34). Kept: the flagship q_pivot_count (entry()
-# twin, anchors driver t1/t2 parity).
+# Round-8 rotation: r7's window cleared the phase-19..34 backlog
+# (49 hash-green + 1 rows-only in CORRECTNESS_r07, zero failures).
+# This round the window holds the ENTIRE remaining driver-blind
+# backlog — the 29 phase-35..43 queries VERDICT r7 item #1 lists (the
+# first window with zero left over) — plus the 14 round-8 phase-44
+# newcomers, so every declared query has held a driver CORRECTNESS row
+# by end of round. Kept: the flagship q_pivot_count (entry() twin,
+# anchors driver t1/t2 parity). 1 + 29 + 14 = 44 ≤ 50.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- remaining round-5 phase-19..25 newcomers, never driver-windowed --
-    "q_qq_deciles",
-    "q_autocorrelation",
-    "q_category_drift",
-    "q_xml_roundtrip",
-    "q_from_xml",
-    "q_interval_join",
-    "q_domain_cap",
-    "q_share_of_parent",
-    "q_join_card_est",
-    "q_bitmap_rollup",
-    "q_markov_stationary",
-    "q_tree_rollup",
-    "q_dp_counts",
-    "q_string_agg",
-    "q_pivot_multi_agg",
-    "q_rolling_median",
-    # -- round-5 phase-26..28 newcomers --
-    "q_epoch_shuffle",
-    "q_rare_category_merge",
-    "q_join_strategy_census",
-    "q_ab_srm_check",
-    "q_funnel_latency",
-    "q_revenue_bridge",
-    "q_calendar_heatmap",
-    # -- round-6 phase-29..31 newcomers (all oracle-checked) --
-    "q_pagerank_exact",
-    "q_dataset_card",
-    "q_pii_scrub",
-    "q_cross_source_overlap",
-    "q_vocab_growth",
-    "q_ngram_coverage",
-    "q_customer_ltv",
-    "q_scd2_asof_enrich",
-    "q_reservoir_sample",
-    "q_key_skew_audit",
-    "q_gdpr_delete_audit",
-    "q_embedding_norm_audit",
-    "q_shard_rollup_merge",
-    "q_hash_uniformity",
-    "q_rec_coverage",
-    "q_price_elasticity",
-    "q_duplicate_payments",
-    "q_cohort_ltv_curve",
-    "q_ship_latency",
-    "q_zorder_stats",
-    "q_format_federation",
-    # -- round-6 phase-34 evaluation-metric newcomers (oracle-checked) --
-    "q_auc",
-    "q_calibration_bins",
-    "q_lorenz_curve",
-    "q_tokenizer_fertility",
-    "q_pca_power",
+    # -- round-6 phase-35 mixture newcomers --
+    "q_l_diversity",
+    "q_modularity",
+    "q_ipf_raking",
+    "q_js_divergence",
+    # -- round-6 phase-36 training-ops newcomers --
+    "q_hard_negatives",
+    "q_negative_sampling",
+    "q_dim_truncation_recall",
+    "q_quantile_normalize",
+    # -- round-6 phase-37 drift newcomers --
+    "q_wasserstein",
+    "q_spearman",
+    "q_burstiness",
+    "q_ece",
+    # -- round-6 phase-38/39 clustering newcomers --
+    "q_kmeans_exact",
+    "q_dbscan_labels",
+    "q_silhouette",
+    "q_cluster_scatter",
+    # -- round-7 phase-40..43 newcomers --
+    "q_graph_jaccard_approx",
+    "q_graph_jaccard_recall",
+    "q_item_cf_recs_approx",
+    "q_item_cf_recall",
+    "q_kcore_exact",
+    "q_label_prop_exact",
+    "q_cm_sketch_exact",
+    "q_hll_register_cert",
+    "q_skipgram_pairs",
+    "q_readability",
+    "q_moments",
+    "q_binary_quantize",
+    "q_bq_recall",
+    # -- round-8 phase-44 newcomers --
+    "q_group_mode",
+    "q_confusion_matrix",
+    "q_temperature_mixture",
+    "q_lexical_diversity",
+    "q_theil_index",
+    "q_sax_symbols",
+    "q_rank_metrics",
+    "q_harmonic_centrality",
+    "q_edit_distance_join",
+    "q_weighted_jaccard",
+    "q_clustering_coeff",
+    "q_bloom_fpr_cert",
+    "q_random_walk",
+    "q_hits_scores",
 ]
-# Round-8 rotation queue (still driver-blind after r7, priority order):
-# the round-6 phase-35 mixture newcomers -- q_l_diversity, q_modularity,
-# q_ipf_raking, q_js_divergence; phase-36 training-ops -- q_hard_negatives,
-# q_negative_sampling, q_dim_truncation_recall, q_quantile_normalize;
-# phase-37 drift -- q_wasserstein, q_spearman, q_burstiness, q_ece;
-# phase-38/39 clustering -- q_kmeans_exact, q_dbscan_labels,
-# q_silhouette, q_cluster_scatter; then any round-7 newcomers.
+# Round-9 rotation queue: after this window lands, every declared query
+# has at least one driver CORRECTNESS row. Future windows: flagship +
+# any new-phase newcomers + a rotating refresher slice of the oldest
+# previously-verified rows (staleness guard).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

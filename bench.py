@@ -317,6 +317,21 @@ HEADLINE = [
     # round-7 phase 41: hash-certified fixed-round graph twins
     "q_kcore_exact",
     "q_label_prop_exact",
+    # round-8 phase 44: evaluation/curation/graph coverage wideners
+    "q_group_mode",
+    "q_confusion_matrix",
+    "q_temperature_mixture",
+    "q_lexical_diversity",
+    "q_theil_index",
+    "q_sax_symbols",
+    "q_rank_metrics",
+    "q_harmonic_centrality",
+    "q_edit_distance_join",
+    "q_weighted_jaccard",
+    "q_clustering_coeff",
+    "q_bloom_fpr_cert",
+    "q_random_walk",
+    "q_hits_scores",
 ]
 
 

@@ -1,0 +1,1267 @@
+"""Round-8 phase-44 queries: coverage widening across evaluation
+(confusion matrix, MAP/MRR), curation (temperature-scaled mixture,
+lexical diversity), inequality (Theil), time-series symbolization
+(SAX motifs), graph centrality reuse (harmonic/eccentricity on the
+bitmask multi-source BFS), and per-group modal values.
+
+Reference parity note: the reference (patrick95350/
+legislative-bills-database, 5 R scripts / 737 LoC) has none of this
+surface — phase 44 belongs to the training-pipeline superset SURVEY.md
+§2 mandates alongside dedup/ANN/text analysis. Closest analogs: the
+reference's grepl keyword search feeding per-legislator counts
+(legiscan_main.R:213-235, legislator_bill_counts_run.R:97-126) is the
+same shape as the relevance labels the rank metrics grade here.
+
+Engine-parity notes (the accumulated round-1..7 discipline):
+- every oracle COUNT/SUM over integers is CAST AS BIGINT (DuckDB
+  HUGEINT → pandas float64 hash mismatch);
+- money is summed in integer cents, divisions happen once at the end
+  (single IEEE divisions of exact integers are correctly rounded and
+  engine-identical; parallel FLOAT sums are not);
+- where a sum of floating terms is unavoidable (Theil's Σ(x/μ)ln(x/μ),
+  AP@10's Σ prec@k), each term is computed with identical IEEE ops in
+  both engines, ROUNDed to a fixed scale, cast to DECIMAL, and summed
+  EXACTLY — associativity-proof (the q_behavior_entropy / q_psi
+  precedent for ln());
+- sqrt/ln are acceptable at query time (IEEE-deterministic /
+  established precedent), POWER with fractional exponents is not;
+- integer division is ``//`` in DuckDB and ``DIV`` in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table, load_tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q_group_mode: exact per-group modal value, deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_group_mode",
+    """
+    SELECT n_name, l_returnflag AS mode_returnflag,
+           CAST(n_items AS BIGINT) AS n_items
+    FROM (
+      SELECT n.n_name, l.l_returnflag, COUNT(*) AS n_items,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.n_name
+               ORDER BY COUNT(*) DESC, l.l_returnflag) AS rk
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    WHERE rk = 1
+    ORDER BY n_name
+    """,
+)
+def q_group_mode(spark, sf_dir):
+    """Exact per-group MODE (modal lineitem return flag per supplier
+    nation) with a total tie-break (count DESC, value ASC) — the
+    most-frequent-value profile column every dataset card needs, done
+    as one grouped count + one tiny per-group window (the window input
+    is |groups| × |distinct values|, already aggregated — never the
+    fact table). Dims broadcast; the only fact shuffle is the grouped
+    count, partial-aggregated map-side."""
+    lineitem, supplier, nation = load_tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    counts = (
+        lineitem.join(
+            F.broadcast(supplier),
+            lineitem.l_suppkey == supplier.s_suppkey,
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("n_items").desc(), F.col("l_returnflag").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_name",
+            F.col("l_returnflag").alias("mode_returnflag"),
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_confusion_matrix: thresholded classifier → exact confusion counts
+# ---------------------------------------------------------------------------
+
+_CM_THRESHOLD_CENTS = 15_000_000  # $150,000.00
+
+
+@query(
+    "q_confusion_matrix",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN CAST(o_totalprice * 100 AS BIGINT)
+                       > {_CM_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), c AS (
+      SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+      FROM s
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6) AS recall,
+           ROUND(CAST(2 * tp AS DOUBLE)
+                 / GREATEST(2 * tp + fp + fn, 1), 6) AS f1
+    FROM c
+    """,
+)
+def q_confusion_matrix(spark, sf_dir):
+    """Exact confusion matrix + precision/recall/F1 of the threshold
+    classifier 'order is URGENT iff total > $150k' — the evaluation
+    twin of q_auc (which ranks the same signal thresholdless). All four
+    cells are one map-side-combined aggregate over the fact scan; the
+    three metrics are single IEEE divisions of exact integers
+    (f1 = 2tp/(2tp+fp+fn) — computed from counts, not from the rounded
+    precision/recall, so no double-rounding drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pred = (
+        (F.col("o_totalprice") * 100).cast("long") > _CM_THRESHOLD_CENTS
+    ).cast("long")
+    y = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    c = orders.select(pred.alias("pred"), y.alias("y")).agg(
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("long").alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_temperature_mixture: τ-scaled source sampling weights (τ = 0.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_temperature_mixture",
+    """
+    WITH n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY 1
+    ), p AS (
+      SELECT source, n_docs,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+             CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)
+                             / SUM(n_docs) OVER ()), 12)
+                  AS DECIMAL(18,12)) AS s
+      FROM n
+    )
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS p_raw,
+           ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
+             AS w_tau,
+           ROUND(ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
+                 / (CAST(n_docs AS DOUBLE) / total), 4) AS boost
+    FROM p
+    ORDER BY source
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture weights, τ = 0.5 — the
+    multilingual/multi-source sampling scheme (w_i ∝ p_i^τ) that
+    up-weights small sources for training without flattening the
+    mixture entirely. τ = 0.5 makes the scaling an IEEE sqrt (correctly
+    rounded, engine-identical — fractional POWER would not be); each
+    sqrt term is rounded to 12 places and summed as EXACT decimal, so
+    the normalizer is associativity-proof. ``boost`` = w_tau/p shows
+    the up/down-weighting factor per source. Everything after the one
+    grouped count runs over ≤|sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    wall = Window.partitionBy()
+    p = n.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(wall).cast("long").alias("total"),
+        F.round(
+            F.sqrt(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+            ),
+            12,
+        )
+        .cast("decimal(18,12)")
+        .alias("s"),
+    )
+    w_tau = F.round(
+        F.col("s").cast("double") / F.sum("s").over(wall).cast("double"), 6
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "p_raw"
+        ),
+        w_tau.alias("w_tau"),
+        F.round(
+            w_tau / (F.col("n_docs").cast("double") / F.col("total")), 4
+        ).alias("boost"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_lexical_diversity: per-doc type-token ratio, bucketed corpus profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lexical_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS BIGINT) AS n_types
+      FROM documents
+    ), b AS (
+      SELECT CAST(LEAST((n_types * 10) // GREATEST(n_tok, 1), 9)
+                  AS BIGINT) AS ttr_bucket,
+             n_tok, n_types
+      FROM t
+    )
+    SELECT ttr_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tok), 6)
+             AS pooled_ttr
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_lexical_diversity(spark, sf_dir):
+    """Type-token-ratio profile of the corpus: per-document TTR
+    (distinct / total whitespace tokens) bucketed to deciles, with the
+    pooled TTR per bucket — the lexical-diversity screen that separates
+    template/boilerplate docs (low TTR) from natural text before
+    training. The bucket index is INTEGER arithmetic ((types·10) //
+    tokens, clamped) so bucket edges can't drift between engines; only
+    the pooled ratio is a (single, final) division. One narrow
+    projection → per-row array ops → one grouped aggregate; nothing
+    shuffles except the ≤10-row bucket census."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = docs.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    )
+    b = t.select(
+        F.least(
+            F.expr("(n_types * 10) DIV GREATEST(n_tok, 1)"), F.lit(9)
+        )
+        .cast("long")
+        .alias("ttr_bucket"),
+        "n_tok",
+        "n_types",
+    )
+    return (
+        b.groupBy("ttr_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_types").cast("double") / F.sum("n_tok"), 6
+            ).alias("pooled_ttr"),
+        )
+        .orderBy("ttr_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_index: per-nation Theil T inequality of customer spend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_index",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(o.o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey
+    ), stats AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM spend GROUP BY 1
+    ), terms AS (
+      SELECT s.c_nationkey, st.n,
+             CAST(ROUND((CAST(s.x AS DOUBLE) * st.n / st.total)
+                        * ln(CAST(s.x AS DOUBLE) * st.n / st.total), 9)
+                  AS DECIMAL(38,12)) AS term
+      FROM spend s JOIN stats st ON s.c_nationkey = st.c_nationkey
+    )
+    SELECT n.n_name, t.n AS n_customers,
+           ROUND(CAST(SUM(t.term) AS DOUBLE) / t.n, 6) AS theil
+    FROM terms t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_theil_index(spark, sf_dir):
+    """Per-nation Theil T inequality index of customer spend — the
+    decomposable inequality measure that complements q_gini (Gini) and
+    q_hhi (concentration): T = (1/n)·Σ (x/μ)·ln(x/μ). Spend is exact
+    integer cents; x/μ is computed as x·n/total (two IEEE ops on exact
+    integers), each term is ln()-scaled, rounded to 9 places and summed
+    as EXACT decimal (the q_psi/q_behavior_entropy ln() discipline), so
+    the parallel sum cannot drift. Shuffles: one orders⋈customer join
+    keyed o_custkey, one per-customer aggregate, one ≤25-row nation
+    aggregate — the nation dim rides broadcast."""
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    stats = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    ratio = F.col("x").cast("double") * F.col("n") / F.col("total")
+    terms = spend.join(stats, "c_nationkey").select(
+        "c_nationkey",
+        "n",
+        F.round(ratio * F.log(ratio), 9).cast("decimal(38,12)").alias("term"),
+    )
+    return (
+        terms.join(
+            F.broadcast(nation),
+            terms.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name", "n")
+        .agg(
+            F.round(F.sum("term").cast("double") / F.col("n"), 6).alias(
+                "theil"
+            )
+        )
+        .select(
+            "n_name", F.col("n").alias("n_customers"), "theil"
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sax_symbols: symbolic aggregate approximation motifs per region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sax_symbols",
+    """
+    WITH daily AS (
+      SELECT r.r_name, o.o_orderdate AS d,
+             CAST(SUM(CAST(o.o_totalprice * 100 AS BIGINT)) AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT r_name, d,
+             CASE NTILE(3) OVER (PARTITION BY r_name ORDER BY rev, d)
+               WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END AS s
+      FROM daily
+    ), words AS (
+      SELECT r_name,
+             s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w AS word
+      FROM sym
+      WINDOW w AS (PARTITION BY r_name ORDER BY d)
+    )
+    SELECT r_name, word, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT r_name, word, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY r_name ORDER BY COUNT(*) DESC, word) AS rk
+      FROM words WHERE word IS NOT NULL
+      GROUP BY 1, 2)
+    WHERE rk <= 3
+    ORDER BY r_name, n DESC, word
+    """,
+)
+def q_sax_symbols(spark, sf_dir):
+    """SAX (symbolic aggregate approximation) motif mining over the
+    per-region daily revenue series: each day becomes a tercile symbol
+    a/b/c (NTILE over the region's own revenue distribution — a
+    deterministic integer bucketing, no float breakpoints to drift),
+    consecutive symbols form 3-day words, and the top-3 words per
+    region are the region's dominant revenue motifs ('ccc' = sustained
+    high, 'aca' = oscillating…). The symbolization windows partition by
+    region (5 concurrent series, each a few thousand days — bounded
+    per-task sort, never a global one); the fact table's only shuffle
+    is the daily grouped sum, dims broadcast."""
+    orders, customer, nation, region = load_tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    wrank = Window.partitionBy("r_name").orderBy("rev", "d")
+    sym = daily.select(
+        "r_name",
+        "d",
+        F.when(F.ntile(3).over(wrank) == 1, "a")
+        .when(F.ntile(3).over(wrank) == 2, "b")
+        .otherwise("c")
+        .alias("s"),
+    )
+    wseq = Window.partitionBy("r_name").orderBy("d")
+    words = sym.select(
+        "r_name",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(wseq), F.lead("s", 2).over(wseq)
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    counts = words.groupBy("r_name", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtop = Window.partitionBy("r_name").orderBy(
+        F.col("n").desc(), F.col("word").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 3)
+        .select("r_name", "word", F.col("n").cast("long").alias("n"))
+        .orderBy("r_name", F.col("n").desc(), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rank_metrics: MAP@10 + MRR of a spend ranking retrieving urgent
+# customers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rank_metrics",
+    """
+    WITH rel AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+               AS spend,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS is_rel
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT c.c_nationkey, r.is_rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY r.spend DESC, r.o_custkey) AS rk
+      FROM rel r JOIN customer c ON r.o_custkey = c.c_custkey
+    ), nrel AS (
+      SELECT c_nationkey, CAST(SUM(is_rel) AS BIGINT) AS n_relevant
+      FROM ranked GROUP BY 1
+    ), top AS (
+      SELECT c_nationkey, rk, is_rel,
+             SUM(is_rel) OVER (
+               PARTITION BY c_nationkey ORDER BY rk) AS hits
+      FROM ranked WHERE rk <= 10
+    ), ap AS (
+      SELECT t.c_nationkey,
+             CAST(SUM(CASE WHEN t.is_rel = 1 THEN
+               CAST(CAST(t.hits AS DOUBLE) / t.rk AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END) AS DECIMAL(18,12))
+               AS ap_num,
+             MIN(CASE WHEN t.is_rel = 1 THEN t.rk END) AS first_rel
+      FROM top t GROUP BY 1
+    )
+    SELECT n.n_name, nr.n_relevant,
+           ROUND(CAST(a.ap_num AS DOUBLE)
+                 / GREATEST(LEAST(nr.n_relevant, 10), 1), 6) AS ap10,
+           ROUND(CASE WHEN a.first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / a.first_rel END, 6) AS rr
+    FROM ap a
+    JOIN nrel nr ON a.c_nationkey = nr.c_nationkey
+    JOIN nation n ON a.c_nationkey = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def q_rank_metrics(spark, sf_dir):
+    """MAP@10 and MRR per nation of the ranking 'customers by total
+    spend' retrieving the relevance set 'customers with ≥1 urgent
+    order' — the retrieval-evaluation pair that complements q_ndcg
+    (graded gains) and q_auc (thresholdless): AP@10 = Σ_rel prec@k /
+    min(R, 10), RR = 1/rank of the first relevant hit. Every prec@k
+    term is one IEEE division of exact integers, cast to DECIMAL and
+    summed exactly (≤10 terms — but exactness by construction, not by
+    term count). The ranking windows partition by nation (bounded
+    per-task sort); the per-customer rollup is the only fact
+    shuffle."""
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    rel = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend"),
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias(
+            "is_rel"
+        ),
+    )
+    ranked = rel.join(
+        customer, rel.o_custkey == customer.c_custkey
+    ).select(
+        "c_nationkey",
+        "is_rel",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy(
+                F.col("spend").desc(), F.col("o_custkey").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    nrel = ranked.groupBy("c_nationkey").agg(
+        F.sum("is_rel").cast("long").alias("n_relevant")
+    )
+    top = ranked.filter(F.col("rk") <= 10).withColumn(
+        "hits",
+        F.sum("is_rel").over(
+            Window.partitionBy("c_nationkey")
+            .orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    term = F.when(
+        F.col("is_rel") == 1,
+        (F.col("hits").cast("double") / F.col("rk")).cast("decimal(18,12)"),
+    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+    ap = top.groupBy("c_nationkey").agg(
+        F.sum(term).cast("decimal(18,12)").alias("ap_num"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("first_rel"),
+    )
+    return (
+        ap.join(nrel, "c_nationkey")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            "n_name",
+            "n_relevant",
+            F.round(
+                F.col("ap_num").cast("double")
+                / F.greatest(
+                    F.least(F.col("n_relevant"), F.lit(10)), F.lit(1)
+                ),
+                6,
+            ).alias("ap10"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_harmonic_centrality: harmonic + eccentricity on the bitmask BFS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_harmonic_centrality",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT concat('c', o_custkey) AS src,
+                      concat('s', l_suppkey) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), bfs AS (
+      SELECT seed, seed AS node, 0 AS dist
+      FROM (VALUES ('s1'), ('s2'), ('s3'), ('s4')) AS seeds(seed)
+      UNION
+      SELECT b.seed, s.dst, b.dist + 1
+      FROM bfs b JOIN sym s ON b.node = s.src
+      WHERE b.dist < 6
+    ), md AS (
+      SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2
+    )
+    SELECT seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+                AS BIGINT) AS harmonic_ppm,
+           CAST(MAX(dist) AS BIGINT) AS eccentricity
+    FROM md GROUP BY 1 ORDER BY seed
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality (Σ 1/d, the closeness variant that handles
+    disconnected graphs gracefully) AND hop-bounded eccentricity
+    (max d) for the four landmark suppliers, from ONE bitmask
+    multi-source BFS pass (operators/graph.multi_source_bfs — the same
+    frontier loop q_closeness rides; the three centralities differ only
+    in the final per-seed aggregate). The reciprocal sum is EXACT
+    integer micro-units (1 000 000 DIV d per node — no float
+    accumulation), so the whole iterative computation remains
+    value-hash-certified by the recursive-CTE oracle."""
+    from ..operators.graph import multi_source_bfs
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",), ("s4",)], "seed string"
+    )
+    dists = multi_source_bfs(edges, seeds, max_hops=6)
+    return (
+        dists.groupBy("seed")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    F.expr("1000000 DIV dist"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("harmonic_ppm"),
+            F.max("dist").cast("long").alias("eccentricity"),
+        )
+        .orderBy("seed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_edit_distance_join: blocked Levenshtein similarity join (entity
+# resolution blocking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_edit_distance_join",
+    """
+    WITH pairs AS (
+      SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+       AND abs(length(a.p_name) - length(b.p_name)) <= 6
+    )
+    SELECT k1, k2, dist FROM pairs
+    ORDER BY dist, k1, k2 LIMIT 15
+    """,
+)
+def q_edit_distance_join(spark, sf_dir):
+    """Blocked edit-distance similarity join over part names — the
+    entity-resolution primitive (find near-identical records) done the
+    way it survives scale: NEVER all-pairs. Candidate pairs come from
+    an equality join on the blocking key (brand, size) — a plain
+    co-partitioned hash join, |block|²/2 Levenshtein evaluations per
+    block instead of |parts|²/2 total (20k parts → ~1.2k blocks of ~16
+    → ~3·10⁵ evals vs 2·10⁸ unblocked) — plus a length-band predicate
+    that skips evaluations the threshold could never accept (|len
+    diff| ≤ 6 bounds achievable distance from below). Top-15 closest
+    pairs, fully deterministic tie-break. Levenshtein itself is an
+    exact integer in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+        "p_brand",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+        F.col("p_brand").alias("b2"),
+        F.col("p_size").alias("s2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("p_brand") == F.col("b2"))
+        & (F.col("p_size") == F.col("s2"))
+        & (F.col("k1") < F.col("k2"))
+        & (
+            F.abs(F.length("n1") - F.length("n2")) <= 6
+        ),
+    ).select(
+        "k1",
+        "k2",
+        F.levenshtein("n1", "n2").cast("long").alias("dist"),
+    )
+    return pairs.orderBy("dist", "k1", "k2").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_jaccard: quantity-weighted neighborhood similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_jaccard",
+    """
+    WITH w AS (
+      SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT supp, CAST(SUM(qty) AS BIGINT) AS t FROM w GROUP BY 1
+    ), inter AS (
+      SELECT a.supp AS s1, b.supp AS s2,
+             CAST(SUM(LEAST(a.qty, b.qty)) AS BIGINT) AS minsum,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT i.s1, i.s2, i.n_shared,
+           ROUND(CAST(i.minsum AS DOUBLE)
+                 / (t1.t + t2.t - i.minsum), 6) AS wjaccard
+    FROM inter i
+    JOIN tot t1 ON i.s1 = t1.supp
+    JOIN tot t2 ON i.s2 = t2.supp
+    ORDER BY wjaccard DESC, i.s1, i.s2
+    LIMIT 50
+    """,
+)
+def q_weighted_jaccard(spark, sf_dir):
+    """Quantity-WEIGHTED neighborhood Jaccard between suppliers —
+    q_graph_jaccard's graded sibling: WJ = Σ min(w_a, w_b) / Σ max over
+    the customer union, where Σ max folds to tot_a + tot_b − Σ min, so
+    only the SHARED-customer pair join is ever evaluated (the union
+    never materializes). Weights are exact integer quantities; one
+    division per surviving pair. Same scale posture as the unweighted
+    plan: the pair self-join co-partitions on the customer key with
+    map-side-combined min-sums, and the hot-key d²/2 story (and its
+    degree-capped escape hatch, operators/basket.degree_capped_edges)
+    carries over unchanged."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    w = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = w.groupBy("supp").agg(F.sum("qty").cast("long").alias("t"))
+    a = w.select(
+        F.col("cust").alias("ca"), F.col("supp").alias("s1"),
+        F.col("qty").alias("qa"),
+    )
+    b = w.select(
+        F.col("cust").alias("cb"), F.col("supp").alias("s2"),
+        F.col("qty").alias("qb"),
+    )
+    inter = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(F.least("qa", "qb")).cast("long").alias("minsum"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 2)
+    )
+    t1 = tot.select(F.col("supp").alias("s1"), F.col("t").alias("t1"))
+    t2 = tot.select(F.col("supp").alias("s2"), F.col("t").alias("t2"))
+    return (
+        inter.join(t1, "s1")
+        .join(t2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("minsum").cast("double")
+                / (F.col("t1") + F.col("t2") - F.col("minsum")),
+                6,
+            ).alias("wjaccard"),
+        )
+        .orderBy(F.col("wjaccard").desc(), "s1", "s2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_clustering_coeff: local clustering coefficient on the similarity
+# graph
+# ---------------------------------------------------------------------------
+
+from ..functions.vectors import sql_cosine as _sql_cosine  # noqa: E402
+
+_CC_COS = _sql_cosine("a.embedding", "b.embedding")
+
+
+@query(
+    "q_clustering_coeff",
+    f"""
+    WITH e AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
+        AND {_CC_COS} >= 0.3
+    ), deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+    ), tri AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ), pt AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY 1
+    )
+    SELECT d.n AS node, d.d AS degree,
+           CAST(COALESCE(pt.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CAST(2 * COALESCE(pt.t, 0) AS DOUBLE)
+                 / (d.d * (d.d - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN pt ON d.n = pt.n
+    WHERE d.d >= 2
+    ORDER BY lcc DESC, node LIMIT 20
+    """,
+)
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient of the embedding
+    similarity graph (q_triangle_count's graph): lcc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) — the transitivity profile that tells a dedup
+    pipeline WHICH neighborhoods are dense near-duplicate families vs
+    chains of borderline matches. Triangles enumerate once through the
+    canonical a<b wedge join (three hash joins, no theta join) and then
+    unpivot to per-corner counts; degrees and the final ratio are exact
+    integers to one division. Same sparse-by-construction graph bound
+    as q_triangle_count (the co-occurrence-graph wedge explosion is the
+    documented counterexample)."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    e = (
+        embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.3)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select("b"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+    tri = (
+        ab.join(bc, "y")
+        .join(
+            ac,
+            (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2")),
+        )
+        .select("x", "y", "z")
+    )
+    pt = (
+        tri.select(F.col("x").alias("n"))
+        .union(tri.select("y"))
+        .union(tri.select("z"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(pt, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce("t", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy(F.col("lcc").desc(), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_fpr_cert: portable relational Bloom filter with MEASURED FPR
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _sql_bloom_pos(key_expr: str, i_expr: str) -> str:
+    from ..operators.sketches import _sql_fold8
+
+    return (
+        "("
+        + _sql_fold8(
+            f"md5(CAST({key_expr} AS VARCHAR) || ':' "
+            f"|| CAST({i_expr} AS VARCHAR))"
+        )
+        + f") % {_BLOOM_M}"
+    )
+
+
+@query(
+    "q_bloom_fpr_cert",
+    f"""
+    WITH members AS (
+      SELECT c_custkey AS k FROM customer WHERE c_nationkey = 7
+    ), probes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_nationkey = 12
+    ), hs AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    bits AS (
+      SELECT DISTINCT {_sql_bloom_pos("m.k", "h.i")} AS pos
+      FROM members m, hs h
+    ), phits AS (
+      SELECT p.k,
+             CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM probes p CROSS JOIN hs h
+      LEFT JOIN bits b ON {_sql_bloom_pos("p.k", "h.i")} = b.pos
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(COUNT(*) * 1000000 // {_BLOOM_M} AS BIGINT)
+              FROM bits) AS occupancy_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS fpr
+    FROM phits
+    """,
+)
+def q_bloom_fpr_cert(spark, sf_dir):
+    """Fully RELATIONAL Bloom filter with a measured false-positive
+    rate — the certified twin of q_bloom_join (whose JVM
+    BloomFilterImpl no other engine can replay): k=3 portable md5-fold
+    bit positions in an m=16384-bit space, membership = nation-7
+    customer keys, probes = nation-12 keys (DISJOINT by construction,
+    so every probe hit IS a false positive — the FPR needs no labeled
+    ground truth). Output: bit occupancy (exact integer ppm) and the
+    measured FPR. Scale shape: the bit set is ≤m rows however large the
+    member set gets, the probe side joins it by position (broadcast-
+    sized), and both sides are one narrow scan + explode(k)."""
+    from ..operators.sketches import _fold8
+
+    customer = load_table(spark, sf_dir, "customer")
+    hs = F.explode(
+        F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    ).alias("i")
+
+    def positions(df, keycol):
+        return df.select(
+            F.col(keycol).alias("k"), hs
+        ).select(
+            "k",
+            (
+                _fold8(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("k").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    )
+                )
+                % _BLOOM_M
+            ).alias("pos"),
+        )
+
+    members = customer.filter(F.col("c_nationkey") == 7)
+    probes = customer.filter(F.col("c_nationkey") == 12)
+    bits = positions(members, "c_custkey").select("pos").distinct()
+    n_members = members.count()
+    n_bits = bits.count()
+    ph = (
+        positions(probes, "c_custkey")
+        .join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+              F.col("pos") == F.col("bpos"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("bpos").isNotNull(), 1).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    return ph.agg(
+        F.lit(n_members).cast("long").alias("n_members"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.lit(n_bits * 1_000_000 // _BLOOM_M).cast("long").alias(
+            "occupancy_ppm"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_random_walk: deterministic md5-guided graph walks
+# ---------------------------------------------------------------------------
+
+_RW_STEPS = 4
+
+_SQL_RW_BASE = """e AS (
+      SELECT DISTINCT concat('c', o_custkey) AS src,
+                      concat('s', l_suppkey) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), w0 AS (
+      SELECT seed, seed AS node
+      FROM (VALUES ('s1'), ('s2'), ('s3'), ('s4')) AS seeds(seed)
+    )"""
+
+
+def _sql_rw(steps: int) -> str:
+    ctes = []
+    for t in range(1, steps + 1):
+        ctes.append(f"""w{t} AS (
+      SELECT seed, node FROM (
+        SELECT w.seed, s.dst AS node,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.seed
+                 ORDER BY md5(w.seed || ':{t}:' || s.dst), s.dst) AS rn
+        FROM w{t - 1} w JOIN sym s ON w.node = s.src)
+      WHERE rn = 1
+    )""")
+    body = ",\n    ".join(ctes)
+    selects = " UNION ALL ".join(
+        f"SELECT seed, {t} AS step, node FROM w{t}" for t in range(steps + 1)
+    )
+    return f"""{body}
+    SELECT seed, CAST(step AS BIGINT) AS step, node FROM ({selects})
+    ORDER BY seed, step"""
+
+
+@query(
+    "q_random_walk",
+    f"""
+    WITH {_SQL_RW_BASE},
+    {_sql_rw(_RW_STEPS)}
+    """,
+)
+def q_random_walk(spark, sf_dir):
+    """Deterministic 'random' walks over the purchase graph — the
+    node2vec/DeepWalk sampling primitive that turns a graph into
+    training sequences: from each landmark seed, 4 steps where the next
+    hop is the neighbor minimizing md5(seed:step:neighbor). The md5
+    choice is uniform-ish over neighbors yet PORTABLE, so the entire
+    stochastic-looking computation is value-hash-replayed by the
+    oracle (the q_dp_counts randomness discipline applied to walks —
+    the walk is random in distribution, deterministic in execution).
+    Per step: one join of the ≤|seeds|-row frontier against the
+    src-partitioned edge layout + a per-seed min window over the
+    neighbor fan-out — the hot-node cost is one window sort, never a
+    pair blowup. At corpus scale you'd run thousands of walks per
+    node: same plan, wider frontier, the per-(walk, step) argmin stays
+    one combined window pass."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",), ("s4",)], "seed string"
+    ).select("seed", F.col("seed").alias("node"))
+    out = cur.select("seed", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, _RW_STEPS + 1):
+        h = F.md5(
+            F.concat(F.col("seed"), F.lit(f":{t}:"), F.col("dst"))
+        )
+        w = Window.partitionBy("seed").orderBy(h.asc(), F.col("dst").asc())
+        cur = (
+            cur.join(sym, cur.node == sym.src)
+            .select("seed", "dst")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("seed", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(
+            cur.select("seed", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return out.orderBy("seed", "step")
+
+
+# ---------------------------------------------------------------------------
+# q_hits_scores: fixed-round integer-certified HITS authorities
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 4
+_HITS_SCALE = 1_000_000
+
+_SQL_HITS_BASE = """ce AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), h0 AS (
+      SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM ce
+    )"""
+
+
+def _sql_hits(rounds: int) -> str:
+    ctes = []
+    prev_h = "h0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""ar{r} AS MATERIALIZED (
+      SELECT e.supp, CAST(SUM(h.h) AS BIGINT) AS a
+      FROM ce e JOIN {prev_h} h ON e.cust = h.cust
+      GROUP BY 1
+    ), aq{r} AS MATERIALIZED (
+      SELECT supp,
+             CAST(a * {_HITS_SCALE} // (SELECT MAX(a) FROM ar{r})
+                  AS BIGINT) AS a
+      FROM ar{r}
+    ), hr{r} AS MATERIALIZED (
+      SELECT e.cust, CAST(SUM(a.a) AS BIGINT) AS h
+      FROM ce e JOIN aq{r} a ON e.supp = a.supp
+      GROUP BY 1
+    ), h{r} AS MATERIALIZED (
+      SELECT cust,
+             CAST(h * {_HITS_SCALE} // (SELECT MAX(h) FROM hr{r})
+                  AS BIGINT) AS h
+      FROM hr{r}
+    )""")
+        prev_h = f"h{r}"
+    body = ",\n    ".join(ctes)
+    return f"""{body}
+    SELECT supp, a AS auth_ppm FROM aq{rounds}
+    ORDER BY auth_ppm DESC, supp LIMIT 15"""
+
+
+@query(
+    "q_hits_scores",
+    f"""
+    WITH {_SQL_HITS_BASE},
+    {_sql_hits(_HITS_ROUNDS)}
+    """,
+)
+def q_hits_scores(spark, sf_dir):
+    """Hash-certified HITS (Kleinberg hubs-and-authorities) on the
+    customer→supplier purchase graph — the q_pagerank_exact discipline
+    applied to the two-sided mutual-reinforcement iteration: exactly 4
+    fixed rounds of a(s) = Σ h(c), h(c) = Σ a(s), each side re-scaled
+    by x·10⁶ // max in INTEGER arithmetic (floor-divided fixed point —
+    floating normalization could never hash-match across engines). Top
+    15 authorities in ppm of the round-4 maximum. Per round: two joins
+    against the persisted distinct edge list, each co-partitioned on
+    its key, two map-side-combined sums, and two 1-row max aggregates
+    that ride broadcast — the loop is O(diameter-free), always 4
+    rounds, so the chained-CTE oracle replays it verbatim."""
+    from ..operators.graph import release_checkpoint
+    from .roundseven_queries import _cs_edges
+
+    ce = _cs_edges(spark, sf_dir)
+    h = (
+        ce.select("cust")
+        .distinct()
+        .select("cust", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    )
+    a_final = None
+    prev_h = None
+    for _r in range(_HITS_ROUNDS):
+        ar = (
+            ce.join(h, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        amax = ar.agg(F.max("a").alias("am"))
+        aq = ar.crossJoin(F.broadcast(amax)).select(
+            "supp",
+            F.expr(f"CAST(a * {_HITS_SCALE} DIV am AS LONG)").alias("a"),
+        ).localCheckpoint(eager=True)
+        if a_final is not None:
+            release_checkpoint(a_final)  # only the last aq survives
+        hr = (
+            ce.join(aq, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hmax = hr.agg(F.max("h").alias("hm"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "cust",
+            F.expr(f"CAST(h * {_HITS_SCALE} DIV hm AS LONG)").alias("h"),
+        ).localCheckpoint(eager=True)
+        if prev_h is not None:
+            release_checkpoint(prev_h)
+        prev_h = h
+        a_final = aq
+    return (
+        a_final.select("supp", F.col("a").alias("auth_ppm"))
+        .orderBy(F.col("auth_ppm").desc(), "supp")
+        .limit(15)
+    )

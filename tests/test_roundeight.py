@@ -161,3 +161,153 @@ def test_injection_seam_with_real_pil_decoder(spark):
         img = Image.open(io.BytesIO(bytes(r.payload)))
         assert img.size == (5, 6)
         assert (r.width, r.height) == (5, 6)
+
+
+# ---------------------------------------------------------------------------
+# Phase-44 semantic pins (oracle parity is covered by
+# test_oracle_parity.py; these pin the SEMANTICS the SQL can't state)
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_matrix_identities(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_confusion_matrix"](spark, SF1).collect()[0]
+    n = r.tp + r.fp + r.fn + r.tn
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF1}/orders.parquet')"
+    ).fetchone()[0]
+    assert n == total  # cells partition the population
+    if r.tp:
+        # f1 is the harmonic mean of the unrounded precision/recall
+        p = r.tp / (r.tp + r.fp)
+        rc = r.tp / (r.tp + r.fn)
+        assert abs(r.f1 - 2 * p * rc / (p + rc)) < 1e-6
+
+
+def test_group_mode_is_argmax(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_group_mode"](spark, SF1).collect()
+    assert rows and len({r.n_name for r in rows}) == len(rows)
+    assert all(r.n_items > 0 for r in rows)
+
+
+def test_temperature_mixture_flattens(spark):
+    """τ=0.5 weights must sum to ~1 and compress the mixture: the
+    largest source is down-weighted, the smallest up-weighted."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_temperature_mixture"](spark, SF1).collect()
+    assert abs(sum(r.w_tau for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs != small.n_docs:
+        assert big.boost <= 1.0 + 1e-9
+        assert small.boost >= 1.0 - 1e-9
+
+
+def test_bloom_fpr_bounds(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_bloom_fpr_cert"](spark, SF1).collect()[0]
+    assert 0 < r.n_bits_set <= 3 * r.n_members  # k distinct positions max
+    assert 0 <= r.n_false_pos <= r.n_probes
+    # occupancy is low on the fixture → FPR must be well under 50%
+    assert r.fpr < 0.5
+    assert r.occupancy_ppm == r.n_bits_set * 1_000_000 // 16384
+
+
+def test_random_walk_is_a_walk(spark):
+    """Every step's node must be adjacent to the previous step's node,
+    and the walk must be deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.io import load_tables
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = sorted(
+        map(tuple, QUERIES["q_random_walk"](spark, SF1).collect())
+    )
+    again = sorted(
+        map(tuple, QUERIES["q_random_walk"](spark, SF1).collect())
+    )
+    assert rows == again
+    orders, lineitem = load_tables(spark, SF1, "orders", "lineitem")
+    edges = {
+        (r.src, r.dst)
+        for r in orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    }
+    adj = edges | {(b, a) for a, b in edges}
+    walks: dict = {}
+    for seed, step, node in rows:
+        walks.setdefault(seed, {})[step] = node
+    for seed, path in walks.items():
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in adj
+
+
+def test_hits_authorities_positive_and_bounded(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_hits_scores"](spark, SF1).collect()
+    assert rows and rows[0].auth_ppm == 1_000_000  # top authority = max
+    assert all(0 < r.auth_ppm <= 1_000_000 for r in rows)
+    ppms = [r.auth_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+
+
+def test_weighted_jaccard_bounds(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_weighted_jaccard"](spark, SF1).collect()
+    assert rows
+    assert all(0 < r.wjaccard <= 1.0 for r in rows)
+
+
+def test_lexical_diversity_buckets(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_lexical_diversity"](spark, SF1).collect()
+    assert sum(r.n_docs for r in rows) == 500  # doc fixture size at sf0.001
+    assert all(0 <= r.ttr_bucket <= 9 for r in rows)
+    assert all(0 < r.pooled_ttr <= 1.0 for r in rows)
+
+
+def test_harmonic_centrality_consistency(spark):
+    """harmonic_ppm and eccentricity must be consistent with the
+    closeness query's BFS on the same graph/seeds."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    hc = {r.seed: r for r in QUERIES["q_harmonic_centrality"](spark, SF1).collect()}
+    cl = {r.seed: r for r in QUERIES["q_closeness"](spark, SF1).collect()}
+    assert set(hc) == set(cl)
+    for s in hc:
+        assert hc[s].n_reached == cl[s].n_reached
+        assert 1 <= hc[s].eccentricity <= 6
+        # Σ 1e6/d ≤ 1e6 · n_reached, and ≥ 1e6·n/ecc
+        assert hc[s].harmonic_ppm <= 1_000_000 * hc[s].n_reached
+        assert hc[s].harmonic_ppm >= 1_000_000 * hc[s].n_reached // hc[s].eccentricity
+
+
+def test_edit_distance_join_blocked(spark):
+    """Pairs only within (brand, size) blocks; distances exact."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_edit_distance_join"](spark, SF1).collect()
+    # the sf0.001 part table has few same-(brand,size) blocks — the
+    # top-15 cut may be under-full there; non-empty + ordered is the pin
+    assert 1 <= len(rows) <= 15
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(r.k1 < r.k2 for r in rows)
