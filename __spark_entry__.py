@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # first window with zero left over) — plus the 14 round-8 phase-44
 # newcomers, so every declared query has held a driver CORRECTNESS row
 # by end of round. Kept: the flagship q_pivot_count (entry() twin,
-# anchors driver t1/t2 parity). 1 + 29 + 14 = 44 ≤ 50.
+# anchors driver t1/t2 parity). 1 + 29 + 14 + 4 = 48 ≤ 50.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
     # -- round-6 phase-35 mixture newcomers --
@@ -98,6 +98,11 @@ _WINDOW = [
     "q_bloom_fpr_cert",
     "q_random_walk",
     "q_hits_scores",
+    # -- round-8 phase-45 newcomers --
+    "q_zipf_fit",
+    "q_ngram_entropy_rate",
+    "q_minmax_scale",
+    "q_simpson_check",
 ]
 # Round-9 rotation queue: after this window lands, every declared query
 # has at least one driver CORRECTNESS row. Future windows: flagship +

@@ -332,6 +332,11 @@ HEADLINE = [
     "q_bloom_fpr_cert",
     "q_random_walk",
     "q_hits_scores",
+    # round-8 phase 45: corpus statistics + robustness screens
+    "q_zipf_fit",
+    "q_ngram_entropy_rate",
+    "q_minmax_scale",
+    "q_simpson_check",
 ]
 
 

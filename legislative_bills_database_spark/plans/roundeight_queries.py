@@ -1265,3 +1265,374 @@ def q_hits_scores(spark, sf_dir):
         .orderBy(F.col("auth_ppm").desc(), "supp")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 45: corpus statistics + robustness screens
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY 1 ORDER BY c DESC, w LIMIT 200
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM freq
+    ), terms AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,12)) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,12)) AS y,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(28,12)) AS xy,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+                  AS DECIMAL(28,12)) AS xx
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                 6) AS zipf_slope,
+           ROUND((CAST(SUM(y) AS DOUBLE)
+                  - ((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                        - CAST(SUM(x) AS DOUBLE)
+                          * CAST(SUM(x) AS DOUBLE)))
+                    * CAST(SUM(x) AS DOUBLE)) / COUNT(*), 6) AS intercept
+    FROM terms
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency slope of the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) over the top-200 tokens (≈ −1 for natural
+    language; far-off slopes flag synthetic/templated corpora — the
+    token-domain sibling of q_powerlaw_fit's degree-domain fit). The
+    regression terms are ln() products rounded to 9 places and summed
+    as EXACT decimals (the Theil/PSI discipline), so the parallel sums
+    can't drift; the closed-form slope/intercept are a handful of
+    deterministic double ops on those exact sums. The token count is
+    vocabulary-bounded; the top-200 cut is a TakeOrdered (never a
+    global sort), and the rank window runs over exactly 200 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(200)
+    )
+    # 200-row frame: the unpartitioned rank window is bounded by the
+    # LIMIT above, never by corpus size
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("w").asc())
+        ),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    terms = ranked.select(
+        F.round(lx, 9).cast("decimal(28,12)").alias("x"),
+        F.round(ly, 9).cast("decimal(28,12)").alias("y"),
+        F.round(lx * ly, 9).cast("decimal(28,12)").alias("xy"),
+        F.round(lx * lx, 9).cast("decimal(28,12)").alias("xx"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_ngram_entropy_rate",
+    """
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS l FROM documents
+    ), big AS (
+      SELECT source,
+             unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS w1,
+             unnest([l[i + 1] FOR i IN generate_series(1, len(l) - 1)]) AS w2
+      FROM toks WHERE len(l) >= 2
+    ), c2 AS (
+      SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2, 3
+    ), c1 AS (
+      SELECT source, w1, CAST(SUM(c) AS BIGINT) AS cw1
+      FROM c2 GROUP BY 1, 2
+    ), n AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS nb FROM c2 GROUP BY 1
+    ), terms AS (
+      SELECT c2.source,
+             CAST(ROUND((CAST(c2.c AS DOUBLE) / n.nb)
+                        * ln(CAST(c2.c AS DOUBLE) / c1.cw1), 9)
+                  AS DECIMAL(28,12)) AS t
+      FROM c2
+      JOIN c1 ON c2.source = c1.source AND c2.w1 = c1.w1
+      JOIN n ON c2.source = n.source
+    )
+    SELECT t.source, n.nb AS n_bigrams,
+           ROUND(-CAST(SUM(t.t) AS DOUBLE), 6) AS entropy_rate
+    FROM terms t JOIN n ON t.source = n.source
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_ngram_entropy_rate(spark, sf_dir):
+    """Bigram conditional entropy rate H(w₂|w₁) per source — the
+    language-model-flavored predictability screen (low rate =
+    templated/repetitive text; complements q_char_entropy's unigram
+    character entropy and q_repetition's exact-span detector):
+    H = −Σ p(w₁,w₂)·ln p(w₂|w₁) with p(w₂|w₁) = c₂/c₁ straight from
+    the bigram table (so the conditioning marginal is consistent by
+    construction). Each term is identical IEEE ops in both engines,
+    rounded to 9 and decimal-summed exactly. The bigram counts
+    partial-aggregate map-side; c₁ folds FROM c₂ (no second corpus
+    pass); everything after the counts is vocabulary-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select("source", toks.alias("l")).filter(F.size("l") >= 2)
+    big = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("w1"),
+                    F.element_at("l", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("source", "bg.w1", "bg.w2")
+    c2 = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c1 = c2.groupBy("source", "w1").agg(
+        F.sum("c").cast("long").alias("cw1")
+    )
+    n = c2.groupBy("source").agg(F.sum("c").cast("long").alias("nb"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("nb"))
+        * F.log(F.col("c").cast("double") / F.col("cw1")),
+        9,
+    ).cast("decimal(28,12)")
+    terms = (
+        c2.join(c1, ["source", "w1"])
+        .join(F.broadcast(n), "source")
+        .select("source", term.alias("t"))
+    )
+    return (
+        terms.join(F.broadcast(n), "source")
+        .groupBy("source", "nb")
+        .agg(F.round(-F.sum("t").cast("double"), 6).alias("entropy_rate"))
+        .select(
+            "source", F.col("nb").alias("n_bigrams"), "entropy_rate"
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_minmax_scale",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY 1
+    ), scaled AS (
+      SELECT e.event_type, s.n, s.vmin, s.vmax,
+             CAST(ROUND(CASE WHEN s.vmax = s.vmin THEN 0.5
+                   ELSE (e.value - s.vmin) / (s.vmax - s.vmin) END, 9)
+                  AS DECIMAL(28,12)) AS sv
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_type, n,
+           ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax,
+           ROUND(CAST(SUM(sv) AS DOUBLE) / n, 6) AS mean_scaled
+    FROM scaled GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+)
+def q_minmax_scale(spark, sf_dir):
+    """Per-group min-max feature scaling with a drift-proof mean: the
+    [0,1] normalization every feature pipeline applies before training
+    (q_quantile_normalize's simpler linear sibling). min/max of doubles
+    are exact element picks, each scaled value is identical IEEE ops in
+    both engines, and the scaled MEAN is a rounded-term exact-decimal
+    sum — a naive SUM(double)/n over a parallel scan is order-dependent
+    in the last ulp and can never hash-match (the repo-wide float-sum
+    rule). Two shuffles on the group key (stats + the final census);
+    the stats side is |groups| rows and broadcasts back onto the
+    scan."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    sv = F.round(
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0.5)).otherwise(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+        ),
+        9,
+    ).cast("decimal(28,12)")
+    scaled = events.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n", "vmin", "vmax", sv.alias("sv")
+    )
+    return (
+        scaled.groupBy("event_type", "n", "vmin", "vmax")
+        .agg(
+            F.round(F.sum("sv").cast("double") / F.col("n"), 6).alias(
+                "mean_scaled"
+            )
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("vmax", 6).alias("vmax"),
+            "mean_scaled",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_simpson_check",
+    f"""
+    WITH s AS (
+      SELECT c.c_nationkey,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+             CASE WHEN CAST(o.o_totalprice * 100 AS BIGINT)
+                       > {_CM_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), pern AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb,
+             CAST(SUM(a * b) AS BIGINT) AS nab
+      FROM s GROUP BY 1
+    ), dirs AS (
+      SELECT CASE
+               WHEN nab * n > na * nb THEN 1
+               WHEN nab * n < na * nb THEN -1
+               ELSE 0 END AS dir
+      FROM pern WHERE na > 0 AND nb > 0
+    ), pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(na) AS BIGINT) AS na,
+             CAST(SUM(nb) AS BIGINT) AS nb, CAST(SUM(nab) AS BIGINT) AS nab
+      FROM pern
+    )
+    SELECT ROUND(CAST(p.nab AS DOUBLE) * p.n
+                 / GREATEST(p.na * p.nb, 1), 6) AS pooled_lift,
+           (SELECT CAST(SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM dirs) AS n_groups_up,
+           (SELECT CAST(SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM dirs) AS n_groups_down,
+           CAST(CASE
+             WHEN p.nab * p.n > p.na * p.nb
+                  AND (SELECT SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END)
+                       FROM dirs)
+                      > (SELECT SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END)
+                         FROM dirs) THEN 1
+             WHEN p.nab * p.n < p.na * p.nb
+                  AND (SELECT SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END)
+                       FROM dirs)
+                      > (SELECT SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END)
+                         FROM dirs) THEN 1
+             ELSE 0 END AS BIGINT) AS simpson_flag
+    FROM pooled p
+    """,
+)
+def q_simpson_check(spark, sf_dir):
+    """Simpson's-paradox screen: does the pooled association between
+    'urgent' and 'high-value' orders point the SAME way as the
+    per-nation majority? Association direction is the sign of
+    nab·n − na·nb (lift vs 1 cross-multiplied — pure INTEGER compares,
+    no division until the one reported pooled lift), so the verdict
+    can't float-drift. A set flag means any pooled-level conclusion
+    about the pair inverts within groups — the classic aggregation
+    trap every analytics layer should surface, and the categorical
+    sibling of q_did's confound control. One fact join + one grouped
+    census; everything downstream is ≤|nations| rows."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        "c_nationkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("a"),
+        (
+            (F.col("o_totalprice") * 100).cast("long") > _CM_THRESHOLD_CENTS
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    pern = s.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("nab"),
+    )
+    lhs = F.col("nab") * F.col("n")
+    rhs = F.col("na") * F.col("nb")
+    dirs = pern.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0).alias("dir")
+    )
+    dcount = dirs.agg(
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_up"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_down"),
+    )
+    pooled = pern.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("na").cast("long").alias("na"),
+        F.sum("nb").cast("long").alias("nb"),
+        F.sum("nab").cast("long").alias("nab"),
+    )
+    j = pooled.crossJoin(F.broadcast(dcount))
+    plhs = F.col("nab") * F.col("n")
+    prhs = F.col("na") * F.col("nb")
+    return j.select(
+        F.round(
+            F.col("nab").cast("double")
+            * F.col("n")
+            / F.greatest(F.col("na") * F.col("nb"), F.lit(1)),
+            6,
+        ).alias("pooled_lift"),
+        "n_groups_up",
+        "n_groups_down",
+        F.when(
+            (plhs > prhs) & (F.col("n_groups_down") > F.col("n_groups_up")),
+            1,
+        )
+        .when(
+            (plhs < prhs) & (F.col("n_groups_up") > F.col("n_groups_down")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("simpson_flag"),
+    )

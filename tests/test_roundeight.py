@@ -311,3 +311,45 @@ def test_edit_distance_join_blocked(spark):
     dists = [r.dist for r in rows]
     assert dists == sorted(dists)
     assert all(r.k1 < r.k2 for r in rows)
+
+
+def test_zipf_fit_slope_negative(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_zipf_fit"](spark, SF1).collect()[0]
+    # the synthetic doc fixture has a ~31-token vocabulary — the
+    # top-200 cut is vocabulary-bounded, not always full
+    assert 10 <= r.n_ranks <= 200
+    assert r.zipf_slope < 0  # frequency falls with rank, always
+    # intercept ≈ ln(top frequency) scale — must be positive and finite
+    assert 0 < r.intercept < 50
+
+
+def test_ngram_entropy_rate_bounds(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_ngram_entropy_rate"](spark, SF1).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H(w2|w1) ≤ ln(vocab) — loose cap via bigram count
+        assert 0 <= r.entropy_rate <= 20
+        assert r.n_bigrams > 0
+
+
+def test_minmax_scale_mean_in_unit_interval(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_minmax_scale"](spark, SF1).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_scaled <= 1.0
+        assert r.vmin <= r.vmax
+
+
+def test_simpson_check_counts_partition_nations(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_simpson_check"](spark, SF1).collect()[0]
+    assert r.n_groups_up + r.n_groups_down <= 25
+    assert r.simpson_flag in (0, 1)
+    assert r.pooled_lift > 0
