@@ -103,6 +103,9 @@ _WINDOW = [
     "q_ngram_entropy_rate",
     "q_minmax_scale",
     "q_simpson_check",
+    # -- round-8 phase-46 newcomers --
+    "q_mann_whitney",
+    "q_anova_f",
 ]
 # Round-9 rotation queue: after this window lands, every declared query
 # has at least one driver CORRECTNESS row. Future windows: flagship +

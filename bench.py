@@ -337,6 +337,9 @@ HEADLINE = [
     "q_ngram_entropy_rate",
     "q_minmax_scale",
     "q_simpson_check",
+    # round-8 phase 46: classical statistical tests
+    "q_mann_whitney",
+    "q_anova_f",
 ]
 
 

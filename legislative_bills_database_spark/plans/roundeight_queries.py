@@ -1636,3 +1636,204 @@ def q_simpson_check(spark, sf_dir):
         .cast("long")
         .alias("simpson_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 46: classical nonparametric / variance-decomposition tests
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_whitney",
+    """
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), cnt AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS t
+      FROM s GROUP BY 1
+    ), cum AS (
+      SELECT v, ca, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM cnt
+    ), agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(t - ca) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * cb + t + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+           ROUND((CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na * nb AS DOUBLE))
+                 / (2.0 * sqrt((CAST(na * nb AS DOUBLE) / 12.0)
+                    * (CAST(na + nb + 1 AS DOUBLE)
+                       - CAST(ties AS DOUBLE)
+                         / CAST((na + nb) * (na + nb - 1) AS DOUBLE)))),
+                 6) AS z_score,
+           ROUND(CAST(r2a - na * (na + 1) AS DOUBLE)
+                 / CAST(na * nb AS DOUBLE) - 1.0, 6) AS rank_biserial
+    FROM agg
+    """,
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (BUILDING vs MACHINERY order
+    totals) with the exact tie correction — the nonparametric sibling
+    of q_ab_test's mean-difference z. NO per-row ranking anywhere:
+    rank sums come from the per-distinct-value count frame via
+    2·R_A = Σ_v ca(v)·(2·cum_before(v) + t(v) + 1), so every quantity
+    up to the final z is an exact BIGINT (2·R_A, 2·U, Σt³−t) and the
+    engines can't drift. The one ordered prefix-scan runs on the
+    DISTINCT-VALUE frame (bounded by the price domain in cents, never
+    by row count — at 100 TB quantize first if the domain is truly
+    unbounded); the fact table itself only sees one grouped count with
+    map-side partial aggregation, dims broadcast. z uses the normal
+    approximation with tie-corrected variance; rank_biserial = 2U/
+    (n_a·n_b) − 1 is the effect size."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("a"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    cnt = s.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    # prefix scan over the distinct-value frame only (see docstring)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum(F.col("t") - F.col("ca")).cast("long").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cb") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u2 = (F.col("r2a") - na * (na + 1)).cast("double")
+    prod = (na * nb).cast("double")
+    n_tot = na + nb
+    var = (prod / F.lit(12.0)) * (
+        (n_tot + 1).cast("double")
+        - F.col("ties").cast("double") / (n_tot * (n_tot - 1)).cast("double")
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (u2 / F.lit(2.0)).alias("u_stat"),
+        F.round((u2 - prod) / (F.lit(2.0) * F.sqrt(var)), 6).alias(
+            "z_score"
+        ),
+        F.round(u2 / prod - F.lit(1.0), 6).alias("rank_biserial"),
+    )
+
+
+@query(
+    "q_anova_f",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sx,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS sxx
+      FROM s GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(sx) AS BIGINT) AS sxt,
+             CAST(SUM(sxx) AS DOUBLE) AS sxxt,
+             CAST(SUM(CAST(ROUND(
+               CAST(CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n, 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS sgb
+      FROM g
+    )
+    SELECT k AS k_groups, nt AS n_total,
+           ROUND((sgb - CAST(CAST(sxt AS DECIMAL(38,0)) * sxt AS DOUBLE) / nt)
+                 / (k - 1)
+                 / ((sxxt - sgb) / (nt - k)), 6) AS f_stat,
+           ROUND((sgb - CAST(CAST(sxt AS DECIMAL(38,0)) * sxt AS DOUBLE) / nt)
+                 / ((sgb - CAST(CAST(sxt AS DECIMAL(38,0)) * sxt AS DOUBLE) / nt)
+                    + (sxxt - sgb)), 6) AS eta_sq,
+           ROUND(CAST(sxt AS DOUBLE) / nt, 6) AS grand_mean_cents
+    FROM t
+    """,
+)
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA F across the five market segments on order totals
+    — the k-group generalization of q_ab_test (2-group z) and the
+    numeric sibling of q_chi_square (categorical). Decomposition via
+    the sums identity: SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N and
+    SSW = Σx² − Σ_g (Σx_g)²/n_g, where Σx is an exact BIGINT in cents,
+    Σx² an exact DECIMAL(38,0) (cents² overflows BIGINT at sf≥0.1),
+    and each (Σx_g)²/n_g is a SINGLE IEEE division of exact integers
+    (correctly rounded, engine-identical) rounded to 6dp and summed as
+    exact decimals — the Theil/PSI associativity-proof discipline. One
+    fact-table pass, map-side partial aggregation, dims broadcast; the
+    group frame is k=5 rows, so every post-aggregation op is scalar.
+    F = (SSB/(k−1))/(SSW/(N−k)); eta_sq = SSB/(SSB+SSW)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("sxx"),
+    )
+    gterm = (
+        (F.col("sx").cast("decimal(38,0)") * F.col("sx")).cast("double")
+        / F.col("n")
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sx").cast("long").alias("sxt"),
+        F.sum("sxx").cast("double").alias("sxxt"),
+        F.sum(F.round(gterm, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sgb"),
+    )
+    grand = (
+        F.col("sxt").cast("decimal(38,0)") * F.col("sxt")
+    ).cast("double") / F.col("nt")
+    ssb = F.col("sgb") - grand
+    ssw = F.col("sxxt") - F.col("sgb")
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("nt") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        F.round(F.col("sxt").cast("double") / F.col("nt"), 6).alias(
+            "grand_mean_cents"
+        ),
+    )

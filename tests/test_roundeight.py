@@ -353,3 +353,69 @@ def test_simpson_check_counts_partition_nations(spark):
     assert r.n_groups_up + r.n_groups_down <= 25
     assert r.simpson_flag in (0, 1)
     assert r.pooled_lift > 0
+
+
+def test_mann_whitney_identities(spark):
+    """U ∈ [0, n_a·n_b], rank-biserial consistent with U, z finite."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_mann_whitney"](spark, SF1).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.u_stat <= r.n_a * r.n_b
+    # rank_biserial = 2U/(na·nb) − 1 exactly (both sides round to 6dp)
+    assert abs(r.rank_biserial - (2 * r.u_stat / (r.n_a * r.n_b) - 1)) < 2e-6
+    assert -1.0 <= r.rank_biserial <= 1.0
+    assert abs(r.z_score) < 50
+
+
+def test_mann_whitney_matches_closed_form(spark):
+    """Engine U equals the brute-force average-rank computation on the
+    same rows (pulled once through DuckDB, ranked in Python)."""
+    import duckdb
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+        FROM read_parquet('{SF1}/orders.parquet') o
+        JOIN read_parquet('{SF1}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    # average rank per value (1-based, ties share the mean rank)
+    first, avg_rank = {}, {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    for v, c in cnt.items():
+        avg_rank[v] = first[v] + (c - 1) / 2.0
+    ra = sum(avg_rank[v] for a, v in rows if a == 1)
+    na = sum(a for a, _ in rows)
+    u_expected = ra - na * (na + 1) / 2.0
+    r = QUERIES["q_mann_whitney"](spark, SF1).collect()[0]
+    assert r.n_a == na
+    assert r.u_stat == u_expected
+
+
+def test_anova_f_identities(spark):
+    """k/n pinned to fixture shape; F ≥ 0; eta² ∈ [0,1) and consistent
+    with F via eta² = F(k−1) / (F(k−1) + N−k)."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_anova_f"](spark, SF1).collect()[0]
+    assert r.k_groups == 5
+    assert r.n_total == 1500  # every order joins exactly one customer
+    assert r.f_stat >= 0
+    assert 0 <= r.eta_sq < 1
+    recon = (r.f_stat * (r.k_groups - 1)) / (
+        r.f_stat * (r.k_groups - 1) + r.n_total - r.k_groups
+    )
+    assert abs(recon - r.eta_sq) < 1e-4
+    assert r.grand_mean_cents > 0
