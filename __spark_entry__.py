@@ -108,8 +108,11 @@ _WINDOW = [
     "q_anova_f",
 ]
 # Round-9 rotation queue: after this window lands, every declared query
-# has at least one driver CORRECTNESS row. Future windows: flagship +
-# any new-phase newcomers + a rotating refresher slice of the oldest
+# except the phase-47 newcomers (q_kendall_tau, q_cohens_kappa,
+# q_levene_test, q_runs_test, q_jackknife_ratio,
+# q_monetary_unit_sample — window was full at 50) has at least one
+# driver CORRECTNESS row. Round-9 window: flagship + the phase-47 six +
+# any round-9 newcomers + a rotating refresher slice of the oldest
 # previously-verified rows (staleness guard).
 
 

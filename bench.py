@@ -340,6 +340,13 @@ HEADLINE = [
     # round-8 phase 46: classical statistical tests
     "q_mann_whitney",
     "q_anova_f",
+    # round-8 phase 47: rank correlation, agreement, audit sampling
+    "q_kendall_tau",
+    "q_cohens_kappa",
+    "q_levene_test",
+    "q_runs_test",
+    "q_jackknife_ratio",
+    "q_monetary_unit_sample",
 ]
 
 

@@ -83,3 +83,60 @@ def global_sort_index(
         )
         .drop("__pid", "__mid", "__offset", "__min_mid")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive global running sum of ``value_col`` in
+    ``order_by`` order — the prefix-scan sibling of global_sort_index,
+    built the same way: range-partition + in-partition sort, a
+    per-partition (Σvalue) aggregate collected to the driver (O(#parts)
+    rows), cumulative offsets broadcast back, and the in-partition
+    running sum computed by a window PARTITIONED on the pinned
+    partition id (parallel across partitions — never the
+    single-partition global window Spark would plan for an empty
+    PARTITION BY). ``order_by`` must totally order the rows.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    pinned = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin boundaries + id assignment
+    )
+    stats = sorted(
+        pinned.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append((r["__pid"], acc))
+        acc += r["s"]
+    offsets_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pinned.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(
+            cum_col,
+            F.col("__offset") + F.sum(F.col(value_col)).over(w),
+        )
+        .drop("__pid", "__mid", "__offset")
+    )

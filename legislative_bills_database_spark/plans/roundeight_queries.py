@@ -1837,3 +1837,610 @@ def q_anova_f(spark, sf_dir):
             "grand_mean_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 47: rank correlation, agreement, variance homogeneity, runs,
+#           jackknife, and audit sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_tau",
+    """
+    WITH yr AS (
+      SELECT n.n_name,
+             EXTRACT(year FROM o.o_orderdate) AS y,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.n_name,
+             CASE WHEN (a.x - b.x) * (a.rev - b.rev) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.x - b.x) * (a.rev - b.rev) < 0 THEN 1 ELSE 0 END AS dis,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS ty
+      FROM yr a JOIN yr b ON a.n_name = b.n_name AND a.y < b.y
+    ), n AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS ny FROM yr GROUP BY 1
+    )
+    SELECT n.n_name, n.ny AS n_years,
+           CAST(SUM(p.con) AS BIGINT) AS concordant,
+           CAST(SUM(p.dis) AS BIGINT) AS discordant,
+           ROUND(CAST(SUM(p.con) - SUM(p.dis) AS DOUBLE)
+                 / sqrt(CAST((n.ny * (n.ny - 1) / 2 - SUM(p.tx))
+                        * (n.ny * (n.ny - 1) / 2 - SUM(p.ty)) AS DOUBLE)),
+                 6) AS tau_b
+    FROM p JOIN n ON p.n_name = n.n_name
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between yearly order volume and
+    yearly revenue, per nation — the concordance-based sibling of
+    q_spearman (which ranks globally) and q_rolling_corr (Pearson).
+    The pairwise concordance join runs on the per-(nation, year)
+    AGGREGATE frame (≤ |nations|·|years| rows — series length is
+    calendar-bounded, so C(n,2) per group is a constant ~21, never a
+    function of fact rows). Concordant/discordant/tie counts are exact
+    BIGINTs; tau_b = (C−D)/√((n₀−tx)(n₀−ty)) is two exact integer
+    products, one sqrt, one division. One fact shuffle (the yearly
+    rollup, map-side combined); dims broadcast."""
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    yr = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("y")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev"),
+        )
+    )
+    a, b = yr.alias("a"), yr.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.rev") - F.col("b.rev")
+    p = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.y") < F.col("b.y")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0).alias("ty"),
+    )
+    n = yr.groupBy("n_name").agg(F.count(F.lit(1)).cast("long").alias("ny"))
+    agg = (
+        p.join(n, "n_name")
+        .groupBy("n_name", "ny")
+        .agg(
+            F.sum("con").cast("long").alias("concordant"),
+            F.sum("dis").cast("long").alias("discordant"),
+            F.sum("tx").cast("long").alias("stx"),
+            F.sum("ty").cast("long").alias("sty"),
+        )
+    )
+    n0 = F.col("ny") * (F.col("ny") - 1) / 2  # exact: ny(ny−1) is even
+    return agg.select(
+        "n_name",
+        F.col("ny").alias("n_years"),
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                ((n0 - F.col("stx")) * (n0 - F.col("sty"))).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    ).orderBy("n_name")
+
+
+@query(
+    "q_cohens_kappa",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 15000000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS r2
+      FROM orders
+    ), c AS (
+      SELECT CAST(SUM(r1 * r2) AS BIGINT) AS n11,
+             CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+             CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01,
+             CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+      FROM s
+    )
+    SELECT n11, n10, n01, n00,
+           ROUND(CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                      - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                 / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) AS DOUBLE),
+                 6) AS kappa
+    FROM c
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two cheap heuristic labelers
+    ('big order' by value vs 'urgent-or-high' by priority) — the
+    inter-annotator-agreement statistic every labeling pipeline reports
+    before trusting weak labels. One fact pass to the four exact
+    confusion counts (same frame as q_confusion_matrix, different
+    second rater), then kappa = (N·agree − Σ row·col) / (N² − Σ
+    row·col): numerator and denominator are exact BIGINT products, one
+    final IEEE division — engine drift impossible."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.when(
+            F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000, 1
+        )
+        .otherwise(0)
+        .alias("r1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    c = s.agg(
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("n11"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("n01"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (n * (F.col("n11") + F.col("n00")) - chance).cast("double")
+            / (n * n - chance).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "q_levene_test",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cnt AS (
+      SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY 1, 2
+    ), cum AS (
+      SELECT seg, v, t,
+             SUM(t) OVER (PARTITION BY seg ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci,
+             SUM(t) OVER (PARTITION BY seg) AS n
+      FROM cnt
+    ), med AS (
+      SELECT seg, MIN(v) AS m FROM cum
+      WHERE ci >= (n + 1) // 2 GROUP BY 1
+    ), z AS (
+      SELECT s.seg, ABS(s.v - med.m) AS zv
+      FROM s JOIN med ON s.seg = med.seg
+    ), g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zv) AS BIGINT) AS sz,
+             SUM(CAST(zv AS DECIMAL(38,0)) * zv) AS szz
+      FROM z GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(sz) AS BIGINT) AS szt,
+             CAST(SUM(szz) AS DOUBLE) AS szzt,
+             CAST(SUM(CAST(ROUND(
+               CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n, 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS sgb
+      FROM g
+    )
+    SELECT k AS k_groups, nt AS n_total,
+           ROUND((sgb - CAST(CAST(szt AS DECIMAL(38,0)) * szt AS DOUBLE) / nt)
+                 / (k - 1)
+                 / ((szzt - sgb) / (nt - k)), 6) AS f_bf
+    FROM t
+    """,
+)
+def q_levene_test(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across the five market segments — the robust
+    prerequisite check for q_anova_f's equal-variance assumption. The
+    per-group MEDIAN is the exact lower median picked off the
+    per-(segment, value) count frame with a PARTITIONED prefix scan
+    (parallel across segments, bounded by the price domain — the fact
+    table is never sorted); absolute deviations are exact BIGINTs, and
+    the ANOVA-on-deviations F reuses q_anova_f's discipline: cents²
+    sums in DECIMAL(38,0), one single-division group term rounded and
+    decimal-summed. Two fact passes (median, deviations) — the
+    unavoidable cost of an exact median-centered statistic."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    cnt = s.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wci = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.select(
+        "seg",
+        "v",
+        F.sum("t").over(wci).alias("ci"),
+        F.sum("t").over(Window.partitionBy("seg")).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("ci") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("seg")
+        .agg(F.min("v").alias("m"))
+    )
+    z = s.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("v") - F.col("m")).alias("zv")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zv").cast("long").alias("sz"),
+        F.sum(F.col("zv").cast("decimal(38,0)") * F.col("zv")).alias("szz"),
+    )
+    gterm = (
+        (F.col("sz").cast("decimal(38,0)") * F.col("sz")).cast("double")
+        / F.col("n")
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sz").cast("long").alias("szt"),
+        F.sum("szz").cast("double").alias("szzt"),
+        F.sum(F.round(gterm, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sgb"),
+    )
+    grand = (
+        F.col("szt").cast("decimal(38,0)") * F.col("szt")
+    ).cast("double") / F.col("nt")
+    ssb = F.col("sgb") - grand
+    ssw = F.col("szzt") - F.col("sgb")
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("nt") - F.col("k"))), 6
+        ).alias("f_bf"),
+    )
+
+
+@query(
+    "q_runs_test",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), dl AS (
+      SELECT d, rev - LAG(rev) OVER (ORDER BY d) AS delta FROM d
+    ), sg AS (
+      SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+      FROM dl WHERE delta IS NOT NULL AND delta <> 0
+    ), r AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                       OR s <> LAG(s) OVER (ORDER BY d)
+                     THEN 1 ELSE 0 END AS newrun
+      FROM sg
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(newrun) AS BIGINT) AS runs
+      FROM r
+    )
+    SELECT n1 AS n_pos, n2 AS n_neg, runs AS n_runs,
+           ROUND((CAST(runs AS DOUBLE)
+                  - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0))
+                 / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                        / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+                           * (n1 + n2 - 1))), 6) AS z_score
+    FROM agg
+    """,
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the sign of day-over-day revenue
+    change — detects serial dependence the mean-based drift queries
+    miss (a trending series has too few runs, an oscillating one too
+    many). All windows run on the DAILY aggregate frame (bounded by
+    the calendar, never by fact rows — the one fact pass is the daily
+    rollup). Run count, n⁺, n⁻ are exact integers; the z-score's
+    2n₁n₂ products stay in BIGINT (≤ ~10¹³ for a century of days)
+    with single IEEE divisions at the end."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wd = Window.orderBy("d")
+    sg = (
+        d.select(
+            "d", (F.col("rev") - F.lag("rev").over(wd)).alias("delta")
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select("d", F.when(F.col("delta") > 0, 1).otherwise(-1).alias("s"))
+    )
+    r = sg.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.col("s") != F.lag("s").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("newrun"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum("newrun").cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    two = 2 * n1 * n2
+    mu = two.cast("double") / n + F.lit(1.0)
+    var = (two * (two - n1 - n2)).cast("double") / (
+        (n * n).cast("double") * (n - 1)
+    )
+    return agg.select(
+        n1.alias("n_pos"),
+        n2.alias("n_neg"),
+        F.col("runs").alias("n_runs"),
+        F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@query(
+    "q_jackknife_ratio",
+    """
+    WITH s AS (
+      SELECT n.n_name AS g,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sx
+      FROM s GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(sx) AS BIGINT) AS sxt
+      FROM g
+    ), ps AS (
+      SELECT CAST(ROUND(
+               CAST(t.k AS DOUBLE) * (CAST(t.sxt AS DOUBLE) / t.nt)
+               - CAST(t.k - 1 AS DOUBLE)
+                 * (CAST(t.sxt - g.sx AS DOUBLE) / (t.nt - g.n)),
+               9) AS DECIMAL(28,12)) AS p
+      FROM g CROSS JOIN t
+    ), m AS (
+      SELECT CAST(SUM(p) AS DOUBLE) AS sp FROM ps
+    ), v AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               (CAST(ps.p AS DOUBLE) - m.sp / t.k)
+               * (CAST(ps.p AS DOUBLE) - m.sp / t.k), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS sv
+      FROM ps CROSS JOIN m CROSS JOIN t
+    )
+    SELECT t.k AS k_groups,
+           ROUND(CAST(t.sxt AS DOUBLE) / t.nt, 6) AS theta_mean_cents,
+           ROUND(sqrt(v.sv / CAST(t.k * (t.k - 1) AS DOUBLE)), 6)
+             AS jk_se_cents
+    FROM t CROSS JOIN v
+    """,
+)
+def q_jackknife_ratio(spark, sf_dir):
+    """Delete-one-group jackknife standard error of the mean order
+    value — the resampling-free uncertainty estimate for any ratio
+    metric (q_bootstrap_ci's deterministic sibling: no replicate
+    randomness, k exact leave-one-out recomputations from GROUP SUMS
+    alone). Each pseudovalue k·θ − (k−1)·θ₍g₎ is two single IEEE
+    divisions of exact BIGINTs, rounded to 9dp and decimal-summed
+    (PSI discipline); the deviation squares round to 6dp and decimal-
+    sum the same way. The fact table is read once (the per-nation
+    rollup); everything after runs as whole-frame WINDOW aggregates
+    over the k-row group frame — no 1-row crossJoins, so the plan has
+    zero nested-loop joins (plan-census rule) and stays one linear
+    pipeline."""
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    s = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    g = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+    )
+    # whole-frame window over the 25-row group frame: every total
+    # (k, nt, sxt, later sp) rides along as a column — no 1-row
+    # crossJoins, no nested-loop joins in the plan
+    wall = Window.partitionBy()
+    g2 = g.select(
+        "n",
+        "sx",
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
+        F.sum("n").over(wall).cast("long").alias("nt"),
+        F.sum("sx").over(wall).cast("long").alias("sxt"),
+    )
+    ps = g2.select(
+        "k",
+        "nt",
+        "sxt",
+        F.round(
+            F.col("k").cast("double")
+            * (F.col("sxt").cast("double") / F.col("nt"))
+            - (F.col("k") - 1).cast("double")
+            * (
+                (F.col("sxt") - F.col("sx")).cast("double")
+                / (F.col("nt") - F.col("n"))
+            ),
+            9,
+        )
+        .cast("decimal(28,12)")
+        .alias("p"),
+    )
+    ps2 = ps.withColumn("sp", F.sum("p").over(wall).cast("double"))
+    dev = F.col("p").cast("double") - F.col("sp") / F.col("k")
+    agg = ps2.agg(
+        F.max("k").alias("k"),
+        F.max("nt").alias("nt"),
+        F.max("sxt").alias("sxt"),
+        F.sum(F.round(dev * dev, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.round(F.col("sxt").cast("double") / F.col("nt"), 6).alias(
+            "theta_mean_cents"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("sv") / (F.col("k") * (F.col("k") - 1)).cast("double")
+            ),
+            6,
+        ).alias("jk_se_cents"),
+    )
+
+
+@query(
+    "q_monetary_unit_sample",
+    """
+    WITH s AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), c AS (
+      SELECT k, v,
+             SUM(v) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    ), t AS (
+      SELECT GREATEST(CAST(SUM(v) AS BIGINT) // 400, 1) AS iv FROM s
+    ), p AS (
+      SELECT c.k, c.v, c.cum, t.iv, t.iv // 2 AS off
+      FROM c CROSS JOIN t
+    ), sel AS (
+      SELECT k, v, iv,
+             CASE WHEN (cum - 1 - off + 2 * iv) // iv
+                       > (cum - v - 1 - off + 2 * iv) // iv
+                  THEN 1 ELSE 0 END AS hit
+      FROM p
+    )
+    SELECT CAST(SUM(hit) AS BIGINT) AS n_sampled,
+           CAST(SUM(hit * v) AS BIGINT) AS sampled_cents,
+           CAST(SUM(CASE WHEN v >= iv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_certainty,
+           CAST(SUM(CASE WHEN v >= iv AND hit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_certainty_missed,
+           CAST(MIN(iv) AS BIGINT) AS interval_cents
+    FROM sel
+    """,
+)
+def q_monetary_unit_sample(spark, sf_dir):
+    """Monetary-unit (PPS systematic) audit sampling: one sampling
+    point every total/400 cents of cumulative value, deterministic
+    offset = interval/2 — selection probability proportional to order
+    value, and every order ≥ one interval is selected with CERTAINTY
+    (n_certainty_missed is a structural zero the oracle re-proves).
+    The global running sum comes from operators/ordering.
+    global_running_sum — range-partition + per-partition sums +
+    broadcast offsets, the same two-level scan as q_global_index, so
+    NO single-partition window ever sees the fact table. Selection is
+    pure integer arithmetic: hit ⇔ the cumulative interval index
+    (floor-div, args kept positive so Spark DIV == DuckDB //) jumps
+    across the row."""
+    from ..operators.ordering import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    c = global_running_sum(s, [F.asc("k")], "v", "cum")
+    t = s.agg(
+        F.greatest(F.expr("sum(v) DIV 400"), F.lit(1))
+        .cast("long")
+        .alias("iv")
+    )
+    p = c.crossJoin(F.broadcast(t)).withColumn(
+        "off", F.expr("iv DIV 2")
+    )
+    sel = p.withColumn(
+        "hit",
+        F.when(
+            F.expr(
+                "(cum - 1 - off + 2 * iv) DIV iv"
+                " > (cum - v - 1 - off + 2 * iv) DIV iv"
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return sel.agg(
+        F.sum("hit").cast("long").alias("n_sampled"),
+        F.sum(F.col("hit") * F.col("v")).cast("long").alias("sampled_cents"),
+        F.sum(F.when(F.col("v") >= F.col("iv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_certainty"),
+        F.sum(
+            F.when((F.col("v") >= F.col("iv")) & (F.col("hit") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_certainty_missed"),
+        F.min("iv").cast("long").alias("interval_cents"),
+    )

@@ -419,3 +419,98 @@ def test_anova_f_identities(spark):
     )
     assert abs(recon - r.eta_sq) < 1e-4
     assert r.grand_mean_cents > 0
+
+
+def test_kendall_tau_bounds_and_counts(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    rows = QUERIES["q_kendall_tau"](spark, SF1).collect()
+    assert rows
+    for r in rows:
+        n0 = r.n_years * (r.n_years - 1) // 2
+        assert r.concordant + r.discordant <= n0
+        assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_cohens_kappa_identities(spark):
+    """kappa reconstructible from the emitted confusion counts."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_cohens_kappa"](spark, SF1).collect()[0]
+    n = r.n11 + r.n10 + r.n01 + r.n00
+    assert n == 1500
+    chance = (r.n11 + r.n10) * (r.n11 + r.n01) + (r.n01 + r.n00) * (
+        r.n10 + r.n00
+    )
+    expect = (n * (r.n11 + r.n00) - chance) / (n * n - chance)
+    assert abs(r.kappa - expect) < 2e-6
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_levene_nonnegative(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_levene_test"](spark, SF1).collect()[0]
+    assert r.k_groups == 5
+    assert r.n_total == 1500
+    assert r.f_bf >= 0
+
+
+def test_runs_test_consistency(spark):
+    """Runs count bounded by sign changes + 1; z finite."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_runs_test"](spark, SF1).collect()[0]
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 1 <= r.n_runs <= r.n_pos + r.n_neg
+    assert abs(r.z_score) < 50
+
+
+def test_jackknife_se_positive(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_jackknife_ratio"](spark, SF1).collect()[0]
+    assert r.k_groups == 25
+    assert r.theta_mean_cents > 0
+    assert r.jk_se_cents > 0
+    # SE of the mean must be far below the mean itself on this fixture
+    assert r.jk_se_cents < r.theta_mean_cents
+
+
+def test_monetary_unit_sample_certificates(spark):
+    """~400 sampling points, certainty stratum never missed, and the
+    sample sum is within the top-400-by-value / interval bounds."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    r = QUERIES["q_monetary_unit_sample"](spark, SF1).collect()[0]
+    assert r.n_certainty_missed == 0
+    assert 350 <= r.n_sampled <= 401
+    assert r.interval_cents >= 1
+    assert 0 < r.sampled_cents
+    # every hit row contains ≥1 sampling point ⇒ sampled value sum is
+    # at least n_sampled (each order ≥ 1 cent) and can't exceed total
+    assert r.sampled_cents >= r.n_sampled
+
+
+def test_global_running_sum_matches_window(spark):
+    """Two-level prefix scan == the single-partition window on a frame
+    small enough to run both."""
+    from pyspark.sql import Window, functions as F
+
+    from legislative_bills_database_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    )
+    got = {
+        r.k: r.cum
+        for r in global_running_sum(df, [F.asc("k")], "v", "cum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
