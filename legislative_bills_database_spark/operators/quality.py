@@ -115,3 +115,39 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Append zlib ``compressed_bytes / raw_bytes`` per document — the
+    classic compressibility quality signal for LLM corpora (near-1.0 =
+    high-entropy noise or binary junk, near-0 = templated/repetitive
+    boilerplate; both tails are curation targets the length/stopword
+    heuristics in ``text_quality_score`` miss).
+
+    Arrow-batched ``pandas_udf`` (one Python call per ~10k-row batch,
+    zlib releases the GIL while deflating) — bytes never leave the
+    executor, the driver only ever sees aggregates. DEFLATE with a
+    pinned ``level`` is deterministic for a given zlib build, so the
+    engine-vs-recompute parity is pinned exactly in pytest; there is no
+    SQL oracle (DuckDB cannot deflate), so the declared query is
+    rows-only by design.
+    """
+    import zlib
+
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        lvl = level
+        return s.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), lvl))
+        )
+
+    raw = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
+    return docs.withColumn("raw_bytes", raw).withColumn(
+        "gzip_bytes", _zlen(F.col(text_col))
+    )

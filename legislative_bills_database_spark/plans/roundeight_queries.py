@@ -2444,3 +2444,363 @@ def q_monetary_unit_sample(spark, sf_dir):
         .alias("n_certainty_missed"),
         F.min("iv").cast("long").alias("interval_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 48: experimentation + sequential drift + corpus compressibility
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cuped",
+    """
+    WITH per AS (
+      SELECT c.c_custkey,
+             CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+                           THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                           THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM per
+    )
+    SELECT n AS n_units,
+           ROUND(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE),
+                 6) AS theta,
+           ROUND((CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                              AS DOUBLE)
+                         * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                                AS DOUBLE)))
+                 * (CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                                AS DOUBLE)
+                           * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                                  AS DOUBLE)))
+                 * 100.0, 6) AS var_reduction_pct
+    FROM s
+    """,
+)
+def q_cuped(spark, sf_dir):
+    """CUPED covariate adjustment for experiments: θ = cov(pre, post)/
+    var(pre) over per-customer pre-1996 vs post-1996 spend, plus the
+    variance-reduction percentage ρ²·100 the adjustment buys — the
+    modern A/B prerequisite alongside q_ab_test / q_ab_srm_check /
+    q_did. One fact pass builds the per-unit (x, y) rollup (LEFT join
+    keeps order-less customers as honest zeros); cross-moments Σxy,
+    Σx², Σy² accumulate as exact DECIMAL(38,0) so the shuffle order
+    can't move a bit, and n·Σxy − Σx·Σy style contrasts stay exact
+    until one final cast-to-double + division. No per-unit data ever
+    reaches the driver."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    per = (
+        customer.join(
+            orders, orders.o_custkey == customer.c_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < cut,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= cut,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (n * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (n * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    rho = cov / F.sqrt(vx * vy)
+    return s.select(
+        n.alias("n_units"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(rho * rho * F.lit(100.0), 6).alias("var_reduction_pct"),
+    )
+
+
+_PH_DELTA_CENTS = 1_000
+_PH_LAMBDA_CENTS = 500_000
+
+
+@query(
+    "q_page_hinkley",
+    f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), x AS (
+      SELECT d,
+             CAST(ROUND(CAST(rev AS DOUBLE) / c, 9) AS DECIMAL(28,12)) AS xd
+      FROM d
+    ), pm AS (
+      SELECT d, xd,
+             SUM(xd) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             ROW_NUMBER() OVER (ORDER BY d) AS t
+      FROM x
+    ), term AS (
+      SELECT d,
+             CAST(ROUND(CAST(xd AS DOUBLE)
+                        - CAST(px AS DOUBLE) / t
+                        - {_PH_DELTA_CENTS}.0, 9) AS DECIMAL(28,12)) AS tm
+      FROM pm
+    ), m AS (
+      SELECT d,
+             SUM(tm) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM term
+    ), ph AS (
+      SELECT d,
+             CAST(mt - MIN(mt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS dt
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(dt), 6) AS ph_stat,
+           CAST(CASE WHEN MAX(dt) > {_PH_LAMBDA_CENTS}.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm,
+           MIN(CASE WHEN dt = (SELECT MAX(dt) FROM ph) THEN d END)
+             AS peak_day
+    FROM ph
+    """,
+)
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential change detector on the daily mean order
+    value — the online CUSUM-family alarm (q_cusum tracks a known
+    reference mean; PH tracks the RUNNING mean, so it needs no
+    baseline). Every term x_t − x̄_t − δ is one division of exact
+    integers plus exact subtractions, rounded to 9dp and
+    prefix-summed as exact decimals, so the running statistic m_t and
+    its prefix minimum are bit-identical across engines; the alarm is
+    max(m_t − min m) vs λ. All windows run over the calendar-bounded
+    daily frame; the fact table sees exactly one grouped pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    x = d.select(
+        "d",
+        F.round(F.col("rev").cast("double") / F.col("c"), 9)
+        .cast("decimal(28,12)")
+        .alias("xd"),
+    )
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    pm = x.select(
+        "d",
+        "xd",
+        F.sum("xd").over(wcum).alias("px"),
+        F.row_number().over(wd).alias("t"),
+    )
+    term = pm.select(
+        "d",
+        F.round(
+            F.col("xd").cast("double")
+            - F.col("px").cast("double") / F.col("t")
+            - F.lit(float(_PH_DELTA_CENTS)),
+            9,
+        )
+        .cast("decimal(28,12)")
+        .alias("tm"),
+    )
+    m = term.select("d", F.sum("tm").over(wcum).alias("mt"))
+    ph = m.select(
+        "d",
+        (F.col("mt") - F.min("mt").over(wcum)).cast("double").alias("dt"),
+    )
+    mx = ph.agg(F.max("dt").alias("mx"))
+    return (
+        ph.join(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("dt"), 6).alias("ph_stat"),
+            F.max(
+                F.when(
+                    F.col("dt") > F.lit(float(_PH_LAMBDA_CENTS)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("alarm"),
+            F.min(
+                F.when(F.col("dt") == F.col("mx"), F.col("d"))
+            ).alias("peak_day"),
+        )
+    )
+
+
+@query(
+    "q_smd_balance",
+    """
+    WITH oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS ocnt
+      FROM orders GROUP BY 1
+    ), u AS (
+      SELECT n.n_name,
+             CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END AS tr,
+             COALESCE(oc.ocnt, 0) AS x
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    ), g AS (
+      SELECT n_name,
+             CAST(SUM(tr) AS BIGINT) AS n1,
+             CAST(SUM(1 - tr) AS BIGINT) AS n0,
+             CAST(SUM(tr * x) AS BIGINT) AS s1,
+             CAST(SUM((1 - tr) * x) AS BIGINT) AS s0,
+             CAST(SUM(tr * x * x) AS BIGINT) AS q1,
+             CAST(SUM((1 - tr) * x * x) AS BIGINT) AS q0
+      FROM u GROUP BY 1
+    )
+    SELECT n_name, n1 AS n_treat, n0 AS n_ctrl,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                 / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                           / CAST(n1 * (n1 - 1) AS DOUBLE)
+                         + CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                           / CAST(n0 * (n0 - 1) AS DOUBLE)) / 2.0),
+                 6) AS smd_orders
+    FROM g
+    WHERE n1 >= 2 AND n0 >= 2
+    ORDER BY n_name
+    """,
+)
+def q_smd_balance(spark, sf_dir):
+    """Standardized mean difference (Cohen's d with pooled SD) of
+    order counts between positive- and negative-balance customers,
+    per nation stratum — the covariate-balance audit run before any
+    observational comparison (the diagnostics half of propensity
+    matching; |SMD| > 0.1 flags imbalance). One conditional-sum pass
+    per stratum gives exact n/Σx/Σx² per arm (order counts are small
+    integers — BIGINT throughout); mean and variance come out as
+    single IEEE divisions of those exact sums. Strata with an arm
+    below 2 units are excluded on BOTH sides (variance undefined) —
+    deterministic, no NULL-vs-NaN edge."""
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ocnt")
+    )
+    u = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(oc, oc.o_custkey == customer.c_custkey, "left")
+        .select(
+            "n_name",
+            F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("tr"),
+            F.coalesce(F.col("ocnt"), F.lit(0)).alias("x"),
+        )
+    )
+    g = u.groupBy("n_name").agg(
+        F.sum("tr").cast("long").alias("n1"),
+        F.sum(1 - F.col("tr")).cast("long").alias("n0"),
+        F.sum(F.col("tr") * F.col("x")).cast("long").alias("s1"),
+        F.sum((1 - F.col("tr")) * F.col("x")).cast("long").alias("s0"),
+        F.sum(F.col("tr") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("q1"),
+        F.sum((1 - F.col("tr")) * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("q0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    v1 = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1 * (n1 - 1)
+    ).cast("double")
+    v0 = (n0 * F.col("q0") - F.col("s0") * F.col("s0")).cast("double") / (
+        n0 * (n0 - 1)
+    ).cast("double")
+    smd = (
+        F.col("s1").cast("double") / n1 - F.col("s0").cast("double") / n0
+    ) / F.sqrt((v1 + v0) / F.lit(2.0))
+    return (
+        g.filter((n1 >= 2) & (n0 >= 2))
+        .select(
+            "n_name",
+            n1.alias("n_treat"),
+            n0.alias("n_ctrl"),
+            F.round(smd, 6).alias("smd_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("q_gzip_ratio")
+def q_gzip_ratio(spark, sf_dir):
+    """Per-source zlib compressibility census of the document corpus
+    (operators/quality.compression_ratio): mean compression ratio plus
+    both curation tails — near-1 ratios (high-entropy junk) and low
+    ratios (templated/repetitive boilerplate, the q_repetition signal
+    seen through DEFLATE's eyes). Arrow-batched pandas_udf computes
+    compressed lengths executor-side; only the per-source aggregate
+    reaches the driver. Rows-only by design (DuckDB cannot deflate);
+    engine-vs-zlib parity is pinned exactly in pytest."""
+    from ..operators.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = compression_ratio(docs, "text").withColumn(
+        "ratio",
+        F.col("gzip_bytes").cast("double")
+        / F.greatest(F.col("raw_bytes"), F.lit(1)).cast("double"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+            F.sum(F.when(F.col("ratio") > 0.9, 1).otherwise(0))
+            .cast("long")
+            .alias("n_incompressible"),
+            F.sum(F.when(F.col("ratio") < 0.3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+        .orderBy("source")
+    )
