@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test preflight verify bench hooks
+.PHONY: test preflight verify bench hooks round-gate leakgrep
 
 # full local test suite (includes tests/test_oracle_parity.py, which
 # sweeps ALL declared queries vs their DuckDB oracles at sf0.001 — the
@@ -19,6 +19,23 @@ verify: test preflight
 
 bench:
 	$(PY) bench.py
+
+# grep for anything that must never ship (internal hosts/buckets/env
+# vars); exits non-zero on a hit. api.legiscan.com is the public API the
+# public reference itself calls — allowed.
+leakgrep:
+	@! grep -rnE "s3://|gs://|internal\.|corp\.|anthropic|STAGING_BUCKET|PROD_BUCKET" \
+		legislative_bills_database_spark/ tests/ scripts/ bench.py __spark_entry__.py \
+		| grep -v "api.legiscan.com" || (echo "LEAK HIT above" && exit 1)
+
+# THE pre-snapshot gate (VERDICT r8 item #3): the r8 snapshot commit
+# shipped a crashing query because only phase commits were gated. Run
+# this before ANY end-of-round snapshot; paste its tail into ROUND_NOTES.
+round-gate: leakgrep
+	$(PY) -m pytest tests/ -q
+	$(PY) scripts/preflight.py /root/testdata/sf0.001
+	$(PY) scripts/preflight.py /root/testdata/sf0.01
+	@echo "ROUND GATE: ALL GREEN"
 
 # one-time: route git hooks through the committed .githooks/ directory
 hooks:

@@ -39,83 +39,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-8 rotation: r7's window cleared the phase-19..34 backlog
-# (49 hash-green + 1 rows-only in CORRECTNESS_r07, zero failures).
-# This round the window holds the ENTIRE remaining driver-blind
-# backlog — the 29 phase-35..43 queries VERDICT r7 item #1 lists (the
-# first window with zero left over) — plus the 14 round-8 phase-44
-# newcomers, so every declared query has held a driver CORRECTNESS row
-# by end of round. Kept: the flagship q_pivot_count (entry() twin,
-# anchors driver t1/t2 parity). 1 + 29 + 14 + 4 = 48 ≤ 50.
+# Round-9 rotation (VERDICT r8 item #2): flagship + the ten remaining
+# driver-blind queries — the phase-47 six (window was full at 50 in r8)
+# and the phase-48 four (shipped ungated in the r8 snapshot; fixed +
+# pytest-pinned this round in tests/test_phase48.py) — plus the round-9
+# newcomers as their phases land, topped up with a staleness-refresher
+# slice of the OLDEST previously-verified rows (last driver row r1/r2).
+# After this window lands, every declared query has held ≥1 driver
+# CORRECTNESS row — the first round with zero driver-blind queries.
+# _REFRESHERS is trimmed automatically as newcomers are appended.
+_NEWCOMERS_R9: list[str] = [
+    # appended per round-9 phase as each lands (gated by make round-gate)
+]
+
+# Stalest previously-verified rows (last driver CORRECTNESS row in
+# r1/r2) — the refresher slice; trimmed automatically as newcomers land.
+_REFRESHERS = [
+    "q_array_first",
+    "q_boolean_mask_filter",
+    "q_cast",
+    "q_ci_substring_filter",
+    "q_concat",
+    "q_drop_columns",
+    "q_equality_filter",
+    "q_fixed_replace",
+    "q_isin_filter",
+    "q_literal_table",
+    "q_parity_math",
+    "q_projection_rename",
+    "q_regexp_extract",
+    "q_regexp_replace",
+    "q_sort_desc",
+    "q_union_all",
+    "q_uuid",
+    "q_year_extract",
+    "q_active_sessions",
+    "q_ann_lsh_pairs",
+    "q_approx_distinct",
+    "q_array_contains",
+    "q_array_last",
+    "q_base64_roundtrip",
+    "q_binary_meta",
+    "q_boolean_any_agg",
+    "q_conditional_expr",
+    "q_csv_sink",
+    "q_dedup_keep_latest",
+    "q_derived_key_join",
+    "q_dir_catalog",
+    "q_doc_fingerprint",
+    "q_embedding_neardup",
+    "q_html_text_source",
+    "q_lang_id",
+    "q_lookup_join",
+    "q_near_dedup",
+    "q_nested_projection",
+    "q_ratio_aggregate",
+]
+
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- round-6 phase-35 mixture newcomers --
-    "q_l_diversity",
-    "q_modularity",
-    "q_ipf_raking",
-    "q_js_divergence",
-    # -- round-6 phase-36 training-ops newcomers --
-    "q_hard_negatives",
-    "q_negative_sampling",
-    "q_dim_truncation_recall",
-    "q_quantile_normalize",
-    # -- round-6 phase-37 drift newcomers --
-    "q_wasserstein",
-    "q_spearman",
-    "q_burstiness",
-    "q_ece",
-    # -- round-6 phase-38/39 clustering newcomers --
-    "q_kmeans_exact",
-    "q_dbscan_labels",
-    "q_silhouette",
-    "q_cluster_scatter",
-    # -- round-7 phase-40..43 newcomers --
-    "q_graph_jaccard_approx",
-    "q_graph_jaccard_recall",
-    "q_item_cf_recs_approx",
-    "q_item_cf_recall",
-    "q_kcore_exact",
-    "q_label_prop_exact",
-    "q_cm_sketch_exact",
-    "q_hll_register_cert",
-    "q_skipgram_pairs",
-    "q_readability",
-    "q_moments",
-    "q_binary_quantize",
-    "q_bq_recall",
-    # -- round-8 phase-44 newcomers --
-    "q_group_mode",
-    "q_confusion_matrix",
-    "q_temperature_mixture",
-    "q_lexical_diversity",
-    "q_theil_index",
-    "q_sax_symbols",
-    "q_rank_metrics",
-    "q_harmonic_centrality",
-    "q_edit_distance_join",
-    "q_weighted_jaccard",
-    "q_clustering_coeff",
-    "q_bloom_fpr_cert",
-    "q_random_walk",
-    "q_hits_scores",
-    # -- round-8 phase-45 newcomers --
-    "q_zipf_fit",
-    "q_ngram_entropy_rate",
-    "q_minmax_scale",
-    "q_simpson_check",
-    # -- round-8 phase-46 newcomers --
-    "q_mann_whitney",
-    "q_anova_f",
+    # -- phase-47 (window was full at 50 in r8) --
+    "q_kendall_tau",
+    "q_cohens_kappa",
+    "q_levene_test",
+    "q_runs_test",
+    "q_jackknife_ratio",
+    "q_monetary_unit_sample",
+    # -- phase-48 (ungated in the r8 snapshot; fixed + pinned r9) --
+    "q_cuped",
+    "q_page_hinkley",
+    "q_smd_balance",
+    "q_gzip_ratio",
 ]
-# Round-9 rotation queue: after this window lands, every declared query
-# except the phase-47 newcomers (q_kendall_tau, q_cohens_kappa,
-# q_levene_test, q_runs_test, q_jackknife_ratio,
-# q_monetary_unit_sample — window was full at 50) has at least one
-# driver CORRECTNESS row. Round-9 window: flagship + the phase-47 six +
-# any round-9 newcomers + a rotating refresher slice of the oldest
-# previously-verified rows (staleness guard).
-
-
+_WINDOW += [q for q in _NEWCOMERS_R9 if q not in _WINDOW]
+_WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][: 50 - len(_WINDOW)]
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.10 / §3."""
     assert len(_WINDOW) <= 50, "driver window is 50 queries"

@@ -496,6 +496,20 @@ def multi_source_bfs(
         .collect()
     ]
     node_type = sym.schema["src"].dataType
+    if not seed_vals:  # empty panel → empty result, correct schema
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        sym.unpersist()
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("seed", node_type),
+                    StructField("node", node_type),
+                    StructField("dist", LongType()),
+                ]
+            ),
+        )
     try:
         outs: list[DataFrame] = []
         for lo in range(0, len(seed_vals), 62):
@@ -679,21 +693,36 @@ def k_core_fixed(
     OBSERVABLE in the driver's hash row instead of silently replaying
     the same partial result on both engine and oracle sides (ADVICE
     r7): at a scale where the peel needs more than ``rounds`` rounds,
-    the flag flips to 0 and the certificate says so. Cost: two count
-    jobs over already-checkpointed edge frames — O(blocks), no shuffle.
+    the flag flips to 0 and the certificate says so. Cost: ZERO extra
+    jobs — the per-round edge counts ride along as ``observe()``
+    metrics on the eager-checkpoint actions the loop already runs
+    (r8 shipped this as two extra count jobs, a 1.53× bench
+    regression; the observation form recovers it).
     """
-    und = (
+    from pyspark.sql import Observation
+
+    def _ckpt(df: DataFrame, counts: list | None) -> DataFrame:
+        if counts is None:
+            return df.localCheckpoint(eager=True)
+        obs = Observation()
+        out = df.observe(
+            obs, F.count(F.lit(1)).alias("edges")
+        ).localCheckpoint(eager=True)
+        counts.append(obs.get["edges"])
+        return out
+
+    edge_counts: list | None = [] if with_converged else None
+    und = _ckpt(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        edge_counts,
     )
     prev = und
-    converged = True
-    for i in range(rounds):
+    for _ in range(rounds):
         deg = (
             und.select(F.col("a").alias("n"))
             .union(und.select("b"))
@@ -703,15 +732,17 @@ def k_core_fixed(
         keep = deg.filter(F.col("degree") >= k)
         ka = keep.select(F.col("n").alias("a"))
         kb = keep.select(F.col("n").alias("b"))
-        und = (
-            und.join(ka, "a", "left_semi")
-            .join(kb, "b", "left_semi")
-            .localCheckpoint(eager=True)
+        und = _ckpt(
+            und.join(ka, "a", "left_semi").join(kb, "b", "left_semi"),
+            edge_counts,
         )
-        if with_converged and i == rounds - 1:
-            converged = prev.count() == und.count()
         release_checkpoint(prev)
         prev = und
+    converged = (
+        edge_counts is None
+        or len(edge_counts) < 2
+        or edge_counts[-1] == edge_counts[-2]
+    )
     out = (
         und.select(F.col("a").alias("n"))
         .union(und.select("b"))

@@ -113,17 +113,43 @@ def global_running_sum(
         .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)  # pin boundaries + id assignment
     )
-    stats = sorted(
-        pinned.groupBy("__pid")
-        .agg(F.sum(value_col).cast("long").alias("s"))
-        .collect(),
-        key=lambda r: r["__pid"],
+    # Per-partition sums keep Spark's own widened sum type (long for
+    # integrals, double for floats, widened decimal for decimals) — no
+    # silent cast-to-long truncation; offsets accumulate driver-side in
+    # the matching Python type. An all-NULL partition sums to NULL and
+    # contributes 0 to downstream offsets (F.sum skips NULLs, so the
+    # in-partition window does the same — the semantics line up).
+    import decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    offsets, acc = [], 0
+
+    agg = pinned.groupBy("__pid").agg(F.sum(value_col).alias("s"))
+    sum_type = agg.schema["s"].dataType
+    if isinstance(sum_type, DecimalType):
+        zero = decimal.Decimal(0)
+    elif sum_type.typeName() in ("double", "float"):
+        zero = 0.0
+    else:
+        zero = 0
+    stats = sorted(agg.collect(), key=lambda r: r["__pid"])
+    offsets, acc = [], zero
     for r in stats:
         offsets.append((r["__pid"], acc))
-        acc += r["s"]
-    offsets_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+        acc += r["s"] if r["s"] is not None else zero
+    offsets_df = spark.createDataFrame(
+        offsets,
+        StructType(
+            [
+                StructField("__pid", IntegerType()),
+                StructField("__offset", sum_type),
+            ]
+        ),
+    )
 
     from pyspark.sql import Window
 

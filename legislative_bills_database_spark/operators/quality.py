@@ -21,6 +21,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,8 +138,6 @@ def compression_ratio(
     rows-only by design.
     """
     import zlib
-
-    import pandas as pd
 
     @F.pandas_udf("long")
     def _zlen(s: pd.Series) -> pd.Series:
