@@ -50,6 +50,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # _REFRESHERS is trimmed automatically as newcomers are appended.
 _NEWCOMERS_R9: list[str] = [
     # appended per round-9 phase as each lands (gated by make round-gate)
+    # -- phase 49: classical tests + agreement + permutation inference --
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed",
+    "q_mcnemar",
+    "q_jarque_bera",
+    "q_cluster_agreement",
+    "q_brier_decomp",
+    "q_permutation_test",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

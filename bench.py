@@ -347,6 +347,19 @@ HEADLINE = [
     "q_runs_test",
     "q_jackknife_ratio",
     "q_monetary_unit_sample",
+    # round-8 phase 48: experimentation, drift, compressibility
+    "q_cuped",
+    "q_page_hinkley",
+    "q_smd_balance",
+    "q_gzip_ratio",
+    # round-9 phase 49: classical tests, agreement, permutation inference
+    "q_kruskal_wallis",
+    "q_wilcoxon_signed",
+    "q_mcnemar",
+    "q_jarque_bera",
+    "q_cluster_agreement",
+    "q_brier_decomp",
+    "q_permutation_test",
 ]
 
 

@@ -19,3 +19,4 @@ from . import drift_queries  # noqa: F401  (registers on import)
 from . import clustering_queries  # noqa: F401  (registers on import)
 from . import roundseven_queries  # noqa: F401  (registers on import)
 from . import roundeight_queries  # noqa: F401  (registers on import)
+from . import roundnine_queries  # noqa: F401  (registers on import)

@@ -1,0 +1,838 @@
+"""Round-9 phase-49 queries: the remaining classical statistical tests
+(Kruskal-Wallis k-group rank test, Wilcoxon signed-rank for paired
+samples, McNemar's paired-binary test, Jarque-Bera normality), plus
+clustering-agreement metrics and a fully deterministic distributed
+permutation test.
+
+Reference parity note: the reference (patrick95350/
+legislative-bills-database, 5 R scripts / 737 LoC) has none of this
+surface — phase 49 extends the statistics family SURVEY.md §2.10 grew
+in rounds 7-8 (Mann-Whitney, ANOVA, Kendall, kappa, Levene, runs test,
+jackknife), reusing the same engine discipline.
+
+Engine-parity discipline (accumulated rounds 1-8):
+- rank statistics come from the DISTINCT-VALUE count frame (never a
+  per-row ranking): 2·R = Σ c·(2·cum_before + t + 1) keeps every rank
+  sum an exact BIGINT, so midranks and tie corrections cannot drift;
+- money sums ride integer cents; squares/cubes of big integers ride
+  DECIMAL(38,0); one final cast-to-double + division per statistic;
+- where a per-group float term must be summed, each term is one fixed
+  IEEE dag over exact integers, ROUNDed to 6dp, cast DECIMAL(38,6),
+  and summed exactly (the q_psi / q_anova_f precedent);
+- portable randomness is md5 over explicit strings (BIGINT-safe), the
+  q_random_walk / q_weighted_sample precedent — both engines order by
+  the same hex string, so "random" permutations replay bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table, load_tables
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q_kruskal_wallis: k-group rank test (the nonparametric ANOVA)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kruskal_wallis",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cnt AS (
+      SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2
+    ), vt AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+    ), cum AS (
+      SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cb
+      FROM vt
+    ), rk AS (
+      SELECT cnt.seg,
+             CAST(SUM(cnt.c) AS BIGINT) AS n_j,
+             CAST(SUM(cnt.c * (2 * cum.cb + cum.t + 1)) AS BIGINT) AS r2
+      FROM cnt JOIN cum ON cnt.v = cum.v
+      GROUP BY 1
+    ), tie AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM vt
+    ), hsum AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               CAST(CAST(r2 AS DECIMAL(38,0)) * r2 AS DOUBLE)
+                 / (4.0 * n_j), 6) AS DECIMAL(38,6))) AS DOUBLE) AS srr,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM rk
+    )
+    SELECT k AS k_groups, n AS n_total,
+           ROUND((12.0 * srr / (CAST(n AS DOUBLE) * (n + 1))
+                  - 3.0 * (n + 1))
+                 / (1.0 - CAST(ties AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
+           ROUND(((12.0 * srr / (CAST(n AS DOUBLE) * (n + 1))
+                   - 3.0 * (n + 1))
+                  / (1.0 - CAST(ties AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n - n))
+                  - k + 1) / (n - k), 6) AS epsilon_sq
+    FROM hsum, tie
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five market segments (order totals)
+    with the exact tie correction — the k-group generalization of
+    q_mann_whitney and the nonparametric twin of q_anova_f. Rank sums
+    per group come from the (seg, v)-count × distinct-value prefix
+    frame, so 2·R_j = Σ c·(2·cb + t + 1) is an exact BIGINT per group;
+    R_j² rides DECIMAL(38,0) and each R_j²/n_j term is one IEEE dag
+    rounded to 6dp and decimal-summed over the k=5 groups. The only
+    ordered scan runs on the DISTINCT-VALUE frame (bounded by the cent
+    price domain, never row count); the fact table sees one grouped
+    count with map-side combine, dims broadcast. At petabyte N the
+    BIGINT rank sums approach 2⁶³ around N≈3·10⁹ — promote 2·R_j and
+    Σt³−t to DECIMAL(38,0) there (the shape is unchanged).
+    epsilon² = (H − k + 1)/(n − k) is the effect size."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    cnt = s.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vt = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vt.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    rk = (
+        cnt.join(cum, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("c").cast("long").alias("n_j"),
+            F.sum(F.col("c") * (2 * F.col("cb") + F.col("t") + 1))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    tie = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    term = F.round(
+        (F.col("r2").cast("decimal(38,0)") * F.col("r2")).cast("double")
+        / (F.lit(4.0) * F.col("n_j")),
+        6,
+    ).cast("decimal(38,6)")
+    hsum = rk.agg(
+        F.sum(term).cast("double").alias("srr"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = hsum.join(F.broadcast(tie))  # 1-row × 1-row
+    n = F.col("n")
+    nd = n.cast("double")
+    h_raw = F.lit(12.0) * F.col("srr") / (nd * (n + 1)) - F.lit(3.0) * (
+        n + 1
+    )
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (nd * n * n - n)
+    h = h_raw / corr
+    return j.select(
+        F.col("k").alias("k_groups"),
+        n.alias("n_total"),
+        F.round(h, 6).alias("h_stat"),
+        F.round((h - F.col("k") + 1) / (n - F.col("k")), 6).alias(
+            "epsilon_sq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_wilcoxon_signed: paired signed-rank test (pre- vs post-1996 spend)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wilcoxon_signed",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT y - x AS d FROM per WHERE y - x <> 0
+    ), cnt AS (
+      SELECT ABS(d) AS a,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM d GROUP BY 1
+    ), cum AS (
+      SELECT a, p, t, COALESCE(SUM(t) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cb
+      FROM cnt
+    ), agg AS (
+      SELECT CAST(SUM(p * (2 * cb + t + 1)) AS BIGINT) AS w2p,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS npos,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM cum
+    )
+    SELECT n AS n_pairs, npos AS n_pos, n - npos AS n_neg,
+           CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+           ROUND((CAST(w2p AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                        - CAST(ties AS DOUBLE) / 48.0), 6) AS z_score
+    FROM agg
+    """,
+)
+def q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank test on paired per-customer spend (pre-1996
+    vs post-1996 cents, the q_cuped cohort) — the paired-sample
+    nonparametric sibling of q_mann_whitney. Zero differences drop (the
+    standard Wilcoxon reduction); signed midranks of |d| come from the
+    distinct-|d| count frame (2·W⁺ = Σ p·(2·cb + t + 1), exact BIGINT),
+    and the normal approximation uses the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48. One grouped fact pass builds the
+    per-customer pair rollup; the ordered prefix scan runs on the
+    distinct-difference frame only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    d = per.select((F.col("y") - F.col("x")).alias("d")).filter(
+        F.col("d") != 0
+    )
+    cnt = d.groupBy(F.abs(F.col("d")).alias("a")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("npos"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    wplus = F.col("w2p").cast("double") / F.lit(2.0)
+    var = nd * (n + 1) * (2 * n + 1) / F.lit(24.0) - F.col("ties").cast(
+        "double"
+    ) / F.lit(48.0)
+    return agg.select(
+        n.alias("n_pairs"),
+        F.col("npos").alias("n_pos"),
+        (n - F.col("npos")).alias("n_neg"),
+        wplus.alias("w_plus"),
+        F.round(
+            (wplus - nd * (n + 1) / F.lit(4.0)) / F.sqrt(var), 6
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar: paired-binary disagreement test on the two weak labelers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mcnemar",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 15000000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS r2
+      FROM orders
+    ), c AS (
+      SELECT CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS n10,
+             CAST(SUM((1 - r1) * r2) AS BIGINT) AS n01
+      FROM s
+    )
+    SELECT n10, n01,
+           ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / (n10 + n01), 6) AS chi2,
+           ROUND(CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                      AS DOUBLE) / (n10 + n01), 6) AS chi2_cc,
+           CAST(CASE WHEN CAST((ABS(n10 - n01) - 1)
+                               * (ABS(n10 - n01) - 1) AS DOUBLE)
+                          / (n10 + n01) > 3.841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM c
+    """,
+)
+def q_mcnemar(spark, sf_dir):
+    """McNemar's test on the q_cohens_kappa labeler pair ('big order'
+    by value vs 'urgent' by priority): does one weak labeler
+    systematically fire where the other doesn't? Only the DISCORDANT
+    counts matter — χ² = (n10−n01)²/(n10+n01) plus the Edwards
+    continuity-corrected form, both exact-integer numerators over one
+    IEEE division; the rejection flag at α=0.05 (χ²₁ = 3.841459) is a
+    pure integer-derived comparison, so the driver hash certifies the
+    DECISION, not just the statistic. One fact pass, two aggregate
+    cells — the cheapest test in the suite."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.when(
+            F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000, 1
+        )
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    c = s.agg(
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("n01"),
+    )
+    diff = F.col("n10") - F.col("n01")
+    tot = F.col("n10") + F.col("n01")
+    cc = (F.abs(diff) - 1) * (F.abs(diff) - 1)
+    return c.select(
+        "n10",
+        "n01",
+        F.round((diff * diff).cast("double") / tot, 6).alias("chi2"),
+        F.round(cc.cast("double") / tot, 6).alias("chi2_cc"),
+        F.when(cc.cast("double") / tot > 3.841459, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_jarque_bera: moment-based normality test per return flag
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jarque_bera",
+    """
+    WITH cents AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), sums AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS DOUBLE) AS s4
+      FROM cents GROUP BY 1
+    ), m AS (
+      SELECT flag, n,
+             (s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS sk,
+             (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS ku
+      FROM sums
+    )
+    SELECT flag, n,
+           ROUND(CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0), 6)
+             AS jb_stat,
+           CAST(CASE WHEN CAST(n AS DOUBLE) / 6.0
+                          * (sk * sk + ku * ku / 4.0) > 5.991465
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM m ORDER BY flag
+    """,
+)
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test per return flag — JB = n/6·(S² +
+    K²/4) on the exact power-sum moments of q_moments (Σx..Σx⁴ ride
+    DECIMAL(38,0), one decimal→double conversion per sum, then a fixed
+    scalar dag — x^1.5 spelled m2·√m2, never pow). The distributional
+    gate a feature pipeline runs before assuming Gaussian-ish inputs;
+    heavy-tailed price data should reject, and the α=0.05 decision
+    (χ²₂ = 5.991465) rides the hash row alongside the statistic. One
+    hash aggregate over the fact table, nothing else."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    xd = F.col("x").cast("decimal(38,0)")
+    sums = (
+        lineitem.select(F.col("l_returnflag").alias("flag"), x.alias("x"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).cast("double").alias("s1"),
+            F.sum(xd * F.col("x")).cast("double").alias("s2"),
+            F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+            F.sum(xd * F.col("x") * F.col("x") * F.col("x"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3) * mean * (F.col("s2") / n)
+        + F.lit(2) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4) * mean * (F.col("s3") / n)
+        + F.lit(6) * mean * mean * (F.col("s2") / n)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    sk = m3 / (m2 * F.sqrt(m2))
+    ku = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n.cast("double") / F.lit(6.0) * (
+        sk * sk + ku * ku / F.lit(4.0)
+    )
+    return sums.select(
+        "flag",
+        "n",
+        F.round(jb, 6).alias("jb_stat"),
+        F.when(jb > 5.991465, 1).otherwise(0).cast("long").alias(
+            "reject_5pct"
+        ),
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_agreement: ARI / Fowlkes-Mallows / purity between two
+# independent label assignments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cluster_agreement",
+    """
+    WITH u AS (
+      SELECT c.c_mktsegment AS a, r.r_name AS b
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), ct AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM u GROUP BY 1, 2
+    ), pa AS (
+      SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) AS pa FROM (
+        SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY a)
+    ), pb AS (
+      SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) AS pb FROM (
+        SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY b)
+    ), pp AS (
+      SELECT CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS p,
+             CAST(SUM(nij) AS BIGINT) AS n
+      FROM ct
+    ), pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS s FROM (
+        SELECT MAX(nij) AS mx FROM ct GROUP BY a)
+    )
+    SELECT pp.n AS n_units, pp.p AS n_pair_agree,
+           ROUND((CAST(pp.p AS DOUBLE)
+                  - CAST(pa.pa AS DOUBLE) * pb.pb
+                    / (CAST(pp.n AS DOUBLE) * (pp.n - 1) / 2.0))
+                 / ((CAST(pa.pa AS DOUBLE) + pb.pb) / 2.0
+                    - CAST(pa.pa AS DOUBLE) * pb.pb
+                      / (CAST(pp.n AS DOUBLE) * (pp.n - 1) / 2.0)),
+                 6) AS ari,
+           ROUND(CAST(pp.p AS DOUBLE)
+                 / sqrt(CAST(pa.pa AS DOUBLE) * pb.pb), 6)
+             AS fowlkes_mallows,
+           ROUND(CAST(pur.s AS DOUBLE) / pp.n, 6) AS purity
+    FROM pp, pa, pb, pur
+    """,
+)
+def q_cluster_agreement(spark, sf_dir):
+    """Pair-counting agreement between two independent customer
+    partitionings (market segment vs home region): adjusted Rand
+    index, Fowlkes-Mallows, and purity — the label-free clustering
+    scorecard (compare q_kmeans_exact's labels against any reference
+    partition with the same frame). Everything reduces to the k×k
+    CONTINGENCY table: one grouped count over the dim join, then
+    Σ C(nij,2) and the two marginal pair sums as exact BIGINTs; ARI's
+    expected-index product Pa·Pb rides doubles (it exceeds int64 near
+    n≈10⁶ — the one deliberate float, exact to 53 bits and identical
+    in both engines). Dims broadcast; the contingency table is
+    k_a × k_b rows — driver-safe at any scale. The four scalar facets
+    merge via a sparse unionByName + MAX (no 1-row nested-loop join
+    chain — the plan-census ≤2-BNLJ rule)."""
+    customer, nation, region = load_tables(
+        spark, sf_dir, "customer", "nation", "region"
+    )
+    u = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    ct = (
+        u.select(
+            F.col("c_mktsegment").alias("a"), F.col("r_name").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=False)  # 25-row frame, 4 consumers
+    )
+    c2 = lambda c: (c * (c - 1) / 2).cast("long")  # noqa: E731
+    pa = ct.groupBy("a").agg(F.sum("nij").alias("ai")).agg(
+        F.sum(c2(F.col("ai"))).cast("long").alias("pa")
+    )
+    pb = ct.groupBy("b").agg(F.sum("nij").alias("bj")).agg(
+        F.sum(c2(F.col("bj"))).cast("long").alias("pb")
+    )
+    pp = ct.agg(
+        F.sum(c2(F.col("nij"))).cast("long").alias("p"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    pur = ct.groupBy("a").agg(F.max("nij").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("s")
+    )
+    j = (
+        pp.unionByName(pa, allowMissingColumns=True)
+        .unionByName(pb, allowMissingColumns=True)
+        .unionByName(pur, allowMissingColumns=True)
+        .agg(
+            F.max("p").alias("p"),
+            F.max("n").alias("n"),
+            F.max("pa").alias("pa"),
+            F.max("pb").alias("pb"),
+            F.max("s").alias("s"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    c2n = nd * (F.col("n") - 1) / F.lit(2.0)
+    exp = F.col("pa").cast("double") * F.col("pb") / c2n
+    return j.select(
+        F.col("n").alias("n_units"),
+        F.col("p").alias("n_pair_agree"),
+        F.round(
+            (F.col("p").cast("double") - exp)
+            / ((F.col("pa").cast("double") + F.col("pb")) / F.lit(2.0) - exp),
+            6,
+        ).alias("ari"),
+        F.round(
+            F.col("p").cast("double")
+            / F.sqrt(F.col("pa").cast("double") * F.col("pb")),
+            6,
+        ).alias("fowlkes_mallows"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("purity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomp: Brier score + Murphy decomposition over fixed bins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_brier_decomp",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), mm AS (
+      SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM s
+    ), e AS (
+      SELECT sc - mm.mn AS s0, y,
+             mm.mx - mm.mn AS span,
+             CAST(((sc - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS INTEGER)
+               AS bin
+      FROM s, mm
+    ), b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(y) AS BIGINT) AS ek,
+             CAST(SUM(s0) AS BIGINT) AS ssk,
+             SUM(CAST(s0 AS DECIMAL(38,0)) * s0) AS ssq,
+             CAST(SUM(s0 * y) AS BIGINT) AS spyk,
+             CAST(MAX(span) AS BIGINT) AS span
+      FROM e GROUP BY 1
+    ), g AS (
+      SELECT CAST(SUM(ssq) AS DOUBLE) AS ss2,
+             CAST(SUM(spyk) AS BIGINT) AS spy,
+             CAST(SUM(ek) AS BIGINT) AS sy,
+             CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(MAX(span) AS BIGINT) AS span
+      FROM b
+    ), dec AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               nk * (CAST(ssk AS DOUBLE) / (nk * g.span)
+                     - CAST(ek AS DOUBLE) / nk)
+                  * (CAST(ssk AS DOUBLE) / (nk * g.span)
+                     - CAST(ek AS DOUBLE) / nk), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS rel_n,
+             CAST(SUM(CAST(ROUND(
+               nk * (CAST(ek AS DOUBLE) / nk
+                     - CAST(g.sy AS DOUBLE) / g.n)
+                  * (CAST(ek AS DOUBLE) / nk
+                     - CAST(g.sy AS DOUBLE) / g.n), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS res_n
+      FROM b, g
+    )
+    SELECT g.n AS n_orders,
+           ROUND((g.ss2 / (CAST(g.span AS DOUBLE) * g.span)
+                  - 2.0 * g.spy / g.span + g.sy) / g.n, 6) AS brier,
+           ROUND(dec.rel_n / g.n, 6) AS reliability,
+           ROUND(dec.res_n / g.n, 6) AS resolution,
+           ROUND(CAST(g.sy AS DOUBLE) / g.n
+                 * (1.0 - CAST(g.sy AS DOUBLE) / g.n), 6) AS uncertainty
+    FROM g, dec
+    """,
+)
+def q_brier_decomp(spark, sf_dir):
+    """Brier score of the q_ece probability proxy (min-max-normalized
+    order value predicting status='F') plus the Murphy decomposition
+    over the same ten fixed bins: reliability (calibration), resolution
+    (discrimination), uncertainty (base-rate variance). The score
+    itself NEVER sums per-row floats: Σ(p−y)² = Σs0²/span² − 2Σs0·y/
+    span + Σy with Σs0² on DECIMAL(38,0) and the y-cross-terms exact
+    BIGINTs — three exact sums, one fixed dag. The decomposition terms
+    are one IEEE dag per BIN (ten of them), 6dp-rounded and
+    decimal-summed, the q_anova_f discipline. ONE fact pass total: the
+    ten-row bin frame carries every sum (lazily checkpointed), the
+    global frame folds from it, and the two scalar cross-joins stay
+    within the plan-census ≤2-BNLJ budget."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    mm = s.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    e = s.join(F.broadcast(mm)).select(
+        (F.col("sc") - F.col("mn")).alias("s0"),
+        "y",
+        (F.col("mx") - F.col("mn")).alias("span"),
+        F.expr("CAST(((sc - mn) * 10) div (mx - mn + 1) AS INT)").alias(
+            "bin"
+        ),
+    )
+    b = (
+        e.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nk"),
+            F.sum("y").cast("long").alias("ek"),
+            F.sum("s0").cast("long").alias("ssk"),
+            F.sum(F.col("s0").cast("decimal(38,0)") * F.col("s0")).alias(
+                "ssq"
+            ),
+            F.sum(F.col("s0") * F.col("y")).cast("long").alias("spyk"),
+            F.max("span").cast("long").alias("span"),
+        )
+        .localCheckpoint(eager=False)  # ten rows, three consumers
+    )
+    g = b.agg(
+        F.sum("ssq").cast("double").alias("ss2"),
+        F.sum("spyk").cast("long").alias("spy"),
+        F.sum("ek").cast("long").alias("sy"),
+        F.sum("nk").cast("long").alias("n"),
+        F.max("span").cast("long").alias("span"),
+    )
+    bg = b.join(F.broadcast(g.drop("span")))  # 10 rows × 1 row
+    conf = F.col("ssk").cast("double") / (F.col("nk") * F.col("span"))
+    acc = F.col("ek").cast("double") / F.col("nk")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    dec = bg.agg(
+        F.sum(
+            F.round(F.col("nk") * (conf - acc) * (conf - acc), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("rel_n"),
+        F.sum(
+            F.round(F.col("nk") * (acc - ybar) * (acc - ybar), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("res_n"),
+    )
+    j = g.join(F.broadcast(dec))
+    nd = F.col("n").cast("double")
+    ybar_g = F.col("sy").cast("double") / F.col("n")
+    brier = (
+        F.col("ss2") / (F.col("span").cast("double") * F.col("span"))
+        - F.lit(2.0) * F.col("spy") / F.col("span")
+        + F.col("sy")
+    ) / F.col("n")
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.round(brier, 6).alias("brier"),
+        F.round(F.col("rel_n") / nd, 6).alias("reliability"),
+        F.round(F.col("res_n") / nd, 6).alias("resolution"),
+        F.round(ybar_g * (F.lit(1.0) - ybar_g), 6).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test: md5-deterministic re-randomization inference
+# ---------------------------------------------------------------------------
+
+_PERM_K = 60
+
+
+@query(
+    "q_permutation_test",
+    f"""
+    WITH u AS (
+      SELECT c.c_custkey AS cust,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+             CAST(COALESCE(SUM(
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS v
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ia * v) AS BIGINT) AS sa,
+             CAST(SUM(v) AS BIGINT) AS st
+      FROM u
+    ), perm AS (
+      SELECT s.seed, u.v,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.seed
+               ORDER BY md5(CAST(s.seed AS VARCHAR) || ':'
+                            || CAST(u.cust AS VARCHAR)), u.cust) AS rn
+      FROM u, (SELECT seed FROM range(1, {_PERM_K + 1}) r(seed)) s
+    ), ps AS (
+      SELECT seed,
+             CAST(SUM(CASE WHEN rn <= (SELECT n1 FROM t)
+                           THEN v ELSE 0 END) AS BIGINT) AS sa_s
+      FROM perm GROUP BY 1
+    ), d AS (
+      SELECT ps.seed,
+             CAST(ps.sa_s AS DOUBLE) / t.n1
+               - CAST(t.st - ps.sa_s AS DOUBLE) / (t.n - t.n1) AS diff_s,
+             CAST(t.sa AS DOUBLE) / t.n1
+               - CAST(t.st - t.sa AS DOUBLE) / (t.n - t.n1) AS obs
+      FROM ps, t
+    )
+    SELECT (SELECT n FROM t) AS n_units,
+           ROUND(MAX(obs), 6) AS obs_diff_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(diff_s) >= ABS(obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND((1.0 + SUM(CASE WHEN ABS(diff_s) >= ABS(obs)
+                                 THEN 1 ELSE 0 END))
+                 / (COUNT(*) + 1.0), 6) AS p_value
+    FROM d
+    """,
+)
+def q_permutation_test(spark, sf_dir):
+    """Distributed permutation test (re-randomization inference) for
+    the BUILDING-vs-MACHINERY mean per-customer spend difference — the
+    assumption-free alternative to q_ab_test's normal z. 60 label
+    permutations are minted by the PORTABLE md5 order (seed:custkey),
+    the q_random_walk discipline: each seed re-ranks the units and the
+    first n₁ form the pseudo-treatment arm, so both engines replay the
+    IDENTICAL 'random' reassignments and the p-value itself is
+    hash-certified — a property no RNG-based engine test has. Shapes:
+    the unit frame is the per-customer rollup (bounded, one grouped
+    fact pass with honest LEFT-join zeros), the seed fan-out is a
+    broadcast nested-loop over 60 rows, and each permutation's rank
+    pass partitions by seed (parallel across seeds, |units| per
+    partition — at larger unit counts raise K's cost bound by sampling
+    units first, never by ranking the fact table). All sums exact
+    BIGINTs; each mean difference is two IEEE divisions, identical in
+    both engines, so the >= extremeness comparisons agree bit for
+    bit. p = (1 + #extreme)/(K+1), the add-one permutation rule
+    (K = _PERM_K = 60).
+    """
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    u = (
+        customer.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("cust"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)  # reused by t and the seed fan-out
+    )
+    t = u.agg(
+        F.sum("ia").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ia") * F.col("v")).cast("long").alias("sa"),
+        F.sum("v").cast("long").alias("st"),
+    )
+    seeds = spark.range(1, _PERM_K + 1).select(F.col("id").alias("seed"))
+    h = F.md5(
+        F.concat(
+            F.col("seed").cast("string"),
+            F.lit(":"),
+            F.col("cust").cast("string"),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(h.asc(), F.col("cust").asc())
+    # t joins the ranked frame ONCE (before the per-seed rollup) and its
+    # scalars ride the groupBy as MAX — with the seed fan-out that makes
+    # exactly two 1-row/60-row nested loops (the plan-census budget)
+    d = (
+        u.join(F.broadcast(seeds))
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(t))
+        .groupBy("seed")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("n1"), F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("sa_s"),
+            F.max("n1").alias("n1"),
+            F.max("n").alias("n"),
+            F.max("sa").alias("sa"),
+            F.max("st").alias("st"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    diff_s = F.col("sa_s").cast("double") / n1d - (
+        F.col("st") - F.col("sa_s")
+    ).cast("double") / n0d
+    obs = F.col("sa").cast("double") / n1d - (
+        F.col("st") - F.col("sa")
+    ).cast("double") / n0d
+    ext = F.when(F.abs(diff_s) >= F.abs(obs), 1).otherwise(0)
+    return d.agg(
+        F.max("n").cast("long").alias("n_units"),
+        F.round(F.max(obs), 6).alias("obs_diff_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.sum(ext).cast("long").alias("n_extreme"),
+        F.round(
+            (F.lit(1.0) + F.sum(ext)) / (F.count(F.lit(1)) + F.lit(1.0)), 6
+        ).alias("p_value"),
+    )

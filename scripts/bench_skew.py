@@ -44,6 +44,17 @@ QUERIES_TO_RUN = [
     "q_frequent_triples",
     "q_kcore_exact",
     "q_label_prop_exact",
+    # phase-44..49 newcomers with graph/degree-sensitive shapes
+    # (VERDICT r8 stretch): the weighted-Jaccard self-join is the
+    # degree-quadratic one to watch; the rest are fixed-round or
+    # count-frame plans that must stay ~flat under the Zipf hot key
+    "q_weighted_jaccard",
+    "q_harmonic_centrality",
+    "q_clustering_coeff",
+    "q_random_walk",
+    "q_hits_scores",
+    "q_kruskal_wallis",
+    "q_permutation_test",
 ]
 
 

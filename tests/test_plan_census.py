@@ -49,6 +49,7 @@ PYTHON_ALLOWED = {
     "q_projection_distortion",
     "q_bpe_encode",
     "q_skyline",
+    "q_gzip_ratio",  # zlib deflate via Arrow pandas_udf (quality.py)
 }
 
 

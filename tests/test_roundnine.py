@@ -1,0 +1,262 @@
+"""Round-9 phase-49 semantics pins: each statistic recomputed
+independently in pure Python/pandas (midranks via pandas.rank, moments
+via float sums) from the same parquet — the engine+oracle twin can't
+share a bug with this path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _pdread(table: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/{table}.parquet")
+
+
+def _order_seg_values():
+    orders, customer = _pdread("orders"), _pdread("customer")
+    seg = dict(zip(customer["c_custkey"], customer["c_mktsegment"]))
+    df = orders.assign(
+        seg=orders["o_custkey"].map(seg),
+        v=(orders["o_totalprice"] * 100).round().astype("int64"),
+    )
+    return df[["seg", "v"]]
+
+
+def test_kruskal_wallis_matches_pandas_ranks(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_kruskal_wallis"](spark, SF_DIR).collect()[0]
+
+    df = _order_seg_values()
+    df = df.assign(r=df["v"].rank(method="average"))
+    n = len(df)
+    srr = sum(
+        g["r"].sum() ** 2 / len(g) for _, g in df.groupby("seg")
+    )
+    h = 12.0 * srr / (n * (n + 1)) - 3.0 * (n + 1)
+    tie = sum(
+        t**3 - t for t in df["v"].value_counts().tolist()
+    )
+    h /= 1.0 - tie / float(n**3 - n)
+    k = df["seg"].nunique()
+    assert got.k_groups == k and got.n_total == n
+    assert abs(float(got.h_stat) - h) < 1e-4
+    assert abs(float(got.epsilon_sq) - (h - k + 1) / (n - k)) < 1e-6
+
+
+def test_wilcoxon_signed_matches_pandas_ranks(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_wilcoxon_signed"](spark, SF_DIR).collect()[0]
+
+    orders = _pdread("orders")
+    cut = pd.Timestamp("1996-01-01")
+    orders = orders.assign(
+        cents=(orders["o_totalprice"] * 100).round().astype("int64")
+    )
+    pre = (
+        orders[orders["o_orderdate"] < cut]
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    post = (
+        orders[orders["o_orderdate"] >= cut]
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    d = (
+        post.reindex(pre.index.union(post.index), fill_value=0)
+        - pre.reindex(pre.index.union(post.index), fill_value=0)
+    )
+    d = d[d != 0]
+    s = pd.DataFrame({"a": d.abs(), "pos": (d > 0).astype(int)})
+    s = s.assign(r=s["a"].rank(method="average"))
+    n = len(s)
+    wplus = float(s.loc[s["pos"] == 1, "r"].sum())
+    tie = sum(t**3 - t for t in s["a"].value_counts().tolist())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (wplus - n * (n + 1) / 4.0) / var**0.5
+    assert got.n_pairs == n
+    assert got.n_pos == int(s["pos"].sum())
+    assert abs(float(got.w_plus) - wplus) < 1e-6
+    assert abs(float(got.z_score) - z) < 1e-5
+
+
+def test_mcnemar_matches_python_counts(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_mcnemar"](spark, SF_DIR).collect()[0]
+
+    orders = _pdread("orders")
+    r1 = (orders["o_totalprice"] * 100).round().astype("int64") > 15_000_000
+    r2 = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    n10 = int((r1 & ~r2).sum())
+    n01 = int((~r1 & r2).sum())
+    assert (got.n10, got.n01) == (n10, n01)
+    assert abs(float(got.chi2) - (n10 - n01) ** 2 / (n10 + n01)) < 1e-5
+    cc = (abs(n10 - n01) - 1) ** 2 / (n10 + n01)
+    assert abs(float(got.chi2_cc) - cc) < 1e-5
+    assert got.reject_5pct == (1 if cc > 3.841459 else 0)
+
+
+def test_jarque_bera_matches_numpy_moments(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = {
+        r.flag: r for r in QUERIES["q_jarque_bera"](spark, SF_DIR).collect()
+    }
+    lineitem = _pdread("lineitem")
+    x_all = (lineitem["l_extendedprice"] * 100).round().astype("int64")
+    for flag, grp in x_all.groupby(lineitem["l_returnflag"]):
+        x = grp.to_numpy(dtype="float64")
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        sk = ((x - m) ** 3).mean() / m2**1.5
+        ku = ((x - m) ** 4).mean() / m2**2 - 3.0
+        jb = n / 6.0 * (sk * sk + ku * ku / 4.0)
+        r = got[flag]
+        assert r.n == n
+        assert abs(float(r.jb_stat) - jb) / max(jb, 1.0) < 1e-6, flag
+        assert r.reject_5pct == (1 if jb > 5.991465 else 0)
+    # cent prices are heavy-tailed-ish: at least one flag must reject
+    assert any(r.reject_5pct == 1 for r in got.values())
+
+
+def test_cluster_agreement_matches_python_pair_counts(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_cluster_agreement"](spark, SF_DIR).collect()[0]
+
+    customer, nation, region = (
+        _pdread("customer"),
+        _pdread("nation"),
+        _pdread("region"),
+    )
+    nk2reg = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    rk2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ct: dict[tuple, int] = {}
+    for seg, nk in zip(customer["c_mktsegment"], customer["c_nationkey"]):
+        key = (seg, rk2name[nk2reg[nk]])
+        ct[key] = ct.get(key, 0) + 1
+    n = sum(ct.values())
+    comb2 = lambda c: c * (c - 1) // 2  # noqa: E731
+    p = sum(comb2(v) for v in ct.values())
+    ai: dict[str, int] = {}
+    bj: dict[str, int] = {}
+    for (a, b), v in ct.items():
+        ai[a] = ai.get(a, 0) + v
+        bj[b] = bj.get(b, 0) + v
+    pa = sum(comb2(v) for v in ai.values())
+    pb = sum(comb2(v) for v in bj.values())
+    exp = pa * pb / comb2(n)
+    ari = (p - exp) / ((pa + pb) / 2 - exp)
+    fm = p / (pa * pb) ** 0.5
+    purity = (
+        sum(
+            max(v for (a2, _), v in ct.items() if a2 == a) for a in ai
+        )
+        / n
+    )
+    assert got.n_units == n and got.n_pair_agree == p
+    assert abs(float(got.ari) - ari) < 1e-6
+    assert abs(float(got.fowlkes_mallows) - fm) < 1e-6
+    assert abs(float(got.purity) - purity) < 1e-6
+
+
+def test_brier_decomp_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_brier_decomp"](spark, SF_DIR).collect()[0]
+
+    orders = _pdread("orders")
+    sc = (orders["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    y = (orders["o_orderstatus"] == "F").astype("int64").to_numpy()
+    mn, mx = sc.min(), sc.max()
+    span = mx - mn
+    s0 = sc - mn
+    pprob = s0 / span
+    n = len(sc)
+    brier = float(((pprob - y) ** 2).mean())
+    assert got.n_orders == n
+    assert abs(float(got.brier) - brier) < 1e-5
+    bins = (s0 * 10) // (span + 1)
+    rel = res = 0.0
+    ybar = y.mean()
+    for k in np.unique(bins):
+        m = bins == k
+        nk = int(m.sum())
+        conf = pprob[m].mean()
+        acc = y[m].mean()
+        rel += nk * (conf - acc) ** 2
+        res += nk * (acc - ybar) ** 2
+    assert abs(float(got.reliability) - rel / n) < 1e-5
+    assert abs(float(got.resolution) - res / n) < 1e-5
+    assert abs(float(got.uncertainty) - ybar * (1 - ybar)) < 1e-6
+    # Murphy residual = mean within-bin variance of p (sanity bound)
+    assert float(got.brier) >= float(got.reliability) - float(
+        got.resolution
+    ) + float(got.uncertainty) - 1e-4
+
+
+def test_permutation_test_matches_hashlib_replay(spark):
+    """Replay all 60 md5 permutations in pure Python (hashlib) — the
+    portable-randomness claim verified outside both engines."""
+    import hashlib
+
+    from legislative_bills_database_spark.plans import QUERIES
+    from legislative_bills_database_spark.plans.roundnine_queries import (
+        _PERM_K,
+    )
+
+    got = QUERIES["q_permutation_test"](spark, SF_DIR).collect()[0]
+
+    orders, customer = _pdread("orders"), _pdread("customer")
+    cust = customer[
+        customer["c_mktsegment"].isin(["BUILDING", "MACHINERY"])
+    ]
+    spend = (
+        orders.assign(
+            cents=(orders["o_totalprice"] * 100).round().astype("int64")
+        )
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    units = [
+        (
+            int(ck),
+            1 if seg == "BUILDING" else 0,
+            int(spend.get(ck, 0)),
+        )
+        for ck, seg in zip(cust["c_custkey"], cust["c_mktsegment"])
+    ]
+    n = len(units)
+    n1 = sum(ia for _, ia, _ in units)
+    sa = sum(v for _, ia, v in units if ia)
+    st = sum(v for _, _, v in units)
+    obs = sa / n1 - (st - sa) / (n - n1)
+    n_ext = 0
+    for seed in range(1, _PERM_K + 1):
+        ranked = sorted(
+            units,
+            key=lambda u: (
+                hashlib.md5(f"{seed}:{u[0]}".encode()).hexdigest(),
+                u[0],
+            ),
+        )
+        sa_s = sum(v for _, _, v in ranked[:n1])
+        diff = sa_s / n1 - (st - sa_s) / (n - n1)
+        if abs(diff) >= abs(obs):
+            n_ext += 1
+    assert got.n_units == n
+    assert abs(float(got.obs_diff_cents) - obs) < 1e-4
+    assert got.n_perms == _PERM_K
+    assert got.n_extreme == n_ext
+    assert abs(float(got.p_value) - (1 + n_ext) / (_PERM_K + 1)) < 1e-6
