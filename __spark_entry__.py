@@ -58,6 +58,11 @@ _NEWCOMERS_R9: list[str] = [
     "q_cluster_agreement",
     "q_brier_decomp",
     "q_permutation_test",
+    # -- phase 50: multi-rater reliability + internal consistency --
+    "q_fleiss_kappa",
+    "q_cochran_q",
+    "q_cronbach_alpha",
+    "q_icc",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

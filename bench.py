@@ -360,6 +360,11 @@ HEADLINE = [
     "q_cluster_agreement",
     "q_brier_decomp",
     "q_permutation_test",
+    # round-9 phase 50: multi-rater reliability + internal consistency
+    "q_fleiss_kappa",
+    "q_cochran_q",
+    "q_cronbach_alpha",
+    "q_icc",
 ]
 
 

@@ -836,3 +836,363 @@ def q_permutation_test(spark, sf_dir):
             (F.lit(1.0) + F.sum(ext)) / (F.count(F.lit(1)) + F.lit(1.0)), 6
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 50: multi-rater reliability + internal consistency
+# ---------------------------------------------------------------------------
+
+_R1 = "CAST(ROUND(o_totalprice * 100) AS BIGINT) > 15000000"
+_R2 = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_R3 = "o_orderstatus = 'F'"
+
+
+@query(
+    "q_fleiss_kappa",
+    f"""
+    WITH s AS (
+      SELECT (CASE WHEN {_R1} THEN 1 ELSE 0 END
+              + CASE WHEN {_R2} THEN 1 ELSE 0 END
+              + CASE WHEN {_R3} THEN 1 ELSE 0 END) AS k
+      FROM orders
+    ), h AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(k * c) AS BIGINT) AS sk,
+             CAST(SUM((k * k + (3 - k) * (3 - k)) * c) AS BIGINT) AS sq
+      FROM h
+    )
+    SELECT n AS n_subjects,
+           ROUND((CAST(sq AS DOUBLE) - 3.0 * n) / (n * 6.0), 6)
+             AS p_bar,
+           ROUND((CAST(sk AS DOUBLE) / (3.0 * n))
+                 * (CAST(sk AS DOUBLE) / (3.0 * n))
+                 + (1.0 - CAST(sk AS DOUBLE) / (3.0 * n))
+                 * (1.0 - CAST(sk AS DOUBLE) / (3.0 * n)), 6) AS p_exp,
+           ROUND(((CAST(sq AS DOUBLE) - 3.0 * n) / (n * 6.0)
+                  - ((CAST(sk AS DOUBLE) / (3.0 * n))
+                     * (CAST(sk AS DOUBLE) / (3.0 * n))
+                     + (1.0 - CAST(sk AS DOUBLE) / (3.0 * n))
+                     * (1.0 - CAST(sk AS DOUBLE) / (3.0 * n))))
+                 / (1.0 - ((CAST(sk AS DOUBLE) / (3.0 * n))
+                           * (CAST(sk AS DOUBLE) / (3.0 * n))
+                           + (1.0 - CAST(sk AS DOUBLE) / (3.0 * n))
+                           * (1.0 - CAST(sk AS DOUBLE) / (3.0 * n)))),
+                 6) AS kappa
+    FROM agg
+    """,
+)
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for THREE weak binary labelers per order (value,
+    priority, status — q_cohens_kappa's pair plus one) — the
+    multi-rater agreement gate a labeling pipeline needs once it has
+    more than two annotators. The whole statistic collapses onto the
+    4-bucket histogram of k = #raters-voting-1 per subject: P̄ =
+    (Σ(k²+(3−k)²) − 3N)/(6N) and P̄e = p₁² + p₀² with p₁ = Σk/3N, all
+    exact BIGINTs until three final IEEE divisions. One fact pass to
+    the histogram (map-side combined, ≤4 rows), driver sees one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = (
+        F.when(
+            F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000, 1
+        )
+        .otherwise(0)
+        + F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        + F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    )
+    h = orders.select(k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("k") * F.col("c")).cast("long").alias("sk"),
+        F.sum(
+            (
+                F.col("k") * F.col("k")
+                + (3 - F.col("k")) * (3 - F.col("k"))
+            )
+            * F.col("c")
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    n = F.col("n")
+    p_bar = (F.col("sq").cast("double") - F.lit(3.0) * n) / (
+        n * F.lit(6.0)
+    )
+    p1 = F.col("sk").cast("double") / (F.lit(3.0) * n)
+    p_exp = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
+    return agg.select(
+        n.alias("n_subjects"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_exp, 6).alias("p_exp"),
+        F.round((p_bar - p_exp) / (F.lit(1.0) - p_exp), 6).alias("kappa"),
+    )
+
+
+@query(
+    "q_cochran_q",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN {_R1} THEN 1 ELSE 0 END AS r1,
+             CASE WHEN {_R2} THEN 1 ELSE 0 END AS r2,
+             CASE WHEN {_R3} THEN 1 ELSE 0 END AS r3
+      FROM orders
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r1) AS BIGINT) AS c1,
+             CAST(SUM(r2) AS BIGINT) AS c2,
+             CAST(SUM(r3) AS BIGINT) AS c3,
+             CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sr,
+             CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+      FROM s
+    )
+    SELECT n AS n_subjects, c1, c2, c3,
+           ROUND(2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1
+                               + CAST(c2 AS DOUBLE) * c2
+                               + CAST(c3 AS DOUBLE) * c3)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / (3.0 * sr - sr2), 6) AS q_stat,
+           CAST(CASE WHEN 2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1
+                                        + CAST(c2 AS DOUBLE) * c2
+                                        + CAST(c3 AS DOUBLE) * c3)
+                                 - CAST(sr AS DOUBLE) * sr)
+                          / (3.0 * sr - sr2) > 5.991465
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM agg
+    """,
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q across the three binary labelers (the k-treatment
+    generalization of q_mcnemar): do the raters fire at the same RATE?
+    Q = (m−1)(m·ΣC_j² − (ΣC_j)²)/(m·ΣR_i − ΣR_i²) with m=3; the
+    column totals C_j and the per-subject row-sum moments ΣR, ΣR² are
+    all exact BIGINTs out of ONE fact aggregate (C_j² rides doubles —
+    exact to 2⁵³, identical both engines), and the χ²₂ rejection at
+    α=0.05 rides the hash row. The cheapest multi-treatment test in
+    the suite: one pass, one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    r1 = F.when(
+        F.round(F.col("o_totalprice") * 100).cast("long") > 15_000_000, 1
+    ).otherwise(0)
+    r2 = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    r3 = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    s = orders.select(r1.alias("r1"), r2.alias("r2"), r3.alias("r3"))
+    rsum = F.col("r1") + F.col("r2") + F.col("r3")
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r1").cast("long").alias("c1"),
+        F.sum("r2").cast("long").alias("c2"),
+        F.sum("r3").cast("long").alias("c3"),
+        F.sum(rsum).cast("long").alias("sr"),
+        F.sum(rsum * rsum).cast("long").alias("sr2"),
+    )
+    csq = (
+        F.col("c1").cast("double") * F.col("c1")
+        + F.col("c2").cast("double") * F.col("c2")
+        + F.col("c3").cast("double") * F.col("c3")
+    )
+    q = (
+        F.lit(2.0)
+        * (F.lit(3.0) * csq - F.col("sr").cast("double") * F.col("sr"))
+        / (F.lit(3.0) * F.col("sr") - F.col("sr2"))
+    )
+    return agg.select(
+        F.col("n").alias("n_subjects"),
+        "c1",
+        "c2",
+        "c3",
+        F.round(q, 6).alias("q_stat"),
+        F.when(q > 5.991465, 1).otherwise(0).cast("long").alias(
+            "reject_5pct"
+        ),
+    )
+
+
+@query(
+    "q_cronbach_alpha",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1994
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS i1,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS i2,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS i3
+      FROM orders GROUP BY 1
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i1) AS BIGINT) AS s1,
+             CAST(SUM(i2) AS BIGINT) AS s2,
+             CAST(SUM(i3) AS BIGINT) AS s3,
+             CAST(SUM(CAST(i1 AS DECIMAL(38,0)) * i1) AS DOUBLE) AS q1,
+             CAST(SUM(CAST(i2 AS DECIMAL(38,0)) * i2) AS DOUBLE) AS q2,
+             CAST(SUM(CAST(i3 AS DECIMAL(38,0)) * i3) AS DOUBLE) AS q3,
+             CAST(SUM(CAST(i1 + i2 + i3 AS DECIMAL(38,0))
+                      * (i1 + i2 + i3)) AS DOUBLE) AS qt
+      FROM per
+    ), v AS (
+      SELECT n,
+             (q1 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v1,
+             (q2 - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1) AS v2,
+             (q3 - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1) AS v3,
+             (qt - CAST(s1 + s2 + s3 AS DOUBLE) * (s1 + s2 + s3) / n)
+               / (n - 1) AS vt
+      FROM agg
+    )
+    SELECT n AS n_units,
+           ROUND((v1 + v2 + v3) / vt, 6) AS item_var_ratio,
+           ROUND(1.5 * (1.0 - (v1 + v2 + v3) / vt), 6) AS alpha
+    FROM v
+    """,
+)
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over three per-customer 'items' (1994/1995/1996
+    spend in cents) — the internal-consistency coefficient a metric
+    pipeline reports before averaging correlated signals into a score:
+    α = k/(k−1)·(1 − Σvar_item/var_total), k=3. Item sums are exact
+    BIGINTs out of one conditional fact rollup; squares ride
+    DECIMAL(38,0); each sample variance is the classic Σx² − (Σx)²/n
+    contrast as ONE double expression — identical in both engines. One
+    grouped pass + one aggregate, one output row."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    yr = F.year(F.col("o_orderdate"))
+    per = orders.groupBy("o_custkey").agg(
+        *[
+            F.sum(F.when(yr == y, cents).otherwise(0))
+            .cast("long")
+            .alias(f"i{j}")
+            for j, y in enumerate((1994, 1995, 1996), start=1)
+        ]
+    )
+    tot = F.col("i1") + F.col("i2") + F.col("i3")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i1").cast("long").alias("s1"),
+        F.sum("i2").cast("long").alias("s2"),
+        F.sum("i3").cast("long").alias("s3"),
+        F.sum(F.col("i1").cast("decimal(38,0)") * F.col("i1"))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.col("i2").cast("decimal(38,0)") * F.col("i2"))
+        .cast("double")
+        .alias("q2"),
+        F.sum(F.col("i3").cast("decimal(38,0)") * F.col("i3"))
+        .cast("double")
+        .alias("q3"),
+        F.sum(tot.cast("decimal(38,0)") * tot).cast("double").alias("qt"),
+    )
+    n = F.col("n")
+    var = lambda q, s: (  # noqa: E731
+        F.col(q) - F.col(s).cast("double") * F.col(s) / n
+    ) / (n - 1)
+    st = F.col("s1") + F.col("s2") + F.col("s3")
+    vt = (F.col("qt") - st.cast("double") * st / n) / (n - 1)
+    ratio = (var("q1", "s1") + var("q2", "s2") + var("q3", "s3")) / vt
+    return agg.select(
+        n.alias("n_units"),
+        F.round(ratio, 6).alias("item_var_ratio"),
+        F.round(F.lit(1.5) * (F.lit(1.0) - ratio), 6).alias("alpha"),
+    )
+
+
+@query(
+    "q_icc",
+    """
+    WITH y AS (
+      SELECT c.c_nationkey AS g, CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g,
+             CAST(SUM(y * y) AS BIGINT) AS q_g
+      FROM y GROUP BY 1
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gk,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS st,
+             CAST(SUM(q_g) AS BIGINT) AS qt,
+             CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+             CAST(SUM(CAST(ROUND(
+               CAST(CAST(s_g AS DECIMAL(38,0)) * s_g AS DOUBLE) / n_g, 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS sgb
+      FROM grp
+    ), ms AS (
+      SELECT gk, n,
+             (sgb - CAST(CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) / n)
+               / (gk - 1) AS msb,
+             (CAST(qt AS DOUBLE) - sgb) / (n - gk) AS msw,
+             (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) / (gk - 1)
+               AS k0
+      FROM agg
+    )
+    SELECT gk AS n_groups, n AS n_units,
+           ROUND(k0, 6) AS k0,
+           ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc1
+    FROM ms
+    """,
+)
+def q_icc(spark, sf_dir):
+    """Intraclass correlation ICC(1) of per-customer order counts
+    within nations — 'how much of the variance is BETWEEN groups', the
+    clustered-data diagnostic that decides whether q_ab_test-style
+    iid inference is even valid (high ICC ⇒ cluster-robust methods).
+    One-way random-effects ANOVA on exact integer sums: per-group
+    n/Σy/Σy² BIGINTs, between-group terms S_g²/n_g 6dp-rounded and
+    decimal-summed (the q_anova_f discipline), the unequal-group-size
+    correction k₀ = (N − Σn_g²/N)/(G−1) exact to one division. Two
+    grouped passes (unit rollup, group rollup), no window, no join
+    after the dims."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    yf = (
+        customer.join(
+            orders, orders.o_custkey == customer.c_custkey, "left"
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").cast("long").alias("y"))
+        .select(F.col("c_nationkey").alias("g"), "y")
+    )
+    grp = yf.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q_g"),
+    )
+    term = F.round(
+        (F.col("s_g").cast("decimal(38,0)") * F.col("s_g")).cast("double")
+        / F.col("n_g"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("gk"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("st"),
+        F.sum("q_g").cast("long").alias("qt"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sn2"),
+        F.sum(term).cast("double").alias("sgb"),
+    )
+    gk, n = F.col("gk"), F.col("n")
+    msb = (
+        F.col("sgb")
+        - (F.col("st").cast("decimal(38,0)") * F.col("st")).cast("double")
+        / n
+    ) / (gk - 1)
+    msw = (F.col("qt").cast("double") - F.col("sgb")) / (n - gk)
+    k0 = (n.cast("double") - F.col("sn2").cast("double") / n) / (gk - 1)
+    return agg.select(
+        gk.alias("n_groups"),
+        n.alias("n_units"),
+        F.round(k0, 6).alias("k0"),
+        F.round((msb - msw) / (msb + (k0 - F.lit(1.0)) * msw), 6).alias(
+            "icc1"
+        ),
+    )

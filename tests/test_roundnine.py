@@ -260,3 +260,112 @@ def test_permutation_test_matches_hashlib_replay(spark):
     assert got.n_perms == _PERM_K
     assert got.n_extreme == n_ext
     assert abs(float(got.p_value) - (1 + n_ext) / (_PERM_K + 1)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# phase 50: reliability / agreement pins
+# ---------------------------------------------------------------------------
+
+
+def _three_raters():
+    orders = _pdread("orders")
+    r1 = (
+        (orders["o_totalprice"] * 100).round().astype("int64") > 15_000_000
+    ).astype(int)
+    r2 = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    r3 = (orders["o_orderstatus"] == "F").astype(int)
+    return r1.to_numpy(), r2.to_numpy(), r3.to_numpy()
+
+
+def test_fleiss_kappa_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_fleiss_kappa"](spark, SF_DIR).collect()[0]
+    r1, r2, r3 = _three_raters()
+    k = r1 + r2 + r3
+    n, m = len(k), 3
+    p_i = (k**2 + (m - k) ** 2 - m) / (m * (m - 1))
+    p_bar = float(p_i.mean())
+    p1 = float(k.sum()) / (n * m)
+    p_exp = p1**2 + (1 - p1) ** 2
+    kappa = (p_bar - p_exp) / (1 - p_exp)
+    assert got.n_subjects == n
+    assert abs(float(got.p_bar) - p_bar) < 1e-6
+    assert abs(float(got.p_exp) - p_exp) < 1e-6
+    assert abs(float(got.kappa) - kappa) < 1e-5
+
+
+def test_cochran_q_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_cochran_q"](spark, SF_DIR).collect()[0]
+    r1, r2, r3 = _three_raters()
+    c = [int(r1.sum()), int(r2.sum()), int(r3.sum())]
+    rsum = r1 + r2 + r3
+    m = 3
+    q = (
+        (m - 1)
+        * (m * sum(x * x for x in c) - int(rsum.sum()) ** 2)
+        / (m * int(rsum.sum()) - int((rsum**2).sum()))
+    )
+    assert (got.c1, got.c2, got.c3) == tuple(c)
+    assert abs(float(got.q_stat) - q) < 1e-4
+    assert got.reject_5pct == (1 if q > 5.991465 else 0)
+
+
+def test_cronbach_alpha_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_cronbach_alpha"](spark, SF_DIR).collect()[0]
+    orders = _pdread("orders")
+    orders = orders.assign(
+        cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        yr=orders["o_orderdate"].dt.year,
+    )
+    items = []
+    custs = None
+    for y in (1994, 1995, 1996):
+        s = (
+            orders[orders["yr"] == y]
+            .groupby("o_custkey")["cents"]
+            .sum()
+        )
+        items.append(s)
+    all_custs = sorted(orders["o_custkey"].unique())
+    import numpy as np
+
+    mat = np.array(
+        [[int(s.get(c, 0)) for c in all_custs] for s in items],
+        dtype="float64",
+    )
+    v_items = mat.var(axis=1, ddof=1).sum()
+    v_tot = mat.sum(axis=0).var(ddof=1)
+    alpha = 1.5 * (1 - v_items / v_tot)
+    assert got.n_units == len(all_custs)
+    assert abs(float(got.alpha) - alpha) < 1e-5
+    # TPC-H yearly spends are near-independent draws, so alpha sits
+    # near zero (can be slightly negative) — bound, don't sign-pin
+    assert -1.0 < float(got.alpha) <= 1.0
+
+
+def test_icc_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_icc"](spark, SF_DIR).collect()[0]
+    orders, customer = _pdread("orders"), _pdread("customer")
+    ocnt = orders.groupby("o_custkey").size()
+    groups: dict[int, list[int]] = {}
+    for ck, nk in zip(customer["c_custkey"], customer["c_nationkey"]):
+        groups.setdefault(int(nk), []).append(int(ocnt.get(ck, 0)))
+    g = len(groups)
+    n = sum(len(v) for v in groups.values())
+    st = sum(sum(v) for v in groups.values())
+    qt = sum(sum(x * x for x in v) for v in groups.values())
+    sgb = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    msb = (sgb - st**2 / n) / (g - 1)
+    msw = (qt - sgb) / (n - g)
+    k0 = (n - sum(len(v) ** 2 for v in groups.values()) / n) / (g - 1)
+    icc1 = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert (got.n_groups, got.n_units) == (g, n)
+    assert abs(float(got.k0) - k0) < 1e-4
+    assert abs(float(got.icc1) - icc1) < 1e-5
