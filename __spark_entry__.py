@@ -63,6 +63,11 @@ _NEWCOMERS_R9: list[str] = [
     "q_cochran_q",
     "q_cronbach_alpha",
     "q_icc",
+    # -- phase 51: time-series diagnostics + robust trend + integrity --
+    "q_ljung_box",
+    "q_durbin_watson",
+    "q_theil_sen",
+    "q_table_fingerprint",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in
@@ -126,6 +131,8 @@ _WINDOW = [
 ]
 _WINDOW += [q for q in _NEWCOMERS_R9 if q not in _WINDOW]
 _WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][: 50 - len(_WINDOW)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.10 / §3."""
     assert len(_WINDOW) <= 50, "driver window is 50 queries"

@@ -365,6 +365,11 @@ HEADLINE = [
     "q_cochran_q",
     "q_cronbach_alpha",
     "q_icc",
+    # round-9 phase 51: time-series diagnostics + robust trend + integrity
+    "q_ljung_box",
+    "q_durbin_watson",
+    "q_theil_sen",
+    "q_table_fingerprint",
 ]
 
 

@@ -1196,3 +1196,418 @@ def q_icc(spark, sf_dir):
             "icc1"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 51: time-series diagnostics + robust trend + table integrity
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 6
+_LB_CHI2_6 = 12.591587  # chi-square 0.95 quantile, df=6
+
+
+def _sql_ljung_box(lags: int) -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(x, {k}) OVER (ORDER BY d) AS l{k}" for k in range(1, lags + 1)
+    )
+    per_lag_sums = ",\n             ".join(
+        f"CAST(SUM(CAST(x AS DECIMAL(38,0)) * l{k}) AS DOUBLE) AS p{k},\n"
+        f"             CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END)"
+        f" AS DOUBLE) AS h{k},\n"
+        f"             CAST(SUM(l{k}) AS DOUBLE) AS t{k}"
+        for k in range(1, lags + 1)
+    )
+    rho = lambda k: (  # noqa: E731
+        f"((nd * nd * p{k} - nd * sd * (h{k} + t{k})"
+        f" + (nd - {k}) * sd * sd)"
+        f" / (nd * nd * qd - nd * sd * sd))"
+    )
+    terms = " + ".join(
+        f"CAST(ROUND({rho(k)} * {rho(k)} / (nd - {k}), 12)"
+        f" AS DECIMAL(28,12))"
+        for k in range(1, lags + 1)
+    )
+    return f"""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT x,
+             {lag_cols}
+      FROM day
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS qd,
+             {per_lag_sums}
+      FROM l
+    ), r AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd, sd, qd,
+             {", ".join(f"p{k}, h{k}, t{k}" for k in range(1, lags + 1))}
+      FROM s
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(n AS DOUBLE) * (n + 2)
+                 * CAST({terms} AS DOUBLE), 6) AS q_stat,
+           CAST(CASE WHEN CAST(n AS DOUBLE) * (n + 2)
+                          * CAST({terms} AS DOUBLE) > {_LB_CHI2_6}
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM r
+    """
+
+
+@query("q_ljung_box", _sql_ljung_box(_LB_LAGS))
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test on daily revenue (lags 1-6): is the
+    series white noise, or is there autocorrelation worth modeling —
+    the gate before trusting q_ab_test-style independence on temporal
+    data (the ICC diagnostic's time-series twin). Each ρ_k comes out
+    of EXACT sums over the calendar-bounded day frame: numerator and
+    denominator multiplied through by n² so every building block is a
+    decimal-exact Σx, Σx², Σx_t·x_{t−k} converted to double ONCE
+    (correctly rounded, engine-identical), then one fixed IEEE dag per
+    lag, ρ²/(n−k) rounded to 12dp and decimal-summed (the q_psi
+    precedent at higher scale because the terms are ~1e-6). One
+    grouped fact pass; all six lags ride ONE window pass over the
+    bounded day frame; χ²₆ decision on the hash row."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = day.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sd"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("qd"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        aggs += [
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col(f"l{k}"))
+            .cast("double")
+            .alias(f"p{k}"),
+            F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x")))
+            .cast("double")
+            .alias(f"h{k}"),
+            F.sum(f"l{k}").cast("double").alias(f"t{k}"),
+        ]
+    s = lagged.agg(*aggs)
+    nd = F.col("n").cast("double")
+    sd, qd = F.col("sd"), F.col("qd")
+
+    def rho(k: int):
+        num = (
+            nd * nd * F.col(f"p{k}")
+            - nd * sd * (F.col(f"h{k}") + F.col(f"t{k}"))
+            + (nd - k) * sd * sd
+        )
+        return num / (nd * nd * qd - nd * sd * sd)
+
+    term_sum = None
+    for k in range(1, _LB_LAGS + 1):
+        t = F.round(rho(k) * rho(k) / (nd - k), 12).cast("decimal(28,12)")
+        term_sum = t if term_sum is None else term_sum + t
+    q = nd * (F.col("n") + 2) * term_sum.cast("double")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(q, 6).alias("q_stat"),
+        F.when(q > _LB_CHI2_6, 1).otherwise(0).cast("long").alias(
+            "reject_5pct"
+        ),
+    )
+
+
+@query(
+    "q_durbin_watson",
+    """
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ty AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t, d
+      FROM day
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * y) AS DOUBLE) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM ty
+    ), ab AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sty
+              - CAST(st AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+                * st) / n AS a
+      FROM s
+    ), e AS (
+      SELECT ty.d, CAST(ty.y AS DOUBLE) - ab.a - ab.b * ty.t AS e
+      FROM ty, ab
+    ), le AS (
+      SELECT e, LAG(e) OVER (ORDER BY d) AS ep FROM e
+    ), sums AS (
+      SELECT CAST(SUM(CAST(ROUND((e - ep) * (e - ep), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS num,
+             CAST(SUM(CAST(ROUND(e * e, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM le
+    )
+    SELECT n AS n_days,
+           ROUND(num / den, 6) AS dw_stat,
+           ROUND(1.0 - num / den / 2.0, 6) AS rho_hat
+    FROM sums
+    """,
+)
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson first-order autocorrelation test on the residuals
+    of the daily-revenue-vs-time OLS line — the regression-residual
+    sibling of q_ljung_box (DW≈2 ⇒ independent residuals; <2 ⇒
+    positive serial correlation). The OLS slope/intercept come from
+    exact integer sums (Σt, Σy BIGINT; Σt·y DECIMAL(38,0)) via single
+    IEEE divisions; every residual e_t is then the same double in both
+    engines, and the two quadratic sums Σ(e_t−e_{t−1})², Σe_t² use the
+    rounded-term decimal discipline so parallel summation order can't
+    move a bit. One fact pass, two window passes over the bounded day
+    frame, one 1-row broadcast for (a, b)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wd = Window.orderBy("d")
+    ty = day.select(
+        "d", "y", F.row_number().over(wd).cast("long").alias("t")
+    )
+    s = ty.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    ab = s.select(
+        F.col("n"), b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    e = ty.join(F.broadcast(ab)).select(
+        "d", (F.col("y").cast("double") - F.col("a") - F.col("b") * F.col("t")).alias("e")
+    )
+    le = e.select("e", F.lag("e").over(wd.orderBy("d")).alias("ep"))
+    sums = le.agg(
+        F.sum(
+            F.round((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")), 6)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dw = F.col("num") / F.col("den")
+    return sums.select(
+        F.col("n").alias("n_days"),
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
+    )
+
+
+@query(
+    "q_theil_sen",
+    """
+    WITH mo AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope
+      FROM mo a JOIN mo b ON a.t < b.t
+    ), rk AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pairs
+    ), med AS (
+      SELECT AVG(slope) AS slope_med, MAX(m) AS m FROM rk
+      WHERE rn IN ((m + 1) // 2, m // 2 + 1)
+    ), ic AS (
+      SELECT CAST(mo.y AS DOUBLE) - med.slope_med * mo.t AS r
+      FROM mo, med
+    ), icr AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ic
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mo) AS n_months,
+           (SELECT CAST(MAX(m) AS BIGINT) FROM med) AS n_pairs,
+           ROUND((SELECT slope_med FROM med), 6) AS slope_cents_per_month,
+           ROUND(AVG(r), 6) AS intercept_cents
+    FROM icr
+    WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+    """,
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes (84 months ⇒ ~3.5k pairs) plus the median-residual
+    intercept — the outlier-proof alternative to the OLS line
+    q_durbin_watson residualizes against (up to ~29% contamination).
+    The pair fan-out is month×month — bounded by the CALENDAR, never
+    the fact table, so the nested-loop inequality join is a constant
+    at any data scale. Medians are exact order statistics (avg of the
+    two middle ROW_NUMBERs, no interpolating percentile — those differ
+    across engines); every slope is one IEEE division of exact cent
+    BIGINTs, identical in both engines. One grouped fact pass; two
+    window passes over bounded frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)  # ~84 rows, reused 3×
+    a = mo.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    bm = mo.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = a.join(bm, F.col("ta") < F.col("tb")).select(
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("slope")
+    )
+    wslope = Window.orderBy("slope")
+    wall = Window.partitionBy()
+    rk = pairs.select(
+        "slope",
+        F.row_number().over(wslope).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    med = rk.filter(
+        (F.col("rn") == F.expr("(m + 1) div 2"))
+        | (F.col("rn") == F.expr("m div 2 + 1"))
+    ).agg(
+        F.avg("slope").alias("slope_med"),
+        F.max("m").cast("long").alias("m"),
+    )
+    ic = mo.join(F.broadcast(med)).select(
+        (F.col("y").cast("double") - F.col("slope_med") * F.col("t")).alias(
+            "r"
+        ),
+        "slope_med",
+        "m",
+    )
+    wr = Window.orderBy("r")
+    icr = ic.select(
+        "r",
+        "slope_med",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return icr.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    ).agg(
+        F.max("n").cast("long").alias("n_months"),
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round(F.max("slope_med"), 6).alias("slope_cents_per_month"),
+        F.round(F.avg("r"), 6).alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_table_fingerprint: order-independent bucketed content hash
+# ---------------------------------------------------------------------------
+
+from ..operators.sketches import _fold8, _sql_fold8  # noqa: E402
+
+_FP_BUCKETS = 64
+_FP_ROW_SQL = (
+    "concat_ws('|', o_orderkey, o_custkey, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderstatus, "
+    "CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
+)
+
+
+@query(
+    "q_table_fingerprint",
+    f"""
+    WITH rh AS (
+      SELECT CAST(o_orderkey % {_FP_BUCKETS} AS BIGINT) AS bucket,
+             {_sql_fold8(f"md5({_FP_ROW_SQL})")} AS h
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS hash_sum,
+           CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+           CAST(MIN(h) AS BIGINT) AS hash_min,
+           CAST(MAX(h) AS BIGINT) AS hash_max
+    FROM rh GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent bucketed content fingerprint of the orders
+    table — the replica-verification primitive: run the same query on
+    two copies of a 100 TB table (different clusters, different file
+    layouts, different row orders) and diff 64 rows instead of 10¹¹.
+    Every row folds to a portable 32-bit hash (md5 of a canonical
+    '|'-joined projection, the kmv _fold8 discipline), buckets by key
+    so a mismatch LOCALIZES to 1/64th of the keyspace, and each bucket
+    summarizes with four ORDER-INDEPENDENT aggregates (count, sum, xor,
+    min/max) — commutative, so shuffle order and parallelism can't
+    change a digit, and any single-row change flips sum AND xor. One
+    fact pass, map-side combined, 64-row result. Re-run per bucket
+    with a finer modulus to binary-search a discrepancy down to rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    rh = orders.select(
+        (F.col("o_orderkey") % _FP_BUCKETS).cast("long").alias("bucket"),
+        _fold8(F.md5(row_str)).alias("h"),
+    )
+    return (
+        rh.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("hash_sum"),
+            F.bit_xor("h").cast("long").alias("hash_xor"),
+            F.min("h").cast("long").alias("hash_min"),
+            F.max("h").cast("long").alias("hash_max"),
+        )
+        .orderBy("bucket")
+    )

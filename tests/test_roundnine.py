@@ -369,3 +369,166 @@ def test_icc_matches_python(spark):
     assert (got.n_groups, got.n_units) == (g, n)
     assert abs(float(got.k0) - k0) < 1e-4
     assert abs(float(got.icc1) - icc1) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# phase 51: time-series diagnostics + integrity pins
+# ---------------------------------------------------------------------------
+
+
+def _daily_revenue():
+    orders = _pdread("orders")
+    g = (
+        orders.assign(
+            d=orders["o_orderdate"].dt.date,
+            cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        )
+        .groupby("d")["cents"]
+        .sum()
+        .sort_index()
+    )
+    return g.to_numpy(dtype="float64")
+
+
+def test_ljung_box_matches_numpy_acf(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_ljung_box"](spark, SF_DIR).collect()[0]
+    x = _daily_revenue()
+    n = len(x)
+    xc = x - x.mean()
+    den = float((xc**2).sum())
+    q = 0.0
+    for k in range(1, 7):
+        rho = float((xc[k:] * xc[:-k]).sum()) / den
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert got.n_days == n
+    assert abs(float(got.q_stat) - q) < 1e-3
+    assert got.reject_5pct == (1 if q > 12.591587 else 0)
+
+
+def test_durbin_watson_matches_numpy_ols(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_durbin_watson"](spark, SF_DIR).collect()[0]
+    y = _daily_revenue()
+    n = len(y)
+    t = np.arange(1, n + 1, dtype="float64")
+    b = ((n * (t * y).sum()) - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    e = y - a - b * t
+    dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum())
+    assert got.n_days == n
+    assert abs(float(got.dw_stat) - dw) < 1e-4
+    assert abs(float(got.rho_hat) - (1 - dw / 2)) < 1e-4
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_theil_sen"](spark, SF_DIR).collect()[0]
+    orders = _pdread("orders")
+    g = (
+        orders.assign(
+            t=orders["o_orderdate"].dt.year * 12
+            + orders["o_orderdate"].dt.month,
+            cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        )
+        .groupby("t")["cents"]
+        .sum()
+        .sort_index()
+    )
+    ts = list(g.index)
+    ys = [int(v) for v in g.to_numpy()]
+    slopes = sorted(
+        (ys[j] - ys[i]) / (ts[j] - ts[i])
+        for i in range(len(ts))
+        for j in range(i + 1, len(ts))
+    )
+    m = len(slopes)
+    med = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2
+    resid = sorted(y - med * t for t, y in zip(ts, ys))
+    n = len(resid)
+    inter = (resid[(n + 1) // 2 - 1] + resid[n // 2]) / 2
+    assert (got.n_months, got.n_pairs) == (len(ts), m)
+    assert abs(float(got.slope_cents_per_month) - med) < 1e-4
+    assert abs(float(got.intercept_cents) - inter) < 1e-3
+
+
+def test_table_fingerprint_localizes_a_tampered_row(spark, tmp_path):
+    """Copy the sf dir, flip ONE order's status, and the fingerprint
+    must differ in EXACTLY the tampered key's bucket (sum+xor flip,
+    count equal) — the replica-verification property, end to end."""
+    import shutil
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    src = f"{SF_DIR}/orders.parquet"
+    tdir = tmp_path / "sf_tampered"
+    tdir.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tdir / f"{t}.parquet")
+    pdf = pd.read_parquet(src)
+    key = int(pdf["o_orderkey"].iloc[17])
+    pdf.loc[pdf["o_orderkey"] == key, "o_orderstatus"] = "Z"
+    pdf.to_parquet(tdir / "orders.parquet", index=False)
+
+    base = {
+        r.bucket: r for r in QUERIES["q_table_fingerprint"](spark, SF_DIR).collect()
+    }
+    tam = {
+        r.bucket: r
+        for r in QUERIES["q_table_fingerprint"](spark, str(tdir)).collect()
+    }
+    assert set(base) == set(tam)
+    diff = [b for b in base if base[b] != tam[b]]
+    assert diff == [key % 64]
+    b = diff[0]
+    assert base[b].n_rows == tam[b].n_rows  # same cardinality
+    assert base[b].hash_sum != tam[b].hash_sum
+    assert base[b].hash_xor != tam[b].hash_xor
+
+
+def test_table_fingerprint_row_hash_matches_hashlib(spark):
+    """The per-row fold replays in pure Python: md5 of the canonical
+    '|'-joined projection, first 8 hex nibbles as an int."""
+    import hashlib
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = {
+        r.bucket: r
+        for r in QUERIES["q_table_fingerprint"](spark, SF_DIR).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    sums: dict[int, int] = {}
+    xors: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for ok, ck, tp, st, dt in zip(
+        pdf["o_orderkey"],
+        pdf["o_custkey"],
+        pdf["o_totalprice"],
+        pdf["o_orderstatus"],
+        pdf["o_orderdate"],
+    ):
+        cents = int(round(tp * 100))
+        s = f"{ok}|{ck}|{cents}|{st}|{pd.Timestamp(dt).date()}"
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        b = int(ok) % 64
+        sums[b] = sums.get(b, 0) + h
+        xors[b] = xors.get(b, 0) ^ h
+        counts[b] = counts.get(b, 0) + 1
+    for b, r in got.items():
+        assert r.n_rows == counts[b]
+        assert r.hash_sum == sums[b], b
+        assert r.hash_xor == xors[b], b
