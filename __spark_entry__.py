@@ -68,6 +68,7 @@ _NEWCOMERS_R9: list[str] = [
     "q_durbin_watson",
     "q_theil_sen",
     "q_table_fingerprint",
+    "q_stream_state_census",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -370,6 +370,9 @@ HEADLINE = [
     "q_durbin_watson",
     "q_theil_sen",
     "q_table_fingerprint",
+    # (q_stream_state_census runs a 5th stream census; like
+    # q_stream_totals it stays out of HEADLINE to bound bench wall
+    # — certified via preflight/pytest instead)
 ]
 
 

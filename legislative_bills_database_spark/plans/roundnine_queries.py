@@ -1611,3 +1611,97 @@ def q_table_fingerprint(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_state_census: state-store size certificate (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_state_census")  # runs a real availableNow stream
+def q_stream_state_census(spark, sf_dir):
+    """State-store SIZE certificate for a windowed streaming aggregate
+    (VERDICT r8 stretch — the measured successor to the r6 RocksDB
+    negative result at streaming/events._census_stream_confs): run
+    hourly-window × event-type counts across 4 time-ordered
+    micro-batches and read the LAST micro-batch's stateOperators
+    metrics. The certificate: ``state_rows_final`` (the store's own
+    numRowsTotal) must EQUAL the batch-side distinct
+    (hour, event_type) group count — the state store holds exactly one
+    row per open group, no leak, no loss. ``memory_used_bytes`` is the
+    measured HDFS-backed store footprint (machine-dependent, so this
+    census is rows-only by design); ``bytes_per_state_row`` is the
+    sizing number a production deployment extrapolates before choosing
+    RocksDB (pays off only once rows × bytes/row exceeds executor
+    heap — the r6 measurement showed it 10% slower below that)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..io import load_table
+    from ..streaming.events import _census_stream_confs
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_state_")
+    name = "q_stream_state_" + _uuid.uuid4().hex[:8]
+    try:
+        json_dir = f"{tmp}/events_json"
+        events.select("event_id", "ts", "user_id", "event_type", "value"
+                      ).repartitionByRange(4, "ts").write.json(json_dir)
+        landed_schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        stream_df = (
+            spark.readStream.format("json")
+            .schema(landed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(json_dir)
+        )
+        agg = stream_df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        with _census_stream_confs(spark, "8"):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        state_rows = mem_bytes = 0
+        n_batches = 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if not ops:
+                continue
+            n_batches += 1
+            state_rows = int(ops[0].get("numRowsTotal", 0))
+            mem_bytes = int(ops[0].get("memoryUsedBytes", 0))
+        n_groups = (
+            spark.read.schema(landed_schema)
+            .json(json_dir)
+            .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_batches),
+                    int(state_rows),
+                    int(n_groups),
+                    int(state_rows == n_groups),
+                    int(mem_bytes),
+                    int(mem_bytes // state_rows) if state_rows else 0,
+                )
+            ],
+            "n_microbatches long, state_rows_final long, n_groups_batch"
+            " long, rows_match long, memory_used_bytes long,"
+            " bytes_per_state_row long",
+        )
+    finally:
+        if name in [t.name for t in spark.catalog.listTables()]:
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)
