@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import exact_sum, sql_exact_sum
 from ..io import load_table, load_tables
-from ..operators.basket import cooccurrence_pairs, cooccurrence_triples
+from ..operators.basket import cooccurrence_triples
 from .registry import query
 
 
@@ -242,44 +242,14 @@ def q_graph_jaccard(spark, sf_dir):
     REJECTED for this query (r6): 1.8×/3.4× faster at N=30/20, but
     only 24/15 of the exact top-100 pairs survive — see the negative
     result at operators/basket.cooccurrence_pairs."""
-    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
-    # checkpoint: deg + both self-join sides reference cs — uncheckpointed
-    # the orders-lineitem join and distinct execute three times
-    cs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    ).localCheckpoint(eager=False)
-    deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    # operators/basket.cooccurrence_pairs: key-co-partitioned self-join
-    # whose pair output partial-aggregates map-side before the pair
-    # exchange (the "zero-join" higher-order-function variant measured
-    # 2.7x slower — negative result documented at the operator)
-    inter = (
-        cooccurrence_pairs(cs, "cust", "supp")
-        .select(
-            F.col("i1").alias("s1"), F.col("i2").alias("s2"), "n_shared"
-        )
-        .filter(F.col("n_shared") >= 2)
-    )
-    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
-    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
-    return (
-        inter.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
-        .select(
-            "s1",
-            "s2",
-            "n_shared",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "s1", "s2")
-        .limit(100)
-    )
+    # the pipeline (slim DISTINCT edge list -> co-partitioned
+    # cooccurrence_pairs -> broadcast degrees -> top-100) lives in
+    # roundseven._jaccard_top100, memoized per (applicationId, sf_dir)
+    # together with the edge list so the recall certificates and this
+    # query share ONE materialization per sweep (ADVICE r8 item #5)
+    from .roundseven_queries import _exact_top100
+
+    return _exact_top100(spark, sf_dir)
 
 
 @query("q_stream_join")  # runs a real availableNow stream → rows-only
@@ -1161,65 +1131,14 @@ def q_item_cf_recs(spark, sf_dir):
     The similarity table is k-bounded (top-100) and BROADCAST, so the
     candidate generation is one map-side join over the slim edge list
     regardless of graph size; the anti-join removes already-used
-    suppliers; decimal-summed scores keep the ranking deterministic."""
-    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
-    cs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-    ).localCheckpoint(eager=False)
-    deg = cs.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    inter = (
-        cooccurrence_pairs(cs, "cust", "supp")
-        .select(
-            F.col("i1").alias("s1"), F.col("i2").alias("s2"), "n_shared"
-        )
-        .filter(F.col("n_shared") >= 2)
-    )
-    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
-    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
-    simtop = (
-        inter.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
-        .select(
-            "s1",
-            "s2",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
-                6,
-            ).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), "s1", "s2")
-        .limit(100)
-    )
-    sym = simtop.select(
-        F.col("s1").alias("a"), F.col("s2").alias("b"), "sim"
-    ).unionAll(
-        simtop.select(F.col("s2").alias("a"), F.col("s1").alias("b"), "sim")
-    )
-    cand = (
-        cs.join(F.broadcast(sym), cs.supp == F.col("a"))
-        .groupBy("cust", F.col("b").alias("rec"))
-        .agg(
-            F.sum(F.col("sim").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("score"),
-            F.count("*").cast("long").alias("n_paths"),
-        )
-    )
-    novel = cand.join(
-        cs.select("cust", F.col("supp").alias("rec")),
-        ["cust", "rec"],
-        "left_anti",
-    )
-    pick = Window.partitionBy("cust").orderBy(F.col("score").desc(), "rec")
-    return (
-        novel.select("cust", "rec", F.round("score", 6).alias("score"), "n_paths")
-        .withColumn("rr", F.row_number().over(pick))
-        .filter(F.col("rr") <= 3)
-        .drop("rr")
-    )
+    suppliers; decimal-summed scores keep the ranking deterministic.
+    Edge list and similarity table come from the roundseven memoized
+    chains (ADVICE r8 item #5) — this query, q_graph_jaccard and the
+    recall certificates share one materialization per sweep."""
+    from .roundseven_queries import _cf_recs, _cs_edges, _exact_top100
+
+    cs = _cs_edges(spark, sf_dir)
+    return _cf_recs(cs, _exact_top100(spark, sf_dir))
 
 
 @query(
