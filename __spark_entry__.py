@@ -69,6 +69,11 @@ _NEWCOMERS_R9: list[str] = [
     "q_theil_sen",
     "q_table_fingerprint",
     "q_stream_state_census",
+    # -- phase 52: trend tests, changepoint, regression influence --
+    "q_mann_kendall",
+    "q_binseg_changepoint",
+    "q_ols_influence",
+    "q_grubbs",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -373,6 +373,11 @@ HEADLINE = [
     # (q_stream_state_census runs a 5th stream census; like
     # q_stream_totals it stays out of HEADLINE to bound bench wall
     # — certified via preflight/pytest instead)
+    # round-9 phase 52: trend tests, changepoint, regression influence
+    "q_mann_kendall",
+    "q_binseg_changepoint",
+    "q_ols_influence",
+    "q_grubbs",
 ]
 
 

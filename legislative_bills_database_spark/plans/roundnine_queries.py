@@ -1705,3 +1705,417 @@ def q_stream_state_census(spark, sf_dir):
         if name in [t.name for t in spark.catalog.listTables()]:
             spark.catalog.dropTempView(name)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# phase 52: trend tests, changepoint localization, regression influence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    """
+    WITH mo AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM mo a JOIN mo b ON a.t < b.t
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT y, COUNT(*) AS c FROM mo GROUP BY 1)
+    )
+    SELECT tt.n AS n_months, s.s AS s_stat,
+           ROUND((CAST(tt.n AS DOUBLE) * (tt.n - 1) * (2 * tt.n + 5)
+                  - tt.tie_term) / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1.0) ELSE
+                      CASE WHEN s.s < 0 THEN (s.s + 1.0)
+                           ELSE 0.0 END END
+                 / sqrt((CAST(tt.n AS DOUBLE) * (tt.n - 1) * (2 * tt.n + 5)
+                         - tt.tie_term) / 18.0), 6) AS z_score
+    FROM s, tt
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on monthly revenue — the
+    nonparametric significance test that pairs with q_theil_sen's
+    slope (sign-based, so outliers can't fake a trend). S = Σ sign
+    differences over all month pairs is an exact BIGINT off the
+    calendar-bounded pair fan-out (~3.5k pairs regardless of data
+    scale); the tie-corrected variance and the ±1 continuity-corrected
+    z are one fixed dag each. One grouped fact pass; the pair join is
+    month×month, a constant."""
+    orders = load_table(spark, sf_dir, "orders")
+    mo = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)  # bounded; pair join + tie frame
+    a = mo.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = mo.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    s = a.join(b, F.col("ta") < F.col("tb")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    tt = (
+        mo.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    j = s.join(F.broadcast(tt))
+    nd = F.col("n").cast("double")
+    var_s = (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")) / F.lit(18.0)
+    sc = F.col("s")
+    z = (
+        F.when(sc > 0, sc - F.lit(1.0))
+        .when(sc < 0, sc + F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var_s)
+    return j.select(
+        F.col("n").alias("n_months"),
+        sc.alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "q_binseg_changepoint",
+    """
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), pre AS (
+      SELECT d,
+             CAST(SUM(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sp,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+             CAST(SUM(y) OVER () AS BIGINT) AS st,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM day
+    ), gain AS (
+      SELECT d, t, n, sp, st,
+             ROUND(CAST(CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE) / t
+                   + CAST(CAST(st - sp AS DECIMAL(38,0)) * (st - sp)
+                          AS DOUBLE) / (n - t)
+                   - CAST(CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) / n,
+                   4) AS g
+      FROM pre WHERE t < n
+    ), best AS (
+      SELECT d, t, n, sp, st, g,
+             ROW_NUMBER() OVER (ORDER BY g DESC, d) AS rn
+      FROM gain
+    )
+    SELECT n AS n_days, d AS split_day, t AS split_index,
+           ROUND(g / 1e8, 6) AS gain_dollars_sq,
+           ROUND(CAST(sp AS DOUBLE) / t / 100.0, 2) AS mean_before_dollars,
+           ROUND(CAST(st - sp AS DOUBLE) / (n - t) / 100.0, 2)
+             AS mean_after_dollars
+    FROM best WHERE rn = 1
+    """,
+)
+def q_binseg_changepoint(spark, sf_dir):
+    """Single-split binary-segmentation changepoint on daily revenue:
+    the split t* maximizing the between-segment sum-of-squares gain
+    S_t²/t + (S−S_t)²/(n−t) − S²/n — the offline EXACT localizer that
+    complements the sequential detectors (q_cusum tracks a known mean,
+    q_page_hinkley the running mean; binseg pinpoints the single best
+    break in hindsight, and recursing on each side segments the whole
+    series). Every candidate split's gain comes from the prefix sum
+    (exact BIGINT via one window pass over the calendar-bounded day
+    frame) squared on DECIMAL(38,0) — one fixed IEEE dag per day,
+    4dp-rounded so the cross-engine argmax ordering is stable; the
+    argmax is a ROW_NUMBER pick with a date tie-break, never a
+    driver-side loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wd = Window.orderBy("d")
+    wall = Window.partitionBy()
+    pre = day.select(
+        "d",
+        F.sum("y").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sp"),
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("y").over(wall).cast("long").alias("st"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    spd = F.col("sp").cast("decimal(38,0)")
+    rest = (F.col("st") - F.col("sp")).cast("decimal(38,0)")
+    std = F.col("st").cast("decimal(38,0)")
+    g = F.round(
+        (spd * F.col("sp")).cast("double") / F.col("t")
+        + (rest * (F.col("st") - F.col("sp"))).cast("double")
+        / (F.col("n") - F.col("t"))
+        - (std * F.col("st")).cast("double") / F.col("n"),
+        4,
+    )
+    gain = pre.filter(F.col("t") < F.col("n")).withColumn("g", g)
+    best = gain.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("g"), F.asc("d")))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("split_day"),
+        F.col("t").alias("split_index"),
+        F.round(F.col("g") / F.lit(1e8), 6).alias("gain_dollars_sq"),
+        F.round(F.col("sp").cast("double") / F.col("t") / F.lit(100.0), 2)
+        .alias("mean_before_dollars"),
+        F.round(
+            (F.col("st") - F.col("sp")).cast("double")
+            / (F.col("n") - F.col("t"))
+            / F.lit(100.0),
+            2,
+        ).alias("mean_after_dollars"),
+    )
+
+
+@query(
+    "q_ols_influence",
+    """
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ty AS (
+      SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+      FROM day
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * y) AS DOUBLE) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM ty
+    ), ab AS (
+      SELECT n, st, stt,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+                * st) / n AS a
+      FROM s
+    ), e AS (
+      SELECT ty.d, ty.t, ab.n,
+             CAST(ty.y AS DOUBLE) - ab.a - ab.b * ty.t AS e,
+             1.0 / ab.n
+               + (ty.t - CAST(ab.st AS DOUBLE) / ab.n)
+                 * (ty.t - CAST(ab.st AS DOUBLE) / ab.n)
+                 / (ab.stt - CAST(ab.st AS DOUBLE) * ab.st / ab.n) AS h
+      FROM ty, ab
+    ), s2 AS (
+      SELECT CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / (MAX(n) - 2) AS s2
+      FROM e
+    )
+    SELECT d AS day, ROUND(cook, 6) AS cook_d, ROUND(sr, 6) AS std_resid
+    FROM (
+      SELECT e.d,
+             e.e * e.e / (2.0 * s2.s2) * e.h / ((1.0 - e.h) * (1.0 - e.h))
+               AS cook,
+             e.e / sqrt(s2.s2 * (1.0 - e.h)) AS sr
+      FROM e, s2
+    )
+    ORDER BY cook DESC, day LIMIT 10
+    """,
+)
+def q_ols_influence(spark, sf_dir):
+    """Top-10 most influential days of the daily-revenue OLS fit by
+    Cook's distance (with studentized residuals) — the regression
+    diagnostic that names WHICH observations drive q_durbin_watson's
+    line: D_t = e²/(2s²)·h/(1−h)² with leverage h = 1/n + (t−t̄)²/Sxx.
+    Slope/intercept/leverage come from the same exact integer sums as
+    q_durbin_watson; s² uses the rounded-term decimal discipline; each
+    day's D is one fixed IEEE dag, and the top-10 is a TakeOrdered
+    over the bounded day frame with a date tie-break. One fact pass,
+    one window pass, two 1-row broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wd = Window.orderBy("d")
+    ty = day.select(
+        "d", "y", F.row_number().over(wd).cast("long").alias("t")
+    )
+    s = ty.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    ab = s.select(
+        "n",
+        "st",
+        "stt",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    e = ty.join(F.broadcast(ab)).select(
+        "d",
+        "t",
+        "n",
+        (F.col("y").cast("double") - F.col("a") - F.col("b") * F.col("t"))
+        .alias("e"),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("t") - F.col("st").cast("double") / F.col("n"))
+            * (F.col("t") - F.col("st").cast("double") / F.col("n"))
+            / (
+                F.col("stt")
+                - F.col("st").cast("double") * F.col("st") / F.col("n")
+            )
+        ).alias("h"),
+    ).localCheckpoint(eager=False)  # bounded day frame; s2 + scoring reuse
+    s2 = e.agg(
+        (
+            F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / (F.max("n") - 2)
+        ).alias("s2")
+    )
+    scored = e.join(F.broadcast(s2)).select(
+        F.col("d").alias("day"),
+        (
+            F.col("e")
+            * F.col("e")
+            / (F.lit(2.0) * F.col("s2"))
+            * F.col("h")
+            / ((F.lit(1.0) - F.col("h")) * (F.lit(1.0) - F.col("h")))
+        ).alias("cook"),
+        (F.col("e") / F.sqrt(F.col("s2") * (F.lit(1.0) - F.col("h"))))
+        .alias("sr"),
+    )
+    return (
+        scored.select(
+            "day",
+            F.round("cook", 6).alias("cook_d"),
+            F.round("sr", 6).alias("std_resid"),
+        )
+        .orderBy(F.desc("cook_d"), "day")
+        .limit(10)
+    )
+
+
+@query(
+    "q_grubbs",
+    """
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS qy
+      FROM day
+    ), g AS (
+      SELECT day.d, day.y, s.n,
+             ABS(CAST(day.y AS DOUBLE) - CAST(s.sy AS DOUBLE) / s.n)
+               / sqrt((s.qy - CAST(s.sy AS DOUBLE) * s.sy / s.n)
+                      / (s.n - 1)) AS z
+      FROM day, s
+    )
+    SELECT n AS n_days, d AS outlier_day,
+           CAST(y AS BIGINT) AS outlier_cents,
+           ROUND(z, 6) AS g_stat
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY z DESC, d) AS rn FROM g)
+    WHERE rn = 1
+    """,
+)
+def q_grubbs(spark, sf_dir):
+    """Grubbs-style maximum-deviation screen on daily revenue: the day
+    with the largest |y − ȳ|/s plus the statistic itself — the
+    single-outlier localizer that complements the population screens
+    (q_zscore_outliers counts, q_mad_outliers robustifies; Grubbs
+    NAMES the worst point for the incident report). Mean and sample
+    SD come from exact integer sums (Σy BIGINT, Σy² DECIMAL(38,0));
+    each day's z is one fixed IEEE dag; the argmax is a ROW_NUMBER
+    pick with a date tie-break over the bounded day frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    s = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("qy"),
+    )
+    g = day.join(F.broadcast(s)).select(
+        "d",
+        "y",
+        "n",
+        (
+            F.abs(
+                F.col("y").cast("double")
+                - F.col("sy").cast("double") / F.col("n")
+            )
+            / F.sqrt(
+                (
+                    F.col("qy")
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("z"),
+    )
+    return (
+        g.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("z"), F.asc("d")))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("d").alias("outlier_day"),
+            F.col("y").cast("long").alias("outlier_cents"),
+            F.round(F.col("z"), 6).alias("g_stat"),
+        )
+    )

@@ -546,3 +546,153 @@ def test_stream_state_census_certifies_store_size(spark):
     assert r.state_rows_final == r.n_groups_batch > 0
     assert r.memory_used_bytes > 0
     assert 0 < r.bytes_per_state_row < 10_000
+
+
+# ---------------------------------------------------------------------------
+# phase 52: trend / changepoint / influence pins
+# ---------------------------------------------------------------------------
+
+
+def _monthly_revenue():
+    orders = _pdread("orders")
+    g = (
+        orders.assign(
+            t=orders["o_orderdate"].dt.year * 12
+            + orders["o_orderdate"].dt.month,
+            cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        )
+        .groupby("t")["cents"]
+        .sum()
+        .sort_index()
+    )
+    return [int(v) for v in g.to_numpy()]
+
+
+def test_mann_kendall_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_mann_kendall"](spark, SF_DIR).collect()[0]
+    ys = _monthly_revenue()
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(ys).values() if c > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else (s + 1) / var**0.5 if s < 0 else 0.0
+    assert (got.n_months, got.s_stat) == (n, s)
+    assert abs(float(got.var_s) - var) < 1e-4
+    assert abs(float(got.z_score) - z) < 1e-5
+
+
+def test_binseg_matches_python_argmax(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_binseg_changepoint"](spark, SF_DIR).collect()[0]
+    y = [int(v) for v in _daily_revenue()]
+    n = len(y)
+    st = sum(y)
+    best, best_t = None, None
+    sp = 0
+    for t in range(1, n):
+        sp += y[t - 1]
+        g = sp * sp / t + (st - sp) ** 2 / (n - t) - st * st / n
+        if best is None or g > best + 1e-9:
+            best, best_t = g, t
+    assert got.n_days == n
+    assert got.split_index == best_t
+    assert abs(float(got.gain_dollars_sq) - best / 1e8) < 1e-2
+
+
+def test_binseg_localizes_planted_shift(spark):
+    """A synthetic flat-then-jump series: the argmax split must land
+    exactly on the planted boundary."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from legislative_bills_database_spark.plans.roundnine_queries import (
+        q_binseg_changepoint,
+    )
+
+    # build a tampered orders table: one order per day, value 100 then 500
+    d0 = datetime.date(2020, 1, 1)
+    rows = [
+        (
+            i,
+            1,
+            "F",
+            1.00 if i < 70 else 5.00,
+            datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i),
+            "1-URGENT",
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="binseg_")
+    for t in (
+        "region nation customer supplier part lineitem events documents "
+        "embeddings"
+    ).split():
+        import shutil
+
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+    df.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    r = q_binseg_changepoint(spark, tmp).collect()[0]
+    assert r.split_index == 70  # last index of the low segment
+    assert abs(r.mean_before_dollars - 1.00) < 0.01
+    assert abs(r.mean_after_dollars - 5.00) < 0.01
+
+
+def test_ols_influence_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_ols_influence"](spark, SF_DIR).collect()
+    y = _daily_revenue()
+    n = len(y)
+    t = np.arange(1, n + 1, dtype="float64")
+    b = ((n * (t * y).sum()) - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    e = y - a - b * t
+    h = 1.0 / n + (t - t.mean()) ** 2 / ((t - t.mean()) ** 2).sum()
+    s2 = (e**2).sum() / (n - 2)
+    cook = e**2 / (2 * s2) * h / (1 - h) ** 2
+    top = np.argsort(-cook)[:10]
+    assert len(got) == 10
+    assert abs(float(got[0].cook_d) - float(cook[top[0]])) < 1e-4
+    # engine's top-10 cook values match numpy's (order-insensitive set)
+    eng = sorted(float(r.cook_d) for r in got)
+    ref = sorted(float(cook[i]) for i in top)
+    for a_, b_ in zip(eng, ref):
+        assert abs(a_ - b_) < 1e-4
+
+
+def test_grubbs_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_grubbs"](spark, SF_DIR).collect()[0]
+    y = _daily_revenue()
+    n = len(y)
+    z = np.abs(y - y.mean()) / y.std(ddof=1)
+    assert got.n_days == n
+    assert abs(float(got.g_stat) - float(z.max())) < 1e-5
+    assert got.outlier_cents == int(y[int(np.argmax(z))])
