@@ -74,6 +74,11 @@ _NEWCOMERS_R9: list[str] = [
     "q_binseg_changepoint",
     "q_ols_influence",
     "q_grubbs",
+    # -- phase 53: sampling design, inequality, ordinal agreement --
+    "q_neyman_allocation",
+    "q_atkinson",
+    "q_weighted_kappa",
+    "q_somers_d",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -378,6 +378,11 @@ HEADLINE = [
     "q_binseg_changepoint",
     "q_ols_influence",
     "q_grubbs",
+    # round-9 phase 53: sampling design, inequality, ordinal agreement
+    "q_neyman_allocation",
+    "q_atkinson",
+    "q_weighted_kappa",
+    "q_somers_d",
 ]
 
 

@@ -2119,3 +2119,354 @@ def q_grubbs(spark, sf_dir):
             F.round(F.col("z"), 6).alias("g_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 53: survey sampling, inequality, ordinal agreement, econometrics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS s2
+      FROM s GROUP BY 1
+    ), w AS (
+      SELECT seg, n_h,
+             n_h * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h)
+                        / (n_h - 1)) AS nhsh
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(CAST(ROUND(nhsh, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS tot
+      FROM w
+    )
+    SELECT w.seg, w.n_h AS stratum_size,
+           ROUND(w.nhsh / t.tot, 6) AS alloc_share,
+           CAST(ROUND(1000.0 * w.nhsh / t.tot, 0) AS BIGINT)
+             AS alloc_n_of_1000
+    FROM w, t ORDER BY w.seg
+    """,
+)
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation of a 1000-unit audit sample across the
+    five market-segment strata: n_h ∝ N_h·S_h (big AND volatile strata
+    get more samples — the variance-minimizing refinement of
+    q_stratified_sample's proportional shares, and the design step
+    before q_monetary_unit_sample's execution step). Per-stratum SDs
+    come from exact cent sums (Σv BIGINT, Σv² DECIMAL(38,0)), each
+    N_h·S_h is one IEEE dag 6dp-rounded and decimal-summed for the
+    normalizer, and the rounded per-stratum counts are hash-stable.
+    One fact pass, dims broadcast."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("s2"),
+    )
+    nhsh = F.col("n_h") * F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    w = g.select("seg", "n_h", nhsh.alias("nhsh"))
+    t = w.agg(
+        F.sum(F.round(F.col("nhsh"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("tot")
+    )
+    return (
+        w.join(F.broadcast(t))
+        .select(
+            "seg",
+            F.col("n_h").alias("stratum_size"),
+            F.round(F.col("nhsh") / F.col("tot"), 6).alias("alloc_share"),
+            F.round(F.lit(1000.0) * F.col("nhsh") / F.col("tot"), 0)
+            .cast("long")
+            .alias("alloc_n_of_1000"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "q_atkinson",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(CAST(ROUND(ln(CAST(v AS DOUBLE)), 9)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS slnv
+      FROM per
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(sv AS DOUBLE) / n / 100.0, 2) AS mean_dollars,
+           ROUND(exp(slnv / n) / 100.0, 2) AS geomean_dollars,
+           ROUND(1.0 - exp(slnv / n) / (CAST(sv AS DOUBLE) / n), 6)
+             AS atkinson_eps1
+    FROM s
+    """,
+)
+def q_atkinson(spark, sf_dir):
+    """Atkinson inequality index (ε=1) of per-customer spend: 1 −
+    geomean/mean — the welfare-theoretic member of the inequality
+    family (q_gini ranks, q_theil_index decomposes, q_hhi
+    concentrates; Atkinson prices inequality aversion). ε=1 makes the
+    'equally-distributed equivalent' the GEOMETRIC mean, so the whole
+    index reduces to Σln(v): each ln term is one IEEE op rounded to
+    9dp and decimal-summed (the q_zipf_fit discipline), the mean from
+    an exact BIGINT sum, one exp at the end. Customers with orders
+    only (v>0 — ln is defined); one grouped pass + one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(
+            F.round(F.log(F.col("v").cast("double")), 9).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("slnv"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    geo = F.exp(F.col("slnv") / F.col("n"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(mean / F.lit(100.0), 2).alias("mean_dollars"),
+        F.round(geo / F.lit(100.0), 2).alias("geomean_dollars"),
+        F.round(F.lit(1.0) - geo / mean, 6).alias("atkinson_eps1"),
+    )
+
+
+@query(
+    "q_weighted_kappa",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 25000000 THEN 2
+                  WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 10000000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                  ELSE 0 END AS r2
+      FROM orders
+    ), ct AS (
+      SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+    ), m AS (
+      SELECT a.r1, b.r2,
+             CAST(a.rn AS BIGINT) AS rn, CAST(b.cn AS BIGINT) AS cn,
+             COALESCE(ct.n, 0) AS n
+      FROM (SELECT r1, SUM(n) AS rn FROM ct GROUP BY 1) a
+      CROSS JOIN (SELECT r2, SUM(n) AS cn FROM ct GROUP BY 1) b
+      LEFT JOIN ct ON ct.r1 = a.r1 AND ct.r2 = b.r2
+    ), agg AS (
+      SELECT CAST(SUM(ABS(r1 - r2) * n) AS BIGINT) AS wo,
+             CAST(SUM(CAST(ABS(r1 - r2) AS DECIMAL(38,0)) * rn * cn)
+                  AS DOUBLE) AS we,
+             CAST(SUM(n) AS BIGINT) AS nt
+      FROM m
+    )
+    SELECT nt AS n_orders, wo AS disagree_weight,
+           ROUND(1.0 - CAST(wo AS DOUBLE) * nt / we, 6) AS kappa_w
+    FROM agg
+    """,
+)
+def q_weighted_kappa(spark, sf_dir):
+    """Linear-weighted Cohen's kappa between two ORDINAL labelers
+    (value terciles vs priority levels, 0<1<2) — the agreement
+    statistic when near-misses should count less than opposite calls
+    (q_cohens_kappa treats both as equal disagreement). κ_w = 1 −
+    Σw·O/(Σw·E/N) over the 3×3 contingency: observed disagreement
+    weight Σ|i−j|·n_ij is an exact BIGINT, the chance term Σ|i−j|·
+    row_i·col_j rides DECIMAL→double (one conversion), one final
+    division. The marginal cross join is 3×3 — constant at any scale;
+    one fact pass to the contingency table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = orders.select(
+        F.when(cents > 25_000_000, 2)
+        .when(cents > 10_000_000, 1)
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    ct = s.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # ≤9 rows, three consumers
+    rm = ct.groupBy("r1").agg(F.sum("n").cast("long").alias("rn"))
+    cm = ct.groupBy("r2").agg(F.sum("n").cast("long").alias("cn"))
+    m = (
+        rm.join(F.broadcast(cm))
+        .join(F.broadcast(ct), ["r1", "r2"], "left")
+        .select(
+            "r1",
+            "r2",
+            "rn",
+            "cn",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    agg = m.agg(
+        F.sum(F.abs(F.col("r1") - F.col("r2")) * F.col("n"))
+        .cast("long")
+        .alias("wo"),
+        F.sum(
+            F.abs(F.col("r1") - F.col("r2")).cast("decimal(38,0)")
+            * F.col("rn")
+            * F.col("cn")
+        )
+        .cast("double")
+        .alias("we"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    return agg.select(
+        F.col("nt").alias("n_orders"),
+        F.col("wo").alias("disagree_weight"),
+        F.round(
+            F.lit(1.0)
+            - F.col("wo").cast("double") * F.col("nt") / F.col("we"),
+            6,
+        ).alias("kappa_w"),
+    )
+
+
+
+@query(
+    "q_somers_d",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 25000000 THEN 2
+                  WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       > 10000000 THEN 1 ELSE 0 END AS x,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                  ELSE 0 END AS y
+      FROM orders
+    ), ct AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+      FROM ct a CROSS JOIN ct b
+    ), marg AS (
+      SELECT CAST(SUM(rn) AS BIGINT) AS nt,
+             CAST(SUM(rn * (rn - 1) / 2) AS BIGINT) AS tx
+      FROM (SELECT x, SUM(n) AS rn FROM ct GROUP BY 1) rm
+    )
+    SELECT marg.nt AS n_orders, pairs.c AS concordant,
+           pairs.d AS discordant,
+           ROUND(CAST(pairs.c - pairs.d AS DOUBLE)
+                 / (pairs.c + pairs.d), 6) AS gamma,
+           ROUND(CAST(pairs.c - pairs.d AS DOUBLE)
+                 / (CAST(marg.nt AS DOUBLE) * (marg.nt - 1) / 2.0
+                    - marg.tx), 6) AS somers_d_yx
+    FROM pairs, marg
+    """,
+)
+def q_somers_d(spark, sf_dir):
+    """Somers' D_yx and Goodman-Kruskal gamma for the ordinal labeler
+    pair (value terciles → priority levels) — the asymmetric ordinal-
+    association statistics that complete the agreement family
+    (q_kendall_tau is the symmetric cousin; D_yx conditions on the
+    predictor's non-ties, the right read for 'does value PREDICT
+    priority'). Concordant/discordant pair counts come from the 3×3
+    contingency crossed with itself (81 constant rows, exact BIGINT
+    products); ties-on-x from the row marginals; two final divisions.
+    At n≈10⁸⁺ promote the pair products to DECIMAL(38,0) (the shape
+    holds). One fact pass to the contingency table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = orders.select(
+        F.when(cents > 25_000_000, 2)
+        .when(cents > 10_000_000, 1)
+        .otherwise(0)
+        .alias("x"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ct = s.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # ≤9 rows, pair cross + marginals
+    a = ct.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("n").alias("na")
+    )
+    b = ct.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    marg = (
+        ct.groupBy("x")
+        .agg(F.sum("n").alias("rn"))
+        .agg(
+            F.sum("rn").cast("long").alias("nt"),
+            F.sum(F.col("rn") * (F.col("rn") - 1) / 2)
+            .cast("long")
+            .alias("tx"),
+        )
+    )
+    j = pairs.join(F.broadcast(marg))
+    cd = (F.col("c") - F.col("d")).cast("double")
+    return j.select(
+        F.col("nt").alias("n_orders"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(cd / (F.col("c") + F.col("d")), 6).alias("gamma"),
+        F.round(
+            cd
+            / (
+                F.col("nt").cast("double") * (F.col("nt") - 1) / F.lit(2.0)
+                - F.col("tx")
+            ),
+            6,
+        ).alias("somers_d_yx"),
+    )

@@ -696,3 +696,111 @@ def test_grubbs_matches_numpy(spark):
     assert got.n_days == n
     assert abs(float(got.g_stat) - float(z.max())) < 1e-5
     assert got.outlier_cents == int(y[int(np.argmax(z))])
+
+
+# ---------------------------------------------------------------------------
+# phase 53: sampling design, inequality, ordinal agreement pins
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = {
+        r.seg: r
+        for r in QUERIES["q_neyman_allocation"](spark, SF_DIR).collect()
+    }
+    df = _order_seg_values()
+    import numpy as np
+
+    shares = {}
+    for seg, grp in df.groupby("seg"):
+        v = grp["v"].to_numpy(dtype="float64")
+        shares[seg] = len(v) * v.std(ddof=1)
+    tot = sum(shares.values())
+    assert set(got) == set(shares)
+    for seg, w in shares.items():
+        assert abs(float(got[seg].alloc_share) - w / tot) < 1e-5, seg
+        assert abs(got[seg].alloc_n_of_1000 - round(1000 * w / tot)) <= 1
+    # shares sum to 1 and bigger/more-volatile strata get more
+    assert abs(sum(float(r.alloc_share) for r in got.values()) - 1) < 1e-4
+
+
+def test_atkinson_matches_python(spark):
+    import math
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_atkinson"](spark, SF_DIR).collect()[0]
+    orders = _pdread("orders")
+    per = (
+        orders.assign(
+            cents=(orders["o_totalprice"] * 100).round().astype("int64")
+        )
+        .groupby("o_custkey")["cents"]
+        .sum()
+    )
+    vals = [int(v) for v in per.to_numpy()]
+    mean = sum(vals) / len(vals)
+    geo = math.exp(sum(math.log(v) for v in vals) / len(vals))
+    atk = 1 - geo / mean
+    assert got.n_customers == len(vals)
+    assert abs(float(got.atkinson_eps1) - atk) < 1e-5
+    assert 0 <= float(got.atkinson_eps1) < 1
+
+
+def _ordinal_raters():
+    orders = _pdread("orders")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    r1 = cents.map(lambda c: 2 if c > 25_000_000 else 1 if c > 10_000_000 else 0)
+    pri = orders["o_orderpriority"]
+    r2 = pri.map(
+        lambda p: 2 if p in ("1-URGENT", "2-HIGH") else 1 if p == "3-MEDIUM" else 0
+    )
+    return [int(a) for a in r1], [int(b) for b in r2]
+
+
+def test_weighted_kappa_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_weighted_kappa"](spark, SF_DIR).collect()[0]
+    r1, r2 = _ordinal_raters()
+    n = len(r1)
+    wo = sum(abs(a - b) for a, b in zip(r1, r2))
+    from collections import Counter
+
+    rm, cm = Counter(r1), Counter(r2)
+    we = sum(
+        abs(i - j) * rm[i] * cm[j] for i in rm for j in cm
+    )
+    kw = 1 - wo * n / we
+    assert got.n_orders == n and got.disagree_weight == wo
+    assert abs(float(got.kappa_w) - kw) < 1e-5
+
+
+def test_somers_d_matches_python(spark):
+    from collections import Counter
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_somers_d"](spark, SF_DIR).collect()[0]
+    r1, r2 = _ordinal_raters()
+    ct = Counter(zip(r1, r2))
+    c = d = 0
+    for (xa, ya), na in ct.items():
+        for (xb, yb), nb in ct.items():
+            if xb > xa and yb > ya:
+                c += na * nb
+            elif xb > xa and yb < ya:
+                d += na * nb
+    n = len(r1)
+    rm = Counter(r1)
+    tx = sum(v * (v - 1) // 2 for v in rm.values())
+    gamma = (c - d) / (c + d)
+    dyx = (c - d) / (n * (n - 1) / 2 - tx)
+    assert (got.concordant, got.discordant) == (c, d)
+    assert abs(float(got.gamma) - gamma) < 1e-6
+    assert abs(float(got.somers_d_yx) - dyx) < 1e-6
+    # value should positively predict priority? no real relation in
+    # TPC-H synthetic data — bound only
+    assert -1 <= float(got.somers_d_yx) <= 1
