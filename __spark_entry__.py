@@ -79,6 +79,9 @@ _NEWCOMERS_R9: list[str] = [
     "q_atkinson",
     "q_weighted_kappa",
     "q_somers_d",
+    # -- phase 54: greedy selection (MMR diversity, submodular coverage) --
+    "q_mmr_select",
+    "q_greedy_coverage",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -383,6 +383,9 @@ HEADLINE = [
     "q_atkinson",
     "q_weighted_kappa",
     "q_somers_d",
+    # round-9 phase 54: greedy selection operators
+    "q_mmr_select",
+    "q_greedy_coverage",
 ]
 
 

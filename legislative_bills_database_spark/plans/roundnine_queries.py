@@ -2470,3 +2470,255 @@ def q_somers_d(spark, sf_dir):
             6,
         ).alias("somers_d_yx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 54: greedy selection operators for training-data curation
+# ---------------------------------------------------------------------------
+
+from ..functions.vectors import cosine, sql_cosine  # noqa: E402
+
+_MMR_K = 5  # picks
+_MMR_CANDS = 20  # candidate pool
+_MMR_LAMBDA = 0.7
+
+
+def _sql_mmr() -> str:
+    cos_pq = sql_cosine("e.embedding", "p.embedding")
+    cos_ab = sql_cosine("ea.embedding", "eb.embedding")
+    ctes = [
+        "probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)",
+        f"""cand AS (
+      SELECT e.vec_id, ROUND({cos_pq}, 9) AS rel
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT {_MMR_CANDS})""",
+        f"""sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND({cos_ab}, 9) AS sim
+      FROM cand a JOIN embeddings ea ON a.vec_id = ea.vec_id
+      JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN embeddings eb ON b.vec_id = eb.vec_id)""",
+        """sel1 AS (
+      SELECT vec_id, rel, CAST(1 AS BIGINT) AS pick FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for k in range(2, _MMR_K + 1):
+        ctes.append(f"""sel{k} AS (
+      SELECT c.vec_id, c.rel, CAST({k} AS BIGINT) AS pick
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM all{k - 1})
+      ORDER BY ROUND({_MMR_LAMBDA} * c.rel
+                     - {round(1 - _MMR_LAMBDA, 6)}
+                       * (SELECT MAX(s.sim) FROM sims s
+                          JOIN all{k - 1} p ON s.vb = p.vec_id
+                          WHERE s.va = c.vec_id), 9) DESC,
+               c.vec_id
+      LIMIT 1)""")
+        ctes.append(
+            f"all{k} AS (SELECT * FROM all{k - 1}"
+            f" UNION ALL SELECT * FROM sel{k})"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT pick, vec_id, rel FROM all{_MMR_K} ORDER BY pick
+    """
+
+
+@query("q_mmr_select", _sql_mmr())
+def q_mmr_select(spark, sf_dir):
+    """Maximal-marginal-relevance selection: pick 5 of the top-20
+    most-probe-relevant embeddings, each round trading relevance
+    against redundancy (λ·rel − (1−λ)·max-sim-to-selected, λ=0.7) —
+    the diversity-aware retrieval/curation operator a RAG context
+    builder or few-shot sampler runs after ANN (q_cosine_topk ranks,
+    MMR de-clumps). Greedy rounds are the q_random_walk fixed-round
+    discipline over BOUNDED frames: the candidate pool is a top-20
+    TakeOrdered off one fact pass, the 20×19 pairwise-cosine table is
+    computed once, and each round is an anti-join + argmax over ≤20
+    rows with every score 9dp-rounded and vec_id tie-broken, so both
+    engines replay identical picks. Nothing beyond the first top-k
+    ever touches the full table — at 100 TB the pool size, not the
+    corpus, bounds the loop."""
+    from ..io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("pe")), 9).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CANDS)
+        .localCheckpoint(eager=False)  # 20 rows: sims + every round
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        ca.join(F.broadcast(cb), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cosine(F.col("ea"), F.col("eb")), 9).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # 380 rows
+    )
+    csl = cand.select("vec_id", "rel")
+    sel = (
+        csl.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .withColumn("pick", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(2, _MMR_K + 1):
+        rem = csl.join(sel.select("vec_id"), "vec_id", "left_anti")
+        mx = (
+            sims.join(
+                F.broadcast(sel.select(F.col("vec_id").alias("vb"))), "vb"
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        score = F.round(
+            F.lit(_MMR_LAMBDA) * F.col("rel")
+            - F.lit(round(1 - _MMR_LAMBDA, 6)) * F.col("ms"),
+            9,
+        )
+        pick = (
+            rem.join(mx, rem.vec_id == mx.va)
+            .select("vec_id", "rel", score.alias("s"))
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel", F.lit(k).cast("long").alias("pick"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("pick", "vec_id", "rel").orderBy("pick")
+
+
+_COV_K = 5  # picks
+_COV_DOCS = 30  # candidate pool (largest docs)
+
+
+def _sql_coverage() -> str:
+    ctes = [
+        f"""pool AS (
+      SELECT doc_id FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT {_COV_DOCS})""",
+        """dt AS (
+      SELECT DISTINCT d.doc_id, t.tok
+      FROM documents d
+      JOIN pool USING (doc_id),
+      LATERAL unnest(list_transform(
+        generate_series(1, len(string_split(lower(d.text), ' ')) - 1),
+        i -> string_split(lower(d.text), ' ')[i] || ' '
+             || string_split(lower(d.text), ' ')[i + 1])) AS t(tok))""",
+        """sel1 AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS pick,
+             CAST(gain AS BIGINT) AS gain
+      FROM (SELECT doc_id, COUNT(*) AS gain FROM dt GROUP BY 1) g
+      ORDER BY gain DESC, doc_id LIMIT 1)""",
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for k in range(2, _COV_K + 1):
+        ctes.append(f"""sel{k} AS (
+      SELECT c.doc_id, CAST({k} AS BIGINT) AS pick,
+             CAST(COUNT(*) AS BIGINT) AS gain
+      FROM dt c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM all{k - 1})
+        AND NOT EXISTS (
+          SELECT 1 FROM dt s JOIN all{k - 1} a ON s.doc_id = a.doc_id
+          WHERE s.tok = c.tok)
+      GROUP BY c.doc_id
+      ORDER BY gain DESC, c.doc_id LIMIT 1)""")
+        ctes.append(
+            f"all{k} AS (SELECT * FROM all{k - 1}"
+            f" UNION ALL SELECT * FROM sel{k})"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT pick, doc_id, gain AS new_tokens FROM all{_COV_K} ORDER BY pick
+    """
+
+
+@query("q_greedy_coverage", _sql_coverage())
+def q_greedy_coverage(spark, sf_dir):
+    """Greedy maximum-coverage selection: pick 5 documents (from the
+    30 largest) that together cover the most distinct BIGRAMS — the
+    submodular data-selection primitive behind 'choose the most
+    informative K examples' in training-corpus curation (the 1−1/e
+    greedy guarantee; bigrams, because the fixtures' unigram
+    vocabulary is so small one document covers it — a degenerate
+    universe). Each round adds the document with the largest count of
+    bigrams NOT yet covered: marginal gains are exact BIGINT counts
+    off one (doc, bigram)-distinct frame (built once, checkpointed),
+    each round is an anti-join on covered bigrams plus an argmax with
+    a doc_id tie-break — the q_random_walk fixed-round chained-CTE
+    oracle replays it exactly. A round whose best marginal gain is
+    ZERO selects nothing and the chain stops early (both engines
+    agree — full coverage reached). The pool bound (not the corpus)
+    drives the loop cost at any scale."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_COV_DOCS)
+        .select("doc_id", "text")
+    )
+    dt = (
+        pool.withColumn("arr", F.split(F.lower(F.col("text")), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("arr") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " i -> concat(element_at(arr, i), ' ',"
+                        " element_at(arr, i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # bounded: 30 docs × bigram vocab
+    )
+    g1 = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+    sel = (
+        g1.orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(1)
+        .select("doc_id", F.lit(1).cast("long").alias("pick"), "gain")
+        .localCheckpoint(eager=True)
+    )
+    for k in range(2, _COV_K + 1):
+        covered = dt.join(
+            sel.select("doc_id"), "doc_id", "left_semi"
+        ).select("tok").distinct()
+        rem = dt.join(sel.select("doc_id"), "doc_id", "left_anti")
+        gains = (
+            rem.join(covered, "tok", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        pick = (
+            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .select("doc_id", F.lit(k).cast("long").alias("pick"), "gain")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "pick", "doc_id", F.col("gain").alias("new_tokens")
+    ).orderBy("pick")

@@ -804,3 +804,91 @@ def test_somers_d_matches_python(spark):
     # value should positively predict priority? no real relation in
     # TPC-H synthetic data — bound only
     assert -1 <= float(got.somers_d_yx) <= 1
+
+
+# ---------------------------------------------------------------------------
+# phase 54: greedy selection pins (pure-Python replays)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_select_matches_python_greedy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+    from legislative_bills_database_spark.plans.roundnine_queries import (
+        _MMR_CANDS,
+        _MMR_K,
+        _MMR_LAMBDA,
+    )
+
+    got = QUERIES["q_mmr_select"](spark, SF_DIR).collect()
+    emb = _pdread("embeddings")
+    vecs = {
+        int(v): np.asarray(e, dtype="float64")
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    probe = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b) / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b)))
+
+    rel = {
+        v: round(cos(e, probe), 9) for v, e in vecs.items() if v != 0
+    }
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_CANDS]
+    sel = [min(cand, key=lambda v: (-rel[v], v))]
+    for _k in range(2, _MMR_K + 1):
+        best, best_s = None, None
+        for c in cand:
+            if c in sel:
+                continue
+            ms = max(round(cos(vecs[c], vecs[s]), 9) for s in sel)
+            s = round(_MMR_LAMBDA * rel[c] - (1 - _MMR_LAMBDA) * ms, 9)
+            if best is None or s > best_s or (s == best_s and c < best):
+                best, best_s = c, s
+        sel.append(best)
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.pick)] == sel
+    # diversity property: MMR must deviate from pure top-k after pick 1
+    topk = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_K]
+    assert sel[0] == topk[0]
+
+
+def test_greedy_coverage_matches_python_greedy(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+    from legislative_bills_database_spark.plans.roundnine_queries import (
+        _COV_DOCS,
+        _COV_K,
+    )
+
+    got = QUERIES["q_greedy_coverage"](spark, SF_DIR).collect()
+    docs = _pdread("documents")
+    pool = docs.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).head(_COV_DOCS)
+
+    def bigrams(text):
+        ws = str(text).lower().split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    toks = {int(r.doc_id): bigrams(r.text) for r in pool.itertuples()}
+    covered: set = set()
+    sel = []
+    for k in range(1, _COV_K + 1):
+        best, best_g = None, None
+        for d, ts in toks.items():
+            if d in [s[0] for s in sel]:
+                continue
+            g = len(ts - covered)
+            if best is None or g > best_g or (g == best_g and d < best):
+                best, best_g = d, g
+        if best_g == 0:  # full coverage — the chain stops early
+            break
+        sel.append((best, k, best_g))
+        covered |= toks[best]
+    eng = [(r.doc_id, r.pick, r.new_tokens) for r in
+           sorted(got, key=lambda r: r.pick)]
+    assert eng == sel
+    assert len(sel) >= 2  # bigram universe must be non-degenerate
+    # submodularity: marginal gains must be non-increasing
+    gains = [g for _, _, g in sel]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
