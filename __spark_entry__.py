@@ -82,6 +82,9 @@ _NEWCOMERS_R9: list[str] = [
     # -- phase 54: greedy selection (MMR diversity, submodular coverage) --
     "q_mmr_select",
     "q_greedy_coverage",
+    # -- phase 55: probability-model evaluation --
+    "q_hosmer_lemeshow",
+    "q_gains_lift",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -386,6 +386,9 @@ HEADLINE = [
     # round-9 phase 54: greedy selection operators
     "q_mmr_select",
     "q_greedy_coverage",
+    # round-9 phase 55: probability-model evaluation
+    "q_hosmer_lemeshow",
+    "q_gains_lift",
 ]
 
 

@@ -2722,3 +2722,184 @@ def q_greedy_coverage(spark, sf_dir):
     return sel.select(
         "pick", "doc_id", F.col("gain").alias("new_tokens")
     ).orderBy("pick")
+
+
+# ---------------------------------------------------------------------------
+# phase 55: probability-model evaluation + dataset profile card
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hosmer_lemeshow",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), mm AS (
+      SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM s
+    ), e AS (
+      SELECT sc - mm.mn AS s0, y,
+             mm.mx - mm.mn AS span,
+             CAST(((sc - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS INTEGER)
+               AS bin
+      FROM s, mm
+    ), b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(y) AS BIGINT) AS ok,
+             CAST(SUM(s0) AS BIGINT) AS ssk,
+             CAST(MAX(span) AS BIGINT) AS span
+      FROM e GROUP BY 1
+    ), terms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(CAST(ROUND(
+               (ok - CAST(ssk AS DOUBLE) / span)
+               * (ok - CAST(ssk AS DOUBLE) / span)
+               / ((CAST(ssk AS DOUBLE) / span)
+                  * (1.0 - CAST(ssk AS DOUBLE) / (nk * span))), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS h
+      FROM b
+    )
+    SELECT g AS n_bins, ROUND(h, 6) AS hl_stat,
+           CAST(CASE WHEN h > 15.507313 THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_5pct
+    FROM terms
+    """,
+)
+def q_hosmer_lemeshow(spark, sf_dir):
+    """Hosmer-Lemeshow goodness-of-fit for the q_ece probability proxy
+    over the same ten fixed bins: Ĥ = Σ (O_k − E_k)²/(E_k(1 − p̄_k)) —
+    the calibration TEST that complements the q_ece magnitude and the
+    q_brier_decomp decomposition (χ²₈ at α=0.05 = 15.507313; the
+    decision rides the hash row). E_k = Σp over the bin is exact up to
+    one division (Σs0/span), each bin's term is one IEEE dag
+    6dp-rounded and decimal-summed. One fact pass to the bin frame —
+    the q_ece shape exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    mm = s.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    e = s.join(F.broadcast(mm)).select(
+        (F.col("sc") - F.col("mn")).alias("s0"),
+        "y",
+        (F.col("mx") - F.col("mn")).alias("span"),
+        F.expr("CAST(((sc - mn) * 10) div (mx - mn + 1) AS INT)").alias(
+            "bin"
+        ),
+    )
+    b = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("ok"),
+        F.sum("s0").cast("long").alias("ssk"),
+        F.max("span").cast("long").alias("span"),
+    )
+    ek = F.col("ssk").cast("double") / F.col("span")
+    pbar = F.col("ssk").cast("double") / (F.col("nk") * F.col("span"))
+    term = F.round(
+        (F.col("ok") - ek) * (F.col("ok") - ek) / (ek * (F.lit(1.0) - pbar)),
+        6,
+    ).cast("decimal(38,6)")
+    terms = b.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum(term).cast("double").alias("h"),
+    )
+    return terms.select(
+        F.col("g").alias("n_bins"),
+        F.round(F.col("h"), 6).alias("hl_stat"),
+        F.when(F.col("h") > 15.507313, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_5pct"),
+    )
+
+
+@query(
+    "q_gains_lift",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), mm AS (
+      SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM s
+    ), e AS (
+      SELECT CAST(((sc - mm.mn) * 10) // (mm.mx - mm.mn + 1) AS INTEGER)
+               AS bin, y
+      FROM s, mm
+    ), b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS e
+      FROM e GROUP BY 1
+    ), c AS (
+      SELECT bin, n, e,
+             CAST(SUM(n) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cn,
+             CAST(SUM(e) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ce,
+             CAST(SUM(n) OVER () AS BIGINT) AS nt,
+             CAST(SUM(e) OVER () AS BIGINT) AS et
+      FROM b
+    )
+    SELECT bin AS score_bin, n AS n_rows, e AS n_events,
+           ROUND(CAST(ce AS DOUBLE) / et, 6) AS cum_capture,
+           ROUND(CAST(ce AS DOUBLE) / cn
+                 / (CAST(et AS DOUBLE) / nt), 6) AS cum_lift
+    FROM c ORDER BY bin DESC
+    """,
+)
+def q_gains_lift(spark, sf_dir):
+    """Cumulative gains and lift by descending score bin — THE model
+    triage table ('contacting the top 20% captures X% of events at
+    Y× lift') that q_auc summarizes to one number and this query
+    unrolls for the campaign planner. Event capture and lift come
+    from exact per-bin BIGINT counts with a prefix window over the
+    TEN-row bin frame (descending score order); each output cell is
+    one IEEE division. One fact pass, map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    mm = s.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    e = s.join(F.broadcast(mm)).select(
+        F.expr("CAST(((sc - mn) * 10) div (mx - mn + 1) AS INT)").alias(
+            "bin"
+        ),
+        "y",
+    )
+    b = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("e"),
+    )
+    wdesc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = b.select(
+        "bin",
+        "n",
+        "e",
+        F.sum("n").over(wdesc).cast("long").alias("cn"),
+        F.sum("e").over(wdesc).cast("long").alias("ce"),
+        F.sum("n").over(wall).cast("long").alias("nt"),
+        F.sum("e").over(wall).cast("long").alias("et"),
+    )
+    return c.select(
+        F.col("bin").alias("score_bin"),
+        F.col("n").alias("n_rows"),
+        F.col("e").alias("n_events"),
+        F.round(F.col("ce").cast("double") / F.col("et"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            F.col("ce").cast("double")
+            / F.col("cn")
+            / (F.col("et").cast("double") / F.col("nt")),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy(F.desc("score_bin"))
+

@@ -892,3 +892,65 @@ def test_greedy_coverage_matches_python_greedy(spark):
     # submodularity: marginal gains must be non-increasing
     gains = [g for _, _, g in sel]
     assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+# ---------------------------------------------------------------------------
+# phase 55: probability-model evaluation pins
+# ---------------------------------------------------------------------------
+
+
+def test_hosmer_lemeshow_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_hosmer_lemeshow"](spark, SF_DIR).collect()[0]
+    orders = _pdread("orders")
+    sc = (orders["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    y = (orders["o_orderstatus"] == "F").astype("int64").to_numpy()
+    mn, mx = sc.min(), sc.max()
+    span = mx - mn
+    s0 = sc - mn
+    bins = (s0 * 10) // (span + 1)
+    h = 0.0
+    g = 0
+    for k in np.unique(bins):
+        m = bins == k
+        nk = int(m.sum())
+        ok = int(y[m].sum())
+        ek = float(s0[m].sum()) / span
+        pbar = ek / nk
+        h += (ok - ek) ** 2 / (ek * (1 - pbar))
+        g += 1
+    assert got.n_bins == g
+    assert abs(float(got.hl_stat) - h) < 1e-3
+    assert got.reject_5pct == (1 if h > 15.507313 else 0)
+
+
+def test_gains_lift_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = {
+        r.score_bin: r for r in QUERIES["q_gains_lift"](spark, SF_DIR).collect()
+    }
+    orders = _pdread("orders")
+    sc = (orders["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    y = (orders["o_orderstatus"] == "F").astype("int64").to_numpy()
+    mn, mx = sc.min(), sc.max()
+    bins = ((sc - mn) * 10) // (mx - mn + 1)
+    nt, et = len(y), int(y.sum())
+    cn = ce = 0
+    for k in sorted(np.unique(bins), reverse=True):
+        m = bins == k
+        cn += int(m.sum())
+        ce += int(y[m].sum())
+        r = got[int(k)]
+        assert r.n_rows == int(m.sum()) and r.n_events == int(y[m].sum())
+        assert abs(float(r.cum_capture) - ce / et) < 1e-6
+        assert abs(float(r.cum_lift) - (ce / cn) / (et / nt)) < 1e-6
+    # full-population row must have capture 1 and lift 1
+    last = got[min(got)]
+    assert abs(float(last.cum_capture) - 1.0) < 1e-9
+    assert abs(float(last.cum_lift) - 1.0) < 1e-9
