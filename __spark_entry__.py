@@ -85,6 +85,10 @@ _NEWCOMERS_R9: list[str] = [
     # -- phase 55: probability-model evaluation --
     "q_hosmer_lemeshow",
     "q_gains_lift",
+    # -- phase 56: experiment-design completions --
+    "q_tost_equivalence",
+    "q_power_sample_size",
+    "q_cramers_v",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -389,6 +389,10 @@ HEADLINE = [
     # round-9 phase 55: probability-model evaluation
     "q_hosmer_lemeshow",
     "q_gains_lift",
+    # round-9 phase 56: experiment-design completions
+    "q_tost_equivalence",
+    "q_power_sample_size",
+    "q_cramers_v",
 ]
 
 

@@ -2903,3 +2903,301 @@ def q_gains_lift(spark, sf_dir):
         ).alias("cum_lift"),
     ).orderBy(F.desc("score_bin"))
 
+
+
+# ---------------------------------------------------------------------------
+# phase 56: experiment-design completions
+# ---------------------------------------------------------------------------
+
+_CONV_SQL = """conv AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM conv
+    )"""
+
+_TOST_MARGIN = 0.05  # equivalence margin on the conversion-rate scale
+
+
+@query(
+    "q_tost_equivalence",
+    f"""
+    WITH {_CONV_SQL}
+    SELECT n_a, n_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a
+                 - CAST(conv_b AS DOUBLE) / n_b, 6) AS diff,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b + {_TOST_MARGIN})
+                 / sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                        * (1 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                        + (CAST(conv_b AS DOUBLE) / n_b)
+                        * (1 - CAST(conv_b AS DOUBLE) / n_b) / n_b),
+                 6) AS z_lower,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b - {_TOST_MARGIN})
+                 / sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                        * (1 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                        + (CAST(conv_b AS DOUBLE) / n_b)
+                        * (1 - CAST(conv_b AS DOUBLE) / n_b) / n_b),
+                 6) AS z_upper,
+           CAST(CASE WHEN
+                  (CAST(conv_a AS DOUBLE) / n_a
+                   - CAST(conv_b AS DOUBLE) / n_b + {_TOST_MARGIN})
+                  / sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                         * (1 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                         + (CAST(conv_b AS DOUBLE) / n_b)
+                         * (1 - CAST(conv_b AS DOUBLE) / n_b) / n_b)
+                  > 1.644854
+                  AND
+                  (CAST(conv_a AS DOUBLE) / n_a
+                   - CAST(conv_b AS DOUBLE) / n_b - {_TOST_MARGIN})
+                  / sqrt((CAST(conv_a AS DOUBLE) / n_a)
+                         * (1 - CAST(conv_a AS DOUBLE) / n_a) / n_a
+                         + (CAST(conv_b AS DOUBLE) / n_b)
+                         * (1 - CAST(conv_b AS DOUBLE) / n_b) / n_b)
+                  < -1.644854
+                THEN 1 ELSE 0 END AS BIGINT) AS equivalent_5pct
+    FROM s
+    """,
+)
+def q_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (two one-sided z-tests, margin ±5pp) on
+    q_ab_test's conversion arms — the NON-INFERIORITY gate: q_ab_test
+    asks 'is there a difference?', TOST asks 'can we CERTIFY there is
+    no difference that matters?' (absence of significance is not
+    equivalence). Both one-sided z's use unpooled variances from exact
+    BIGINT conversion counts; equivalence holds iff z_lower > +1.645
+    AND z_upper < −1.645, and that DECISION rides the hash row. One
+    grouped fact pass, one aggregate — the q_ab_test shape."""
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("c")
+    )
+    s = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    se = F.sqrt(
+        pa * (1 - pa) / F.col("n_a") + pb * (1 - pb) / F.col("n_b")
+    )
+    zl = (pa - pb + _TOST_MARGIN) / se
+    zu = (pa - pb - _TOST_MARGIN) / se
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(pa - pb, 6).alias("diff"),
+        F.round(zl, 6).alias("z_lower"),
+        F.round(zu, 6).alias("z_upper"),
+        F.when((zl > 1.644854) & (zu < -1.644854), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("equivalent_5pct"),
+    )
+
+
+@query(
+    "q_power_sample_size",
+    f"""
+    WITH {_CONV_SQL}
+    SELECT ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           CAST(CEIL(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             * ((CAST(conv_a AS DOUBLE) / n_a)
+                * (1 - CAST(conv_a AS DOUBLE) / n_a)
+                + (CAST(conv_b AS DOUBLE) / n_b)
+                * (1 - CAST(conv_b AS DOUBLE) / n_b))
+             / (0.02 * 0.02)) AS BIGINT) AS n_per_arm_2pp,
+           CAST(CEIL(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             * ((CAST(conv_a AS DOUBLE) / n_a)
+                * (1 - CAST(conv_a AS DOUBLE) / n_a)
+                + (CAST(conv_b AS DOUBLE) / n_b)
+                * (1 - CAST(conv_b AS DOUBLE) / n_b))
+             / (0.05 * 0.05)) AS BIGINT) AS n_per_arm_5pp
+    FROM s
+    """,
+)
+def q_power_sample_size(spark, sf_dir):
+    """Analytic sample-size planner for the next experiment on
+    q_ab_test's metric: n per arm = (z_{{α/2}} + z_β)²(p_a q_a +
+    p_b q_b)/δ² at 80% power / α=0.05 two-sided (z constants
+    1.959964, 0.841621 — fixed literals, no CDF inversion at query
+    time), for minimum detectable effects of 2pp and 5pp. Baseline
+    rates come from exact conversion counts; the planner's output is
+    the number every experiment review asks first ('how long must
+    this run?'). One grouped fact pass, one row."""
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("c")
+    )
+    s = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    zsum2 = (1.959964 + 0.841621) ** 2
+    var = pa * (1 - pa) + pb * (1 - pb)
+    return s.select(
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.ceil(F.lit(zsum2) * var / F.lit(0.02 * 0.02))
+        .cast("long")
+        .alias("n_per_arm_2pp"),
+        F.ceil(F.lit(zsum2) * var / F.lit(0.05 * 0.05))
+        .cast("long")
+        .alias("n_per_arm_5pp"),
+    )
+
+
+@query(
+    "q_cramers_v",
+    """
+    WITH ct AS (
+      SELECT c.c_mktsegment AS a, n.n_name AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), rm AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rn FROM ct GROUP BY 1),
+    cm AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cn FROM ct GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+            FROM ct),
+    chi AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               (COALESCE(ct.n, 0)
+                - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
+               * (COALESCE(ct.n, 0)
+                  - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
+               / (CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt), 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+      FROM rm CROSS JOIN cm
+      LEFT JOIN ct ON ct.a = rm.a AND ct.b = cm.b
+      CROSS JOIN tot
+    )
+    SELECT tot.nt AS n_customers, tot.r AS n_rows_cat,
+           tot.c AS n_cols_cat,
+           ROUND(chi.chi2, 6) AS chi2,
+           ROUND(sqrt(chi.chi2 / (tot.nt
+                 * CAST(LEAST(tot.r - 1, tot.c - 1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM chi, tot
+    """,
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the segment × nation association —
+    the normalized companion to q_chi_square (χ² grows with N; V ∈
+    [0,1] answers 'is the association MATERIAL?'). The full r×c
+    expected grid comes from the marginal cross join (5×25 constant
+    rows); each cell's (O−E)²/E term is one IEEE dag 6dp-rounded and
+    decimal-summed; V = √(χ²/(N·min(r−1,c−1))). One fact pass to the
+    contingency table, dims broadcast."""
+    customer, nation = load_tables(spark, sf_dir, "customer", "nation")
+    ct = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("a"), F.col("n_name").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # ≤125 rows, four consumers
+    )
+    rm = ct.groupBy("a").agg(F.sum("n").cast("long").alias("rn"))
+    cm = ct.groupBy("b").agg(F.sum("n").cast("long").alias("cn"))
+    tot = ct.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+    )
+    grid = (
+        rm.join(F.broadcast(cm))
+        .join(F.broadcast(ct), ["a", "b"], "left")
+        .join(F.broadcast(tot))
+    )
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("nt")
+    obs = F.coalesce(F.col("n"), F.lit(0))
+    term = F.round((obs - exp) * (obs - exp) / exp, 6).cast(
+        "decimal(38,6)"
+    )
+    chi = grid.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.max("nt").alias("nt"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    return chi.select(
+        F.col("nt").alias("n_customers"),
+        F.col("r").alias("n_rows_cat"),
+        F.col("c").alias("n_cols_cat"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("nt")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -954,3 +954,95 @@ def test_gains_lift_matches_numpy(spark):
     last = got[min(got)]
     assert abs(float(last.cum_capture) - 1.0) < 1e-9
     assert abs(float(last.cum_lift) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# phase 56: experiment-design pins
+# ---------------------------------------------------------------------------
+
+
+def _conv_arms():
+    ev = _pdread("events")
+    per = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .sum()
+    )
+    conv = {int(u): 1 if c >= 14 else 0 for u, c in per.items()}
+    a = [v for u, v in conv.items() if u % 2 == 0]
+    b = [v for u, v in conv.items() if u % 2 == 1]
+    return a, b
+
+
+def test_tost_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_tost_equivalence"](spark, SF_DIR).collect()[0]
+    a, b = _conv_arms()
+    na, nb = len(a), len(b)
+    pa, pb = sum(a) / na, sum(b) / nb
+    se = (pa * (1 - pa) / na + pb * (1 - pb) / nb) ** 0.5
+    zl = (pa - pb + 0.05) / se
+    zu = (pa - pb - 0.05) / se
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert abs(float(got.z_lower) - zl) < 1e-5
+    assert abs(float(got.z_upper) - zu) < 1e-5
+    assert got.equivalent_5pct == (
+        1 if zl > 1.644854 and zu < -1.644854 else 0
+    )
+    # at sf0.001 only ~15 users qualify — far too few to CERTIFY
+    # equivalence (that is the point of TOST: small n ⇒ no certificate);
+    # the decision just has to agree with the recompute (asserted above)
+    assert got.equivalent_5pct in (0, 1)
+
+
+def test_power_sample_size_matches_python(spark):
+    import math
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_power_sample_size"](spark, SF_DIR).collect()[0]
+    a, b = _conv_arms()
+    pa, pb = sum(a) / len(a), sum(b) / len(b)
+    zsum2 = (1.959964 + 0.841621) ** 2
+    var = pa * (1 - pa) + pb * (1 - pb)
+    assert got.n_per_arm_2pp == math.ceil(zsum2 * var / 0.02**2)
+    assert got.n_per_arm_5pp == math.ceil(zsum2 * var / 0.05**2)
+    # the 2pp design must need ~6.25x the 5pp design
+    assert 5.5 < got.n_per_arm_2pp / got.n_per_arm_5pp < 7.0
+
+
+def test_cramers_v_matches_python(spark):
+    from collections import Counter
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_cramers_v"](spark, SF_DIR).collect()[0]
+    customer, nation = _pdread("customer"), _pdread("nation")
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ct = Counter(
+        (seg, nmap[nk])
+        for seg, nk in zip(
+            customer["c_mktsegment"], customer["c_nationkey"]
+        )
+    )
+    rm = Counter()
+    cm = Counter()
+    for (a, b), n in ct.items():
+        rm[a] += n
+        cm[b] += n
+    nt = sum(ct.values())
+    chi2 = sum(
+        (ct.get((a, b), 0) - rm[a] * cm[b] / nt) ** 2
+        / (rm[a] * cm[b] / nt)
+        for a in rm
+        for b in cm
+    )
+    v = (chi2 / (nt * min(len(rm) - 1, len(cm) - 1))) ** 0.5
+    assert got.n_customers == nt
+    assert (got.n_rows_cat, got.n_cols_cat) == (len(rm), len(cm))
+    assert abs(float(got.chi2) - chi2) < 1e-3
+    assert abs(float(got.cramers_v) - v) < 1e-5
+    # V is biased upward on sparse grids (125 cells / 150 customers at
+    # sf0.001) — bound loosely; the exact value is pinned above
+    assert 0.0 <= float(got.cramers_v) <= 1.0
