@@ -73,6 +73,16 @@ def main() -> None:
             spark.read.parquet(f"{d}/{t}.parquet").count()
 
     def one_run(name: str, d: str) -> float:
+        # clear the roundseven similarity-chain memos so every timed
+        # run pays its own plan — this bench measures PLAN degradation
+        # under skew, and a memoized 100-row checkpoint hit (0.1 s)
+        # would silently replace the d²/2 cost the bench exists to see
+        from legislative_bills_database_spark.plans import (
+            roundseven_queries as _r7,
+        )
+
+        _r7._CS_CACHE.clear()
+        _r7._SIM_CACHE.clear()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, d)
         df.agg(
