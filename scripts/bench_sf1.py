@@ -36,6 +36,12 @@ EXTRA_HEAVY = [
     "q_fuzzy_decontaminate",
     "q_graph_jaccard_approx", "q_item_cf_recs_approx",
     "q_kcore_exact", "q_label_prop_exact",
+    # round-8/9 newcomers with the heaviest sf0.1 plans — degree-
+    # sensitive graph work, the permutation fan-out, the greedy loops
+    "q_weighted_jaccard", "q_harmonic_centrality", "q_random_walk",
+    "q_hits_scores", "q_clustering_coeff", "q_kruskal_wallis",
+    "q_permutation_test", "q_table_fingerprint", "q_mmr_select",
+    "q_greedy_coverage", "q_binseg_changepoint", "q_ljung_box",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
@@ -66,6 +72,14 @@ def main() -> None:
     for name in BASELINE_21 + EXTRA_HEAVY:
         best = None
         for _ in range(N_RUNS):
+            # per-PLAN semantics (the bench_skew rationale): clear the
+            # similarity-chain memos so each run pays its own chain
+            from legislative_bills_database_spark.plans import (
+                roundseven_queries as _r7,
+            )
+
+            _r7._CS_CACHE.clear()
+            _r7._SIM_CACHE.clear()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF1_DIR)
             df.agg(
