@@ -90,11 +90,41 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
-    # ratio vs the most recent sf0.1 full-detail run
+    # ratio vs the most recent sf0.1 full-detail run. The CF/jaccard
+    # family is memoized per (applicationId, sf_dir) since round 9, so
+    # BENCH_FULL's sweep-marginal cells (~0.05 s checkpoint hits) are
+    # NOT per-plan denominators — measure those four per-plan here
+    # (cache-cleared min-of-2 at sf0.1, ~1 min) so the scaling ratio
+    # compares like with like.
+    MEMOIZED = {
+        "q_graph_jaccard", "q_graph_jaccard_approx",
+        "q_item_cf_recs", "q_item_cf_recs_approx",
+    }
+    sf01_dir = "/root/testdata/sf0.1"
+    perplan01: dict[str, float] = {}
+    for name in sorted(MEMOIZED & set(timings)):
+        best = None
+        for _ in range(N_RUNS):
+            from legislative_bills_database_spark.plans import (
+                roundseven_queries as _r7,
+            )
+
+            _r7._CS_CACHE.clear()
+            _r7._SIM_CACHE.clear()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf01_dir)
+            df.agg(
+                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        perplan01[name] = round(best, 3)
+        print(f"  {name} (sf0.1 per-plan): {best:.3f}s", file=sys.stderr)
     ratios = {}
     try:
         with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
             prev = json.load(fh).get("queries", {})
+        prev.update(perplan01)
         ratios = {
             n: round(timings[n] / prev[n], 2)
             for n in timings if prev.get(n)
@@ -111,6 +141,7 @@ def main() -> None:
         "ratio_vs_sf0.1": ratios,
         "note": "10x data; ratio ~<=10 = linear-or-better scaling "
                 "(fixed overheads amortize); >10 flags superlinearity",
+        "sf0.1_per_plan_denominators": perplan01,
     }
     with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
