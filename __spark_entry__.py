@@ -89,6 +89,10 @@ _NEWCOMERS_R9: list[str] = [
     "q_tost_equivalence",
     "q_power_sample_size",
     "q_cramers_v",
+    # -- phase 57: effect sizes + interval estimation --
+    "q_hedges_g",
+    "q_corr_ci",
+    "q_wilson_ci",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row in

@@ -393,6 +393,10 @@ HEADLINE = [
     "q_tost_equivalence",
     "q_power_sample_size",
     "q_cramers_v",
+    # round-9 phase 57: effect sizes + interval estimation
+    "q_hedges_g",
+    "q_corr_ci",
+    "q_wilson_ci",
 ]
 
 

@@ -3201,3 +3201,256 @@ def q_cramers_v(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 57: effect sizes + interval estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hedges_g",
+    """
+    WITH s AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), g AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(1 - a) AS BIGINT) AS n2,
+             CAST(SUM(a * v) AS BIGINT) AS s1,
+             CAST(SUM((1 - a) * v) AS BIGINT) AS s2,
+             CAST(SUM(a * CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS q1,
+             CAST(SUM((1 - a) * CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
+               AS q2
+      FROM s
+    )
+    SELECT n1 AS n_building, n2 AS n_machinery,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                         + (q2 - CAST(s2 AS DOUBLE) * s2 / n2))
+                        / (n1 + n2 - 2)), 6) AS cohens_d,
+           ROUND(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                          + (q2 - CAST(s2 AS DOUBLE) * s2 / n2))
+                         / (n1 + n2 - 2)))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM g
+    """,
+)
+def q_hedges_g(spark, sf_dir):
+    """Cohen's d with the Hedges small-sample correction for the
+    BUILDING-vs-MACHINERY order-value contrast — the standardized
+    effect size that belongs next to every significance test in the
+    suite (q_mann_whitney says WHETHER, g says HOW MUCH in SD units;
+    q_smd_balance is the per-stratum sibling). Pooled SD from exact
+    cent sums (Σv BIGINT, Σv² DECIMAL(38,0)); the J correction
+    1 − 3/(4N−9) is a fixed dag. One fact pass, one row."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    s = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("a"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    g = s.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum(1 - F.col("a")).cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("v")).cast("long").alias("s1"),
+        F.sum((1 - F.col("a")) * F.col("v")).cast("long").alias("s2"),
+        F.sum(F.col("a") * vd * F.col("v")).cast("double").alias("q1"),
+        F.sum((1 - F.col("a")) * vd * F.col("v"))
+        .cast("double")
+        .alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    sp = F.sqrt(
+        (
+            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1)
+            + (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2)
+        )
+        / (n1 + n2 - 2)
+    )
+    d = md / sp
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - 9)
+    return g.select(
+        n1.alias("n_building"),
+        n2.alias("n_machinery"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )
+
+
+@query(
+    "q_corr_ci",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM per
+    ), r AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) AS r
+      FROM s
+    )
+    SELECT n AS n_customers, ROUND(r, 6) AS pearson_r,
+           ROUND(0.5 * ln((1.0 + r) / (1.0 - r)), 6) AS fisher_z,
+           ROUND((exp(2.0 * (0.5 * ln((1.0 + r) / (1.0 - r))
+                             - 1.959964 / sqrt(n - 3.0))) - 1.0)
+                 / (exp(2.0 * (0.5 * ln((1.0 + r) / (1.0 - r))
+                               - 1.959964 / sqrt(n - 3.0))) + 1.0),
+                 6) AS ci_lo,
+           ROUND((exp(2.0 * (0.5 * ln((1.0 + r) / (1.0 - r))
+                             + 1.959964 / sqrt(n - 3.0))) - 1.0)
+                 / (exp(2.0 * (0.5 * ln((1.0 + r) / (1.0 - r))
+                               + 1.959964 / sqrt(n - 3.0))) + 1.0),
+                 6) AS ci_hi
+    FROM r
+    """,
+)
+def q_corr_ci(spark, sf_dir):
+    """Pearson correlation between per-customer order count and total
+    spend WITH its Fisher-z 95% confidence interval — the inference
+    the point estimates in q_corr_matrix/q_rolling_corr never give
+    (is r=0.3 on this slice distinguishable from 0?). r comes from
+    exact integer moments (cross-products on DECIMAL(38,0)); atanh is
+    spelled ½·ln((1+r)/(1−r)) and the back-transform tanh as
+    (e²ˣ−1)/(e²ˣ+1) — ln/exp as fixed single dags (the established
+    transcendental discipline), z constant 1.959964 a literal. One
+    grouped pass + one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(
+            (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        )
+    )
+    z = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    half = F.lit(1.959964) / F.sqrt(nd - 3)
+
+    def back(zz):
+        e = F.exp(F.lit(2.0) * zz)
+        return (e - 1) / (e + 1)
+
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(z, 6).alias("fisher_z"),
+        F.round(back(z - half), 6).alias("ci_lo"),
+        F.round(back(z + half), 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_wilson_ci",
+    """
+    WITH conv AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS c
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS k
+      FROM conv
+    )
+    SELECT n AS n_users, k AS n_converted,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           ROUND((CAST(k AS DOUBLE) / n
+                  + 1.959964 * 1.959964 / (2.0 * n)
+                  - 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                      * (1 - CAST(k AS DOUBLE) / n) / n
+                      + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n
+                  + 1.959964 * 1.959964 / (2.0 * n)
+                  + 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                      * (1 - CAST(k AS DOUBLE) / n) / n
+                      + 1.959964 * 1.959964 / (4.0 * n * n)))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+    FROM s
+    """,
+)
+def q_wilson_ci(spark, sf_dir):
+    """Wilson score 95% interval for the heavy-buyer conversion rate —
+    the CORRECT small-n proportion CI (the Wald interval q_ab_test's z
+    implies collapses to zero width at p̂∈{0,1} and undercovers at the
+    fixture's n; Wilson never leaves [0,1] and keeps coverage). Closed
+    form over two exact BIGINTs (n, k) with the fixed z literal; one
+    grouped fact pass, one row."""
+    from ..io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("c")
+    )
+    s = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = 1.959964
+    z2 = z * z
+    center = p + F.lit(z2) / (2 * nd)
+    half = F.lit(z) * F.sqrt(
+        p * (1 - p) / nd + F.lit(z2) / (4 * nd * nd)
+    )
+    denom = F.lit(1.0) + F.lit(z2) / nd
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

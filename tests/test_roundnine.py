@@ -1046,3 +1046,79 @@ def test_cramers_v_matches_python(spark):
     # V is biased upward on sparse grids (125 cells / 150 customers at
     # sf0.001) — bound loosely; the exact value is pinned above
     assert 0.0 <= float(got.cramers_v) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# phase 57: effect sizes + interval estimation pins
+# ---------------------------------------------------------------------------
+
+
+def test_hedges_g_matches_numpy(spark):
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_hedges_g"](spark, SF_DIR).collect()[0]
+    df = _order_seg_values()
+    a = df.loc[df["seg"] == "BUILDING", "v"].to_numpy(dtype="float64")
+    b = df.loc[df["seg"] == "MACHINERY", "v"].to_numpy(dtype="float64")
+    n1, n2 = len(a), len(b)
+    sp = (
+        ((a.var(ddof=1) * (n1 - 1)) + (b.var(ddof=1) * (n2 - 1)))
+        / (n1 + n2 - 2)
+    ) ** 0.5
+    d = (a.mean() - b.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    assert (got.n_building, got.n_machinery) == (n1, n2)
+    assert abs(float(got.cohens_d) - d) < 1e-5
+    assert abs(float(got.hedges_g) - g) < 1e-5
+    assert abs(float(got.hedges_g)) < abs(float(got.cohens_d))
+
+
+def test_corr_ci_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_corr_ci"](spark, SF_DIR).collect()[0]
+    orders = _pdread("orders")
+    per = orders.assign(
+        cents=(orders["o_totalprice"] * 100).round().astype("int64")
+    ).groupby("o_custkey").agg(x=("cents", "size"), y=("cents", "sum"))
+    r = float(np.corrcoef(per["x"], per["y"])[0, 1])
+    n = len(per)
+    z = 0.5 * math.log((1 + r) / (1 - r))
+    half = 1.959964 / (n - 3) ** 0.5
+    lo, hi = math.tanh(z - half), math.tanh(z + half)
+    assert got.n_customers == n
+    assert abs(float(got.pearson_r) - r) < 1e-5
+    assert abs(float(got.ci_lo) - lo) < 1e-5
+    assert abs(float(got.ci_hi) - hi) < 1e-5
+    # count and total spend must be strongly positively correlated
+    assert float(got.ci_lo) > 0.5
+
+
+def test_wilson_ci_matches_python(spark):
+    from legislative_bills_database_spark.plans import QUERIES
+
+    got = QUERIES["q_wilson_ci"](spark, SF_DIR).collect()[0]
+    ev = _pdread("events")
+    per = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .sum()
+    )
+    n = len(per)
+    k = int((per >= 14).sum())
+    p = k / n
+    z = 1.959964
+    center = p + z * z / (2 * n)
+    half = z * (p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5
+    denom = 1 + z * z / n
+    assert (got.n_users, got.n_converted) == (n, k)
+    assert abs(float(got.wilson_lo) - (center - half) / denom) < 1e-6
+    assert abs(float(got.wilson_hi) - (center + half) / denom) < 1e-6
+    # Wilson interval must bracket p_hat and stay inside [0, 1]
+    assert 0 <= float(got.wilson_lo) <= p <= float(got.wilson_hi) <= 1
