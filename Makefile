@@ -23,10 +23,16 @@ bench:
 # grep for anything that must never ship (internal hosts/buckets/env
 # vars); exits non-zero on a hit. api.legiscan.com is the public API the
 # public reference itself calls — allowed.
+# ADVICE r9 #4: the allowlist strips ONLY the exact allowed substring
+# (sed) before re-grepping, so a genuine leak token sharing a line with
+# the allowed host still trips the gate (the old `grep -v` dropped the
+# whole line).
 leakgrep:
 	@! grep -rnE "s3://|gs://|internal\.|corp\.|anthropic|STAGING_BUCKET|PROD_BUCKET" \
 		legislative_bills_database_spark/ tests/ scripts/ bench.py __spark_entry__.py \
-		| grep -v "api.legiscan.com" || (echo "LEAK HIT above" && exit 1)
+		| sed 's/api\.legiscan\.com//g' \
+		| grep -E "s3://|gs://|internal\.|corp\.|anthropic|STAGING_BUCKET|PROD_BUCKET" \
+		|| (echo "LEAK HIT above" && exit 1)
 
 # THE pre-snapshot gate (VERDICT r8 item #3): the r8 snapshot commit
 # shipped a crashing query because only phase commits were gated. Run

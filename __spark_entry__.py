@@ -39,70 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-9 rotation (VERDICT r8 item #2): flagship + the ten remaining
-# driver-blind queries — the phase-47 six (window was full at 50 in r8)
-# and the phase-48 four (shipped ungated in the r8 snapshot; fixed +
-# pytest-pinned this round in tests/test_phase48.py) — plus the round-9
-# newcomers as their phases land, topped up with a staleness-refresher
-# slice of the OLDEST previously-verified rows (last driver row r1/r2).
-# After this window lands, every declared query has held ≥1 driver
-# CORRECTNESS row — the first round with zero driver-blind queries.
-# _REFRESHERS is trimmed automatically as newcomers are appended.
-_NEWCOMERS_R9: list[str] = [
-    # appended per round-9 phase as each lands (gated by make round-gate)
-    # -- phase 49: classical tests + agreement + permutation inference --
-    "q_kruskal_wallis",
-    "q_wilcoxon_signed",
-    "q_mcnemar",
-    "q_jarque_bera",
-    "q_cluster_agreement",
-    "q_brier_decomp",
-    "q_permutation_test",
-    # -- phase 50: multi-rater reliability + internal consistency --
-    "q_fleiss_kappa",
-    "q_cochran_q",
-    "q_cronbach_alpha",
-    "q_icc",
-    # -- phase 51: time-series diagnostics + robust trend + integrity --
-    "q_ljung_box",
-    "q_durbin_watson",
-    "q_theil_sen",
-    "q_table_fingerprint",
-    "q_stream_state_census",
-    # -- phase 52: trend tests, changepoint, regression influence --
-    "q_mann_kendall",
-    "q_binseg_changepoint",
-    "q_ols_influence",
-    "q_grubbs",
-    # -- phase 53: sampling design, inequality, ordinal agreement --
-    "q_neyman_allocation",
-    "q_atkinson",
-    "q_weighted_kappa",
-    "q_somers_d",
-    # -- phase 54: greedy selection (MMR diversity, submodular coverage) --
-    "q_mmr_select",
-    "q_greedy_coverage",
-    # -- phase 55: probability-model evaluation --
-    "q_hosmer_lemeshow",
-    "q_gains_lift",
-    # -- phase 56: experiment-design completions --
-    "q_tost_equivalence",
-    "q_power_sample_size",
-    "q_cramers_v",
-    # -- phase 57: effect sizes + interval estimation --
-    "q_hedges_g",
-    "q_corr_ci",
-    "q_wilson_ci",
+# Round-10 rotation (VERDICT r9 item #5 — staleness refresh): flagship
+# + q_page_hinkley (the r9 red cell, rebuilt integer-domain this round —
+# its green row restores the zero-red-cells record) + the round-10
+# newcomers as their phases land, topped up with the ~33 queries whose
+# latest driver CORRECTNESS row is still r1/r2-era (the _REFRESHERS
+# slice r9 didn't reach). After this window lands, no query's latest
+# driver row is older than r3. _REFRESHERS is trimmed automatically as
+# newcomers are appended (guarded non-negative per ADVICE r9 #1).
+_NEWCOMERS_R10: list[str] = [
+    # appended per round-10 phase as each lands (gated by make round-gate)
+    # -- phase 58: weighted-jaccard capped sibling + recall certificate --
+    "q_weighted_jaccard_approx",
+    "q_weighted_jaccard_recall",
 ]
 
-# Stalest previously-verified rows (last driver CORRECTNESS row in
-# r1/r2) — the refresher slice; trimmed automatically as newcomers land.
+# Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;
+# r9's refresher slice covered the first five of the old list) — trimmed
+# automatically as newcomers land.
 _REFRESHERS = [
-    "q_array_first",
-    "q_boolean_mask_filter",
-    "q_cast",
-    "q_ci_substring_filter",
-    "q_concat",
     "q_drop_columns",
     "q_equality_filter",
     "q_fixed_replace",
@@ -141,21 +96,13 @@ _REFRESHERS = [
 
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- phase-47 (window was full at 50 in r8) --
-    "q_kendall_tau",
-    "q_cohens_kappa",
-    "q_levene_test",
-    "q_runs_test",
-    "q_jackknife_ratio",
-    "q_monetary_unit_sample",
-    # -- phase-48 (ungated in the r8 snapshot; fixed + pinned r9) --
-    "q_cuped",
-    "q_page_hinkley",
-    "q_smd_balance",
-    "q_gzip_ratio",
+    "q_page_hinkley",  # r9's one red cell — must re-verify green in r10
 ]
-_WINDOW += [q for q in _NEWCOMERS_R9 if q not in _WINDOW]
-_WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][: 50 - len(_WINDOW)]
+_WINDOW += [q for q in _NEWCOMERS_R10 if q not in _WINDOW]
+_WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][
+    : max(0, 50 - len(_WINDOW))
+]
+assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

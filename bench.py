@@ -397,6 +397,9 @@ HEADLINE = [
     "q_hedges_g",
     "q_corr_ci",
     "q_wilson_ci",
+    # round-10 phase 58: weighted-jaccard capped sibling + certificate
+    "q_weighted_jaccard_approx",
+    "q_weighted_jaccard_recall",
 ]
 
 

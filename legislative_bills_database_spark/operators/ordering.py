@@ -132,7 +132,13 @@ def global_running_sum(
     sum_type = agg.schema["s"].dataType
     if isinstance(sum_type, DecimalType):
         zero = decimal.Decimal(0)
-    elif sum_type.typeName() in ("double", "float"):
+        # ADVICE r9 #2: the GRAND prefix total can exceed the
+        # per-partition sum's widened precision (precision+10) — a too-
+        # narrow offset column would overflow to NULL and silently null
+        # downstream running sums. Widen the offset to the maximum
+        # decimal precision at the same scale.
+        sum_type = DecimalType(38, sum_type.scale)
+    elif sum_type.typeName() == "double":
         zero = 0.0
     else:
         zero = 0

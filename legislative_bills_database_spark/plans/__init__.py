@@ -20,3 +20,4 @@ from . import clustering_queries  # noqa: F401  (registers on import)
 from . import roundseven_queries  # noqa: F401  (registers on import)
 from . import roundeight_queries  # noqa: F401  (registers on import)
 from . import roundnine_queries  # noqa: F401  (registers on import)
+from . import roundten_queries  # noqa: F401  (registers on import)

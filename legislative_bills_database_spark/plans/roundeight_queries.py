@@ -2555,8 +2555,8 @@ def q_cuped(spark, sf_dir):
     )
 
 
-_PH_DELTA_CENTS = 1_000
-_PH_LAMBDA_CENTS = 500_000
+_PH_DELTA_MICRO = 1_000 * 1_000_000  # δ = 1000 cents, in micro-cents
+_PH_LAMBDA_MICRO = 500_000 * 1_000_000  # λ = 500k cents, in micro-cents
 
 
 @query(
@@ -2569,36 +2569,29 @@ _PH_LAMBDA_CENTS = 500_000
                   AS BIGINT) AS rev
       FROM orders GROUP BY 1
     ), x AS (
-      SELECT d,
-             CAST(ROUND(CAST(rev AS DOUBLE) / c, 9) AS DECIMAL(28,12)) AS xd
-      FROM d
+      SELECT d, (rev * 1000000) // c AS xu FROM d
     ), pm AS (
-      SELECT d, xd,
-             SUM(xd) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+      SELECT d, xu,
+             SUM(xu) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pxu,
              ROW_NUMBER() OVER (ORDER BY d) AS t
       FROM x
     ), term AS (
-      SELECT d,
-             CAST(ROUND(CAST(xd AS DOUBLE)
-                        - CAST(px AS DOUBLE) / t
-                        - {_PH_DELTA_CENTS}.0, 9) AS DECIMAL(28,12)) AS tm
-      FROM pm
+      SELECT d, xu - (pxu // t) - {_PH_DELTA_MICRO} AS tu FROM pm
     ), m AS (
       SELECT d,
-             SUM(tm) OVER (ORDER BY d
+             SUM(tu) OVER (ORDER BY d
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
       FROM term
     ), ph AS (
       SELECT d,
-             CAST(mt - MIN(mt) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DOUBLE) AS dt
+             mt - MIN(mt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dt
       FROM m
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(MAX(dt), 6) AS ph_stat,
-           CAST(CASE WHEN MAX(dt) > {_PH_LAMBDA_CENTS}.0
+           CAST(MAX(dt) AS BIGINT) AS ph_stat_micro,
+           CAST(CASE WHEN MAX(dt) > {_PH_LAMBDA_MICRO}
                      THEN 1 ELSE 0 END AS BIGINT) AS alarm,
            MIN(CASE WHEN dt = (SELECT MAX(dt) FROM ph) THEN d END)
              AS peak_day
@@ -2609,12 +2602,18 @@ def q_page_hinkley(spark, sf_dir):
     """Page-Hinkley sequential change detector on the daily mean order
     value — the online CUSUM-family alarm (q_cusum tracks a known
     reference mean; PH tracks the RUNNING mean, so it needs no
-    baseline). Every term x_t − x̄_t − δ is one division of exact
-    integers plus exact subtractions, rounded to 9dp and
-    prefix-summed as exact decimals, so the running statistic m_t and
-    its prefix minimum are bit-identical across engines; the alarm is
-    max(m_t − min m) vs λ. All windows run over the calendar-bounded
-    daily frame; the fact table sees exactly one grouped pass."""
+    baseline). The r9 driver red-celled the old double/decimal-mixed
+    form (ROUND(…,6) on a ~1e8 value rounds past portable double
+    precision, and DuckDB's wide-decimal→double cast is not correctly
+    rounded), so the statistic now never leaves the integer domain —
+    the q_cusum discipline: daily mean in micro-cents by BIGINT floor
+    division (operands nonnegative, so Spark's truncating `div` equals
+    DuckDB's flooring `//`), exact BIGINT prefix sums for the running
+    mean and for m_t, and the alarm max(m_t − min m) emitted as
+    ph_stat_micro BIGINT. Worst-case magnitude ~1e14 micro-cents ×
+    ~2.4k days ≈ 2.4e17 < 2^63 — no overflow at any test SF. All
+    windows run over the calendar-bounded daily frame; the fact table
+    sees exactly one grouped pass."""
     orders = load_table(spark, sf_dir, "orders")
     d = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("d")
@@ -2624,45 +2623,37 @@ def q_page_hinkley(spark, sf_dir):
         .cast("long")
         .alias("rev"),
     )
-    x = d.select(
-        "d",
-        F.round(F.col("rev").cast("double") / F.col("c"), 9)
-        .cast("decimal(28,12)")
-        .alias("xd"),
-    )
+    x = d.select("d", F.expr("(rev * 1000000) div c").alias("xu"))
     wd = Window.orderBy("d")
     wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
     pm = x.select(
         "d",
-        "xd",
-        F.sum("xd").over(wcum).alias("px"),
+        "xu",
+        F.sum("xu").over(wcum).alias("pxu"),
         F.row_number().over(wd).alias("t"),
     )
     term = pm.select(
         "d",
-        F.round(
-            F.col("xd").cast("double")
-            - F.col("px").cast("double") / F.col("t")
-            - F.lit(float(_PH_DELTA_CENTS)),
-            9,
-        )
-        .cast("decimal(28,12)")
-        .alias("tm"),
+        (
+            F.col("xu")
+            - F.expr("pxu div t")
+            - F.lit(_PH_DELTA_MICRO)
+        ).alias("tu"),
     )
-    m = term.select("d", F.sum("tm").over(wcum).alias("mt"))
+    m = term.select("d", F.sum("tu").over(wcum).alias("mt"))
     ph = m.select(
         "d",
-        (F.col("mt") - F.min("mt").over(wcum)).cast("double").alias("dt"),
+        (F.col("mt") - F.min("mt").over(wcum)).alias("dt"),
     )
     mx = ph.agg(F.max("dt").alias("mx"))
     return (
         ph.join(F.broadcast(mx))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(F.max("dt"), 6).alias("ph_stat"),
+            F.max("dt").cast("long").alias("ph_stat_micro"),
             F.max(
                 F.when(
-                    F.col("dt") > F.lit(float(_PH_LAMBDA_CENTS)), 1
+                    F.col("dt") > F.lit(_PH_LAMBDA_MICRO), 1
                 ).otherwise(0)
             )
             .cast("long")

@@ -211,6 +211,18 @@ def _capped_edges(cs: DataFrame) -> DataFrame:
 _SIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_sim_caches() -> None:
+    """Drop every similarity-chain memo (edge lists + derived top-k
+    frames, including roundten's weighted-jaccard tags). Any caller
+    timing PER-PLAN cost or regenerating data under an sf_dir within
+    one Spark app must call this between runs (ADVICE r9: the caches
+    are keyed only by (applicationId, sf_dir, tag) and never
+    self-invalidate); bench_sf1.py / bench_skew.py route through here
+    instead of reaching into private module state."""
+    _CS_CACHE.clear()
+    _SIM_CACHE.clear()
+
+
 def _memo_sim(spark, sf_dir, tag: str, build) -> DataFrame:
     """Memoize a similarity-chain frame per (applicationId, sf_dir) —
     the `_cs_edges` discipline extended to the derived tables the four

@@ -78,8 +78,7 @@ def main() -> None:
                 roundseven_queries as _r7,
             )
 
-            _r7._CS_CACHE.clear()
-            _r7._SIM_CACHE.clear()
+            _r7.clear_sim_caches()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF1_DIR)
             df.agg(
@@ -109,8 +108,7 @@ def main() -> None:
                 roundseven_queries as _r7,
             )
 
-            _r7._CS_CACHE.clear()
-            _r7._SIM_CACHE.clear()
+            _r7.clear_sim_caches()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf01_dir)
             df.agg(

@@ -49,6 +49,7 @@ QUERIES_TO_RUN = [
     # degree-quadratic one to watch; the rest are fixed-round or
     # count-frame plans that must stay ~flat under the Zipf hot key
     "q_weighted_jaccard",
+    "q_weighted_jaccard_approx",  # r10: the 5.83× cell's escape hatch
     "q_harmonic_centrality",
     "q_clustering_coeff",
     "q_random_walk",
@@ -81,8 +82,7 @@ def main() -> None:
             roundseven_queries as _r7,
         )
 
-        _r7._CS_CACHE.clear()
-        _r7._SIM_CACHE.clear()
+        _r7.clear_sim_caches()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, d)
         df.agg(

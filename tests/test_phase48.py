@@ -147,35 +147,41 @@ def test_cuped_matches_exact_python_recompute(spark):
 
 
 # ---------------------------------------------------------------------------
-# q_page_hinkley: statistic + change-point localization vs a pure-Python
-# replay of the exact decimal recurrence
+# q_page_hinkley: three-way pin (pure-Python integer replay == Spark ==
+# DuckDB, exact equality) — the r9 driver red cell came from the old
+# double/decimal-mixed recurrence; the r10 form never leaves BIGINT, so
+# all three engines must agree bit-for-bit with NO tolerance.
 # ---------------------------------------------------------------------------
 
 
-def _ph_replay(days: list, xbar: list, delta: float):
-    """Replay the PH recurrence with the query's exact rounding
-    discipline: tm = round(x_t − x̄_t − δ, 9) summed as Decimal."""
-    px = decimal.Decimal(0)
-    mt = decimal.Decimal(0)
+def _ph_replay_micro(days: list, rev: list, cnt: list, delta_micro: int):
+    """Exact-integer replay of the micro-cents PH recurrence. Python //
+    floors; every division here has nonnegative operands, so it equals
+    both Spark's truncating `div` and DuckDB's flooring `//`."""
+    px = 0
+    mt = 0
     mn = None
     best, best_day = None, None
-    for t, (d, xd) in enumerate(zip(days, xbar), start=1):
-        xdq = _round_half_up(xd, 9)
-        px += xdq
-        tm = _round_half_up(float(xdq) - float(px) / t - delta, 9)
-        mt += tm
+    for t, (d, r, c) in enumerate(zip(days, rev, cnt), start=1):
+        xu = (r * 1_000_000) // c
+        px += xu
+        mt += xu - (px // t) - delta_micro
         mn = mt if mn is None or mt < mn else mn
-        dt = float(mt - mn)
+        dt = mt - mn
         if best is None or dt > best:
             best, best_day = dt, d
     return best, best_day
 
 
-def test_page_hinkley_matches_python_replay(spark):
-    from legislative_bills_database_spark.plans import QUERIES
+def test_page_hinkley_three_way_exact(spark):
+    """ph_stat_micro from Spark, DuckDB (the registered oracle SQL) and
+    a pure-Python integer replay must be EXACTLY equal — the planned-
+    divergence regression test ordered by the r9 verdict (item #6)."""
+    from tests.oracle_util import duckdb_con
+    from legislative_bills_database_spark.plans import ORACLE, QUERIES
     from legislative_bills_database_spark.plans.roundeight_queries import (
-        _PH_DELTA_CENTS,
-        _PH_LAMBDA_CENTS,
+        _PH_DELTA_MICRO,
+        _PH_LAMBDA_MICRO,
     )
 
     got = QUERIES["q_page_hinkley"](spark, SF_DIR).collect()[0]
@@ -191,29 +197,47 @@ def test_page_hinkley_matches_python_replay(spark):
         .sort_index()
     )
     days = list(g.index)
-    xbar = [int(rev) / int(c) for rev, c in zip(g["rev"], g["c"])]
-    stat, peak = _ph_replay(days, xbar, float(_PH_DELTA_CENTS))
+    stat, peak = _ph_replay_micro(
+        days,
+        [int(r) for r in g["rev"]],
+        [int(c) for c in g["c"]],
+        _PH_DELTA_MICRO,
+    )
 
+    # Spark == replay, exact
     assert got.n_days == len(days)
-    assert abs(float(got.ph_stat) - stat) < 1e-5
+    assert int(got.ph_stat_micro) == stat
     assert got.peak_day == peak
-    assert got.alarm == (1 if stat > float(_PH_LAMBDA_CENTS) else 0)
+    assert got.alarm == (1 if stat > _PH_LAMBDA_MICRO else 0)
+
+    # DuckDB == replay, exact (same oracle SQL the driver will run)
+    con = duckdb_con(SF_DIR)
+    try:
+        drow = con.execute(ORACLE["q_page_hinkley"]).fetchall()[0]
+    finally:
+        con.close()
+    dmap = dict(zip(("n_days", "ph_stat_micro", "alarm", "peak_day"), drow))
+    assert int(dmap["ph_stat_micro"]) == stat
+    assert dmap["n_days"] == len(days)
+    assert dmap["peak_day"] == peak
 
 
 def test_page_hinkley_recurrence_localizes_planted_shift():
     """PH semantics on a planted shift: a flat-then-jump series peaks
     at/after the shift and the statistic grows with post-shift length
-    (the q_cusum planted-shift precedent, driver-free)."""
+    (the q_cusum planted-shift precedent, driver-free). Series values
+    are daily (rev, cnt) pairs in cents with cnt=1."""
     import datetime
 
     d0 = datetime.date(2024, 1, 1)
     days = [d0 + datetime.timedelta(days=i) for i in range(120)]
-    series = [100.0] * 80 + [500.0] * 40  # shift at index 80
-    stat, peak = _ph_replay(days, series, delta=1.0)
+    ones = [1] * 120
+    series = [100] * 80 + [500] * 40  # shift at index 80 (cents)
+    stat, peak = _ph_replay_micro(days, series, ones, delta_micro=1_000_000)
     assert peak == days[-1]  # drift keeps accumulating post-shift
-    assert stat > 300 * 39  # ≈ (500−mean−δ) · post-shift run
-    flat, _ = _ph_replay(days, [100.0] * 120, delta=1.0)
-    assert flat < 10.0  # no shift → statistic stays near zero
+    assert stat > 300 * 39 * 1_000_000  # ≈ (500−mean−δ)·run, micro-cents
+    flat, _ = _ph_replay_micro(days, [100] * 120, ones, delta_micro=1_000_000)
+    assert flat < 10 * 1_000_000  # no shift → statistic stays near zero
 
 
 # ---------------------------------------------------------------------------
