@@ -52,6 +52,11 @@ _NEWCOMERS_R10: list[str] = [
     # -- phase 58: weighted-jaccard capped sibling + recall certificate --
     "q_weighted_jaccard_approx",
     "q_weighted_jaccard_recall",
+    # -- phase 59: distribution-free two-sample inference --
+    "q_ks_two_sample",
+    "q_cliffs_delta",
+    "q_qte_deciles",
+    "q_odds_ratio",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;

@@ -400,6 +400,11 @@ HEADLINE = [
     # round-10 phase 58: weighted-jaccard capped sibling + certificate
     "q_weighted_jaccard_approx",
     "q_weighted_jaccard_recall",
+    # round-10 phase 59: distribution-free two-sample inference
+    "q_ks_two_sample",
+    "q_cliffs_delta",
+    "q_qte_deciles",
+    "q_odds_ratio",
 ]
 
 

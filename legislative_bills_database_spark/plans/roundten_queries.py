@@ -22,10 +22,10 @@ the unweighted twin, operators/basket.cooccurrence_pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..io import load_tables
+from ..io import load_table, load_tables
 from ..operators.basket import degree_capped_edges
 from .registry import query
 from .roundseven_queries import (
@@ -238,3 +238,306 @@ def q_weighted_jaccard_recall(spark, sf_dir):
     exact = _w_exact_top50(spark, sf_dir)
     approx = _w_capped_top50(spark, sf_dir)
     return _set_recall(exact, approx, ["s1", "s2"])
+
+
+# ---------------------------------------------------------------------------
+# Phase 59: distribution-free two-sample inference — KS, Mann-Whitney,
+# Cliff's delta, odds ratio. The first three ride ONE shared shape: the
+# per-distinct-value (c1, c0) count frame over integer cents, with
+# cumulative counts by window — every statistic is exact BIGINT
+# arithmetic until a single final division (the q_cusum discipline), so
+# the cross-engine hash needs no float luck. Group = URGENT orders vs
+# the rest, value = order total in cents.
+# ---------------------------------------------------------------------------
+
+_TS_SQL = """s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ), d AS (
+      SELECT v, CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(SUM(1 - g) AS BIGINT) AS c0
+      FROM s GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0) AS BIGINT) AS n0 FROM d
+    )"""
+
+
+def _two_sample_counts(spark, sf_dir):
+    """(v, c1, c0) per distinct cents value + broadcastable (n1, n0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(1 - F.col("g")).cast("long").alias("c0"),
+    )
+    tot = d.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+    )
+    return d, tot
+
+
+@query(
+    "q_ks_two_sample",
+    f"""
+    WITH {_TS_SQL}, c AS (
+      SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+             SUM(c0) OVER (ORDER BY v) AS f0
+      FROM d
+    )
+    SELECT n1, n0,
+           CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS BIGINT) AS ks_num,
+           ROUND(CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS DOUBLE)
+                 / (n1 * n0), 9) AS ks_stat
+    FROM c, tot GROUP BY n1, n0
+    """,
+)
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between the order-value
+    distributions of URGENT vs non-URGENT orders — the distribution-
+    free drift/AB test on a continuous metric. D = max |F1 − F2| is
+    computed as an exact integer: max |f1·n0 − f0·n1| over the merged
+    cumulative count frame (cents are BIGINT, ECDFs never materialize
+    as floats), emitted as ks_num plus ONE final division rounded at
+    9dp. One grouped pass over the fact table, one calendar-free
+    window over the distinct-value frame, 1-row totals broadcast."""
+    d, tot = _two_sample_counts(spark, sf_dir)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        F.sum("c1").over(wv).alias("f1"),
+        F.sum("c0").over(wv).alias("f0"),
+    )
+    num = F.max(F.abs(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1")))
+    return (
+        c.join(F.broadcast(tot))
+        .groupBy("n1", "n0")
+        .agg(
+            num.cast("long").alias("ks_num"),
+            F.round(
+                num.cast("double") / (F.col("n1") * F.col("n0")), 9
+            ).alias("ks_stat"),
+        )
+        .select("n1", "n0", "ks_num", "ks_stat")
+    )
+
+
+@query(
+    "q_qte_deciles",
+    f"""
+    WITH {_TS_SQL}, rk AS (
+      SELECT v, g,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r,
+             CASE WHEN g = 1 THEN (SELECT n1 FROM tot)
+                  ELSE (SELECT n0 FROM tot) END AS n
+      FROM s
+    ), k AS (
+      SELECT UNNEST(GENERATE_SERIES(1, 9)) AS dec
+    ), q AS (
+      SELECT k.dec, rk.g, CAST(MIN(rk.v) AS BIGINT) AS qv
+      FROM k JOIN rk
+        ON rk.r = ((k.dec * rk.n + 9) // 10)
+      GROUP BY 1, 2
+    )
+    SELECT a.dec,
+           a.qv AS q_urgent_cents,
+           b.qv AS q_other_cents,
+           CAST(a.qv - b.qv AS BIGINT) AS qte_cents
+    FROM q a JOIN q b ON a.dec = b.dec AND a.g = 1 AND b.g = 0
+    ORDER BY a.dec
+    """,
+)
+def q_qte_deciles(spark, sf_dir):
+    """Quantile treatment effects at the nine deciles — the
+    distributional view a mean-difference test flattens (URGENT vs
+    non-URGENT order values): QTE(k) = q_k(treat) − q_k(control). Each
+    decile is the exact type-1 order statistic (the row at integer
+    rank ceil(k·n/10), computed as (k·n + 9) div 10 — the portable
+    integer-div rank-pick discipline, never 0.95·n in doubles), so the
+    result is pure BIGINT cents with no float anywhere. One rank
+    window per group; the nine ranks join against the ranked frame
+    directly."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    n_by_g = s.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = (
+        s.withColumn(
+            "r", F.row_number().over(Window.partitionBy("g").orderBy("v"))
+        )
+        .join(F.broadcast(n_by_g), "g")
+    )
+    k = spark.range(1, 10).select(F.col("id").cast("long").alias("dec"))
+    q = (
+        F.broadcast(k)
+        .join(
+            rk,
+            rk.r
+            == F.expr("(dec * n + 9) div 10"),
+        )
+        .groupBy("dec", "g")
+        .agg(F.min("v").cast("long").alias("qv"))
+    )
+    a = q.filter(F.col("g") == 1).select(
+        "dec", F.col("qv").alias("q_urgent_cents")
+    )
+    b = q.filter(F.col("g") == 0).select(
+        F.col("dec").alias("dec_b"), F.col("qv").alias("q_other_cents")
+    )
+    return (
+        a.join(b, a.dec == b.dec_b)
+        .select(
+            "dec",
+            "q_urgent_cents",
+            "q_other_cents",
+            (F.col("q_urgent_cents") - F.col("q_other_cents"))
+            .cast("long")
+            .alias("qte_cents"),
+        )
+        .orderBy("dec")
+    )
+
+
+@query(
+    "q_cliffs_delta",
+    f"""
+    WITH {_TS_SQL}, r AS (
+      SELECT c1, c0,
+             SUM(c0) OVER (ORDER BY v) - c0 AS c0_before,
+             SUM(c0) OVER (ORDER BY v) AS c0_incl
+      FROM d
+    ), agg AS (
+      SELECT CAST(SUM(c1 * c0_before) AS BIGINT) AS n_gt,
+             CAST(SUM(c1 * ((SELECT n0 FROM tot) - c0_incl)) AS BIGINT)
+               AS n_lt
+      FROM r
+    )
+    SELECT n1, n0, n_gt, n_lt,
+           ROUND(CAST(n_gt - n_lt AS DOUBLE) / (n1 * n0), 9) AS delta
+    FROM agg, tot
+    """,
+)
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size for URGENT vs non-URGENT order
+    values — the dominance statistic behind the Mann-Whitney test:
+    δ = (#(x>y) − #(x<y)) / (n1·n0), reported alongside p-values
+    because rank tests go significant on trivial shifts at corpus
+    scale. NEVER pairwise: #(x>y) = Σ_v c1(v)·cum_c0_before(v) over the
+    distinct-value count frame — exact BIGINT counts, one final
+    division rounded 9dp."""
+    d, tot = _two_sample_counts(spark, sf_dir)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select(
+        "c1",
+        (F.sum("c0").over(wv) - F.col("c0")).alias("c0_before"),
+        F.sum("c0").over(wv).alias("c0_incl"),
+    ).join(F.broadcast(tot))
+    agg = r.groupBy("n1", "n0").agg(
+        F.sum(F.col("c1") * F.col("c0_before")).cast("long").alias("n_gt"),
+        F.sum(F.col("c1") * (F.col("n0") - F.col("c0_incl")))
+        .cast("long")
+        .alias("n_lt"),
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        "n_gt",
+        "n_lt",
+        F.round(
+            (F.col("n_gt") - F.col("n_lt")).cast("double")
+            / (F.col("n1") * F.col("n0")),
+            9,
+        ).alias("delta"),
+    )
+
+
+_OR_MIN_ORDERS = 10
+
+
+@query(
+    "q_odds_ratio",
+    f"""
+    WITH oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS ocnt
+      FROM orders GROUP BY 1
+    ), u AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+             CASE WHEN COALESCE(oc.ocnt, 0) >= {_OR_MIN_ORDERS}
+                  THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    ), t AS (
+      SELECT CAST(SUM(e * y) AS BIGINT) AS a,
+             CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+             CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+             CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           ROUND((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6)
+             AS odds_ratio,
+           ROUND(LN((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 - 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                               + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS ln_or_lo,
+           ROUND(LN((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                 + 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                               + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)), 6)
+             AS ln_or_hi
+    FROM t
+    """,
+)
+def q_odds_ratio(spark, sf_dir):
+    """Odds ratio with Woolf log-CI for a 2×2 exposure/outcome table —
+    BUILDING-segment membership vs being a frequent buyer (≥10 orders).
+    Haldane-Anscombe +0.5 on every cell (exactly representable, so the
+    corrected cells are identical doubles cross-engine) guards empty
+    cells; the four cell counts are exact BIGINTs from one conditional-
+    sum pass; OR, and the ln-domain CI bounds, are single closed-form
+    IEEE trees of those exact cells rounded at 6dp (the ln/sqrt-with-
+    final-round discipline — a last-ulp libm divergence is absorbed by
+    the 6dp round)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ocnt")
+    )
+    u = customer.join(
+        oc, oc.o_custkey == customer.c_custkey, "left"
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("e"),
+        F.when(
+            F.coalesce(F.col("ocnt"), F.lit(0)) >= _OR_MIN_ORDERS, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    t = u.agg(
+        F.sum(F.col("e") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("long").alias("d"),
+    )
+    ah = F.col("a") + 0.5
+    bh = F.col("b") + 0.5
+    ch = F.col("c") + 0.5
+    dh = F.col("d") + 0.5
+    orr = ah * dh / (bh * ch)
+    se = F.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr) - 1.96 * se, 6).alias("ln_or_lo"),
+        F.round(F.log(orr) + 1.96 * se, 6).alias("ln_or_hi"),
+    )
