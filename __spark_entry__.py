@@ -57,6 +57,10 @@ _NEWCOMERS_R10: list[str] = [
     "q_cliffs_delta",
     "q_qte_deciles",
     "q_odds_ratio",
+    # -- phase 60: survival analysis on reorder latency --
+    "q_kaplan_meier",
+    "q_nelson_aalen",
+    "q_logrank",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;

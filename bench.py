@@ -405,6 +405,10 @@ HEADLINE = [
     "q_cliffs_delta",
     "q_qte_deciles",
     "q_odds_ratio",
+    # round-10 phase 60: survival analysis (reorder latency)
+    "q_kaplan_meier",
+    "q_nelson_aalen",
+    "q_logrank",
 ]
 
 

@@ -461,6 +461,331 @@ def q_cliffs_delta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase 60: survival analysis on customer reorder latency — subject =
+# customer, origin = first order date, event = second order (reorder),
+# right-censored at the corpus max date for one-order customers. The
+# risk-set frame (one row per distinct duration) is the only shuffled
+# state; every estimator is a window cumsum over it. Portability
+# discipline: hazards are exact-integer ratios d/n rounded at 9dp into
+# DECIMAL(18,9) and prefix-summed exactly (unscaled values stay far
+# below 2^53, so the final decimal→double cast is exact in BOTH
+# engines — the q_page_hinkley bug needed ~1e20 unscaled); the KM curve
+# is emitted in the LN domain (ln-survival), never exponentiated.
+# ---------------------------------------------------------------------------
+
+_SQL_SURV = """f AS (
+      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ), mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders
+    ), sub AS (
+      SELECT a.ck,
+             CASE WHEN b.od IS NULL
+                  THEN date_diff('day', a.od, (SELECT mxd FROM mx))
+                  ELSE date_diff('day', a.od, b.od) END AS dur,
+             CASE WHEN b.od IS NULL THEN 0 ELSE 1 END AS ev
+      FROM (SELECT * FROM f WHERE rn = 1) a
+      LEFT JOIN (SELECT * FROM f WHERE rn = 2) b ON a.ck = b.ck
+    ), evf AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS lv
+      FROM sub GROUP BY 1
+    ), r AS (
+      SELECT dur, d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sub)
+               - (SUM(lv) OVER (ORDER BY dur) - lv) AS n
+      FROM evf
+    )"""
+
+
+def _surv_risk_frame(spark, sf_dir):
+    """(dur, d, n) risk-set frame: events and at-risk count per
+    distinct reorder-latency duration."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mxd")
+    )
+    a = f.filter(F.col("rn") == 1).select("ck", F.col("od").alias("od1"))
+    b = f.filter(F.col("rn") == 2).select(
+        F.col("ck").alias("ckb"), F.col("od").alias("od2")
+    )
+    sub = (
+        a.join(b, a.ck == b.ckb, "left")
+        .join(F.broadcast(mx))
+        .select(
+            "ck",
+            F.when(
+                F.col("od2").isNull(), F.datediff("mxd", "od1")
+            )
+            .otherwise(F.datediff("od2", "od1"))
+            .alias("dur"),
+            F.when(F.col("od2").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .localCheckpoint(eager=False)  # reused by evf AND the total count
+    )
+    evf = sub.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("lv"),
+    )
+    tot = sub.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        evf.join(F.broadcast(tot))
+        .select(
+            "dur",
+            "d",
+            (
+                F.col("nt") - (F.sum("lv").over(wd) - F.col("lv"))
+            ).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    f"""
+    WITH {_SQL_SURV}
+    SELECT dur AS t_days, CAST(n AS BIGINT) AS n_risk, d AS d_events,
+           CAST(SUM(CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n), 9)
+                         AS DECIMAL(18,9)))
+                OVER (ORDER BY dur) AS DOUBLE) AS ln_surv
+    FROM r WHERE d >= 1 AND d < n
+    ORDER BY t_days
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer reorder latency — the
+    product-limit estimator S(t) = Π(1 − d_i/n_i), emitted in the LN
+    domain (ln_surv = Σ ln(1 − d_i/n_i)) so no cross-engine exp() is
+    ever taken: each term is ln of an exact integer ratio, rounded at
+    9dp and prefix-summed as exact decimals (the ln-with-9dp-round
+    discipline). Event times where the whole risk set dies (d = n,
+    S → 0) are excluded from curve and cumsum identically in both
+    engines. The fact table is touched once for the per-customer
+    first/second order pick; everything after rides the
+    distinct-duration frame."""
+    r = _surv_risk_frame(spark, sf_dir)
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n")), 9
+    ).cast("decimal(18,9)")
+    return (
+        r.filter((F.col("d") >= 1) & (F.col("d") < F.col("n")))
+        .select(
+            F.col("dur").alias("t_days"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("d_events"),
+            F.sum(term).over(wd).cast("double").alias("ln_surv"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
+    "q_nelson_aalen",
+    f"""
+    WITH {_SQL_SURV}
+    SELECT dur AS t_days, CAST(n AS BIGINT) AS n_risk, d AS d_events,
+           CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n, 9)
+                         AS DECIMAL(18,9)))
+                OVER (ORDER BY dur) AS DOUBLE) AS cum_hazard
+    FROM r WHERE d >= 1
+    ORDER BY t_days
+    """,
+)
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of customer reorder latency —
+    H(t) = Σ d_i/n_i over event times, the estimator that stays finite
+    where Kaplan-Meier's product hits zero (it keeps the d = n row).
+    Each increment is one division of exact BIGINTs rounded at 9dp,
+    prefix-summed as exact decimals — no ln, no exp, so the only float
+    op is a correctly-rounded IEEE division identical in both
+    engines."""
+    r = _surv_risk_frame(spark, sf_dir)
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.round(F.col("d").cast("double") / F.col("n"), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        r.filter(F.col("d") >= 1)
+        .select(
+            F.col("dur").alias("t_days"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("d_events"),
+            F.sum(term).over(wd).cast("double").alias("cum_hazard"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
+    "q_logrank",
+    """
+    WITH f AS (
+      SELECT o.o_custkey AS ck, CAST(o.o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+             ) AS rn
+      FROM orders o
+    ), mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders
+    ), sub AS (
+      SELECT a.ck,
+             CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END AS g,
+             CASE WHEN b.od IS NULL
+                  THEN date_diff('day', a.od, (SELECT mxd FROM mx))
+                  ELSE date_diff('day', a.od, b.od) END AS dur,
+             CASE WHEN b.od IS NULL THEN 0 ELSE 1 END AS ev
+      FROM (SELECT * FROM f WHERE rn = 1) a
+      LEFT JOIN (SELECT * FROM f WHERE rn = 2) b ON a.ck = b.ck
+      JOIN customer c ON c.c_custkey = a.ck
+    ), evf AS (
+      SELECT dur,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(ev * g) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS lv,
+             CAST(SUM(g) AS BIGINT) AS lv1
+      FROM sub GROUP BY 1
+    ), r AS (
+      SELECT dur, d, d1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sub)
+               - (SUM(lv) OVER (ORDER BY dur) - lv) AS n,
+             (SELECT CAST(SUM(g) AS BIGINT) FROM sub)
+               - (SUM(lv1) OVER (ORDER BY dur) - lv1) AS n1
+      FROM evf
+    ), terms AS (
+      SELECT d1,
+             CAST(ROUND(CAST(d * n1 AS DOUBLE) / n, 9)
+                  AS DECIMAL(18,9)) AS e1,
+             CASE WHEN n > 1 THEN
+               CAST(ROUND(CAST(d * n1 AS DOUBLE) * (n - n1) * (n - d)
+                          / (CAST(n AS DOUBLE) * n * (n - 1)), 9)
+                    AS DECIMAL(18,9))
+             ELSE CAST(0 AS DECIMAL(18,9)) END AS v1
+      FROM r WHERE d >= 1
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM(e1) AS DOUBLE) AS e1,
+           CAST(SUM(v1) AS DOUBLE) AS v1,
+           ROUND((SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+                 * (SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+                 / CAST(SUM(v1) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def q_logrank(spark, sf_dir):
+    """Log-rank test comparing reorder-latency survival between
+    positive- and negative-balance customers — THE standard two-group
+    censored-time comparison (observed vs expected group-1 events under
+    the null, hypergeometric variance per event time). O1 is an exact
+    BIGINT; the E1 and V terms are single IEEE expressions of exact
+    integer risk-set counts rounded at 9dp and decimal-summed; the χ²
+    is one closed form of those sums rounded at 6dp. Risk sets for
+    both groups come from ONE pass over the per-duration leave counts
+    (two parallel window cumsums)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    f = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+    )
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    a = f.filter(F.col("rn") == 1).select("ck", F.col("od").alias("od1"))
+    b = f.filter(F.col("rn") == 2).select(
+        F.col("ck").alias("ckb"), F.col("od").alias("od2")
+    )
+    g = customer.select(
+        F.col("c_custkey").alias("ckc"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("g"),
+    )
+    sub = (
+        a.join(b, a.ck == b.ckb, "left")
+        .join(g, a.ck == g.ckc)
+        .join(F.broadcast(mx))
+        .select(
+            "g",
+            F.when(F.col("od2").isNull(), F.datediff("mxd", "od1"))
+            .otherwise(F.datediff("od2", "od1"))
+            .alias("dur"),
+            F.when(F.col("od2").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    evf = sub.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("ev") * F.col("g")).cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("lv"),
+        F.sum("g").cast("long").alias("lv1"),
+    )
+    tot = sub.agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum("g").cast("long").alias("nt1"),
+    )
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        evf.join(F.broadcast(tot))
+        .select(
+            "d",
+            "d1",
+            (F.col("nt") - (F.sum("lv").over(wd) - F.col("lv"))).alias("n"),
+            (
+                F.col("nt1") - (F.sum("lv1").over(wd) - F.col("lv1"))
+            ).alias("n1"),
+        )
+        .filter(F.col("d") >= 1)
+    )
+    nd = F.col("n").cast("double")
+    e1t = F.round(
+        (F.col("d") * F.col("n1")).cast("double") / F.col("n"), 9
+    ).cast("decimal(18,9)")
+    v1t = F.when(
+        F.col("n") > 1,
+        F.round(
+            (F.col("d") * F.col("n1")).cast("double")
+            * (F.col("n") - F.col("n1"))
+            * (F.col("n") - F.col("d"))
+            / (nd * F.col("n") * (F.col("n") - 1)),
+            9,
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    terms = r.select(F.col("d1"), e1t.alias("e1"), v1t.alias("v1"))
+    o1 = F.sum("d1").cast("long")
+    e1 = F.sum("e1").cast("double")
+    v1 = F.sum("v1").cast("double")
+    return terms.agg(
+        o1.alias("o1"),
+        e1.alias("e1"),
+        v1.alias("v1"),
+        F.round(
+            (F.sum("d1") - F.sum("e1").cast("double"))
+            * (F.sum("d1") - F.sum("e1").cast("double"))
+            / F.sum("v1").cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+
+
 _OR_MIN_ORDERS = 10
 
 
