@@ -61,6 +61,10 @@ _NEWCOMERS_R10: list[str] = [
     "q_kaplan_meier",
     "q_nelson_aalen",
     "q_logrank",
+    # -- phase 61: stump split search + recommender evaluation --
+    "q_best_split",
+    "q_map_at_k",
+    "q_mrr",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;

@@ -409,6 +409,10 @@ HEADLINE = [
     "q_kaplan_meier",
     "q_nelson_aalen",
     "q_logrank",
+    # round-10 phase 61: stump split search + recommender evaluation
+    "q_best_split",
+    "q_map_at_k",
+    "q_mrr",
 ]
 
 

@@ -786,6 +786,335 @@ def q_logrank(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase 61: model-building primitives — decision-stump split search and
+# offline recommender evaluation (MAP@k / MRR) on a temporal split.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_best_split",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), d AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1
+    ), c AS (
+      SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cle,
+             CAST(SUM(pos) OVER (ORDER BY v) AS BIGINT) AS ple
+      FROM d
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      FROM d
+    ), k AS (
+      SELECT UNNEST(GENERATE_SERIES(1, 9)) AS dec
+    ), th AS (
+      SELECT DISTINCT MIN(v) OVER (PARTITION BY dec) AS v
+      FROM k JOIN c ON c.cle >= ((k.dec * (SELECT n FROM tot) + 9) // 10)
+    ), scored AS (
+      SELECT c.v AS threshold_cents,
+             c.cle AS n_left, c.ple AS pos_left,
+             t.n - c.cle AS n_right, t.p - c.ple AS pos_right,
+             ROUND(2.0 * (CAST(c.ple * (c.cle - c.ple) AS DOUBLE) / c.cle
+                          + CAST((t.p - c.ple)
+                                 * ((t.n - c.cle) - (t.p - c.ple))
+                                 AS DOUBLE) / (t.n - c.cle)) / t.n, 9)
+               AS impurity,
+             ROUND(2.0 * CAST(t.p * (t.n - t.p) AS DOUBLE) / (t.n * t.n)
+                   - 2.0 * (CAST(c.ple * (c.cle - c.ple) AS DOUBLE) / c.cle
+                            + CAST((t.p - c.ple)
+                                   * ((t.n - c.cle) - (t.p - c.ple))
+                                   AS DOUBLE) / (t.n - c.cle)) / t.n, 9)
+               AS gain
+      FROM th JOIN c ON th.v = c.v, tot t
+      WHERE t.n - c.cle > 0
+    )
+    SELECT threshold_cents, n_left, pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right, impurity, gain
+    FROM scored
+    ORDER BY impurity, threshold_cents LIMIT 1
+    """,
+)
+def q_best_split(spark, sf_dir):
+    """Decision-stump split search: the best Gini split of order value
+    (cents) predicting terminal status 'F' — the inner loop of every
+    tree learner, run once over nine exact decile candidates. Weighted
+    Gini impurity folds to (2/n)·Σ_side pos·neg/cnt, a single IEEE
+    expression of exact BIGINT counts rounded at 9dp; candidate
+    thresholds are type-1 order statistics at integer-div ranks; the
+    argmin tie-breaks on threshold. One grouped pass builds the
+    distinct-value frame; candidates join its cumulative counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    d = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "v",
+        F.sum("cnt").over(wv).cast("long").alias("cle"),
+        F.sum("pos").over(wv).cast("long").alias("ple"),
+    ).localCheckpoint(eager=False)  # reused by the threshold pick + scoring
+    tot = d.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    k = spark.range(1, 10).select(F.col("id").alias("dec"))
+    th = (
+        F.broadcast(k)
+        .join(F.broadcast(tot))
+        .join(c, c.cle >= F.expr("(dec * n + 9) div 10"))
+        .groupBy("dec")
+        .agg(F.min("v").alias("v"))
+        .select("v")
+        .distinct()
+        # ≤9 rows; truncating here keeps the final plan at ≤2 BNLJ
+        # (the census rule) — its own 2-BNLJ subtree never re-executes
+        .localCheckpoint(eager=False)
+    )
+    t = tot.select(F.col("n").alias("tn"), F.col("p").alias("tp"))
+    j = c.join(F.broadcast(th), "v").join(F.broadcast(t))
+    nl = F.col("cle")
+    pl = F.col("ple")
+    nr = F.col("tn") - nl
+    pr = F.col("tp") - pl
+    split_term = (
+        (pl * (nl - pl)).cast("double") / nl
+        + (pr * (nr - pr)).cast("double") / nr
+    )
+    impurity = F.round(2.0 * split_term / F.col("tn"), 9)
+    parent = (
+        2.0
+        * (F.col("tp") * (F.col("tn") - F.col("tp"))).cast("double")
+        / (F.col("tn") * F.col("tn"))
+    )
+    gain = F.round(parent - 2.0 * split_term / F.col("tn"), 9)
+    return (
+        j.filter(nr > 0)
+        .select(
+            F.col("v").alias("threshold_cents"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            nr.cast("long").alias("n_right"),
+            pr.cast("long").alias("pos_right"),
+            impurity.alias("impurity"),
+            gain.alias("gain"),
+        )
+        .orderBy("impurity", "threshold_cents")
+        .limit(1)
+    )
+
+
+# temporal split for offline recommender evaluation: train on orders
+# before the cutoff, score recommendations against what each customer
+# actually bought after it
+_REC_CUTOFF = "1999-01-01"
+_REC_K = 3
+
+_SQL_RECEVAL = f"""tr AS (
+      SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < DATE '{_REC_CUTOFF}'
+      GROUP BY 1, 2
+    ), te AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= DATE '{_REC_CUTOFF}'
+    ), rec AS (
+      SELECT cust, supp, rk FROM (
+        SELECT cust, supp,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cust ORDER BY qty DESC, supp) AS rk
+        FROM tr)
+      WHERE rk <= {_REC_K}
+    ), nrel AS (
+      SELECT te.cust, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM te WHERE te.cust IN (SELECT cust FROM rec)
+      GROUP BY 1
+    ), hits AS (
+      SELECT r.cust, r.rk,
+             CASE WHEN te.supp IS NULL THEN 0 ELSE 1 END AS hit
+      FROM rec r LEFT JOIN te ON te.cust = r.cust AND te.supp = r.supp
+      WHERE r.cust IN (SELECT cust FROM nrel)
+    )"""
+
+
+def _rec_eval_frames(spark, sf_dir):
+    """(hits, nrel): per-user ranked hit flags and relevant counts for
+    the temporal-split recommender evaluation."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    ol = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    cutoff = F.lit(_REC_CUTOFF).cast("date")
+    tr = (
+        ol.filter(F.col("od") < cutoff)
+        .groupBy("cust", "supp")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    te = (
+        ol.filter(F.col("od") >= cutoff)
+        .select("cust", "supp")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: relevance join + counts
+    )
+    rec = (
+        tr.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cust").orderBy(
+                    F.col("qty").desc(), "supp"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _REC_K)
+        .select("cust", "supp", "rk")
+    )
+    nrel = (
+        te.join(rec.select("cust").distinct(), "cust", "left_semi")
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .localCheckpoint(eager=False)  # reused: user filter + denominators
+    )
+    hits = (
+        rec.join(nrel.select("cust"), "cust", "left_semi")
+        .join(
+            te.withColumn("hit", F.lit(1)),
+            ["cust", "supp"],
+            "left",
+        )
+        .select(
+            "cust", "rk", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+        )
+    )
+    return hits, nrel
+
+
+@query(
+    "q_map_at_k",
+    f"""
+    WITH {_SQL_RECEVAL}, terms AS (
+      SELECT cust,
+             CASE WHEN hit = 1 THEN
+               CAST(ROUND(CAST(SUM(hit) OVER (
+                 PARTITION BY cust ORDER BY rk) AS DOUBLE) / rk, 9)
+                 AS DECIMAL(18,9))
+             ELSE CAST(0 AS DECIMAL(18,9)) END AS term
+      FROM hits
+    ), ap AS (
+      SELECT cust, CAST(SUM(term) AS DECIMAL(28,9)) AS ap_num
+      FROM terms GROUP BY cust
+    ), peruser AS (
+      SELECT a.cust,
+             CAST(ROUND(CAST(a.ap_num AS DOUBLE)
+                        / LEAST({_REC_K}, n.nr), 9) AS DECIMAL(18,9)) AS ap
+      FROM ap a JOIN nrel n ON a.cust = n.cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(ap) AS DOUBLE) / COUNT(*), 6) AS map_at_k
+    FROM peruser
+    """,
+)
+def q_map_at_k(spark, sf_dir):
+    """MAP@3 of a spend-ranked supplier recommender under a temporal
+    split (train < 1999-01-01 ≤ test) — the offline ranking-quality
+    gate every recommender retrain runs. Precision@i terms are exact
+    integer ratios rounded at 9dp into decimals, summed exactly per
+    user, normalized by min(k, #relevant), then averaged over the
+    evaluable users (those with training recs AND test purchases) —
+    the across-user mean is a decimal sum with ONE final division, so
+    no double-accumulation order can split the engines."""
+    hits, nrel = _rec_eval_frames(spark, sf_dir)
+    wc = Window.partitionBy("cust").orderBy("rk")
+    prec = F.round(
+        F.sum("hit").over(wc).cast("double") / F.col("rk"), 9
+    ).cast("decimal(18,9)")
+    ap = (
+        hits.select(
+            "cust",
+            F.when(F.col("hit") == 1, prec)
+            .otherwise(F.lit(0).cast("decimal(18,9)"))
+            .alias("term"),
+        )
+        .groupBy("cust")
+        .agg(F.sum("term").cast("decimal(28,9)").alias("ap_num"))
+    )
+    peruser = ap.join(nrel, "cust").select(
+        F.round(
+            F.col("ap_num").cast("double")
+            / F.least(F.lit(_REC_K), F.col("nr")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("ap")
+    )
+    return peruser.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("ap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("map_at_k"),
+    )
+
+
+@query(
+    "q_mrr",
+    f"""
+    WITH {_SQL_RECEVAL}, fr AS (
+      SELECT cust, MIN(CASE WHEN hit = 1 THEN rk END) AS frk
+      FROM hits GROUP BY cust
+    ), rr AS (
+      SELECT CASE WHEN frk IS NULL THEN CAST(0 AS DECIMAL(18,9))
+                  ELSE CAST(ROUND(1.0 / frk, 9) AS DECIMAL(18,9))
+             END AS rr
+      FROM fr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr
+    FROM rr
+    """,
+)
+def q_mrr(spark, sf_dir):
+    """Mean reciprocal rank of the same temporal-split recommender —
+    'how high does the first correct suggestion sit'. Per user the
+    reciprocal of the first hit rank (0 when the top-k misses
+    entirely), 9dp-rounded into decimals and exactly summed; one final
+    division. Shares the ranked-hits frame with q_map_at_k."""
+    hits, _ = _rec_eval_frames(spark, sf_dir)
+    fr = hits.groupBy("cust").agg(
+        F.min(F.when(F.col("hit") == 1, F.col("rk"))).alias("frk")
+    )
+    rr = fr.select(
+        F.when(
+            F.col("frk").isNull(), F.lit(0).cast("decimal(18,9)")
+        )
+        .otherwise(
+            F.round(F.lit(1.0) / F.col("frk"), 9).cast("decimal(18,9)")
+        )
+        .alias("rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("rr").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mrr"
+        ),
+    )
+
+
 _OR_MIN_ORDERS = 10
 
 
