@@ -65,6 +65,9 @@ _NEWCOMERS_R10: list[str] = [
     "q_best_split",
     "q_map_at_k",
     "q_mrr",
+    # -- phase 62: block-capped edit-distance escape + certificate --
+    "q_edit_distance_capped",
+    "q_edit_distance_recall",
 ]
 
 # Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;

@@ -413,6 +413,13 @@ HEADLINE = [
     "q_best_split",
     "q_map_at_k",
     "q_mrr",
+    # round-10 phase 62: block-capped edit-distance escape + certificate
+    # (q_fuzzy_join itself is timed in BENCH_TEXTSKEW.json — its sf0.1
+    # output is 9.5M pairs on the self-similar part names, so it stays
+    # out of HEADLINE to bound bench wall; 165.6→13.9 s after the r10
+    # verify-first + banded-levenshtein + parallelism fix)
+    "q_edit_distance_capped",
+    "q_edit_distance_recall",
 ]
 
 

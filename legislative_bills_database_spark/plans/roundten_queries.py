@@ -787,6 +787,159 @@ def q_logrank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Phase 62: block-capped edit-distance join + recall certificate. The
+# r10 text-skew bench (scripts/bench_textskew.py, BENCH_TEXTSKEW.json)
+# measured q_edit_distance_join's (brand, size) block join at 68.9×
+# under ONE hot block holding 20% of rows — the worst skew cliff ever
+# measured in this repo (the length band can't bound a |block|²/2
+# fan-out) — while the same plan on a p95-block-capped input ran 127×
+# faster than the skewed exact. This is that escape hatch, productized
+# with the weighted-jaccard twin discipline.
+# ---------------------------------------------------------------------------
+
+_SQL_ED_BASE = """pb AS (
+      SELECT p_partkey AS k, p_name AS nm,
+             p_brand || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+    )"""
+
+_SQL_ED_CAPPED = f"""bsz AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS bc FROM pb GROUP BY 1
+    ), bhist AS (
+      SELECT bc, CAST(COUNT(*) AS BIGINT) AS c FROM bsz GROUP BY 1
+    ), bthr AS (
+      SELECT CAST((19 * SUM(c) + 19) // 20 AS BIGINT) AS kk FROM bhist
+    ), bcapv AS (
+      SELECT GREATEST(MIN(bc), {_GJ_MIN_CAP}) AS cap
+      FROM (SELECT bc, SUM(c) OVER (ORDER BY bc) AS cum FROM bhist), bthr
+      WHERE cum >= kk
+    ), pcap AS (
+      SELECT k, nm, blk FROM (
+        SELECT k, nm, blk,
+               ROW_NUMBER() OVER (
+                 PARTITION BY blk
+                 ORDER BY md5(blk || ':' || CAST(k AS VARCHAR)), k
+               ) AS rk
+        FROM pb)
+      WHERE rk <= (SELECT cap FROM bcapv)
+    )"""
+
+
+def _sql_ed_top15(edge_cte: str, tag: str) -> str:
+    return f"""edtop{tag} AS (
+      SELECT a.k AS k1, b.k AS k2,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM {edge_cte} a JOIN {edge_cte} b
+        ON a.blk = b.blk AND a.k < b.k
+       AND abs(length(a.nm) - length(b.nm)) <= 6
+      ORDER BY dist, k1, k2 LIMIT 15
+    )"""
+
+
+def _ed_base(spark, sf_dir) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("nm"),
+        F.concat_ws(
+            "|", F.col("p_brand"), F.col("p_size").cast("string")
+        ).alias("blk"),
+    )
+
+
+def _ed_capped(spark, sf_dir) -> DataFrame:
+    def build():
+        pb = _ed_base(spark, sf_dir)
+        cap = _adaptive_cap(pb.select(F.col("blk").alias("cust")))
+        return degree_capped_edges(pb, "blk", "k", cap)
+
+    return _memo_sim(spark, sf_dir, "edcap", build)
+
+
+def _ed_top15(edges: DataFrame) -> DataFrame:
+    a = edges.select(
+        F.col("k").alias("k1"), F.col("nm").alias("n1"), "blk"
+    )
+    b = edges.select(
+        F.col("k").alias("k2"),
+        F.col("nm").alias("n2"),
+        F.col("blk").alias("blk2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("blk2"))
+        & (F.col("k1") < F.col("k2"))
+        & (F.abs(F.length("n1") - F.length("n2")) <= 6),
+    ).select(
+        "k1", "k2", F.levenshtein("n1", "n2").cast("long").alias("dist")
+    )
+    return pairs.orderBy("dist", "k1", "k2").limit(15)
+
+
+@query(
+    "q_edit_distance_capped",
+    f"""
+    WITH {_SQL_ED_BASE},
+    {_SQL_ED_CAPPED},
+    {_sql_ed_top15("pcap", "a")}
+    SELECT k1, k2, dist FROM edtopa ORDER BY dist, k1, k2
+    """,
+)
+def q_edit_distance_capped(spark, sf_dir):
+    """q_edit_distance_join's scale sibling — the implemented escape
+    for the worst skew cliff this repo has measured (BENCH_TEXTSKEW:
+    68.9× when one (brand, size) block holds 20% of parts; the length
+    band cannot bound the |block|²/2 Levenshtein fan-out). Blocks are
+    capped at the exact p95 of the block-size histogram (floor 30) by
+    the portable md5(blk:key) order, so a hot block costs cap²/2 — a
+    constant — and the whole approximation stays oracle-checkable.
+    Quality certified by q_edit_distance_recall."""
+    return _memo_sim(
+        spark,
+        sf_dir,
+        "edtopa",
+        lambda: _ed_top15(_ed_capped(spark, sf_dir)),
+    )
+
+
+@query(
+    "q_edit_distance_recall",
+    f"""
+    WITH {_SQL_ED_BASE},
+    {_SQL_ED_CAPPED},
+    {_sql_ed_top15("pb", "e")},
+    {_sql_ed_top15("pcap", "a")},
+    {_SQL_RECALL_TAIL.format(k="k1, k2", knums="1, 2",
+                             exact="edtope", approx="edtopa")}
+    """,
+)
+def q_edit_distance_recall(spark, sf_dir):
+    """Driver-visible quality certificate for q_edit_distance_capped:
+    one (n_exact, n_approx, n_overlap, recall) row comparing the capped
+    top-15 closest-pair set against the exact top-15. On the un-skewed
+    fixtures the p95 cap binds only the tail, so recall stays high; a
+    silent cap regression flips a driver hash instead of hiding. Pytest
+    pins the floor."""
+    exact = _memo_sim(
+        spark,
+        sf_dir,
+        "edtope",
+        lambda: _ed_top15(
+            _memo_sim(
+                spark, sf_dir, "edbase", lambda: _ed_base(spark, sf_dir)
+            )
+        ),
+    )
+    approx = _memo_sim(
+        spark,
+        sf_dir,
+        "edtopa",
+        lambda: _ed_top15(_ed_capped(spark, sf_dir)),
+    )
+    return _set_recall(exact, approx, ["k1", "k2"])
+
+
+# ---------------------------------------------------------------------------
 # Phase 61: model-building primitives — decision-stump split search and
 # offline recommender evaluation (MAP@k / MRR) on a temporal split.
 # ---------------------------------------------------------------------------
