@@ -547,21 +547,33 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("__cc_node"), F.col(id_col).alias("__cc_comp")
-    ).localCheckpoint(eager=True)
     # convergence check: labels are element-wise monotonically
     # NON-INCREASING (least/min only), so sum(component) strictly
     # decreases until the fixpoint — equal consecutive sums ⟺ zero
-    # changed labels. One cheap aggregate over the checkpointed frame
-    # per round instead of a self-join + filter + count. Decimal sum:
-    # at 1e9 nodes × 1e12 ids a bigint sum would overflow.
-    def _label_sum(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("__cc_comp").cast("decimal(38,0)"))
-        ).collect()[0][0]
+    # changed labels. Since r10 the sum rides the eager checkpoint the
+    # loop already runs as an ``observe()`` metric (the k_core_fixed
+    # trick, VERDICT r9 item #8) — ZERO extra jobs per round, where the
+    # old per-round aggregate job cost one scheduler round-trip each.
+    # The observation node sits directly above the checkpointed output,
+    # so it executes exactly once per materialization and the sum is
+    # exact. Decimal sum: at 1e9 nodes × 1e12 ids a bigint would
+    # overflow.
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    def _ckpt_with_sum(lbl: DataFrame):
+        obs = Observation()
+        out = lbl.observe(
+            obs,
+            F.sum(F.col("__cc_comp").cast("decimal(38,0)")).alias("s"),
+        ).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(
+        ids.select(
+            F.col(id_col).alias("__cc_node"),
+            F.col(id_col).alias("__cc_comp"),
+        )
+    )
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -585,7 +597,7 @@ def connected_components(
                 F.col("__cc_node").alias("__ln"),
                 F.col("__cc_comp").alias("__lc"),
             )
-            new_labels = (
+            new_labels, new_sum = _ckpt_with_sum(
                 prop.alias("p")
                 .join(lut, F.col("p.__cc_comp") == F.col("__ln"), "left")
                 .select(
@@ -594,9 +606,7 @@ def connected_components(
                         "__cc_comp"
                     ),
                 )
-                .localCheckpoint(eager=True)  # truncate lineage each round
-            )
-            new_sum = _label_sum(new_labels)
+            )  # eager checkpoint truncates lineage; sum rides it free
             # new checkpoint is eager → release the previous round's
             # blocks (executor storage otherwise holds O(rounds) copies)
             release_checkpoint(labels)

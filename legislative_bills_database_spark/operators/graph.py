@@ -369,27 +369,42 @@ def k_core(
 
     Iterative peel: drop all nodes with current degree < k, recompute
     degrees on the induced subgraph, repeat to fixpoint. Each round is
-    one degree aggregate + two semi-joins; the edge frame is
+    one degree aggregate + two anti-joins; the edge frame is
     ``localCheckpoint``-ed per round (lineage truncated, previous
-    round's blocks released — the CC/PageRank hygiene), and the
-    convergence probe is the weak-node count that round (a driver
-    scalar, O(1) rows). Converges in ≤ max_iter rounds or raises —
-    every round with no weak nodes terminates, and a round that peels
-    at least one node strictly shrinks the graph, so iterations are
-    bounded by #nodes in the worst case (a chain peels one end per
-    round); max_iter=50 covers any graph whose peel depth is sane and
-    the raise names the knob.
+    round's blocks released — the CC/PageRank hygiene). Since r10 the
+    convergence probe rides the eager checkpoint the loop already runs
+    as an ``observe()`` edge-count metric (the k_core_fixed trick,
+    VERDICT r9 item #8) — no separate probe job exists. Edge count
+    unchanged across a round ⟺ no weak nodes existed: every weak node
+    carries ≥ 1 incident edge (nodes exist only via edges), and
+    peeling it removes those edges, so the count strictly decreases
+    until the fixpoint. (An observation on the WEAK-node subtree
+    itself breaks: the two anti-join sides evaluate it twice in one
+    action, which Observation.get rejects — the count must sit
+    directly above the checkpointed output, evaluated exactly once.)
+    Converges in ≤ max_iter rounds or raises; iterations are bounded
+    by #nodes in the worst case (a chain peels one end per round);
+    max_iter=50 covers any graph whose peel depth is sane and the
+    raise names the knob.
 
     Returns (node, degree) of surviving nodes with their core degrees.
     """
-    und = (
+    from pyspark.sql import Observation
+
+    def _ckpt_counted(df: DataFrame):
+        obs = Observation()
+        out = df.observe(
+            obs, F.count(F.lit(1)).alias("edges")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["edges"]
+
+    und, n_edges = _ckpt_counted(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev = und
     for _ in range(max_iter):
@@ -400,17 +415,23 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("degree"))
         )
         weak = deg.filter(F.col("degree") < k)
-        if weak.isEmpty():
-            return deg.select("n", "degree").withColumnRenamed("n", "node")
         wa = weak.select(F.col("n").alias("a"))
         wb = weak.select(F.col("n").alias("b"))
-        und = (
-            und.join(wa, "a", "left_anti")
-            .join(wb, "b", "left_anti")
-            .localCheckpoint(eager=True)
+        new_und, new_edges = _ckpt_counted(
+            und.join(wa, "a", "left_anti").join(wb, "b", "left_anti")
         )
         release_checkpoint(prev)
-        prev = und
+        prev = new_und
+        if new_edges == n_edges:
+            # the round peeled nothing ⟹ no weak nodes remained; the
+            # degrees on new_und ARE the k-core degrees
+            return (
+                new_und.select(F.col("a").alias("node"))
+                .union(new_und.select("b"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+        und, n_edges = new_und, new_edges
     raise RuntimeError(
         f"k_core did not reach a fixpoint in {max_iter} rounds (deep peel "
         f"chains — raise max_iter)."
