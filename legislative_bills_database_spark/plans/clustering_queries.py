@@ -257,26 +257,52 @@ def q_silhouette(spark, sf_dir):
     documented trade for hash-certifiability). a(i) excludes the point
     itself (cnt = |own cluster|−1); singletons score 0 by the standard
     convention. Scored over a bounded {_SIL_N}-point sample against
-    the FULL corpus — the all-pairs half is the sample, never n²."""
+    the FULL corpus — the all-pairs half is the sample, never n².
+
+    Plan (r10 rewrite): the old Spark side paired sample and corpus by
+    joining the EXPLODED frames on `dim` — a join whose key has only
+    ~embedding-dim distinct values, so parallelism capped at `dim`
+    partitions each holding sample×corpus rows (BENCH_SF1 flagged it
+    13.6× at 10× data, the suite's one superlinear cell). Now the
+    200-row quantized sample BROADCASTS (the q_cosine_topk posture)
+    onto the un-exploded corpus arrays and d² is an exact-integer
+    zip_with/aggregate per pair — parallel in the corpus partitions,
+    zero pair shuffle, identical integers (long addition is
+    associative), so the oracle and every hash stay unchanged."""
     prev_rows, _ = _km_fit(spark, sf_dir)
     ex = _km_explode(spark, sf_dir).localCheckpoint(eager=True)
     assign = _km_assign(
         ex, spark.createDataFrame(prev_rows, _KM_SCHEMA)
     ).localCheckpoint(eager=True)
-    pi = ex.filter(F.col("vec_id") < _SIL_N).select(
-        F.col("vec_id").alias("i"), "dim", F.col("e").alias("ei")
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
     )
-    pj = ex.select(
-        F.col("vec_id").alias("j"), "dim", F.col("e").alias("ej")
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)  # single-file scans would cap the
+        # pairwise compute at 1-2 cores (the fuzzy_join lesson)
+    sample = q.filter(F.col("vec_id") < _SIL_N).select(
+        F.col("vec_id").alias("i"), F.col("qv").alias("qi")
     )
     pp = (
-        pi.join(pj, "dim")
+        q.select(F.col("vec_id").alias("j"), F.col("qv").alias("qj"))
+        .join(F.broadcast(sample))
         .filter(F.col("i") != F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            F.sum(
-                (F.col("ei") - F.col("ej")) * (F.col("ei") - F.col("ej"))
-            ).alias("d2")
+        .select(
+            "i",
+            "j",
+            F.aggregate(
+                F.zip_with(
+                    "qi", "qj", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
         )
     )
     ai = assign.select(
