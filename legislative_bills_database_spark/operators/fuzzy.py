@@ -68,9 +68,13 @@ def fuzzy_join(
     # (measured 2 partitions carrying 90M candidate rows at sf0.1);
     # round-robin the pre-explode rows — the cheapest point, before
     # the ~50× key fan-out.
+    # ADVICE r10 #4: don't probe rs.rdd.getNumPartitions() — the
+    # DataFrame→RDD conversion costs an analysis pass and is unavailable
+    # under Spark Connect. An unconditional round-robin repartition is a
+    # trivial pre-fan-out shuffle of the raw (rid, rtext) rows, cheap
+    # relative to the ~50× key explode it parallelizes.
     par = rs.sparkSession.sparkContext.defaultParallelism
-    if rs.rdd.getNumPartitions() < par:
-        rs = rs.repartition(par)
+    rs = rs.repartition(par)
 
     m = F.length("ltext")
     lstart, llen = _segment(F.col("i"), F.col("m"), k)

@@ -385,7 +385,13 @@ def k_core(
     Converges in ≤ max_iter rounds or raises; iterations are bounded
     by #nodes in the worst case (a chain peels one end per round);
     max_iter=50 covers any graph whose peel depth is sane and the
-    raise names the knob.
+    raise names the knob. One deliberate trade (ADVICE r10): an input
+    that is ALREADY a k-core pays one redundant round — a no-op
+    anti-join + eager checkpoint + degree recomputation — before the
+    unchanged edge count proves convergence, because the probe rides
+    the post-peel checkpoint instead of a separate pre-peel
+    ``weak.isEmpty()`` job. Zero probe jobs per round on every
+    non-trivial input is worth one wasted round on the trivial one.
 
     Returns (node, degree) of surviving nodes with their core degrees.
     """

@@ -1102,9 +1102,11 @@ _SQL_RECEVAL = f"""tr AS (
     )"""
 
 
-def _rec_eval_frames(spark, sf_dir):
-    """(hits, nrel): per-user ranked hit flags and relevant counts for
-    the temporal-split recommender evaluation."""
+def _rec_base_frames(spark, sf_dir):
+    """(rec, te) lazy plans for the temporal-split recommender eval:
+    top-k train-window recommendations per customer and the distinct
+    test-window relevance set. Plain plan definitions — the memoized
+    checkpoints live on the derived hits/nrel frames below."""
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
     ol = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
@@ -1120,12 +1122,7 @@ def _rec_eval_frames(spark, sf_dir):
         .groupBy("cust", "supp")
         .agg(F.sum("qty").cast("long").alias("qty"))
     )
-    te = (
-        ol.filter(F.col("od") >= cutoff)
-        .select("cust", "supp")
-        .distinct()
-        .localCheckpoint(eager=False)  # reused: relevance join + counts
-    )
+    te = ol.filter(F.col("od") >= cutoff).select("cust", "supp").distinct()
     rec = (
         tr.withColumn(
             "rk",
@@ -1138,23 +1135,45 @@ def _rec_eval_frames(spark, sf_dir):
         .filter(F.col("rk") <= _REC_K)
         .select("cust", "supp", "rk")
     )
-    nrel = (
-        te.join(rec.select("cust").distinct(), "cust", "left_semi")
-        .groupBy("cust")
-        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
-        .localCheckpoint(eager=False)  # reused: user filter + denominators
-    )
-    hits = (
-        rec.join(nrel.select("cust"), "cust", "left_semi")
-        .join(
-            te.withColumn("hit", F.lit(1)),
-            ["cust", "supp"],
-            "left",
+    return rec, te
+
+
+def _rec_eval_frames(spark, sf_dir):
+    """(hits, nrel): per-user ranked hit flags and relevant counts for
+    the temporal-split recommender evaluation. ADVICE r10 #3: both
+    frames are memoized through ``_memo_sim`` per (applicationId,
+    sf_dir) — q_map_at_k and q_mrr now genuinely SHARE one
+    materialization per sweep (the jaccard/edit-distance chain
+    discipline), instead of merely sharing the frame definition as the
+    old docstring claimed."""
+
+    def build_nrel():
+        rec, te = _rec_base_frames(spark, sf_dir)
+        return (
+            te.join(rec.select("cust").distinct(), "cust", "left_semi")
+            .groupBy("cust")
+            .agg(F.count(F.lit(1)).cast("long").alias("nr"))
         )
-        .select(
-            "cust", "rk", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+
+    nrel = _memo_sim(spark, sf_dir, "rec_nrel", build_nrel)
+
+    def build_hits():
+        rec, te = _rec_base_frames(spark, sf_dir)
+        return (
+            rec.join(nrel.select("cust"), "cust", "left_semi")
+            .join(
+                te.withColumn("hit", F.lit(1)),
+                ["cust", "supp"],
+                "left",
+            )
+            .select(
+                "cust",
+                "rk",
+                F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+            )
         )
-    )
+
+    hits = _memo_sim(spark, sf_dir, "rec_hits", build_hits)
     return hits, nrel
 
 
@@ -1246,7 +1265,8 @@ def q_mrr(spark, sf_dir):
     'how high does the first correct suggestion sit'. Per user the
     reciprocal of the first hit rank (0 when the top-k misses
     entirely), 9dp-rounded into decimals and exactly summed; one final
-    division. Shares the ranked-hits frame with q_map_at_k."""
+    division. Shares q_map_at_k's ranked-hits frame through the
+    _memo_sim cache (one materialization per sweep)."""
     hits, _ = _rec_eval_frames(spark, sf_dir)
     fr = hits.groupBy("cust").agg(
         F.min(F.when(F.col("hit") == 1, F.col("rk"))).alias("frk")

@@ -132,10 +132,20 @@ def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     # went through the pandas coercion). collect() here would make the
     # gate FAIL queries the driver passes; toPandas() makes both lossy
     # coercions symmetric, exactly like the driver.
-    spark_df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.pyspark.enabled", "true"
-    )
-    s_pdf = spark_df.toPandas()
+    # ADVICE r10 #2: save/restore the conf around the fetch — the old
+    # unconditional set leaked a global side effect onto the shared
+    # session for any test code running after a compare() call.
+    _conf = spark_df.sparkSession.conf
+    _arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    _arrow_prev = _conf.get(_arrow_key, None)
+    _conf.set(_arrow_key, "true")
+    try:
+        s_pdf = spark_df.toPandas()
+    finally:
+        if _arrow_prev is None:
+            _conf.unset(_arrow_key)
+        else:
+            _conf.set(_arrow_key, _arrow_prev)
     s_cols = list(s_pdf.columns)
     s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
     con = duckdb_con(sf_dir)
