@@ -420,6 +420,10 @@ HEADLINE = [
     # verify-first + banded-levenshtein + parallelism fix)
     "q_edit_distance_capped",
     "q_edit_distance_recall",
+    # round-11 phase 63: exact-substring dedup (ExactSubstr) +
+    # paragraph-grain removal
+    "q_substr_dup_spans",
+    "q_dedup_paragraphs",
 ]
 
 

@@ -276,3 +276,207 @@ SELECT c.doc_id,
 FROM chunks c LEFT JOIN boiler b USING (chunk)
 GROUP BY c.doc_id
 """
+
+
+def substr_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the ExactSubstr dedup mode of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span that occurs verbatim more
+    than once ANYWHERE in the corpus (cross-document quotes, shared
+    boilerplate, within-document repetition), at span grain rather than
+    the document grain of sha2/MinHash dedup. The reference's own
+    full-text term search (legiscan_main.R:213) is the fixed-needle
+    special case; this is the all-needles generalization.
+
+    Suffix arrays don't distribute; the equivalent shuffle-native plan:
+
+    1. scan-side sliding ``k``-token shingles per document (the
+       packing.sliding_chunks posexplode idiom, stride 1) — each
+       position ``p`` emits ``sha2(tokens[p:p+k])``; no text leaves the
+       scan, only fixed-width digests;
+    2. one digest aggregate keeps shingles with total occurrence ≥ 2
+       (also carrying how many distinct documents own them);
+    3. duplicated positions per document collapse gaps-and-islands
+       style (the q_streaks idiom: ``pos − row_number``) into MAXIMAL
+       spans — overlapping duplicated k-grams merge, so a repeated
+       50-token block reports once as one span of 50 tokens, not 43
+       shingle hits.
+
+    Scale shape: two token-count-scale shuffles of fixed-width rows
+    (digest aggregate, digest join-back) + one per-document window —
+    the canonical distributed-ExactSubstr cost; nothing is quadratic,
+    nothing broadcasts the corpus, and a 100 TB run partitions on
+    digest then doc_id with bounded row width throughout.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_shingles,
+    min_owners): token-index span [start, end] inclusive, its length,
+    how many duplicated shingles built it, and the minimum number of
+    distinct owner documents across those shingles (1 ⟹ the span
+    repeats only within this document).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dg_arr = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
+    )
+    sh = (
+        docs.filter(n >= k)
+        .select(F.col(id_col), F.posexplode(dg_arr).alias("pos", "dg"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "dg")
+    )
+    dgc = (
+        sh.groupBy("dg")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.count_distinct(id_col).alias("ndocs"),
+        )
+        .filter(F.col("occ") > 1)
+        .select("dg", "ndocs")
+    )
+    # digest-keyed shuffle join, NOT a broadcast: the duplicated-shingle
+    # set is corpus-scale whenever duplication is (boilerplate-heavy
+    # web crawls), so it must never be assumed driver-small.
+    dup = sh.join(dgc, "dg")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.min("ndocs").cast("long").alias("min_owners"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_shingles",
+            "min_owners",
+        )
+    )
+
+
+def sql_substr_dup_spans(k: int = 8) -> str:
+    """DuckDB twin of :func:`substr_dup_spans` over ``documents``."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, len(l) - {k})) AS BIGINT) AS pos,
+         unnest([sha256(array_to_string(l[i + 1 : i + {k}], ' '))
+                 FOR i IN generate_series(0, len(l) - {k})]) AS dg
+  FROM toks WHERE len(l) >= {k}
+), dgc AS (
+  SELECT dg, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+  FROM sh GROUP BY dg HAVING count(*) > 1
+), dup AS (
+  SELECT s.doc_id, s.pos, d.ndocs FROM sh s JOIN dgc d USING (dg)
+), isl AS (
+  SELECT doc_id, pos, ndocs,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(MIN(ndocs) AS BIGINT) AS min_owners
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Within-document paragraph-grain exact dedup: drop every repeat
+    of a paragraph the SAME document already contains, keeping the
+    first occurrence in reading order — the removal complement to the
+    q_repetition *signal* (VERDICT r10 #6). Segmentation matches
+    :func:`strip_boilerplate`: non-overlapping ``chunk_tokens``-token
+    windows (the fixture corpus has no newline structure; real web
+    corpora swap in ``split('\\n\\n')`` — every downstream step is
+    segmentation-agnostic).
+
+    Scale shape: ZERO shuffle and zero explode — because the duplicate
+    test is within-row, the whole operator is one scan-side expression:
+    keep chunk ``i`` iff ``array_position(chunks, chunk[i]) == i+1``
+    (its first occurrence is itself). Embarrassingly parallel at any
+    corpus size; the O(P²) per-document comparisons are bounded by
+    paragraphs-per-document, not corpus size (swap in the
+    window-function form for million-paragraph documents).
+
+    Returns (id_col, n_paras_kept, n_paras_dropped, clean_sha) — the
+    strip_boilerplate output contract: cleaned text travels as a sha256
+    digest; swap the digest for the ``array_join`` to materialize.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int"),
+        F.lit(1),
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    kept = F.filter(
+        chunk_arr, lambda x, i: F.array_position(chunk_arr, x) == i + 1
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(kept).cast("long").alias("n_paras_kept"),
+        (F.size(chunk_arr) - F.size(kept))
+        .cast("long")
+        .alias("n_paras_dropped"),
+        F.sha2(F.array_join(kept, " "), 256).alias("clean_sha"),
+    )
+
+
+def sql_dedup_paragraphs(chunk_tokens: int = 8) -> str:
+    """DuckDB twin of :func:`dedup_paragraphs` over ``documents``
+    (relational form: keep pos == min(pos) per (doc, chunk))."""
+    k = chunk_tokens
+    n_chunks = f"greatest(CAST(ceil(len(l) / {k}.0) AS BIGINT) - 1, 0)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {n_chunks})) AS pos,
+         unnest([array_to_string(l[i * {k} + 1 : i * {k} + {k}], ' ')
+                 FOR i IN generate_series(0, {n_chunks})]) AS chunk
+  FROM toks
+), firsts AS (
+  SELECT doc_id, chunk, MIN(pos) AS fpos FROM chunks GROUP BY 1, 2
+)
+SELECT c.doc_id,
+       CAST(sum(CASE WHEN c.pos = f.fpos THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_paras_kept,
+       CAST(sum(CASE WHEN c.pos = f.fpos THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_paras_dropped,
+       sha256(COALESCE(string_agg(CASE WHEN c.pos = f.fpos THEN c.chunk END,
+                                  ' ' ORDER BY c.pos), ''))
+         AS clean_sha
+FROM chunks c
+JOIN firsts f ON c.doc_id = f.doc_id AND c.chunk = f.chunk
+GROUP BY c.doc_id
+"""

@@ -21,3 +21,4 @@ from . import roundseven_queries  # noqa: F401  (registers on import)
 from . import roundeight_queries  # noqa: F401  (registers on import)
 from . import roundnine_queries  # noqa: F401  (registers on import)
 from . import roundten_queries  # noqa: F401  (registers on import)
+from . import roundeleven_queries  # noqa: F401  (registers on import)
