@@ -499,7 +499,10 @@ def _prev_bench() -> tuple[str | None, dict[str, float], float | None]:
 
 
 def main() -> None:
-    from legislative_bills_database_spark.session import get_spark
+    from legislative_bills_database_spark.session import (
+        get_spark,
+        materialize_fully,
+    )
 
     from legislative_bills_database_spark.plans import QUERIES
 
@@ -558,12 +561,11 @@ def main() -> None:
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
-            # hash(*cols) defeats column pruning: every output expression
-            # must actually evaluate. hash() never returns NULL, so the
-            # count is still the exact row count.
-            n = df.agg(
-                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-            ).collect()[0]["n"]
+            # bit_xor(xxhash64(*cols)) forces every output expression to
+            # actually evaluate — count(hash(*)) was silently rewritten
+            # to a bare count by Catalyst on Spark 4.1 (see
+            # session.materialize_fully), timing pruned plans.
+            n = materialize_fully(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

@@ -1618,22 +1618,38 @@ def q_table_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("q_stream_state_census")  # runs a real availableNow stream
+_STATE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@query("q_stream_state_census")  # runs real availableNow streams
 def q_stream_state_census(spark, sf_dir):
-    """State-store SIZE certificate for a windowed streaming aggregate
-    (VERDICT r8 stretch — the measured successor to the r6 RocksDB
-    negative result at streaming/events._census_stream_confs): run
-    hourly-window × event-type counts across 4 time-ordered
-    micro-batches and read the LAST micro-batch's stateOperators
-    metrics. The certificate: ``state_rows_final`` (the store's own
-    numRowsTotal) must EQUAL the batch-side distinct
-    (hour, event_type) group count — the state store holds exactly one
-    row per open group, no leak, no loss. ``memory_used_bytes`` is the
-    measured HDFS-backed store footprint (machine-dependent, so this
-    census is rows-only by design); ``bytes_per_state_row`` is the
-    sizing number a production deployment extrapolates before choosing
-    RocksDB (pays off only once rows × bytes/row exceeds executor
-    heap — the r6 measurement showed it 10% slower below that)."""
+    """State-store SIZE certificate for a windowed streaming aggregate,
+    measured under BOTH state-store providers (VERDICT r10 #7 — the
+    default HDFS-backed store AND RocksDB, the actual 100 TB state
+    path): run hourly-window × event-type counts across 4 time-ordered
+    micro-batches per provider and read the LAST micro-batch's
+    stateOperators metrics. The certificate: each provider's
+    ``numRowsTotal`` must EQUAL the batch-side distinct
+    (hour, event_type) group count — one state row per open group, no
+    leak, no loss, REGARDLESS of backend — and the two providers'
+    update-mode outputs must be row-identical (``providers_agree``).
+    The memory columns are measured footprints (machine-dependent →
+    rows-only by design); bytes/row is the sizing number a deployment
+    extrapolates when choosing RocksDB (pays off once rows × bytes/row
+    exceeds executor heap; the r6 measurement showed it ~10% slower
+    below that, and RocksDB's memoryUsedBytes reports its block-cache
+    accounting, not JVM heap — the two columns are deliberately not
+    comparable to each other, each is comparable to ITS backend's
+    budget)."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -1643,7 +1659,9 @@ def q_stream_state_census(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="q_stream_state_")
-    name = "q_stream_state_" + _uuid.uuid4().hex[:8]
+    names: dict[str, str] = {}
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
     try:
         json_dir = f"{tmp}/events_json"
         events.select("event_id", "ts", "user_id", "event_type", "value"
@@ -1652,33 +1670,46 @@ def q_stream_state_census(spark, sf_dir):
             "event_id long, ts timestamp, user_id long,"
             " event_type string, value double"
         )
-        stream_df = (
-            spark.readStream.format("json")
-            .schema(landed_schema)
-            .option("maxFilesPerTrigger", 1)
-            .load(json_dir)
-        )
-        agg = stream_df.groupBy(
-            F.window("ts", "1 hour").alias("w"), "event_type"
-        ).agg(F.count(F.lit(1)).alias("n"))
-        with _census_stream_confs(spark, "8"):
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
+
+        stats: dict[str, tuple[int, int, int]] = {}
+        for prov, cls in _STATE_PROVIDERS.items():
+            name = f"q_stream_state_{prov}_" + _uuid.uuid4().hex[:8]
+            names[prov] = name
+            stream_df = (
+                spark.readStream.format("json")
+                .schema(landed_schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(json_dir)
             )
-            q.awaitTermination(120)
-        state_rows = mem_bytes = 0
-        n_batches = 0
-        for p in q.recentProgress:
-            ops = p.get("stateOperators") or []
-            if not ops:
-                continue
-            n_batches += 1
-            state_rows = int(ops[0].get("numRowsTotal", 0))
-            mem_bytes = int(ops[0].get("memoryUsedBytes", 0))
+            agg = stream_df.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            spark.conf.set(prov_key, cls)
+            try:
+                with _census_stream_confs(spark, "8"):
+                    q = (
+                        agg.writeStream.format("memory")
+                        .queryName(name)
+                        .outputMode("update")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination(120)
+            finally:
+                if prev_prov is None:
+                    spark.conf.unset(prov_key)
+                else:
+                    spark.conf.set(prov_key, prev_prov)
+            state_rows = mem_bytes = n_batches = 0
+            for p in q.recentProgress:
+                ops = p.get("stateOperators") or []
+                if not ops:
+                    continue
+                n_batches += 1
+                state_rows = int(ops[0].get("numRowsTotal", 0))
+                mem_bytes = int(ops[0].get("memoryUsedBytes", 0))
+            stats[prov] = (n_batches, state_rows, mem_bytes)
+
         n_groups = (
             spark.read.schema(landed_schema)
             .json(json_dir)
@@ -1686,24 +1717,39 @@ def q_stream_state_census(spark, sf_dir):
             .distinct()
             .count()
         )
+        out_h = spark.table(names["hdfs"])
+        out_r = spark.table(names["rocksdb"])
+        providers_agree = int(
+            stats["hdfs"][1] == stats["rocksdb"][1]
+            and out_h.exceptAll(out_r).count() == 0
+            and out_r.exceptAll(out_h).count() == 0
+        )
+        nb_h, rows_h, mem_h = stats["hdfs"]
+        nb_r, rows_r, mem_r = stats["rocksdb"]
         return spark.createDataFrame(
             [
                 (
-                    int(n_batches),
-                    int(state_rows),
+                    int(nb_h),
+                    int(rows_h),
                     int(n_groups),
-                    int(state_rows == n_groups),
-                    int(mem_bytes),
-                    int(mem_bytes // state_rows) if state_rows else 0,
+                    int(rows_h == n_groups and rows_r == n_groups),
+                    int(mem_h),
+                    int(mem_h // rows_h) if rows_h else 0,
+                    int(mem_r),
+                    int(mem_r // rows_r) if rows_r else 0,
+                    providers_agree,
                 )
             ],
             "n_microbatches long, state_rows_final long, n_groups_batch"
-            " long, rows_match long, memory_used_bytes long,"
-            " bytes_per_state_row long",
+            " long, rows_match long, hdfs_memory_bytes long,"
+            " hdfs_bytes_per_row long, rocksdb_memory_bytes long,"
+            " rocksdb_bytes_per_row long, providers_agree long",
         )
     finally:
-        if name in [t.name for t in spark.catalog.listTables()]:
-            spark.catalog.dropTempView(name)
+        existing = {t.name for t in spark.catalog.listTables()}
+        for name in names.values():
+            if name in existing:
+                spark.catalog.dropTempView(name)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -96,3 +96,27 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # immutable in this deployment — keep going
     return spark
+
+
+def materialize_fully(df) -> int:
+    """Benchmark materializer: force evaluation of EVERY output column
+    and return the exact row count.
+
+    The old idiom — ``count(hash(*cols))`` — is silently DEFEATED on
+    Spark 4.1: Catalyst rewrites count over a provably non-null
+    expression into a plain row count, drops the hash entirely, and
+    column-prunes the whole projection (verified: ``hash`` absent from
+    the physical plan, ``ReadSchema: struct<>`` empty — a map-only
+    scoring pipeline collapsed to a parquet footer count). A
+    value-dependent AGGREGATE over the hash cannot be pruned: the
+    bit_xor checksum changes if any cell changes, so every output
+    expression must actually execute. Still collects exactly one row.
+    """
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64(*[F.col(c) for c in df.columns])
+        ).alias("h"),
+    ).collect()[0]["n"]

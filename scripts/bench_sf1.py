@@ -70,6 +70,8 @@ N_RUNS = 2
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from legislative_bills_database_spark.session import materialize_fully
+
     from legislative_bills_database_spark.plans import QUERIES
     from legislative_bills_database_spark.session import get_spark
 
@@ -93,9 +95,7 @@ def main() -> None:
             _r7.clear_sim_caches()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF1_DIR)
-            df.agg(
-                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-            ).collect()
+            materialize_fully(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -125,9 +125,7 @@ def main() -> None:
             _r7.clear_sim_caches()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf01_dir)
-            df.agg(
-                F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-            ).collect()
+            materialize_fully(df)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         perplan01[name] = round(best, 3)

@@ -62,6 +62,8 @@ QUERIES_TO_RUN = [
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from legislative_bills_database_spark.session import materialize_fully
+
     from legislative_bills_database_spark.plans import QUERIES
     from legislative_bills_database_spark.session import get_spark
 
@@ -85,9 +87,7 @@ def main() -> None:
         _r7.clear_sim_caches()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, d)
-        df.agg(
-            F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-        ).collect()
+        materialize_fully(df)
         return time.perf_counter() - t0
 
     result: dict[str, dict] = {}

@@ -46,13 +46,13 @@ N_DOCS = 1500  # documents slice for the shingle/term operators
 def _timed(fn) -> float:
     from pyspark.sql import functions as F
 
+    from legislative_bills_database_spark.session import materialize_fully
+
     best = None
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
         df = fn()
-        df.agg(
-            F.count(F.hash(*[F.col(c) for c in df.columns])).alias("n")
-        ).collect()
+        materialize_fully(df)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)
