@@ -15,11 +15,12 @@ full headline set are written to ``BENCH_FULL.json`` next to this file
 remains the total across ALL headline queries.
 
 Everything else (Spark logs, progress) goes to stderr. Each query is
-materialized with count(hash(*)) — count() alone would let Catalyst
-column-prune projection-only plans down to a bare scan (the scored
-expressions of e.g. q_quality_score would never execute); hashing every
-output column forces full expression evaluation while still collecting
-only one row. Run:  python bench.py
+materialized with session.materialize_fully — a value-dependent
+bit_xor(xxhash64(*cols)) checksum agg. The old count(hash(*)) idiom is
+REWRITTEN by Catalyst on Spark 4.1 into a bare count (hash dropped,
+ReadSchema emptied), so it silently timed column-pruned plans; the
+scored expressions of e.g. q_quality_score never executed. Run:
+python bench.py
 """
 
 from __future__ import annotations
@@ -424,6 +425,9 @@ HEADLINE = [
     # paragraph-grain removal
     "q_substr_dup_spans",
     "q_dedup_paragraphs",
+    # round-11 phase 64: AQE skew-join certificate (runs the hot join
+    # twice, on/off)
+    "q_aqe_skew_census",
 ]
 
 

@@ -29,6 +29,66 @@ from pyspark.sql import functions as F
 # siblings run sub-1× (BENCH_SF1_SKEW.json).
 MAX_EXACT_DEGREE = 2000
 
+# TOTAL predicted pair volume past which the exact self-join REFUSES to
+# run (VERDICT r10 #5 — the cluster-safety interlock, not a warning):
+# 2e9 pairs is ~10 minutes of pure pair traffic on a 32-core box and
+# sits 5× above the worst measured certificate fixture (the Zipf sf1.0
+# skew graph predicts 403M pairs and is the baseline the recall
+# certificates are ABOUT, so it must stay runnable). A 100×-scale hot
+# key (d ≈ 90k → 4e9 pairs from one key) trips the refusal instead of
+# an OOM three stages later.
+MAX_EXACT_PAIRS = 2_000_000_000
+
+
+def predicted_self_pairs(
+    edges: DataFrame, key_col: str
+) -> tuple[int, int]:
+    """(max per-key degree, Σ d(d−1)/2) — the exact output volume of an
+    ordered self-join on ``key_col`` (q_join_fanout's estimate at
+    self-join grain), from ONE slim count aggregate. The probe is
+    trivially cheap next to the pair join it guards, and on the
+    memoized/checkpointed edge frames the trio uses it reads the
+    already-materialized blocks."""
+    row = (
+        edges.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(
+            F.max("__d").alias("m"),
+            F.sum(F.col("__d") * (F.col("__d") - 1) / 2)
+            .cast("long")
+            .alias("p"),
+        )
+        .collect()[0]
+    )
+    return int(row["m"] or 0), int(row["p"] or 0)
+
+
+def refuse_excess_fanout(
+    edges: DataFrame,
+    key_col: str,
+    max_pairs: int | None,
+    route_hint: str,
+) -> int:
+    """Pre-flight interlock for exact quadratic pair plans: estimate the
+    self-join output volume and raise ``ValueError`` naming the capped
+    sibling when it exceeds ``max_pairs``. Pass ``max_pairs=None`` to
+    skip (callers that already bounded degrees upstream). Returns the
+    predicted pair count so call sites can log it."""
+    if max_pairs is None:
+        return -1
+    _, pairs = predicted_self_pairs(edges, key_col)
+    if pairs > max_pairs:
+        raise ValueError(
+            f"exact pair self-join REFUSED: predicted Σd(d-1)/2 = "
+            f"{pairs:,} pairs on key '{key_col}' exceeds max_pairs="
+            f"{max_pairs:,}. At this volume the exact plan is the "
+            f"measured scale-killer (BENCH_SF1_SKEW.json: 4.9-6.0× "
+            f"under a hot key at 403M predicted pairs). Use the "
+            f"certified capped route instead: {route_hint}; or pass "
+            f"max_pairs=None to force the exact plan deliberately."
+        )
+    return pairs
+
 
 def basket_lift(
     df: DataFrame,
@@ -104,6 +164,7 @@ def cooccurrence_pairs(
     item_col: str,
     max_degree: int | None = MAX_EXACT_DEGREE,
     strict: bool = False,
+    max_pairs: int | None = MAX_EXACT_PAIRS,
 ) -> DataFrame:
     """Ordered item co-occurrence counts (i1 < i2) per shared key.
 
@@ -154,17 +215,31 @@ def cooccurrence_pairs(
     bounded degrees upstream (e.g. the approx twins, whose input IS the
     capped subgraph).
 
+    Volume interlock (``max_pairs``, default :data:`MAX_EXACT_PAIRS`,
+    VERDICT r10 #5): the same probe also predicts the TOTAL pair output
+    Σ d(d−1)/2 and REFUSES (ValueError, not a warning) past the bound —
+    the hot-degree warning catches one pathological key, this catches a
+    graph whose whole degree distribution makes the exact join
+    cluster-hostile. ``max_pairs=None`` forces the exact plan.
+
     Returns (i1, i2, n_shared).
     """
-    if max_degree is not None:
-        dmax_row = (
-            edges.groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .agg(F.max("__d").alias("m"))
-            .collect()
-        )
-        dmax = dmax_row[0]["m"] or 0
-        if dmax > max_degree:
+    if max_degree is not None or max_pairs is not None:
+        dmax, pairs = predicted_self_pairs(edges, key_col)
+        if max_pairs is not None and pairs > max_pairs:
+            # the VOLUME interlock always refuses — unlike the degree
+            # warning below, a predicted-output blowup is never a
+            # proceed-by-default situation (VERDICT r10 #5)
+            raise ValueError(
+                f"cooccurrence_pairs REFUSED: predicted Σd(d-1)/2 = "
+                f"{pairs:,} pairs on key '{key_col}' exceeds max_pairs="
+                f"{max_pairs:,}. Use degree_capped_edges() — the "
+                f"certified approx route (q_graph_jaccard_approx / "
+                f"q_item_cf_recs_approx, recall-certified by "
+                f"q_graph_jaccard_recall / q_item_cf_recall) — or pass "
+                f"max_pairs=None to force the exact plan deliberately."
+            )
+        if max_degree is not None and dmax > max_degree:
             msg = (
                 f"cooccurrence_pairs: max per-{key_col} degree {dmax} exceeds "
                 f"max_degree={max_degree}; the exact pair self-join pays "

@@ -798,6 +798,19 @@ def q_weighted_jaccard(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
+    # VERDICT r10 #5: the volume interlock the unweighted twin gets via
+    # cooccurrence_pairs — refuse the exact quadratic plan outright when
+    # the predicted pair output is cluster-hostile (the probe also
+    # materializes the lazy checkpoint the main plan reuses)
+    from ..operators.basket import MAX_EXACT_PAIRS, refuse_excess_fanout
+
+    refuse_excess_fanout(
+        w,
+        "cust",
+        MAX_EXACT_PAIRS,
+        "q_weighted_jaccard_approx (recall-certified by "
+        "q_weighted_jaccard_recall)",
+    )
     tot = w.groupBy("supp").agg(F.sum("qty").cast("long").alias("t"))
     a = w.select(
         F.col("cust").alias("ca"), F.col("supp").alias("s1"),

@@ -536,16 +536,21 @@ def test_table_fingerprint_row_hash_matches_hashlib(spark):
 
 def test_stream_state_census_certifies_store_size(spark):
     """The windowed-agg state store must hold exactly one row per
-    (hour, event_type) group after the last micro-batch, and report a
-    positive measured footprint."""
+    (hour, event_type) group after the last micro-batch under BOTH
+    providers (HDFS-backed and RocksDB — VERDICT r10 #7), report a
+    positive measured footprint each, and the two providers' update
+    streams must be row-identical."""
     from legislative_bills_database_spark.plans import QUERIES
 
     r = QUERIES["q_stream_state_census"](spark, SF_DIR).collect()[0]
     assert r.n_microbatches == 4
     assert r.rows_match == 1
+    assert r.providers_agree == 1
     assert r.state_rows_final == r.n_groups_batch > 0
-    assert r.memory_used_bytes > 0
-    assert 0 < r.bytes_per_state_row < 10_000
+    assert r.hdfs_memory_bytes > 0
+    assert 0 < r.hdfs_bytes_per_row < 10_000
+    assert r.rocksdb_memory_bytes > 0
+    assert 0 < r.rocksdb_bytes_per_row < 10_000
 
 
 # ---------------------------------------------------------------------------
