@@ -428,6 +428,15 @@ HEADLINE = [
     # round-11 phase 64: AQE skew-join certificate (runs the hot join
     # twice, on/off)
     "q_aqe_skew_census",
+    # round-11 phases 65-66: FIFO allocation, fairness/privacy censuses,
+    # isotonic calibration, SPRT, kernel MMD, exact Shapley
+    "q_fifo_allocation",
+    "q_disparate_impact",
+    "q_t_closeness",
+    "q_isotonic_calibration",
+    "q_sprt_decision",
+    "q_mmd_poly",
+    "q_shapley_attribution",
 ]
 
 
