@@ -404,8 +404,13 @@ def q_t_closeness(spark, sf_dir):
         ).alias("bucket"),
     ).localCheckpoint(eager=False)
     nations = b.select("nation").distinct()
-    grid = nations.crossJoin(
-        spark.range(_TC_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    # dense grid via explode(sequence), not a crossJoin — one less
+    # nested-loop join in the plan (the ≤2-BNLJ census rule)
+    grid = nations.select(
+        "nation",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_TC_BUCKETS - 1))
+        ).alias("bucket"),
     )
     raw = b.groupBy("nation", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c")
