@@ -962,3 +962,26 @@ def q_shapley_attribution(spark, sf_dir):
             F.sum("term").cast("double") / _SHAP_FACT, 6
         ).alias("shapley")
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 67 — checkpoint restart/resume exactly-once certificate
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_resume")  # runs two real streaming queries → rows-only
+def q_stream_resume(spark, sf_dir):
+    """Restart-from-checkpoint certificate (streaming/sinks.
+    resume_report): the one streaming failure mode the availableNow
+    parity censuses can't see — a query STOPPED after half its input
+    and restarted as a new query object on the same checkpoint must
+    process ONLY the unseen files, continue batch ids (so the
+    idempotent batch=<id> sink never collides), and reproduce the
+    input multiset with zero duplicates and zero loss. This is the
+    actual 100 TB operational path: long-running ingestion restarts on
+    every deploy; exactly-once across restarts is the contract that
+    makes that safe."""
+    from ..streaming.sinks import resume_report
+
+    events = load_table(spark, sf_dir, "events")
+    return resume_report(spark, events)

@@ -78,3 +78,15 @@ def test_weighted_jaccard_interlock_refuses(spark, monkeypatch):
     # so patching the module constant is enough
     with pytest.raises(ValueError, match="q_weighted_jaccard_approx"):
         QUERIES["q_weighted_jaccard"](spark, SF1).collect()
+
+
+def test_stream_resume_exactly_once(spark):
+    """Restart-from-checkpoint must resume, not reprocess: second run's
+    rows complement the first exactly; batch ids continue; output is
+    the input multiset."""
+    r = QUERIES["q_stream_resume"](spark, SF1).collect()[0]
+    assert r.exactly_once == 1
+    assert r.n_dup == 0 and r.n_missing == 0
+    assert r.run1_rows + r.run2_rows == r.n_input
+    assert r.run1_batches == 2 and r.run2_batches == 2
+    assert r.n_output == r.n_input
