@@ -39,82 +39,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-10 rotation (VERDICT r9 item #5 — staleness refresh): flagship
-# + q_page_hinkley (the r9 red cell, rebuilt integer-domain this round —
-# its green row restores the zero-red-cells record) + the round-10
-# newcomers as their phases land, topped up with the ~33 queries whose
-# latest driver CORRECTNESS row is still r1/r2-era (the _REFRESHERS
-# slice r9 didn't reach). After this window lands, no query's latest
-# driver row is older than r3. _REFRESHERS is trimmed automatically as
-# newcomers are appended (guarded non-negative per ADVICE r9 #1).
-_NEWCOMERS_R10: list[str] = [
-    # appended per round-10 phase as each lands (gated by make round-gate)
-    # -- phase 58: weighted-jaccard capped sibling + recall certificate --
-    "q_weighted_jaccard_approx",
-    "q_weighted_jaccard_recall",
-    # -- phase 59: distribution-free two-sample inference --
-    "q_ks_two_sample",
-    "q_cliffs_delta",
-    "q_qte_deciles",
-    "q_odds_ratio",
-    # -- phase 60: survival analysis on reorder latency --
-    "q_kaplan_meier",
-    "q_nelson_aalen",
-    "q_logrank",
-    # -- phase 61: stump split search + recommender evaluation --
-    "q_best_split",
-    "q_map_at_k",
-    "q_mrr",
-    # -- phase 62: block-capped edit-distance escape + certificate --
-    "q_edit_distance_capped",
-    "q_edit_distance_recall",
+# Round-11 rotation (VERDICT r10 item #1 — close the staleness tail):
+# flagship + the 11 round-11 newcomers + q_stream_state_census (its
+# output schema grew the RocksDB provider columns this round, so its
+# driver row must refresh) + the 10 queries whose latest driver row is
+# still r2 (the refresher slice r10's window arithmetic could not reach
+# — ROUND_NOTES r10 over-claimed "nothing older than r3" by exactly
+# these rows), topped up with the alphabetically-first r3-era rows.
+# After this window lands, no query's latest driver row is older than
+# r3, and 27 of the 48 r3-era rows advance too (the rest lead r12).
+_NEWCOMERS_R11: list[str] = [
+    # -- phase 63: exact-substring dedup + paragraph-grain removal --
+    "q_substr_dup_spans",
+    "q_dedup_paragraphs",
+    # -- phase 64: AQE skew certificate --
+    "q_aqe_skew_census",
+    # -- phase 65: allocation / fairness / privacy --
+    "q_fifo_allocation",
+    "q_disparate_impact",
+    "q_t_closeness",
+    # -- phase 66: isotonic / SPRT / MMD / Shapley --
+    "q_isotonic_calibration",
+    "q_sprt_decision",
+    "q_mmd_poly",
+    "q_shapley_attribution",
+    # -- phase 67: checkpoint restart/resume exactly-once cert --
+    "q_stream_resume",
+    # schema changed this round (dual-provider columns) → refresh row
+    "q_stream_state_census",
 ]
 
-# Stalest previously-verified rows (last driver CORRECTNESS row r1/r2;
-# r9's refresher slice covered the first five of the old list) — trimmed
-# automatically as newcomers land.
+# The 10 rows VERDICT r10 names (latest driver row r2), then the
+# r3-era backlog in the order computed from CORRECTNESS_r*.json —
+# trimmed automatically to fill exactly 50 slots.
 _REFRESHERS = [
-    "q_drop_columns",
-    "q_equality_filter",
-    "q_fixed_replace",
-    "q_isin_filter",
-    "q_literal_table",
-    "q_parity_math",
-    "q_projection_rename",
-    "q_regexp_extract",
-    "q_regexp_replace",
-    "q_sort_desc",
-    "q_union_all",
-    "q_uuid",
-    "q_year_extract",
-    "q_active_sessions",
-    "q_ann_lsh_pairs",
-    "q_approx_distinct",
-    "q_array_contains",
-    "q_array_last",
-    "q_base64_roundtrip",
-    "q_binary_meta",
-    "q_boolean_any_agg",
-    "q_conditional_expr",
-    "q_csv_sink",
-    "q_dedup_keep_latest",
-    "q_derived_key_join",
-    "q_dir_catalog",
-    "q_doc_fingerprint",
-    "q_embedding_neardup",
-    "q_html_text_source",
-    "q_lang_id",
-    "q_lookup_join",
-    "q_near_dedup",
-    "q_nested_projection",
-    "q_ratio_aggregate",
+    # r2-era (MUST all land this round — VERDICT r10 item #1)
+    "q_rowwise_total",
+    "q_semi_join",
+    "q_regex_filter",
+    "q_split_explode",
+    "q_simhash",
+    "q_token_count",
+    "q_simhash_pairs",
+    "q_salted_count",
+    "q_sessionize",
+    "q_topk_per_group",
+    # r3-era backlog (alphabetical; the tail past slot 50 leads r12)
+    "q_ann_ivf_topk",
+    "q_ann_recall",
+    "q_asof_join",
+    "q_bigram_pmi",
+    "q_char_entropy",
+    "q_cohort_retention",
+    "q_column_profile",
+    "q_corpus_filter_pipeline",
+    "q_cosine_topk",
+    "q_data_mixture",
+    "q_decontaminate",
+    "q_dsir_weights",
+    "q_ewma",
+    "q_exact_dedup",
+    "q_fallback_join",
+    "q_funnel",
+    "q_fuzzy_join",
+    "q_gap_fill",
+    "q_incremental_dedup",
+    "q_json_scan",
+    "q_knn_accuracy",
+    "q_length_trim",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multiterm_or_filter",
+    "q_near_dedup_corpus",
+    "q_neardup_precision",
+    "q_ngram_jaccard",
+    "q_ngram_novelty",
+    "q_pdf_text_source",
+    "q_phrase_search",
+    "q_pipeline_keyword_search",
+    "q_pipeline_legislator_counts",
+    "q_pq_recall",
+    "q_quality_score",
+    "q_rag_chunks",
+    "q_range_join",
 ]
 
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    "q_page_hinkley",  # r9's one red cell — must re-verify green in r10
 ]
-_WINDOW += [q for q in _NEWCOMERS_R10 if q not in _WINDOW]
+_WINDOW += [q for q in _NEWCOMERS_R11 if q not in _WINDOW]
 _WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][
     : max(0, 50 - len(_WINDOW))
 ]
