@@ -424,6 +424,7 @@ HEADLINE = [
     # round-11 phase 63: exact-substring dedup (ExactSubstr) +
     # paragraph-grain removal
     "q_substr_dup_spans",
+    "q_substr_dedup_strip",
     "q_dedup_paragraphs",
     # round-11 phase 64: AQE skew-join certificate (runs the hot join
     # twice, on/off)

@@ -480,3 +480,145 @@ FROM chunks c
 JOIN firsts f ON c.doc_id = f.doc_id AND c.chunk = f.chunk
 GROUP BY c.doc_id
 """
+
+
+def substr_dedup_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the cut side of Lee et al. 2022's
+    ExactSubstr (:func:`substr_dup_spans` is the detection side): every
+    duplicated ``k``-token window is removed from every document EXCEPT
+    its canonical occurrence (globally first by (doc_id, pos)), and the
+    survivors reassemble in reading order. Window-grain cutting, the
+    standard ExactSubstr behavior: a canonical window absorbed inside a
+    larger duplicated region of another occurrence still loses the
+    overlapping tokens — one retained copy is guaranteed at digest
+    grain, not at maximal-span grain (documented, deterministic).
+
+    Scale shape: the shingle/digest stages are :func:`substr_dup_spans`
+    verbatim; removal adds one ×k position explode over NON-CANONICAL
+    duplicated shingles only (duplication-volume-sized, not corpus-
+    sized), a distinct, and one anti-join at token grain before the
+    per-document reassembly groupBy. Nothing quadratic; text travels
+    once (the reassembly shuffle, same as strip_boilerplate).
+
+    Returns (id_col, n_tokens_kept, n_tokens_removed, clean_sha).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dg_arr = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i + 1, k), " "), 256),
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    tokens = base.select(
+        id_col, F.posexplode("__toks").alias("tpos", "tok")
+    )
+    sh = (
+        docs.filter(n >= k)
+        .select(F.col(id_col), F.posexplode(dg_arr).alias("pos", "dg"))
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "dg")
+    )
+    dup = sh.join(
+        sh.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("dg"),
+        "dg",
+    )
+    wcanon = Window.partitionBy("dg").orderBy(id_col, "pos")
+    noncanon = (
+        dup.withColumn("rk", F.row_number().over(wcanon))
+        .filter(F.col("rk") > 1)
+        .select(id_col, "pos")
+    )
+    removed = (
+        noncanon.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__tp"),
+        )
+        .select(id_col, F.col("__tp").cast("int").alias("tpos"))
+        .distinct()
+    )
+    kept = tokens.join(removed, [id_col, "tpos"], "left_anti")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+        ),
+        lambda s: s["tok"],
+    )
+    counts = tokens.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_all")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+            F.sha2(F.array_join(kept_sorted, " "), 256).alias("clean_sha"),
+        )
+        .join(counts, id_col)
+        .select(
+            id_col,
+            "n_tokens_kept",
+            (F.col("__n_all") - F.col("n_tokens_kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            "clean_sha",
+        )
+    )
+
+
+def sql_substr_dedup_strip(k: int = 8) -> str:
+    """DuckDB twin of :func:`substr_dedup_strip` over ``documents``.
+    Documents whose every token is removed fall out of the kept join —
+    mirrored by the Spark side the same way (group over KEPT tokens)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), tokens AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, len(l) - 1)) AS INTEGER) AS tpos,
+         unnest(l) AS tok
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, len(l) - {k})) AS BIGINT) AS pos,
+         unnest([sha256(array_to_string(l[i + 1 : i + {k}], ' '))
+                 FOR i IN generate_series(0, len(l) - {k})]) AS dg
+  FROM toks WHERE len(l) >= {k}
+), dupdg AS (
+  SELECT dg FROM sh GROUP BY dg HAVING count(*) > 1
+), noncanon AS (
+  SELECT doc_id, pos FROM (
+    SELECT s.doc_id, s.pos,
+           ROW_NUMBER() OVER (PARTITION BY s.dg
+                              ORDER BY s.doc_id, s.pos) AS rk
+    FROM sh s JOIN dupdg USING (dg))
+  WHERE rk > 1
+), removed AS (
+  SELECT DISTINCT doc_id,
+         CAST(unnest(generate_series(pos, pos + {k} - 1)) AS INTEGER)
+           AS tpos
+  FROM noncanon
+), kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tokens t LEFT JOIN removed r
+    ON r.doc_id = t.doc_id AND r.tpos = t.tpos
+  WHERE r.doc_id IS NULL
+), counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_all FROM tokens GROUP BY 1
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+       CAST(c.n_all - COUNT(*) AS BIGINT) AS n_tokens_removed,
+       sha256(string_agg(k.tok, ' ' ORDER BY k.tpos)) AS clean_sha
+FROM kept k JOIN counts c ON c.doc_id = k.doc_id
+GROUP BY k.doc_id, c.n_all
+"""

@@ -985,3 +985,16 @@ def q_stream_resume(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return resume_report(spark, events)
+
+
+@query("q_substr_dedup_strip", Co.sql_substr_dedup_strip(k=_SUBSTR_K))
+def q_substr_dedup_strip(spark, sf_dir):
+    """ExactSubstr REMOVAL (operators/corpus.substr_dedup_strip): every
+    duplicated 8-token window is cut from every document except its
+    canonical (globally-first) occurrence, survivors reassembled in
+    reading order — q_substr_dup_spans says where the corpus repeats
+    itself, this produces the deduplicated corpus, hash-verified down
+    to the sha256 of each rebuilt document. Window-grain retention
+    semantics documented in the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return Co.substr_dedup_strip(docs, k=_SUBSTR_K)

@@ -177,3 +177,40 @@ def test_dedup_paragraphs_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_substr_dedup_strip_planted_corpus(spark):
+    """Removal keeps exactly the canonical (globally-first) occurrence
+    of each duplicated window: doc 1 keeps its first chorus, doc 2
+    keeps the quote (doc 3 loses it), doc 4 keeps the boilerplate
+    (docs 5 and 6 lose it); unique text is untouched."""
+    from legislative_bills_database_spark.operators.corpus import (
+        substr_dedup_strip,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in substr_dedup_strip(_docs_df(spark), k=K).collect()
+    }
+
+    def sha(tokens):
+        return hashlib.sha256(" ".join(tokens).encode()).hexdigest()
+
+    # doc 1: second chorus removed (10 tokens)
+    d1 = _fill("a", 9) + CHORUS + _fill("b", 9) + _fill("c", 9)
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[1]["clean_sha"] == sha(d1)
+    # doc 2 canonical for the quote — untouched; doc 3 loses it
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[2]["clean_sha"] == sha(DOCS[2])
+    assert got[3]["n_tokens_removed"] == 12
+    assert got[3]["clean_sha"] == sha(_fill("f", 9) + _fill("g", 9))
+    # boilerplate: doc 4 canonical; 5 and 6 lose the 8-token block
+    assert got[4]["n_tokens_removed"] == 0
+    assert got[5]["n_tokens_removed"] == 8
+    assert got[5]["clean_sha"] == sha(_fill("i", 9))
+    assert got[6]["n_tokens_removed"] == 8
+    assert got[6]["clean_sha"] == sha(_fill("j", 9) + _fill("k", 9))
+    # unique and shorter-than-k docs are untouched
+    assert got[7]["n_tokens_removed"] == 0
+    assert got[8]["n_tokens_removed"] == 0
