@@ -51,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEWCOMERS_R11: list[str] = [
     # -- phase 63: exact-substring dedup + paragraph-grain removal --
     "q_substr_dup_spans",
+    "q_substr_dedup_strip",
     "q_dedup_paragraphs",
     # -- phase 64: AQE skew certificate --
     "q_aqe_skew_census",
