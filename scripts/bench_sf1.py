@@ -54,6 +54,13 @@ EXTRA_HEAVY = [
     # avoid. Its sf0.1 cost is measured in BENCH_TEXTSKEW.json.)
     "q_weighted_jaccard_approx", "q_map_at_k", "q_mrr",
     "q_best_split", "q_logrank",
+    # round-11 newcomers with data-sized plans: the ExactSubstr pair
+    # (token-count-scale digest shuffles), the FIFO interval join, the
+    # zero-shuffle paragraph dedup (linearity control), the global-
+    # ntile t-closeness census, and the AQE skew certificate (runs its
+    # hot join twice per invocation)
+    "q_substr_dup_spans", "q_substr_dedup_strip", "q_fifo_allocation",
+    "q_dedup_paragraphs", "q_t_closeness", "q_aqe_skew_census",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
