@@ -66,6 +66,8 @@ _NEWCOMERS_R11: list[str] = [
     "q_shapley_attribution",
     # -- phase 67: checkpoint restart/resume exactly-once cert --
     "q_stream_resume",
+    # -- phase 68: multiple-testing control --
+    "q_bh_fdr",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -438,6 +438,8 @@ HEADLINE = [
     "q_sprt_decision",
     "q_mmd_poly",
     "q_shapley_attribution",
+    # round-11 phase 68: multiple-testing control
+    "q_bh_fdr",
 ]
 
 

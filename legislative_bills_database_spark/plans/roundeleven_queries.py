@@ -998,3 +998,217 @@ def q_substr_dedup_strip(spark, sf_dir):
     semantics documented in the operator."""
     docs = load_table(spark, sf_dir, "documents")
     return Co.substr_dedup_strip(docs, k=_SUBSTR_K)
+
+
+# ---------------------------------------------------------------------------
+# phase 68 — multiple-testing control: Benjamini-Hochberg over
+# per-segment permutation p-values
+# ---------------------------------------------------------------------------
+
+_BH_K = 60  # permutations (matches q_permutation_test's _PERM_K)
+_BH_ALPHA = "0.10"
+_BH_M = 5  # market segments = number of simultaneous tests
+
+
+@query(
+    "q_bh_fdr",
+    f"""
+    WITH u AS (
+      SELECT c.c_custkey AS cust, c.c_mktsegment AS seg,
+             CAST(COALESCE(SUM(
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) AS v
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS st
+      FROM u
+    ), gt AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(v) AS BIGINT) AS sa
+      FROM u GROUP BY 1
+    ), perm AS (
+      SELECT s.seed, u.v,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.seed
+               ORDER BY md5(CAST(s.seed AS VARCHAR) || ':'
+                            || CAST(u.cust AS VARCHAR)), u.cust) AS rn
+      FROM u, (SELECT seed FROM range(1, {_BH_K + 1}) r(seed)) s
+    ), cum AS (
+      SELECT seed, rn,
+             CAST(SUM(v) OVER (PARTITION BY seed ORDER BY rn)
+                  AS BIGINT) AS cv
+      FROM perm
+    ), ps AS (
+      SELECT g.seg, c.seed,
+             CAST(c.cv AS DOUBLE) / g.n1
+               - CAST(t.st - c.cv AS DOUBLE) / (t.n - g.n1) AS diff_s
+      FROM cum c JOIN gt g ON c.rn = g.n1, tot t
+    ), obs AS (
+      SELECT g.seg, g.n1,
+             CAST(g.sa AS DOUBLE) / g.n1
+               - CAST(t.st - g.sa AS DOUBLE) / (t.n - g.n1) AS obs_d
+      FROM gt g, tot t
+    ), pv AS (
+      SELECT o.seg, o.n1, ROUND(o.obs_d, 6) AS obs_diff_cents,
+             ROUND((1.0 + SUM(CASE WHEN ABS(p.diff_s) >= ABS(o.obs_d)
+                                   THEN 1 ELSE 0 END))
+                   / (COUNT(*) + 1.0), 6) AS p_value
+      FROM obs o JOIN ps p ON p.seg = o.seg
+      GROUP BY o.seg, o.n1, o.obs_d
+    ), ranked AS (
+      SELECT seg, n1, obs_diff_cents, p_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value, seg) AS BIGINT)
+               AS bh_rank,
+             CASE WHEN p_value
+                       <= ROW_NUMBER() OVER (ORDER BY p_value, seg)
+                          * {_BH_ALPHA} / {_BH_M}
+                  THEN 1 ELSE 0 END AS passes
+      FROM pv
+    ), kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN passes = 1 THEN bh_rank END), 0)
+               AS k
+      FROM ranked
+    )
+    SELECT r.seg AS segment, r.n1 AS n_customers, r.obs_diff_cents,
+           r.p_value, r.bh_rank,
+           CAST(CASE WHEN r.bh_rank <= kmax.k THEN 1 ELSE 0 END
+                AS BIGINT) AS discovery
+    FROM ranked r, kmax
+    """,
+)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over SIMULTANEOUS permutation
+    tests — the multiple-testing discipline the per-test inference
+    suite (q_permutation_test, q_ab_test, …) was missing: testing all
+    5 market segments against the rest at once, 5 chances to false-
+    alarm need a correction, and BH bounds the expected false-discovery
+    RATE at α=0.10 instead of Bonferroni's power-killing family bound.
+
+    Distributed shape: ONE md5 shuffle per seed serves all 5 tests —
+    each seed ranks every customer once (the q_permutation_test
+    portable-randomness discipline) and a per-seed cumulative sum makes
+    'spend of the first n₁ shuffled customers' an O(1) lookup per
+    segment (join on rn = n₁), so the B×N frame is built once, not per
+    test. p-values are exact small-integer ratios; the BH step-up
+    (max rank with p ≤ rank·α/m, everything below is a discovery) runs
+    on the 5-row frame."""
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    u = (
+        customer.join(
+            orders, orders["o_custkey"] == customer["c_custkey"], "left"
+        )
+        .groupBy(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)  # perm fan-out + totals + groups
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("st"),
+    )
+    gt = u.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("sa"),
+    )
+    seeds = spark.range(1, _BH_K + 1).select(F.col("id").alias("seed"))
+    wp = Window.partitionBy("seed").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("seed").cast("string"),
+                F.col("cust").cast("string"),
+            )
+        ),
+        "cust",
+    )
+    perm = u.crossJoin(seeds).select(
+        "seed", "v", F.row_number().over(wp).alias("rn")
+    )
+    wc = Window.partitionBy("seed").orderBy("rn")
+    cum = perm.select(
+        "seed", "rn", F.sum("v").over(wc).cast("long").alias("cv")
+    )
+    ps = cum.join(gt, cum["rn"] == gt["n1"]).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        "seg",
+        "seed",
+        (
+            F.col("cv").cast("double") / F.col("n1")
+            - (F.col("st") - F.col("cv")).cast("double")
+            / (F.col("n") - F.col("n1"))
+        ).alias("diff_s"),
+    )
+    obs = gt.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n1",
+        (
+            F.col("sa").cast("double") / F.col("n1")
+            - (F.col("st") - F.col("sa")).cast("double")
+            / (F.col("n") - F.col("n1"))
+        ).alias("obs_d"),
+    )
+    pv = (
+        obs.join(ps, "seg")
+        .groupBy("seg", "n1", "obs_d")
+        .agg(
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("diff_s")) >= F.abs(F.col("obs_d")),
+                            1,
+                        ).otherwise(0)
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                6,
+            ).alias("p_value"),
+        )
+        .select(
+            "seg",
+            "n1",
+            F.round(F.col("obs_d"), 6).alias("obs_diff_cents"),
+            "p_value",
+        )
+    )
+    wr = Window.orderBy("p_value", "seg")
+    alpha = float(_BH_ALPHA)
+    ranked = pv.select(
+        "seg",
+        "n1",
+        "obs_diff_cents",
+        "p_value",
+        F.row_number().over(wr).cast("long").alias("bh_rank"),
+    ).withColumn(
+        "passes",
+        (
+            F.col("p_value")
+            <= F.col("bh_rank") * alpha / _BH_M
+        ).cast("int"),
+    ).localCheckpoint(eager=False)  # reused: kmax + final select
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes") == 1, F.col("bh_rank"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        F.col("seg").alias("segment"),
+        F.col("n1").alias("n_customers"),
+        "obs_diff_cents",
+        "p_value",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("k")).cast("long").alias("discovery"),
+    )

@@ -285,3 +285,29 @@ def test_shapley_python_replay_and_efficiency(spark):
     assert got == expect
     # efficiency axiom: Σφ = v(full) − v(∅), up to the 9dp term rounding
     assert abs(sum(got.values()) - (v[15] - v[0])) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# BH FDR: python replay of the step-up rule + prefix property
+# ---------------------------------------------------------------------------
+
+
+def test_bh_fdr_step_up_replay(spark):
+    rows = sorted(
+        QUERIES["q_bh_fdr"](spark, SF).collect(), key=lambda r: r.bh_rank
+    )
+    assert [r.bh_rank for r in rows] == list(range(1, 6))
+    # p-values sorted by rank; discoveries form a PREFIX of the ranking
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
+    flags = [r.discovery for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    # replay the step-up rule on the reported p-values
+    k = 0
+    for i, p in enumerate(ps, start=1):
+        if p <= i * 0.10 / 5:
+            k = i
+    assert flags == [1 if i <= k else 0 for i in range(1, 6)]
+    # each p-value is a valid permutation p: in (0, 1], granular 1/61
+    for p in ps:
+        assert 0 < p <= 1
