@@ -40,14 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # that have never had a driver-verified row get one.
 #
 # Round-11 rotation (VERDICT r10 item #1 — close the staleness tail):
-# flagship + the 13 round-11 newcomers + q_stream_state_census (its
+# flagship + the 18 round-11 newcomers + q_stream_state_census (its
 # output schema grew the RocksDB provider columns this round, so its
 # driver row must refresh) + the 10 queries whose latest driver row is
 # still r2 (the refresher slice r10's window arithmetic could not reach
 # — ROUND_NOTES r10 over-claimed "nothing older than r3" by exactly
 # these rows), topped up with the alphabetically-first r3-era rows.
 # After this window lands, no query's latest driver row is older than
-# r3, and 25 of the 48 r3-era rows advance too (the rest lead r12).
+# r3, and 20 of the 48 r3-era rows advance too (the rest lead r12).
 _NEWCOMERS_R11: list[str] = [
     # -- phase 63: exact-substring dedup + paragraph-grain removal --
     "q_substr_dup_spans",
@@ -68,6 +68,12 @@ _NEWCOMERS_R11: list[str] = [
     "q_stream_resume",
     # -- phase 68: multiple-testing control --
     "q_bh_fdr",
+    # -- phase 69: KN LM / IVM / resharding / causal / local-DP --
+    "q_kneser_ney",
+    "q_ivm_join",
+    "q_rendezvous_resharding",
+    "q_stratified_ate",
+    "q_randomized_response",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -440,6 +440,13 @@ HEADLINE = [
     "q_shapley_attribution",
     # round-11 phase 68: multiple-testing control
     "q_bh_fdr",
+    # round-11 phase 69: KN bigram LM, signed-delta IVM, rendezvous
+    # resharding, stratified ATE, randomized response
+    "q_kneser_ney",
+    "q_ivm_join",
+    "q_rendezvous_resharding",
+    "q_stratified_ate",
+    "q_randomized_response",
 ]
 
 

@@ -22,3 +22,4 @@ from . import roundeight_queries  # noqa: F401  (registers on import)
 from . import roundnine_queries  # noqa: F401  (registers on import)
 from . import roundten_queries  # noqa: F401  (registers on import)
 from . import roundeleven_queries  # noqa: F401  (registers on import)
+from . import roundeleven_b_queries  # noqa: F401  (registers on import)
