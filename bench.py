@@ -447,6 +447,9 @@ HEADLINE = [
     "q_rendezvous_resharding",
     "q_stratified_ate",
     "q_randomized_response",
+    # round-11 phase 70: schema-constraint discovery
+    "q_inclusion_deps",
+    "q_fd_check",
 ]
 
 

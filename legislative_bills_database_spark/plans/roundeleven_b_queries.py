@@ -515,10 +515,182 @@ def q_randomized_response(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# phase 70 — schema-constraint discovery (profiling family)
+# ---------------------------------------------------------------------------
+
+# Candidate inclusion dependencies (foreign-key hypotheses): a declared
+# literal list — TANE/Metanome-style profilers enumerate candidates, the
+# engine's job is verdicts at data scale. Mix of expected-hold (the
+# star-schema FKs) and expected-fail (coverage and decoy hypotheses).
+_IND_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_custkey", "events", "user_id"),
+    ("part", "p_partkey", "supplier", "s_suppkey"),
+]
+
+
+def _sql_ind_block(lt: str, lc: str, rt: str, rc: str) -> str:
+    return f"""
+    SELECT '{lt}.{lc}' AS lhs, '{rt}.{rc}' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(CASE WHEN SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS holds,
+           ROUND(CAST(count(*) - SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*), 6) AS containment
+    FROM (SELECT DISTINCT {lc} AS k FROM {lt}) l
+    LEFT JOIN (SELECT DISTINCT {rc} AS k FROM {rt}) r USING (k)
+    """
+
+
+@query(
+    "q_inclusion_deps",
+    "\nUNION ALL\n".join(
+        _sql_ind_block(*cand) for cand in _IND_CANDIDATES
+    ),
+)
+def q_inclusion_deps(spark, sf_dir):
+    """Inclusion-dependency (foreign-key hypothesis) verdicts over a
+    declared candidate list — the discovery half of q_fk_orphans
+    (which audits a KNOWN FK; this one grades HYPOTHESES the way
+    Metanome/TANE-family profilers do, with a containment fraction so
+    near-misses are visible): for each lhs ⊆ rhs candidate, how many
+    distinct lhs values are missing from rhs. The six candidates mix
+    the star-schema FKs (must hold) with a coverage hypothesis
+    (customer ⊆ event users — fails: most customers never produced an
+    event) and a decoy (partkey ⊆ suppkey).
+
+    Scale shape: each verdict is DISTINCT-project both sides →
+    left-outer join at VALUE grain → one row; key cardinality, never
+    row count, bounds the shuffle, and candidates are independent so
+    the union evaluates them in parallel. At 100 TB this is the cheap
+    pre-join sanity pass that catches a broken ingest before a silent
+    inner-join row drop does."""
+    out = None
+    for lt, lc, rt, rc in _IND_CANDIDATES:
+        lhs = (
+            load_table(spark, sf_dir, lt)
+            .select(F.col(lc).alias("k"))
+            .distinct()
+        )
+        rhs = (
+            load_table(spark, sf_dir, rt)
+            .select(F.col(rc).alias("k"), F.lit(1).alias("hit"))
+            .distinct()
+        )
+        miss = F.sum(
+            F.when(F.col("hit").isNull(), 1).otherwise(0)
+        ).cast("long")
+        n = F.count(F.lit(1)).cast("long")
+        block = (
+            lhs.join(rhs, "k", "left")
+            .agg(
+                F.lit(f"{lt}.{lc}").alias("lhs"),
+                F.lit(f"{rt}.{rc}").alias("rhs"),
+                n.alias("n_lhs"),
+                miss.alias("n_missing"),
+                F.when(miss == 0, 1).otherwise(0).cast("int").alias("holds"),
+                F.round((n - miss).cast("double") / n, 6).alias(
+                    "containment"
+                ),
+            )
+            .select(
+                "lhs", "rhs", "n_lhs", "n_missing", "holds", "containment"
+            )
+        )
+        out = block if out is None else out.unionByName(block)
+    return out
+
+
+# Candidate functional dependencies lhs → rhs, same discovery posture:
+# two true (the key FDs) and four false ones — including the composite
+# (l_orderkey, l_linenumber) → l_partkey, which LOOKS like the TPC-H
+# primary key but genuinely fails on this synthetic fixture (duplicate
+# line numbers within an order at every SF) — exactly the kind of
+# assumed-key-that-isn't a discovery pass exists to catch before a
+# MERGE keyed on it silently multiplies rows.
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("events", ["event_id"], "user_id"),
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("customer", ["c_nationkey"], "c_mktsegment"),
+    ("part", ["p_brand"], "p_type"),
+    ("lineitem", ["l_partkey"], "l_suppkey"),
+]
+
+
+def _sql_fd_block(t: str, lhs: list[str], rhs: str) -> str:
+    lhs_expr = ", ".join(lhs)
+    name = f"{t}: {','.join(lhs)} -> {rhs}"
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(d) AS BIGINT) AS max_rhs,
+           CAST(CASE WHEN MAX(d) = 1 THEN 1 ELSE 0 END AS INTEGER) AS holds
+    FROM (SELECT {lhs_expr}, count(DISTINCT {rhs}) AS d
+          FROM {t} GROUP BY {lhs_expr})
+    """
+
+
+@query(
+    "q_fd_check",
+    "\nUNION ALL\n".join(_sql_fd_block(*cand) for cand in _FD_CANDIDATES),
+)
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency verdicts over a declared candidate list
+    (TANE's per-candidate check, stripped of lattice search): lhs → rhs
+    holds iff no lhs group carries two distinct rhs values; violating
+    groups and the worst group's rhs cardinality quantify HOW broken a
+    failed candidate is (1 bad group is a dirty row; thousands is a
+    wrong model). Two keys that must hold and four false hypotheses —
+    three planted (nation→segment, brand→type, part→supplier) and one
+    DISCOVERED while pinning this query: (l_orderkey, l_linenumber)
+    looks like the TPC-H primary key but is not unique in this
+    fixture at any SF — the assumed-key-that-isn't a discovery pass
+    exists to catch before a MERGE keyed on it multiplies rows.
+
+    Each candidate is one grouped count-distinct — partial aggregation
+    makes the map side absorb duplicate (lhs, rhs) pairs before the
+    shuffle, so the exchange carries group-grain rows; candidates
+    union in parallel. The profiling companion to q_dq_constraints:
+    that one enforces declared rules, this one discovers which rules
+    the data could even support."""
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        name = f"{t}: {','.join(lhs)} -> {rhs}"
+        grouped = (
+            load_table(spark, sf_dir, t)
+            .groupBy(*[F.col(c) for c in lhs])
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        block = grouped.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("d").cast("long").alias("max_rhs"),
+            F.when(F.max("d") == 1, 1).otherwise(0).cast("int").alias(
+                "holds"
+            ),
+        ).select("fd", "n_groups", "n_violating", "max_rhs", "holds")
+        out = block if out is None else out.unionByName(block)
+    return out
+
+
 __all__ = [
     "q_kneser_ney",
     "q_ivm_join",
     "q_rendezvous_resharding",
     "q_stratified_ate",
     "q_randomized_response",
+    "q_inclusion_deps",
+    "q_fd_check",
 ]
