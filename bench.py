@@ -450,6 +450,8 @@ HEADLINE = [
     # round-11 phase 70: schema-constraint discovery
     "q_inclusion_deps",
     "q_fd_check",
+    # round-11 phase 71: sampled Brandes betweenness
+    "q_betweenness_sample",
 ]
 
 

@@ -782,3 +782,201 @@ def k_core_fixed(
             "converged", F.lit(1 if converged else 0).cast("long")
         )
     return out
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Sampled-source Brandes betweenness (Brandes 2001; sampling per
+    Riondato & Kornaropoulos) with a FLOOR-QUANTIZED integer dependency
+    recurrence, so the whole computation is value-hash-checkable
+    against a chained-CTE SQL twin (the q_pagerank_exact discipline:
+    floats iterate rows-only, the certified sibling iterates BIGINTs).
+
+    Forward: level-synchronous BFS from all seeds in one (seed, node)
+    keyed frame — shortest-path counts fold as sigma(v) = Σ sigma(u)
+    over predecessors one level up, exactly the partial-aggregation
+    shape Spark's hash aggregate wants, and rounds are bounded by
+    graph DIAMETER, not diameter × seeds. Backward: the Brandes
+    accumulation delta(v) = Σ_w sigma(v)/sigma(w) · (1 + delta(w)) is
+    replaced by its scaled integer floor
+
+        delta_q(v) = Σ_w (sigma(v) · (scale + delta_q(w))) div sigma(w)
+
+    — every term is a BIGINT floor division (identical on nonnegative
+    operands in Spark and DuckDB) and every per-node sum is an integer
+    sum (cross-row order cannot matter), so the twin matches bit for
+    bit while staying within 1/scale per term of real Brandes. In an
+    unweighted graph every shortest-path-DAG edge connects consecutive
+    BFS levels, so joining level k to level k-1 IS the predecessor
+    filter. Each level is eagerly checkpointed (bounded lineage, the
+    k_core discipline) and released when its successors are done.
+
+    Depth is FIXED at ``max_depth`` (k-bounded betweenness — standard
+    for sampled centrality; the purchase graph's eccentricity is 3 at
+    every test SF, so 4 is exhaustive there). Returns (node,
+    betweenness_q) for nodes with positive accumulated dependency;
+    divide by ``scale`` for the Brandes value."""
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by every level, both passes
+    )
+    lvl: dict[int, DataFrame] = {
+        0: seeds.select(
+            F.col("seed"),
+            F.col("seed").alias("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint(eager=True)
+    }
+    visited = lvl[0].select("seed", "node").localCheckpoint(eager=True)
+    for k in range(1, max_depth + 1):
+        prev_visited = visited
+        cand = (
+            lvl[k - 1]
+            .join(sym, lvl[k - 1]["node"] == sym["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+        )
+        lvl[k] = (
+            cand.join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        visited = (
+            visited.unionByName(lvl[k].select("seed", "node"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(prev_visited)
+    delta: dict[int, DataFrame] = {
+        max_depth: lvl[max_depth].withColumn(
+            "delta", F.lit(0).cast("long")
+        )
+    }
+    for k in range(max_depth, 0, -1):
+        succ = delta[k]
+        contrib = succ.join(sym, succ["node"] == sym["dst"]).select(
+            "seed",
+            F.col("src").alias("pnode"),
+            F.col("sigma").alias("sigma_w"),
+            "delta",
+        )
+        pred = lvl[k - 1].select(
+            "seed",
+            F.col("node").alias("pnode"),
+            F.col("sigma").alias("sigma_v"),
+        )
+        dsum = (
+            contrib.join(pred, ["seed", "pnode"])
+            .select(
+                "seed",
+                "pnode",
+                F.expr(
+                    f"(sigma_v * ({scale} + delta)) div sigma_w"
+                ).alias("t"),
+            )
+            .groupBy("seed", "pnode")
+            .agg(F.sum("t").cast("long").alias("dcontrib"))
+        )
+        delta[k - 1] = (
+            lvl[k - 1]
+            .join(
+                dsum.withColumnRenamed("pnode", "node"),
+                ["seed", "node"],
+                "left",
+            )
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce(F.col("dcontrib"), F.lit(0))
+                .cast("long")
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for k in range(1, max_depth + 1):
+        part = delta[k].select("node", "delta")
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("betweenness_q"))
+        .filter(F.col("betweenness_q") > 0)
+    )
+
+
+def sql_betweenness_sampled(
+    seeds: list[str], max_depth: int = 4, scale: int = 1_000_000
+) -> str:
+    """DuckDB chained-CTE twin of :func:`betweenness_sampled` over the
+    customer↔supplier purchase graph (seed list and depth baked in as
+    literals; one forward CTE + one visited-union CTE per level, then
+    one backward CTE per level — the q_pagerank_exact chained-sweep
+    idiom, here with integer floor-div dependency terms)."""
+    seed_values = ", ".join(f"('{s}')" for s in seeds)
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT DISTINCT concat('c', o_custkey) AS src,
+                      concat('s', l_suppkey) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), f0 AS (
+      SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+      FROM (VALUES {seed_values}) AS seeds(seed)
+    ), vis0 AS (
+      SELECT seed, node FROM f0
+    )"""
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f""", f{k} AS (
+      SELECT p.seed, s.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM f{k - 1} p JOIN sym s ON p.node = s.src
+      WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} v
+                        WHERE v.seed = p.seed AND v.node = s.dst)
+      GROUP BY 1, 2
+    ), vis{k} AS (
+      SELECT seed, node FROM vis{k - 1}
+      UNION ALL SELECT seed, node FROM f{k}
+    )"""
+        )
+    parts.append(
+        f""", d{max_depth} AS (
+      SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta
+      FROM f{max_depth}
+    )"""
+    )
+    for k in range(max_depth - 1, 0, -1):
+        parts.append(
+            f""", d{k} AS (
+      SELECT p.seed, p.node, p.sigma,
+             CAST(COALESCE(SUM((p.sigma * ({scale} + w.delta)) // w.sigma),
+                           0) AS BIGINT) AS delta
+      FROM f{k} p
+      LEFT JOIN sym s ON p.node = s.src
+      LEFT JOIN d{k + 1} w ON w.seed = p.seed AND w.node = s.dst
+      GROUP BY 1, 2, 3
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT node, delta FROM d{k}" for k in range(1, max_depth + 1)
+    )
+    parts.append(
+        f""", alln AS (
+      {unions}
+    )
+    SELECT node, CAST(SUM(delta) AS BIGINT) AS betweenness_q
+    FROM alln GROUP BY 1 HAVING SUM(delta) > 0"""
+    )
+    return "".join(parts)

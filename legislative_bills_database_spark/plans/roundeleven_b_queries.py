@@ -685,6 +685,55 @@ def q_fd_check(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# phase 71 — sampled Brandes betweenness (quantized-exact)
+# ---------------------------------------------------------------------------
+
+_BW_SEEDS = ["s1", "s2", "s3", "s4"]
+_BW_DEPTH = 4
+
+
+def _sql_betweenness() -> str:
+    from ..operators.graph import sql_betweenness_sampled
+
+    return sql_betweenness_sampled(_BW_SEEDS, max_depth=_BW_DEPTH)
+
+
+@query("q_betweenness_sample", _sql_betweenness())
+def q_betweenness_sample(spark, sf_dir):
+    """Sampled-source betweenness centrality over the customer↔supplier
+    purchase graph (operators/graph.betweenness_sampled) — the broker
+    metric the centrality suite lacked: q_closeness says who is NEAR
+    everyone, betweenness says who sits ON the shortest paths between
+    everyone (the cut vertex whose loss disconnects flows). Brandes'
+    two-pass algorithm from the same 4 landmark suppliers as
+    q_closeness: level-synchronous sigma fold forward, dependency
+    accumulation backward — with the dependency recurrence floor-
+    quantized to BIGINTs (×10⁶) so the ENTIRE iterative computation
+    value-hash-matches a chained-CTE DuckDB twin (the q_pagerank_exact
+    discipline applied to a two-pass algorithm; within 1/10⁶ per term
+    of float Brandes, pinned against a pure-Python float replay).
+
+    Scale posture: all seeds share one (seed, node)-keyed frontier, so
+    rounds = graph diameter (3 here; depth fixed at 4) regardless of
+    sample size; every level is an eagerly-checkpointed bounded frame;
+    the backward join touches only consecutive levels — no node ever
+    meets more than its neighborhood."""
+    from ..operators.graph import betweenness_sampled
+
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [(s,) for s in _BW_SEEDS], "seed string"
+    )
+    return betweenness_sampled(edges, seeds, max_depth=_BW_DEPTH)
+
+
 __all__ = [
     "q_kneser_ney",
     "q_ivm_join",
