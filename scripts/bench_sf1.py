@@ -61,6 +61,11 @@ EXTRA_HEAVY = [
     # hot join twice per invocation)
     "q_substr_dup_spans", "q_substr_dedup_strip", "q_fifo_allocation",
     "q_dedup_paragraphs", "q_t_closeness", "q_aqe_skew_census",
+    # round-11 phases 69-71 data-sized plans: the bigram-shuffle KN LM,
+    # the signed-delta IVM (base agg + delta merge), the two-pass
+    # quantized Brandes loop, and the distinct-project IND sweep
+    "q_kneser_ney", "q_ivm_join", "q_betweenness_sample",
+    "q_inclusion_deps",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
@@ -119,6 +124,12 @@ def main() -> None:
         "q_item_cf_recs", "q_item_cf_recs_approx",
         # r10: the weighted twin rides the same memo
         "q_weighted_jaccard_approx",
+        # r11 (ADVICE r10 #3): the recommender-eval pair now shares one
+        # memoized hits/nrel materialization, so BENCH_FULL's cells for
+        # them are sweep-marginal too — without per-plan denominators
+        # their sf1/sf0.1 ratios read 74-135x and flag a superlinear
+        # cliff that is actually a denominator artifact
+        "q_map_at_k", "q_mrr",
     }
     sf01_dir = "/root/testdata/sf0.1"
     perplan01: dict[str, float] = {}
