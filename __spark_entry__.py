@@ -79,6 +79,8 @@ _NEWCOMERS_R11: list[str] = [
     "q_fd_check",
     # -- phase 71: sampled Brandes betweenness (quantized-exact) --
     "q_betweenness_sample",
+    # -- phase 72: additive Holt-Winters (chunked affine fold) --
+    "q_holt_winters",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

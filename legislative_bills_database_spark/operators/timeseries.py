@@ -430,3 +430,215 @@ def holt_linear_chunked(
         F.round(final["b"], round_dp).alias("trend"),
         F.round(final["l"] + final["b"], round_dp).alias("forecast_1"),
     )
+
+
+def holt_winters_chunked(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 4,
+    chunk_size: int = 16,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per key —
+    the SEASONAL generalization of :func:`holt_linear_chunked`.
+
+    The recurrence
+        l' = α(x − s₋ₘ) + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)·b
+        s' = γ(x − l') + (1−γ)·s₋ₘ
+    is linear in the (m+2)-component state (l, b, s₀..s₋₁) once the
+    seasonal buffer is part of the state vector: each observation x
+    acts as the affine map  s → A·s + c·x  where A is a constant
+    (m+2)×(m+2) matrix — the first two rows are Holt's level/trend
+    update extended with a −α (resp. −βα) coefficient on the
+    about-to-be-consumed seasonal slot, the middle rows are the
+    seasonal buffer ROTATION (a shifted identity), and the last row
+    writes the freshly updated seasonal. Affine maps compose
+    associatively, so exactly as in the 2-state Holt case fixed-size
+    chunks fold independently to one (M, v) transform (chunk 0 folds
+    straight from the seed state) and the per-key reduction composes
+    ~n/chunk transforms in chunk order: O(m² · (chunk + n/chunk))
+    memory per key, no full-series array. M is carried as a flat
+    row-major array<double> so the composition lambdas stay plain
+    codegen arithmetic — no UDF anywhere.
+
+    Seeding (both engines identically): l₀ = mean of the first m
+    observations (left-associated sum / m), b₀ = 0, seasonal buffer
+    sᵢ = xᵢ − l₀; the fold starts at observation m+1.
+
+    Equality vs the genuinely sequential DuckDB recursive-CTE oracle
+    (list-valued seasonal state) is the q_holt_winters driver gate;
+    cross-chunk float association differs only in the matrix products,
+    absorbed by ``round_dp``.
+
+    Returns (key, n_obs, level, trend, s_next, forecast_1) where
+    s_next is the next-to-use seasonal and forecast_1 = l + b + s_next.
+    """
+    assert chunk_size >= period, "chunk 0 must contain the seed window"
+    d = period + 2
+    # constant affine map: state ordering (l, b, s_next, ..., s_last)
+    A = [[0.0] * d for _ in range(d)]
+    c = [0.0] * d
+    A[0][0] = A[0][1] = 1.0 - alpha
+    A[0][2] = -alpha
+    c[0] = alpha
+    A[1][0] = -beta * alpha
+    A[1][1] = beta * (1.0 - alpha) + (1.0 - beta)
+    A[1][2] = -beta * alpha
+    c[1] = beta * alpha
+    for i in range(period - 1):  # buffer rotation
+        A[2 + i][3 + i] = 1.0
+    A[d - 1][0] = A[d - 1][1] = -gamma * (1.0 - alpha)
+    A[d - 1][2] = gamma * alpha + (1.0 - gamma)
+    c[d - 1] = gamma * (1.0 - alpha)
+
+    def _lin(coeffs, getter, extra=None):
+        """Σ_k coeffs[k]·getter(k) (+ extra), skipping zero terms."""
+        acc = None
+        for k, ck in enumerate(coeffs):
+            if ck == 0.0:
+                continue
+            term = getter(k) if ck == 1.0 else F.lit(ck) * getter(k)
+            acc = term if acc is None else acc + term
+        if extra is not None:
+            acc = extra if acc is None else acc + extra
+        return acc if acc is not None else F.lit(0.0)
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    rows = df.select(
+        key_col,
+        F.col(value_col).cast("double").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    ).withColumn("chunk", (F.col("rn") / F.lit(chunk_size)).cast("long"))
+    chunks = rows.groupBy(key_col, "chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("v").alias("v")))
+        ).alias("seg")
+    )
+    vals = F.transform("seg", lambda s: s["v"])
+    n = F.size(vals)
+
+    def compose_elem(acc, x):
+        # (M, v) ∘ element x:  M' = A·M,  v' = A·v + c·x
+        newm = F.array(
+            *[
+                _lin(
+                    A[i],
+                    lambda k, j=j: F.element_at(acc["m"], F.lit(k * d + j + 1)),
+                )
+                for i in range(d)
+                for j in range(d)
+            ]
+        )
+        newv = F.array(
+            *[
+                _lin(
+                    A[i],
+                    lambda k: F.element_at(acc["v"], F.lit(k + 1)),
+                    extra=(F.lit(c[i]) * x) if c[i] != 0.0 else None,
+                )
+                for i in range(d)
+            ]
+        )
+        return F.struct(newm.alias("m"), newv.alias("v"))
+
+    ident = F.struct(
+        F.array(
+            *[
+                F.lit(1.0 if i == j else 0.0)
+                for i in range(d)
+                for j in range(d)
+            ]
+        ).alias("m"),
+        F.array(*[F.lit(0.0) for _ in range(d)]).alias("v"),
+    )
+    chunk_t = F.aggregate(vals, ident, compose_elem)
+
+    # chunk 0: seed from the first `period` values, then fold the rest
+    # sequentially on the (l, b, seasonal-array) state
+    seed_sum = F.element_at(vals, 1)
+    for i in range(2, period + 1):
+        seed_sum = seed_sum + F.element_at(vals, i)
+    seed_l = seed_sum / F.lit(float(period))
+
+    def step_state(acc, x):
+        s0 = F.element_at(acc["s"], 1)
+        lp = F.lit(alpha) * (x - s0) + F.lit(1.0 - alpha) * (
+            acc["l"] + acc["b"]
+        )
+        return F.struct(
+            lp.alias("l"),
+            (
+                F.lit(beta) * (lp - acc["l"]) + F.lit(1.0 - beta) * acc["b"]
+            ).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, period - 1),
+                F.array(F.lit(gamma) * (x - lp) + F.lit(1.0 - gamma) * s0),
+            ).alias("s"),
+        )
+
+    seed = F.struct(
+        seed_l.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(
+            F.slice(vals, 1, period), lambda x: x - seed_l
+        ).alias("s"),
+    )
+    seed_state = F.aggregate(
+        F.slice(vals, period + 1, F.greatest(n - period, F.lit(0))),
+        seed,
+        step_state,
+    )
+    summaries = chunks.select(
+        key_col,
+        "chunk",
+        n.alias("n"),
+        F.when(F.col("chunk") == 0, None).otherwise(chunk_t).alias("t"),
+        F.when(F.col("chunk") == 0, seed_state).alias("s0"),
+    )
+    per_key = (
+        summaries.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk", "t", "s0"))
+            ).alias("segs"),
+            F.sum("n").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= period)
+    )
+    head = F.element_at("segs", 1)["s0"]
+    first = F.concat(F.array(head["l"], head["b"]), head["s"])
+    rest = F.slice("segs", 2, F.greatest(F.size("segs") - 1, F.lit(0)))
+
+    def apply_t(acc, seg):
+        # state' = M·state + v on the flat d-vector
+        return F.array(
+            *[
+                _lin(
+                    [1.0] * d,
+                    lambda k, i=i: F.element_at(seg["t"]["m"], F.lit(i * d + k + 1))
+                    * F.element_at(acc, k + 1),
+                    extra=F.element_at(seg["t"]["v"], i + 1),
+                )
+                for i in range(d)
+            ]
+        )
+
+    final = F.aggregate(rest, first, apply_t)
+    lvl = F.element_at(final, 1)
+    trd = F.element_at(final, 2)
+    s_next = F.element_at(final, 3)
+    return per_key.select(
+        key_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(lvl, round_dp).alias("level"),
+        F.round(trd, round_dp).alias("trend"),
+        F.round(s_next, round_dp).alias("s_next"),
+        F.round(lvl + trd + s_next, round_dp).alias("forecast_1"),
+    )

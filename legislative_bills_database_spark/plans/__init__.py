@@ -23,3 +23,4 @@ from . import roundnine_queries  # noqa: F401  (registers on import)
 from . import roundten_queries  # noqa: F401  (registers on import)
 from . import roundeleven_queries  # noqa: F401  (registers on import)
 from . import roundeleven_b_queries  # noqa: F401  (registers on import)
+from . import roundeleven_c_queries  # noqa: F401  (registers on import)
