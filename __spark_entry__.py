@@ -81,6 +81,8 @@ _NEWCOMERS_R11: list[str] = [
     "q_betweenness_sample",
     # -- phase 72: additive Holt-Winters (chunked affine fold) --
     "q_holt_winters",
+    # -- phase 73: DAG critical path (max-plus relaxation) --
+    "q_critical_path",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

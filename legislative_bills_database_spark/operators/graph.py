@@ -980,3 +980,67 @@ def sql_betweenness_sampled(
     FROM alln GROUP BY 1 HAVING SUM(delta) > 0"""
     )
     return "".join(parts)
+
+
+def longest_paths_dag(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Hop-bounded longest (critical) path over a DIRECTED ACYCLIC
+    edge list — the MAX-PLUS twin of :func:`shortest_paths`: exactly
+    ``rounds`` relaxation sweeps with a ``groupBy(node).max`` merge, so
+    the result is "most expensive chain using at most ``rounds`` edges
+    ending at each node" (the earliest-finish / critical-path time of
+    DAG scheduling, bounded the way any blast-radius query bounds its
+    horizon). On a DAG whose longest path has ≤ ``rounds`` edges this
+    IS the exact critical path. Weights must be integral (long) so
+    max-costs are exact and engine-portable — the DuckDB twin chains
+    the same ``rounds`` max-merge CTE sweeps and the value hash
+    certifies every relaxation round.
+
+    Unlike min-plus (where a non-seed node is absent until reached),
+    the natural critical-path seeding puts EVERY node at cost 0 — pass
+    the full node frame as ``seeds`` — so dist_k(v) = max over all
+    ≤k-edge chains ending at v regardless of start.
+
+    Physical shape per sweep, identical to shortest_paths: one join
+    against the src-partitioned persisted edge list + one
+    groupBy(node).max, distance frame localCheckpoint-ed so plan/
+    lineage depth stays O(1). Returns (node, dist).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(rounds):
+            relaxed = dist.join(e, dist.node == e.src).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.max("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(dist)
+            dist = nxt
+        return dist
+    finally:
+        e.unpersist()

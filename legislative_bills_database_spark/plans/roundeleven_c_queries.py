@@ -95,3 +95,65 @@ def q_holt_winters(spark, sf_dir):
         events, "user_id", "ts", "value", "event_id",
         alpha=0.5, beta=0.3, gamma=0.4, period=4, chunk_size=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# DAG critical path (hop-bounded max-plus relaxation)
+# ---------------------------------------------------------------------------
+
+
+def _sql_critical_path(rounds: int) -> str:
+    from .roundfive_queries import _COPURCHASE_EDGES
+
+    steps = [
+        """
+    r0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+      )
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT node, MAX(dist) AS dist FROM (
+        SELECT node, dist FROM r{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + e.w AS dist
+        FROM r{i - 1} p JOIN e ON p.node = e.src
+      ) GROUP BY 1
+    )""")
+    return f"""
+    WITH {_COPURCHASE_EDGES},
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS crit_cost
+    FROM r{rounds}
+    """
+
+
+@query("q_critical_path", _sql_critical_path(6))
+def q_critical_path(spark, sf_dir):
+    """DAG critical path: the most expensive co-purchase chain of at
+    most 6 edges ending at each part, over the DIRECTED (src < dst ⇒
+    acyclic) co-purchase edge list — the MAX-PLUS sibling of q_sssp's
+    min-plus relaxation (operators/graph.longest_paths_dag). Every
+    node seeds at cost 0 (critical-path semantics: the chain may start
+    anywhere), each sweep is one co-located join against the
+    src-partitioned edge list + one max-merge, and integral weights
+    keep max-costs exact — the DuckDB twin chains six explicit
+    max-merge CTE sweeps, so the value hash certifies each relaxation
+    round, not just the final frame. Engine analog of the scheduling
+    question "when can this node's work finish at the earliest"."""
+    from ..operators.graph import longest_paths_dag
+    from .roundfive_queries import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    return longest_paths_dag(edges, nodes, rounds=6).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("crit_cost"),
+    )
