@@ -83,6 +83,9 @@ _NEWCOMERS_R11: list[str] = [
     "q_holt_winters",
     # -- phase 73: DAG critical path (max-plus relaxation) --
     "q_critical_path",
+    # -- phase 74: tier-2 schema-constraint discovery --
+    "q_approx_fd",
+    "q_composite_ind",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -157,3 +157,229 @@ def q_critical_path(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("crit_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate functional dependencies (g3 error, tolerance verdicts)
+# ---------------------------------------------------------------------------
+
+# Candidates chosen to span the g3 spectrum: the exact key (0), a
+# NEAR-FD invisible to exact checking (~0.15% dirty rows), the
+# phase-70 discovery quantified (the fake composite primary key at
+# g3≈0.24 — broken model, not dirty rows), and two hopeless ones.
+_AFD_TOL = "0.01"
+_AFD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey", "o_orderdate"], "o_orderstatus"),
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("customer", ["c_nationkey"], "c_mktsegment"),
+    ("lineitem", ["l_partkey"], "l_suppkey"),
+]
+
+
+def _sql_afd_block(t: str, lhs: list[str], rhs: str) -> str:
+    le = ", ".join(lhs)
+    name = f"{t}: {','.join(lhs)} -> {rhs}"
+    return f"""
+    SELECT '{name}' AS fd,
+           CAST(SUM(s) AS BIGINT) AS n_rows,
+           CAST(SUM(s) - SUM(m) AS BIGINT) AS n_violations,
+           ROUND(CAST(SUM(s) - SUM(m) AS DOUBLE) / SUM(s), 6) AS g3,
+           CAST(CASE WHEN CAST(SUM(s) - SUM(m) AS DOUBLE) / SUM(s)
+                     <= {_AFD_TOL} THEN 1 ELSE 0 END AS INTEGER)
+             AS holds_approx
+    FROM (SELECT {le}, SUM(c) AS s, MAX(c) AS m
+          FROM (SELECT {le}, {rhs}, count(*) AS c
+                FROM {t} GROUP BY {le}, {rhs})
+          GROUP BY {le})
+    """
+
+
+@query(
+    "q_approx_fd",
+    "\nUNION ALL\n".join(_sql_afd_block(*c) for c in _AFD_CANDIDATES),
+)
+def q_approx_fd(spark, sf_dir):
+    """Approximate functional dependencies under the g3 error measure
+    (Kivinen & Mannila 1995; the TANE tolerance semantics): g3 = the
+    minimum fraction of rows to DELETE so lhs → rhs holds exactly =
+    (N − Σ_lhs-groups max_rhs count) / N, with a verdict at tolerance
+    1%. The tier exact q_fd_check cannot express: (o_custkey,
+    o_orderdate) → o_orderstatus fails exactly but holds at g3≈0.0015
+    — dirty rows, keep the model — while the phase-70 discovery
+    (l_orderkey, l_linenumber) → l_partkey sits at g3≈0.24 — a wrong
+    model no cleaning rescues. The distinction IS the decision "fix
+    the data or fix the schema".
+
+    Scale shape per candidate: (lhs, rhs)-grain count with map-side
+    combine, re-aggregate to lhs grain (sum + max per group), one
+    global row — shuffles carry group-grain rows only; candidates
+    union in parallel. Everything is exact-BIGINT until the single
+    final division."""
+    out = None
+    for t, lhs, rhs in _AFD_CANDIDATES:
+        name = f"{t}: {','.join(lhs)} -> {rhs}"
+        pairs = (
+            load_table(spark, sf_dir, t)
+            .groupBy(*[F.col(c) for c in lhs], F.col(rhs))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        groups = pairs.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.sum("c").alias("s"), F.max("c").alias("m")
+        )
+        n = F.sum("s").cast("long")
+        viol = (F.sum("s") - F.sum("m")).cast("long")
+        g3 = viol.cast("double") / n
+        block = groups.agg(
+            F.lit(name).alias("fd"),
+            n.alias("n_rows"),
+            viol.alias("n_violations"),
+            F.round(g3, 6).alias("g3"),
+            F.when(g3 <= F.lit(float(_AFD_TOL)), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("holds_approx"),
+        ).select("fd", "n_rows", "n_violations", "g3", "holds_approx")
+        out = block if out is None else out.unionByName(block)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# composite (multi-column) inclusion dependencies
+# ---------------------------------------------------------------------------
+
+# (label, lhs (table, col1, col2, filter), rhs (table, col1, col2,
+# filter)) — filters make the candidates SHARD-containment questions,
+# the form composite INDs actually take in production: "does the new
+# period / new shard introduce (key, type) combinations the reference
+# domain has never seen". The events split is decided by the data
+# (and holds: no new (user, event_type) pair appears after day 15);
+# the lineitem random split genuinely fails; the orders sample holds
+# structurally; customer↔supplier is the decoy.
+_CIND_CANDIDATES = [
+    (
+        "events[d16-30]:(user_id,event_type) <= events[d1-15]",
+        ("events", "user_id", "event_type", "day_ge_16"),
+        ("events", "user_id", "event_type", "day_le_15"),
+    ),
+    (
+        "lineitem[even orders]:(l_partkey,l_suppkey) <= lineitem[odd]",
+        ("lineitem", "l_partkey", "l_suppkey", "even"),
+        ("lineitem", "l_partkey", "l_suppkey", "odd"),
+    ),
+    (
+        "orders[%3=0]:(o_orderkey,o_custkey) <= orders",
+        ("orders", "o_orderkey", "o_custkey", "mod3"),
+        ("orders", "o_orderkey", "o_custkey", None),
+    ),
+    (
+        "customer:(c_custkey,c_nationkey) <= supplier:(s_suppkey,s_nationkey)",
+        ("customer", "c_custkey", "c_nationkey", None),
+        ("supplier", "s_suppkey", "s_nationkey", None),
+    ),
+]
+
+_CIND_SQL_FILTERS = {
+    "day_ge_16": "date_part('day', ts) >= 16",
+    "day_le_15": "date_part('day', ts) <= 15",
+    "even": "l_orderkey % 2 = 0",
+    "odd": "l_orderkey % 2 = 1",
+    "mod3": "o_orderkey % 3 = 0",
+    None: "TRUE",
+}
+
+
+def _sql_cind_block(label: str, lhs, rhs) -> str:
+    lt, la, lb, lf = lhs
+    rt, ra, rb, rf = rhs
+    return f"""
+    SELECT '{label}' AS ind,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN r.k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(CASE WHEN SUM(CASE WHEN r.k1 IS NULL THEN 1 ELSE 0 END)
+                = 0 THEN 1 ELSE 0 END AS INTEGER) AS holds,
+           ROUND(CAST(count(*) - SUM(CASE WHEN r.k1 IS NULL THEN 1
+                 ELSE 0 END) AS DOUBLE) / count(*), 6) AS containment
+    FROM (SELECT DISTINCT {la} AS k1, {lb} AS k2 FROM {lt}
+          WHERE {_CIND_SQL_FILTERS[lf]}) l
+    LEFT JOIN (SELECT DISTINCT {ra} AS k1, {rb} AS k2 FROM {rt}
+               WHERE {_CIND_SQL_FILTERS[rf]}) r USING (k1, k2)
+    """
+
+
+def _cind_filter(df, tag):
+    if tag is None:
+        return df
+    if tag == "day_ge_16":
+        return df.filter(F.dayofmonth("ts") >= 16)
+    if tag == "day_le_15":
+        return df.filter(F.dayofmonth("ts") <= 15)
+    if tag == "even":
+        return df.filter(F.col("l_orderkey") % 2 == 0)
+    if tag == "odd":
+        return df.filter(F.col("l_orderkey") % 2 == 1)
+    if tag == "mod3":
+        return df.filter(F.col("o_orderkey") % 3 == 0)
+    raise ValueError(tag)
+
+
+@query(
+    "q_composite_ind",
+    "\nUNION ALL\n".join(_sql_cind_block(*c) for c in _CIND_CANDIDATES),
+)
+def q_composite_ind(spark, sf_dir):
+    """Composite (two-column, tuple-grain) inclusion dependencies —
+    the n-ary tier above q_inclusion_deps' unary verdicts, asked the
+    way production asks it: does a shard/period introduce key
+    COMBINATIONS the reference domain has never seen. A unary check
+    cannot catch a (user, event_type) pair that is new even though
+    both the user and the type were individually known — exactly what
+    the first candidate certifies never happens across the day-15
+    boundary (it genuinely holds on this fixture: later-half behavior
+    stays inside the first-half pair domain), while the random
+    lineitem split genuinely fails (~14% containment: part–supplier
+    pairings don't transfer across order parity), the orders
+    subsample holds structurally, and customer↔supplier is the decoy.
+
+    Scale shape: DISTINCT-project both sides to tuple grain, one
+    left-outer join per candidate at pair-key grain — distinct-tuple
+    cardinality, never row count, bounds every shuffle; candidates
+    union in parallel."""
+    out = None
+    for label, (lt, la, lb, lf), (rt, ra, rb, rf) in _CIND_CANDIDATES:
+        lhs = (
+            _cind_filter(load_table(spark, sf_dir, lt), lf)
+            .select(F.col(la).alias("k1"), F.col(lb).alias("k2"))
+            .distinct()
+        )
+        rhs = (
+            _cind_filter(load_table(spark, sf_dir, rt), rf)
+            .select(
+                F.col(ra).alias("k1"),
+                F.col(rb).alias("k2"),
+                F.lit(1).alias("hit"),
+            )
+            .distinct()
+        )
+        miss = F.sum(
+            F.when(F.col("hit").isNull(), 1).otherwise(0)
+        ).cast("long")
+        n = F.count(F.lit(1)).cast("long")
+        block = (
+            lhs.join(rhs, ["k1", "k2"], "left")
+            .agg(
+                F.lit(label).alias("ind"),
+                n.alias("n_lhs"),
+                miss.alias("n_missing"),
+                F.when(miss == 0, 1).otherwise(0).cast("int").alias(
+                    "holds"
+                ),
+                F.round((n - miss).cast("double") / n, 6).alias(
+                    "containment"
+                ),
+            )
+            .select("ind", "n_lhs", "n_missing", "holds", "containment")
+        )
+        out = block if out is None else out.unionByName(block)
+    return out
