@@ -86,6 +86,8 @@ _NEWCOMERS_R11: list[str] = [
     # -- phase 74: tier-2 schema-constraint discovery --
     "q_approx_fd",
     "q_composite_ind",
+    # -- phase 75: point-grain isotonic (min-max identity) --
+    "q_isotonic_points",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

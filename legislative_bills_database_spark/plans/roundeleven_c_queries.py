@@ -383,3 +383,124 @@ def q_composite_ind(spark, sf_dir):
         )
         out = block if out is None else out.unionByName(block)
     return out
+
+
+# ---------------------------------------------------------------------------
+# per-key isotonic regression (min-max identity at point grain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_isotonic_points",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_part('day', ts) AS INTEGER) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT user_id, day, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                  AS BIGINT) AS rn,
+             CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY day)
+                  AS BIGINT) AS p
+      FROM daily
+    ), grid AS (
+      SELECT a.user_id, a.rn AS j, b.rn AS k,
+             CAST(b.p - (a.p - a.cents) AS DOUBLE)
+               / (b.rn - a.rn + 1) AS avgjk
+      FROM idx a JOIN idx b
+        ON a.user_id = b.user_id AND a.rn <= b.rn
+    ), suff AS (
+      SELECT user_id, j, k,
+             MIN(avgjk) OVER (PARTITION BY user_id, j
+                              ORDER BY k DESC) AS m
+      FROM grid
+    ), iso AS (
+      SELECT user_id, k AS rn, MAX(m) AS iso_raw
+      FROM suff GROUP BY user_id, k
+    )
+    SELECT i.user_id, i.rn, x.day, x.cents,
+           ROUND(i.iso_raw, 6) AS iso_cents
+    FROM iso i JOIN idx x ON i.user_id = x.user_id AND i.rn = x.rn
+    """,
+)
+def q_isotonic_points(spark, sf_dir):
+    """Isotonic regression at POINT grain — the least-squares
+    non-decreasing fit to each user's daily-spend series via the
+    min-max identity  iso(i) = max_{j≤i} min_{k≥i} mean(x_j..x_k)
+    (Robertson-Wright-Dykstra 1988; same identity as the binned
+    q_isotonic_calibration, now per key over the raw series). Daily
+    totals are exact BIGINT cents, prefix sums make every interval
+    mean ONE division of exact integers — so both engines compute
+    bit-identical doubles and min/max/round commute across them.
+
+    Scale shape: the calendar bounds every per-key series at ≤31
+    points regardless of SF (more users at scale, never longer
+    arrays), so the O(n³) identity is a bounded JVM array program:
+    daily aggregate (one shuffle) → per-key window rank+prefix (same
+    partitioning, no second exchange) → collect per key → nested
+    transform/min/max over the ≤31-element array → posexplode back to
+    point grain. No joins at pair grain, no UDF; the DuckDB twin runs
+    the identity RELATIONALLY (j≤k self-join grid + suffix-min window
+    + group max) so the green hash also certifies the array program
+    against an independent formulation, and a pytest pin certifies
+    the identity against stack-based PAVA in exact Fractions."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.dayofmonth("ts").cast("int").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    idx = daily.select(
+        "user_id",
+        "day",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("cents").over(w).cast("long").alias("p"),
+    )
+    per_key = idx.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "day", "cents", "p"))
+        ).alias("pts")
+    )
+    pts = F.col("pts")
+    n = F.size(pts)
+    pk = lambda k: F.element_at(pts, k)["p"]  # noqa: E731
+    # P[j-1] as prefix-at-j minus value-at-j (avoids a 0-index branch)
+    pj1 = lambda j: (  # noqa: E731
+        F.element_at(pts, j)["p"] - F.element_at(pts, j)["cents"]
+    )
+    iso = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, n),
+                        lambda k: (pk(k) - pj1(j)).cast("double")
+                        / (k - j + 1),
+                    )
+                ),
+            )
+        ),
+    )
+    out = per_key.select(
+        "user_id", F.posexplode(F.zip_with(pts, iso, lambda s, v: F.struct(
+            s["rn"].alias("rn"), s["day"].alias("day"),
+            s["cents"].alias("cents"), v.alias("iso_raw"),
+        ))).alias("pos", "z"),
+    )
+    return out.select(
+        "user_id",
+        F.col("z.rn").alias("rn"),
+        F.col("z.day").alias("day"),
+        F.col("z.cents").alias("cents"),
+        F.round(F.col("z.iso_raw"), 6).alias("iso_cents"),
+    )
