@@ -452,6 +452,13 @@ HEADLINE = [
     "q_fd_check",
     # round-11 phase 71: sampled Brandes betweenness
     "q_betweenness_sample",
+    # round-11 phases 72-75: seasonal smoothing, DAG critical path,
+    # tier-2 schema-constraint discovery, point-grain isotonic
+    "q_holt_winters",
+    "q_critical_path",
+    "q_approx_fd",
+    "q_composite_ind",
+    "q_isotonic_points",
 ]
 
 

@@ -66,6 +66,13 @@ EXTRA_HEAVY = [
     # quantized Brandes loop, and the distinct-project IND sweep
     "q_kneser_ney", "q_ivm_join", "q_betweenness_sample",
     "q_inclusion_deps",
+    # round-11 phases 72-75 data-sized plans: the multi-chunk seasonal
+    # matrix fold (events-scale window + groupBy), the 6-sweep max-plus
+    # relaxation, the (lhs,rhs)-grain g3 aggregate over lineitem, and
+    # the per-key isotonic array program (calendar-bounded arrays — a
+    # linearity control like q_dedup_paragraphs)
+    "q_holt_winters", "q_critical_path", "q_approx_fd",
+    "q_isotonic_points",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
