@@ -459,6 +459,11 @@ HEADLINE = [
     "q_approx_fd",
     "q_composite_ind",
     "q_isotonic_points",
+    # round-11 phases 76-78: sequence mining, intermittent demand,
+    # lead-lag cross-correlation
+    "q_seq_patterns",
+    "q_croston",
+    "q_lead_lag",
 ]
 
 

@@ -504,3 +504,352 @@ def q_isotonic_points(spark, sf_dir):
         F.col("z.cents").alias("cents"),
         F.round(F.col("z.iso_raw"), 6).alias("iso_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining (PrefixSpan-style support counting)
+# ---------------------------------------------------------------------------
+
+_SEQ_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _sql_seq_patterns() -> str:
+    tl = ", ".join(f"'{t}'" for t in _SEQ_TYPES)
+    return f"""
+    WITH seqs AS (
+      SELECT user_id, date_part('day', ts) AS g,
+             list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY 1, 2
+    ), types AS (SELECT unnest([{tl}]) AS t),
+    cands AS (
+      SELECT a.t AS a, b.t AS b, CAST(NULL AS VARCHAR) AS c
+      FROM types a, types b
+      UNION ALL
+      SELECT a.t, b.t, c.t FROM types a, types b, types c
+    ), hits AS (
+      SELECT a, b, c,
+             (list_position(s, a) > 0
+              AND list_position(s[list_position(s, a) + 1:], b) > 0
+              AND (c IS NULL OR list_position(
+                    s[list_position(s, a)
+                      + list_position(s[list_position(s, a) + 1:], b)
+                      + 1:], c) > 0)) AS hit
+      FROM seqs, cands
+    )
+    SELECT CASE WHEN c IS NULL THEN a || '>' || b
+                ELSE a || '>' || b || '>' || c END AS pattern,
+           CAST(CASE WHEN c IS NULL THEN 2 ELSE 3 END AS INTEGER)
+             AS plen,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_supported,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           ROUND(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS support
+    FROM hits GROUP BY 1, 2
+    HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 100 >= count(*)
+    """
+
+
+@query("q_seq_patterns", _sql_seq_patterns())
+def q_seq_patterns(spark, sf_dir):
+    """Sequential-pattern support counting (the PrefixSpan / GSP
+    question at a declared candidate tier): which length-2 and
+    length-3 event-type SUBSEQUENCES — order matters, gaps allowed —
+    appear in at least 1% of (user, day) sessions. The behavioral-
+    sequence sibling of q_frequent_triples' unordered baskets and
+    q_markov's adjacent-transition counts: "view…click…purchase"
+    counts here even when other events interleave, which neither of
+    those can express.
+
+    Subsequence containment is decided GREEDILY (match each symbol at
+    its earliest possible position — classic two-pointer argument:
+    earliest matches dominate), so the per-sequence check is three
+    array_position/slice probes on a bounded array, not a combinatorial
+    search. Both engines return 0 (not NULL) for an absent element,
+    which the > 0 guards make portable.
+
+    Scale shape: one (user, day) shuffle builds the ≤|day-window|-
+    bounded sequences; the 150-candidate frame (|types|² + |types|³,
+    alphabet-bounded) BROADCASTS onto them, so support evaluation is
+    map-side; the only other exchange carries pattern-grain partial
+    counts (map-side combine over 150 keys). Day-grain sequences keep
+    arrays bounded at ANY SF; the candidate tier keeps the pattern
+    lattice bounded the way production sequence mining always bounds
+    it (nobody mines unbounded-length patterns at 100 TB — they mine
+    a candidate tier per support-pruning round)."""
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.groupBy(
+            "user_id", F.dayofmonth("ts").alias("g")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda r: r["event_type"],
+            ).alias("s")
+        )
+    )
+    cands = [(a, b, None) for a in _SEQ_TYPES for b in _SEQ_TYPES] + [
+        (a, b, c)
+        for a in _SEQ_TYPES
+        for b in _SEQ_TYPES
+        for c in _SEQ_TYPES
+    ]
+    cdf = spark.createDataFrame(cands, "a string, b string, c string")
+    s = F.col("s")
+    pa = F.array_position(s, F.col("a"))
+    rest_a = F.slice(s, (pa + 1).cast("int"), F.size(s))
+    pb = F.array_position(rest_a, F.col("b"))
+    rest_b = F.slice(s, (pa + pb + 1).cast("int"), F.size(s))
+    hit = (
+        (pa > 0)
+        & (pb > 0)
+        & (
+            F.col("c").isNull()
+            | (F.array_position(rest_b, F.col("c")) > 0)
+        )
+    )
+    pattern = F.when(
+        F.col("c").isNull(),
+        F.concat_ws(">", "a", "b"),
+    ).otherwise(F.concat_ws(">", "a", "b", "c"))
+    plen = F.when(F.col("c").isNull(), 2).otherwise(3).cast("int")
+    hits = seqs.crossJoin(F.broadcast(cdf)).select(
+        pattern.alias("pattern"),
+        plen.alias("plen"),
+        hit.cast("int").alias("hit"),
+    )
+    agg = hits.groupBy("pattern", "plen").agg(
+        F.sum("hit").cast("long").alias("n_supported"),
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+    )
+    return agg.filter(
+        F.col("n_supported") * 100 >= F.col("n_seqs")
+    ).select(
+        "pattern",
+        "plen",
+        "n_supported",
+        "n_seqs",
+        F.round(
+            F.col("n_supported").cast("double") / F.col("n_seqs"), 6
+        ).alias("support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (intermittent-demand forecasting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_croston",
+    # scalar list_reduce folds are SAFE in DuckDB (the partially-
+    # updated-accumulator bug q_holt_trend documents bites only
+    # multi-field STRUCT states; Croston's two recurrences are
+    # independent scalars, folded separately). 0.5e0 literals force
+    # DOUBLE arithmetic — a bare 0.5 is DECIMAL(2,1) and the fold
+    # would round to one fractional digit.
+    """
+    WITH pur AS (
+      SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), series AS (
+      SELECT user_id,
+             list(CAST(cents AS DOUBLE) ORDER BY d) AS qs,
+             list(CAST(d AS DOUBLE) ORDER BY d) AS ds,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pur GROUP BY 1
+    ), folded AS (
+      SELECT user_id, n,
+             list_reduce(qs,
+               (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS z,
+             list_reduce(
+               [CASE WHEN i = 1 THEN ds[1]
+                     ELSE ds[i] - ds[i - 1] END
+                FOR i IN generate_series(1, len(ds))],
+               (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS p
+      FROM series
+    )
+    SELECT user_id, n AS n_demands,
+           ROUND(z, 4) AS z_size,
+           ROUND(p, 4) AS p_interval,
+           ROUND(z / p, 4) AS croston,
+           ROUND(0.75e0 * (z / p), 4) AS croston_sbc
+    FROM folded
+    """,
+)
+def q_croston(spark, sf_dir):
+    """Croston's method (1972) for INTERMITTENT demand — the forecast
+    EWMA/Holt get wrong when most periods are zero (they smear zeros
+    into the level; Croston separates WHEN from HOW MUCH): one EWMA
+    over the non-zero demand SIZES, one over the INTER-demand
+    intervals, forecast per period = z/p, plus the Syntetos-Boylan
+    bias correction (1−α/2)·z/p. Per user over the daily purchase
+    grid: sizes are exact daily cents, the first interval is the
+    first demand day itself (1-based), α = 0.5 so every fold halves
+    exactly and both engines walk identical IEEE sequences — the two
+    recurrences are independent SCALARS, folded in demand-day order
+    seeded with the first element (Spark: aggregate over slice(2..),
+    DuckDB: list_reduce — same convention, hash-certified).
+
+    Scale shape: the demand filter prunes at the scan, one (user,
+    day) aggregate then one per-user collect of a ≤31-element array
+    (calendar-bounded at any SF), JVM-side folds, no UDF. The demand-
+    planning sibling of q_holt_winters: that one needs density, this
+    one exists because density is missing."""
+    events = load_table(spark, sf_dir, "events")
+    pur = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.dayofmonth("ts").cast("long").alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    series = pur.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias(
+            "arr"
+        )
+    )
+    qs = F.transform("arr", lambda r: r["cents"].cast("double"))
+    ds = F.transform("arr", lambda r: r["d"].cast("double"))
+    n = F.size("arr")
+
+    def ewma_fold(xs):
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.element_at(xs, 1),
+            lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+        )
+
+    ivs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.element_at(ds, 1)).otherwise(
+            F.element_at(ds, i) - F.element_at(ds, i - 1)
+        ),
+    )
+    z = ewma_fold(qs)
+    p = ewma_fold(ivs)
+    return series.select(
+        "user_id",
+        n.cast("long").alias("n_demands"),
+        F.round(z, 4).alias("z_size"),
+        F.round(p, 4).alias("p_interval"),
+        F.round(z / p, 4).alias("croston"),
+        F.round(F.lit(0.75) * (z / p), 4).alias("croston_sbc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lead-lag cross-correlation (views → purchases)
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 7
+
+
+@query(
+    "q_lead_lag",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_part('day', ts) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag
+    ), sums AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(SUM(a.x) AS BIGINT) AS sx,
+             CAST(SUM(b.y) AS BIGINT) AS sy,
+             CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(SUM(b.y * b.y) AS BIGINT) AS syy,
+             CAST(SUM(a.x * b.y) AS BIGINT) AS sxy
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag
+      GROUP BY 1
+    )
+    SELECT lag, m, sx, sy, sxx, syy, sxy,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((m * sxx - sx * sx) AS DOUBLE)
+                        * (m * syy - sy * sy)), 6) AS r
+    FROM sums
+    """,
+)
+def q_lead_lag(spark, sf_dir):
+    """Lead-lag cross-correlation: does view volume LEAD purchase
+    volume, and by how many days — Pearson r between daily view
+    counts and purchase counts shifted k = 0..7 days, the
+    marketing/causal screening pass upstream of q_did/q_granger-style
+    designs. Every sufficient statistic (m, Σx, Σy, Σx², Σy², Σxy per
+    lag) is an exact BIGINT and RIDES THE OUTPUT ROW — the hash
+    certifies the integer core, with the single double expression
+    (one subtraction tree, one exact-rounded IEEE sqrt, one division,
+    identical operation order in both engines) layered on top.
+
+    Scale shape: ONE fact-scan conditional aggregate to the ≤31-row
+    daily frame; the lag fan-out and shifted self-join run on that
+    bounded frame (≤ 8·31 rows), so the cross-correlation matrix
+    costs nothing beyond the scan regardless of SF."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.dayofmonth("ts").cast("long").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the lag join
+    )
+    lags = spark.range(0, _XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), "x")
+    b = daily.select(F.col("d").alias("db"), "y")
+    sums = (
+        lags.join(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+        ).cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "lag", "m", "sx", "sy", "sxx", "syy", "sxy",
+        F.round(num / den, 6).alias("r"),
+    )

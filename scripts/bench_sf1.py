@@ -73,6 +73,10 @@ EXTRA_HEAVY = [
     # linearity control like q_dedup_paragraphs)
     "q_holt_winters", "q_critical_path", "q_approx_fd",
     "q_isotonic_points",
+    # phase 76: the 150-candidate broadcast support sweep over the
+    # (user, day) sequence frame — the only newcomer whose work grows
+    # as candidates × sequences
+    "q_seq_patterns",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
