@@ -464,6 +464,9 @@ HEADLINE = [
     "q_seq_patterns",
     "q_croston",
     "q_lead_lag",
+    # round-11 phase 79: partition-pruning certificate (writes the
+    # partitioned layout then runs three measured reads)
+    "q_partition_pruning_census",
 ]
 
 

@@ -853,3 +853,122 @@ def q_lead_lag(spark, sf_dir):
         "lag", "m", "sx", "sy", "sxx", "syy", "sxy",
         F.round(num / den, 6).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruning certificate (files-read metrics, engine-physical)
+# ---------------------------------------------------------------------------
+
+_PRUNE_YEAR = 1995
+
+
+def _scan_metrics(df) -> tuple[int, int]:
+    """(numFiles, numPartitions) summed over the executed plan's scan
+    nodes — read AFTER an action on THIS DataFrame (each action
+    re-plans, so metrics must come from the same QueryExecution that
+    ran; reading them off a derived Dataset reports zeros)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    files = parts = 0
+
+    def walk(node):
+        nonlocal files, parts
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            # the scan lives in the FINAL plan, not the initial child
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            # QueryStageExec wraps its stage via .plan(), children()
+            # is empty — without this hop AQE plans report 0 files
+            walk(node.plan())
+            return
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    files += kv._2().value()
+                elif kv._1() == "numPartitions":
+                    parts += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(ep)
+    return files, parts
+
+
+@query("q_partition_pruning_census")  # engine-physical → rows-only
+def q_partition_pruning_census(spark, sf_dir):
+    """Partition-pruning certificate — the STORAGE-layout sibling of
+    q_join_strategy_census (what join Catalyst chose) and
+    q_aqe_skew_census (did the skew split fire): write orders
+    hive-partitioned by order year, read back with a year filter, and
+    report the scan's ACTUAL numFiles/numPartitions runtime metrics
+    against the directory's file census — the one number that tells a
+    100 TB operator whether their layout turns a full-table scan into
+    a one-partition read. inputFiles() does NOT see pruning (verified:
+    it lists the unpruned FileIndex), so the census walks the executed
+    plan's scan-node metrics after the action, from the SAME
+    QueryExecution that ran.
+
+    Three scopes: 'pruned' (partitioned read, yr = 1995 — must touch
+    1 of |years| partitions), 'full' (partitioned read, no filter —
+    touches all files; the denominator), 'unpartitioned_filter' (the
+    same year filter on the original single-file layout — the value-
+    parity anchor: identical rows and cents, every file read, which
+    is exactly WHY the partitioned layout exists). Engine-physical →
+    rows-only; the 1-of-N assertion and cents parity are pinned in
+    pytest."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="q_partition_pruning_")
+    try:
+        orders.write.partitionBy("yr").mode("overwrite").parquet(tmp)
+        import os
+
+        files_on_disk = sum(
+            1
+            for root, _, fs in os.walk(tmp)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        part = spark.read.parquet(tmp)
+        cents = F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).cast("long")
+        rows = []
+        for scope, df in [
+            ("pruned", part.filter(F.col("yr") == _PRUNE_YEAR)),
+            ("full", part),
+            (
+                "unpartitioned_filter",
+                orders.filter(F.col("yr") == _PRUNE_YEAR),
+            ),
+        ]:
+            agg = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                cents.alias("c"),
+            )
+            row = agg.collect()[0]
+            files, parts = _scan_metrics(agg)
+            rows.append(
+                (
+                    scope,
+                    int(files_on_disk),
+                    int(files),
+                    int(parts),
+                    int(row["n"]),
+                    int(row["c"]),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "scope string, files_on_disk long, files_read long, "
+            "partitions_read long, rows long, sum_cents long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
