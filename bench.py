@@ -467,6 +467,8 @@ HEADLINE = [
     # round-11 phase 79: partition-pruning certificate (writes the
     # partitioned layout then runs three measured reads)
     "q_partition_pruning_census",
+    # round-11 phase 80: split-conformal intervals
+    "q_conformal",
 ]
 
 
