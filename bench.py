@@ -469,6 +469,9 @@ HEADLINE = [
     "q_partition_pruning_census",
     # round-11 phase 80: split-conformal intervals
     "q_conformal",
+    # round-11 phase 81: Bradley-Terry MM fit (per-order duel self-join
+    # is the data-sized stage)
+    "q_bradley_terry",
 ]
 
 

@@ -1128,3 +1128,179 @@ def q_conformal(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference strengths (quantized-exact MM iteration)
+# ---------------------------------------------------------------------------
+
+_BT_S = 100_000  # strength quantum: exact BIGINT envelope through sf10
+_BT_ROUNDS = 6
+
+_BT_MATRIX_SQL = """
+    li AS (
+      SELECT l_orderkey, p_brand AS b, l_quantity AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), halfm AS (
+      SELECT a.b AS i, c.b AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a.q > c.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS w
+      FROM li a JOIN li c
+        ON a.l_orderkey = c.l_orderkey AND a.b < c.b
+      WHERE a.q <> c.q
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT i, j, n, w FROM halfm
+      UNION ALL
+      SELECT j, i, n, n - w FROM halfm
+    ), wtot AS (
+      SELECT i AS brand, CAST(SUM(w) AS BIGINT) AS wins,
+             CAST(SUM(n) AS BIGINT) AS n_comp
+      FROM m GROUP BY 1
+    )
+"""
+
+
+def _sql_bradley_terry() -> str:
+    s2 = _BT_S * _BT_S
+    steps = [
+        f"""
+    r0 AS (
+      SELECT brand, CAST({_BT_S} AS BIGINT) AS piq FROM wtot
+    )"""
+    ]
+    for k in range(1, _BT_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT m.i AS brand,
+             CAST(SUM((m.n * {s2})
+                      // (GREATEST(pa.piq, 1) + GREATEST(pb.piq, 1)))
+                  AS BIGINT) AS d
+      FROM m
+      JOIN r{k - 1} pa ON m.i = pa.brand
+      JOIN r{k - 1} pb ON m.j = pb.brand
+      GROUP BY 1
+    ), u{k} AS (
+      SELECT w.brand, (w.wins * {s2}) // GREATEST(d.d, 1) AS p
+      FROM wtot w JOIN d{k} d USING (brand)
+    ), r{k} AS (
+      SELECT brand,
+             CAST((p * (COUNT(*) OVER ()) * {_BT_S})
+                  // SUM(p) OVER () AS BIGINT) AS piq
+      FROM u{k}
+    )""")
+    return f"""
+    WITH {_BT_MATRIX_SQL},
+    {",".join(steps)}
+    SELECT w.brand, w.wins, w.n_comp, r.piq AS strength_q
+    FROM wtot w JOIN r{_BT_ROUNDS} r USING (brand)
+    """
+
+
+@query("q_bradley_terry", _sql_bradley_terry())
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference strengths over pairwise quantity
+    duels — the batch MLE counterpart of q_elo's sequential ratings
+    and the model under every preference-data/reward-model leaderboard
+    (Hunter 2004 MM iteration): within an order, the higher-quantity
+    brand "wins"; strengths satisfy P(i beats j) = πᵢ/(πᵢ+πⱼ). Six MM
+    sweeps πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), each followed by a Σπ = N
+    renormalization, all FLOOR-QUANTIZED to BIGINT strength units
+    (×10⁵) exactly like q_pagerank_exact / q_betweenness_sample — so
+    the entire iterative fit value-hash-matches a chained-CTE DuckDB
+    twin round for round, and a float replay bounds the quantization
+    error in pytest. Envelope: every product ≤ W·S² ≈ 6e17 at sf10,
+    inside signed-64.
+
+    Scale shape: the ONLY data-sized stage is the per-order brand duel
+    (an equi-self-join on l_orderkey, basket-bounded fan-out, the
+    q_cc_labels discipline) reduced to the ≤|brands|² = 625-cell
+    matrix with map-side combine; the 6 MM sweeps run on that bounded
+    frame with the 25-row strength vector broadcast back — iteration
+    cost is independent of corpus size."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lib = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "l_orderkey", F.col("p_brand").alias("b"),
+        F.col("l_quantity").alias("q"),
+    )
+    a, c = lib.alias("a"), lib.alias("c")
+    halfm = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.b") < F.col("c.b")),
+        )
+        .filter(F.col("a.q") != F.col("c.q"))
+        .groupBy(F.col("a.b").alias("i"), F.col("c.b").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("a.q") > F.col("c.q"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    m = halfm.unionByName(
+        halfm.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n") - F.col("w")).alias("w"),
+        )
+    ).localCheckpoint(eager=True)  # reused every MM sweep
+    wtot = (
+        m.groupBy(F.col("i").alias("brand"))
+        .agg(
+            F.sum("w").cast("long").alias("wins"),
+            F.sum("n").cast("long").alias("n_comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s2 = _BT_S * _BT_S
+    pi = wtot.select(
+        "brand", F.lit(_BT_S).cast("long").alias("piq")
+    ).localCheckpoint(eager=True)
+    wall = Window.partitionBy()
+    for _ in range(_BT_ROUNDS):
+        pa = pi.select(F.col("brand").alias("i"), F.col("piq").alias("pi_i"))
+        pb = pi.select(F.col("brand").alias("j"), F.col("piq").alias("pi_j"))
+        d = (
+            m.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .groupBy(F.col("i").alias("brand"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(n * {s2}) div (GREATEST(pi_i, 1)"
+                        " + GREATEST(pi_j, 1))"
+                    )
+                )
+                .cast("long")
+                .alias("d")
+            )
+        )
+        u = wtot.join(d, "brand").select(
+            "brand",
+            F.expr(f"(wins * {s2}) div GREATEST(d, 1)").alias("p"),
+        )
+        nxt = u.select(
+            "brand",
+            F.expr(
+                f"(p * (COUNT(*) OVER ()) * {_BT_S})"
+                " div (SUM(p) OVER ())"
+            )
+            .cast("long")
+            .alias("piq"),
+        ).localCheckpoint(eager=True)
+        pi = nxt
+    return wtot.join(pi, "brand").select(
+        "brand", "wins", "n_comp", F.col("piq").alias("strength_q")
+    )

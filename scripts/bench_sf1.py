@@ -77,6 +77,8 @@ EXTRA_HEAVY = [
     # (user, day) sequence frame — the only newcomer whose work grows
     # as candidates × sequences
     "q_seq_patterns",
+    # phase 81: per-order brand-duel self-join (basket-bounded fan-out)
+    "q_bradley_terry",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
