@@ -472,6 +472,8 @@ HEADLINE = [
     # round-11 phase 81: Bradley-Terry MM fit (per-order duel self-join
     # is the data-sized stage)
     "q_bradley_terry",
+    # round-11 phase 82: semi-additive closing-balance aggregation
+    "q_semi_additive",
 ]
 
 

@@ -1304,3 +1304,140 @@ def q_bradley_terry(spark, sf_dir):
     return wtot.join(pi, "brand").select(
         "brand", "wins", "n_comp", F.col("piq").alias("strength_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-additive aggregation (closing balance, carry-forward)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semi_additive",
+    """
+    WITH bal AS (
+      SELECT o_custkey AS c,
+             CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             o_orderdate AS d, o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), closing AS (
+      SELECT c, yr, cents FROM (
+        SELECT c, yr, cents,
+               ROW_NUMBER() OVER (PARTITION BY c, yr
+                                  ORDER BY d DESC, k DESC) AS rn
+        FROM bal) WHERE rn = 1
+    ), grid AS (
+      SELECT c, yr FROM (SELECT DISTINCT c FROM bal),
+                        (SELECT DISTINCT yr FROM bal)
+    ), carried AS (
+      SELECT g.c, g.yr,
+             cl.cents AS closing_cents,
+             LAST_VALUE(cl.cents IGNORE NULLS) OVER (
+               PARTITION BY g.c ORDER BY g.yr
+               ROWS UNBOUNDED PRECEDING) AS balance_cents
+      FROM grid g LEFT JOIN closing cl
+        ON g.c = cl.c AND g.yr = cl.yr
+    ), naive AS (
+      SELECT yr, CAST(SUM(cents) AS BIGINT) AS naive_sum_cents
+      FROM bal GROUP BY 1
+    )
+    SELECT ca.yr,
+           CAST(COUNT(ca.balance_cents) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN ca.closing_cents IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN ca.closing_cents IS NULL
+                    AND ca.balance_cents IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+           CAST(SUM(ca.balance_cents) AS BIGINT) AS balance_total_cents,
+           n.naive_sum_cents
+    FROM carried ca JOIN naive n USING (yr)
+    GROUP BY ca.yr, n.naive_sum_cents
+    """,
+)
+def q_semi_additive(spark, sf_dir):
+    """Semi-additive measure aggregation — the OLAP pattern plain SUM
+    gets WRONG for stock-like measures (balances, inventory levels,
+    subscriber counts): treating each order's total as the customer's
+    new account balance, the yearly company-wide balance is the sum
+    over customers of each one's LAST KNOWN balance — closing balance
+    per (customer, year), carried forward through inactive years
+    (LAST_VALUE ... IGNORE NULLS over the dense customer×year grid,
+    the gap_fill idiom at period grain) — NOT the sum of that year's
+    transactions, which the naive_sum_cents column carries alongside
+    precisely to show the divergence. n_active vs n_carried make the
+    carry-forward volume auditable.
+
+    Scale shape: one window over (customer, year) picks closings, the
+    dense grid is |customers|×|years| (never row-grain), and the
+    carry-forward window rides the same customer partitioning as the
+    grid join — one data-sized shuffle plus bounded-frame work; all
+    cents exact BIGINT."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bal = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "cents"
+        ),
+    ).localCheckpoint(eager=False)  # closings + naive share the scan
+    w = Window.partitionBy("c", "yr").orderBy(
+        F.desc("d"), F.desc("k")
+    )
+    closing = (
+        bal.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c", "yr", "cents")
+    )
+    grid = (
+        bal.select("c")
+        .distinct()
+        .crossJoin(F.broadcast(bal.select("yr").distinct()))
+    )
+    wc = (
+        Window.partitionBy("c")
+        .orderBy("yr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = grid.join(
+        closing.withColumnRenamed("cents", "closing_cents"),
+        ["c", "yr"],
+        "left",
+    ).withColumn(
+        "balance_cents",
+        F.last("closing_cents", ignorenulls=True).over(wc),
+    )
+    naive = bal.groupBy("yr").agg(
+        F.sum("cents").cast("long").alias("naive_sum_cents")
+    )
+    out = carried.groupBy("yr").agg(
+        F.count("balance_cents").cast("long").alias("n_customers"),
+        F.sum(
+            F.when(F.col("closing_cents").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_active"),
+        F.sum(
+            F.when(
+                F.col("closing_cents").isNull()
+                & F.col("balance_cents").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_carried"),
+        F.sum("balance_cents").cast("long").alias(
+            "balance_total_cents"
+        ),
+    )
+    return out.join(F.broadcast(naive), "yr").select(
+        "yr",
+        "n_customers",
+        "n_active",
+        "n_carried",
+        "balance_total_cents",
+        "naive_sum_cents",
+    )
