@@ -600,7 +600,14 @@ def holt_winters_chunked(
         "chunk",
         n.alias("n"),
         F.when(F.col("chunk") == 0, None).otherwise(chunk_t).alias("t"),
-        F.when(F.col("chunk") == 0, seed_state).alias("s0"),
+        # the n >= period guard is load-bearing under ANSI mode: a key
+        # shorter than the seed window would make element_at(vals, m)
+        # THROW inside the seed fold (not return null) before the
+        # per-key n_obs filter ever runs — CASE WHEN evaluates the
+        # branch conditionally, so short keys skip the seed entirely
+        F.when(
+            (F.col("chunk") == 0) & (n >= period), seed_state
+        ).alias("s0"),
     )
     per_key = (
         summaries.groupBy(key_col)
