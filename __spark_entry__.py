@@ -40,14 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # that have never had a driver-verified row get one.
 #
 # Round-11 rotation (VERDICT r10 item #1 — close the staleness tail):
-# flagship + the 34 round-11 newcomers (phases 63-82) +
+# flagship + the 36 round-11 newcomers (phases 63-84) +
 # q_stream_state_census (its output schema grew the RocksDB provider
 # columns this round, so its driver row must refresh) + the 10 queries
 # whose latest driver row is still r2 (the refresher slice r10's
 # window arithmetic could not reach — ROUND_NOTES r10 over-claimed
 # "nothing older than r3" by exactly these rows), topped up with the
 # alphabetically-first r3-era rows. After this window lands, no
-# query's latest driver row is older than r3, and 5 of the 48 r3-era
+# query's latest driver row is older than r3, and 3 of the 48 r3-era
 # rows advance too (the rest lead r12).
 _NEWCOMERS_R11: list[str] = [
     # -- phase 63: exact-substring dedup + paragraph-grain removal --
@@ -103,6 +103,9 @@ _NEWCOMERS_R11: list[str] = [
     "q_bradley_terry",
     # -- phase 82: semi-additive (closing balance) aggregation --
     "q_semi_additive",
+    # -- phases 83-84: wavefront DTW + max-plus Viterbi --
+    "q_dtw",
+    "q_viterbi",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -474,6 +474,9 @@ HEADLINE = [
     "q_bradley_terry",
     # round-11 phase 82: semi-additive closing-balance aggregation
     "q_semi_additive",
+    # round-11 phases 83-84: wavefront DTW, max-plus Viterbi
+    "q_dtw",
+    "q_viterbi",
 ]
 
 

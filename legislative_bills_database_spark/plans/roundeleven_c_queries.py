@@ -1441,3 +1441,326 @@ def q_semi_additive(spark, sf_dir):
         "balance_total_cents",
         "naive_sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# banded dynamic time warping (anti-diagonal wavefront DP)
+# ---------------------------------------------------------------------------
+
+_DTW_INF = 1 << 50  # unreachable-cell sentinel; real costs ≤ ~3e8
+
+
+@query(
+    "q_dtw",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), xs AS (
+      SELECT user_id, list(cents ORDER BY day) AS x,
+             CAST(len(list(cents ORDER BY day)) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    ), ref AS (
+      SELECT list(rc ORDER BY day) AS r, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT day,
+                   CAST(SUM(cents) // (SELECT count(*) FROM xs)
+                        AS BIGINT) AS rc
+            FROM daily GROUP BY day)
+    ), base AS (
+      SELECT x.user_id, x.x, x.n, ref.r, ref.m,
+             ABS(x.n - ref.m) + 3 AS w
+      FROM xs x CROSS JOIN ref
+    ), it AS (
+      SELECT user_id, x, n, r, m, w, 0 AS d,
+             [CASE WHEN i = 0 THEN 0 ELSE {_DTW_INF} END
+              FOR i IN generate_series(0, n)] AS prev,
+             [{_DTW_INF} FOR i IN generate_series(0, n)] AS prev2
+      FROM base
+      UNION ALL
+      SELECT user_id, x, n, r, m, w, d + 1,
+             [CASE WHEN i >= 1 AND d + 1 - i >= 1 AND d + 1 - i <= m
+                        AND ABS(i - (d + 1 - i)) <= w
+                   THEN ABS(x[i] - r[d + 1 - i])
+                        + LEAST(prev[i], prev[i + 1], prev2[i])
+                   ELSE {_DTW_INF} END
+              FOR i IN generate_series(0, n)] AS prev,
+             prev AS prev2
+      FROM it WHERE d < n + m
+    )
+    SELECT user_id, n, m, prev[n + 1] AS dtw_cost
+    FROM it WHERE d = n + m
+    """,
+)
+def q_dtw(spark, sf_dir):
+    """Banded dynamic time warping (Sakoe-Chiba 1978) between each
+    user's daily-spend series and the fleet reference series (global
+    daily total floor-div #users) — THE time-series similarity measure
+    Euclidean distance gets wrong under phase shift, here with the
+    band w = |n−m|+3 that makes it affordable and always feasible.
+
+    The DP has an intra-row dependency (dp[i][j] needs dp[i][j−1]),
+    which no per-row fold can express — but cells on one
+    ANTI-DIAGONAL i+j = d depend only on diagonals d−1 and d−2, so
+    the whole table is a sequential fold over ≤ n+m wavefronts whose
+    accumulator is just the last two diagonals, each cell computed
+    independently inside the wavefront (a list comprehension in the
+    DuckDB recursive twin, a transform() inside aggregate() in
+    Spark). All costs are exact BIGINT cents; out-of-band cells carry
+    a 2⁵⁰ sentinel that any finite path beats, so the hash certifies
+    every wavefront of the iterative computation. The same wavefront
+    template unlocks every banded alignment DP (edit scripts,
+    Needleman-Wunsch) as a bounded JVM array program.
+
+    Scale shape: one (user, day) aggregate, one per-user collect of a
+    calendar-bounded (≤31) array, the 1-row reference frame broadcast
+    by crossJoin; the O(n·m) table never materializes — per key the
+    fold carries O(n) state through n+m steps, all in codegen."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=False)  # xs + ref share it
+    xs = daily.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("x")
+    ).withColumn("n", F.size("x").cast("long"))
+    n_users = xs.agg(F.count(F.lit(1)).alias("nu"))
+    ref = (
+        daily.groupBy("day")
+        .agg(F.sum("cents").alias("tc"))
+        .crossJoin(F.broadcast(n_users))
+        .select("day", F.expr("tc div nu").alias("rc"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "rc"))),
+                lambda s: s["rc"],
+            ).alias("r")
+        )
+        .withColumn("m", F.size("r").cast("long"))
+    )
+    base = xs.crossJoin(F.broadcast(ref)).withColumn(
+        "w", F.abs(F.col("n") - F.col("m")) + 3
+    )
+    INF = F.lit(_DTW_INF).cast("long")
+    x, r = F.col("x"), F.col("r")
+    n, m, w = F.col("n"), F.col("m"), F.col("w")
+    idx = F.sequence(F.lit(0).cast("long"), n)
+    diag0 = F.transform(
+        idx, lambda i: F.when(i == 0, F.lit(0).cast("long")).otherwise(INF)
+    )
+    infs = F.transform(idx, lambda i: INF)
+
+    def step(acc, d):
+        prev, prev2 = acc["p"], acc["q"]
+        new = F.transform(
+            idx,
+            lambda i: F.when(
+                (i >= 1)
+                & (d - i >= 1)
+                & (d - i <= m)
+                & (F.abs(i - (d - i)) <= w),
+                F.abs(
+                    F.element_at(x, i.cast("int"))
+                    - F.element_at(r, (d - i).cast("int"))
+                )
+                + F.least(
+                    F.element_at(prev, i.cast("int")),
+                    F.element_at(prev, (i + 1).cast("int")),
+                    F.element_at(prev2, i.cast("int")),
+                ),
+            ).otherwise(INF),
+        )
+        return F.struct(new.alias("p"), prev.alias("q"))
+
+    final = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), n + m),
+        F.struct(diag0.alias("p"), infs.alias("q")),
+        step,
+    )
+    return base.select(
+        "user_id",
+        "n",
+        "m",
+        F.element_at(final["p"], (n + 1).cast("int")).alias("dtw_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decode (max-plus HMM, integer-exact)
+# ---------------------------------------------------------------------------
+
+# 2-state HMM (0 = browse, 1 = buy-intent) with log-probabilities
+# PRE-QUANTIZED to micro-nat integer literals (the SPRT idiom: no
+# engine evaluates ln at query time; the quantized model IS the spec).
+_VIT_A = {  # transition ln P ×1e6
+    (0, 0): -223144, (0, 1): -1609438,   # browse: stay .8 / leave .2
+    (1, 0): -1203973, (1, 1): -356675,   # intent: back .3 / stay .7
+}
+_VIT_INIT = (-510826, -916291)           # ln .6 / ln .4
+_VIT_B0 = {"view": -1203973, "click": -1203973, "signup": -1897120,
+           "error": -1897120, "purchase": -2302585}
+_VIT_B1 = {"view": -1897120, "click": -1386294, "signup": -2302585,
+           "error": -2302585, "purchase": -916291}
+
+
+def _sql_emission(col: str, table: dict) -> str:
+    cases = " ".join(
+        f"WHEN {col} = '{k}' THEN {v}" for k, v in table.items()
+    )
+    return f"CASE {cases} END"
+
+
+def _sql_viterbi() -> str:
+    a = _VIT_A
+    return f"""
+    WITH RECURSIVE vals AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS obs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), emit AS (
+      SELECT user_id, n,
+             [{_sql_emission('o', _VIT_B0)}
+              FOR o IN obs] AS b0,
+             [{_sql_emission('o', _VIT_B1)}
+              FOR o IN obs] AS b1
+      FROM vals
+    ), it AS (
+      SELECT user_id, n, b0, b1, 1 AS k,
+             CAST({_VIT_INIT[0]} + b0[1] AS BIGINT) AS v0,
+             CAST({_VIT_INIT[1]} + b1[1] AS BIGINT) AS v1,
+             CAST(0 AS BIGINT) AS c0, CAST(1 AS BIGINT) AS c1
+      FROM emit
+      UNION ALL
+      -- it.-qualified reads everywhere: DuckDB supports lateral
+      -- column aliases, so a bare v0 after "... AS v0" could bind to
+      -- the NEW value and corrupt the recurrence silently
+      SELECT it.user_id, it.n, it.b0, it.b1, it.k + 1,
+             GREATEST(it.v0 + {a[(0, 0)]}, it.v1 + {a[(1, 0)]})
+               + it.b0[it.k + 1] AS v0,
+             GREATEST(it.v0 + {a[(0, 1)]}, it.v1 + {a[(1, 1)]})
+               + it.b1[it.k + 1] AS v1,
+             CASE WHEN it.v0 + {a[(0, 0)]} >= it.v1 + {a[(1, 0)]}
+                  THEN it.c0 ELSE it.c1 END AS c0,
+             CASE WHEN it.v0 + {a[(0, 1)]} >= it.v1 + {a[(1, 1)]}
+                  THEN it.c0 ELSE it.c1 END + 1 AS c1
+      FROM it WHERE it.k < it.n
+    )
+    SELECT user_id, n AS n_events, v0, v1,
+           CAST(CASE WHEN v0 >= v1 THEN 0 ELSE 1 END AS INTEGER)
+             AS best_state,
+           CASE WHEN v0 >= v1 THEN c0 ELSE c1 END AS intent_steps
+    FROM it WHERE k = n
+    """
+
+
+@query("q_viterbi", _sql_viterbi())
+def q_viterbi(spark, sf_dir):
+    """Viterbi decode (max-plus HMM) over each user's event-type
+    sequence — the sequence-labeling primitive under bot detection,
+    intent segmentation, and every CRF-style tagger: which hidden
+    browse/buy-intent path best explains the observed events. The
+    recurrence vₜ[j] = maxᵢ(vₜ₋₁[i] + A[i][j]) + B[j][obsₜ] runs in
+    the MAX-PLUS semiring on micro-nat INTEGER log-probabilities
+    (pre-quantized literals, the SPRT no-transcendentals idiom), so
+    every step is exact 64-bit arithmetic and the whole decode — the
+    q_sssp relaxation algebra applied along a sequence instead of a
+    graph — value-hash-matches the recursive-CTE twin. Alongside the
+    two scores the fold carries the intent-step COUNT of the best
+    path into each state (the augmented-DP alternative to a backward
+    backtrace; argmax ties break toward state 0 by >= in BOTH
+    engines), so the output certifies the decoded path's shape, not
+    just its score. max-score magnitude ≤ n·3.5e6 ≈ 3e8 — overflow-
+    proof at any plausible sequence length.
+
+    Scale shape: one per-user collect of the ordered type sequence,
+    emissions precomputed as integer arrays, one JVM fold — no UDF,
+    no per-step shuffle; the DuckDB twin advances all users together
+    one step per CTE round (struct-free scalar fields, immune to the
+    list_reduce partial-update hazard q_holt_trend documents)."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("obs")
+    ).withColumn("n", F.size("obs").cast("long"))
+
+    def emis(table):
+        def f(o):
+            expr = None
+            for k, v in table.items():
+                cond = o == k
+                expr = (
+                    F.when(cond, F.lit(v).cast("long"))
+                    if expr is None
+                    else expr.when(cond, F.lit(v).cast("long"))
+                )
+            return expr
+
+        return f
+
+    base = vals.select(
+        "user_id",
+        "n",
+        F.transform("obs", emis(_VIT_B0)).alias("b0"),
+        F.transform("obs", emis(_VIT_B1)).alias("b1"),
+    )
+    a = _VIT_A
+    b0, b1 = F.col("b0"), F.col("b1")
+    seed = F.struct(
+        (F.lit(_VIT_INIT[0]).cast("long") + F.element_at(b0, 1)).alias(
+            "v0"
+        ),
+        (F.lit(_VIT_INIT[1]).cast("long") + F.element_at(b1, 1)).alias(
+            "v1"
+        ),
+        F.lit(0).cast("long").alias("c0"),
+        F.lit(1).cast("long").alias("c1"),
+    )
+
+    def step(acc, k):
+        t00 = acc["v0"] + F.lit(a[(0, 0)])
+        t10 = acc["v1"] + F.lit(a[(1, 0)])
+        t01 = acc["v0"] + F.lit(a[(0, 1)])
+        t11 = acc["v1"] + F.lit(a[(1, 1)])
+        return F.struct(
+            (F.greatest(t00, t10) + F.element_at(b0, k.cast("int"))).alias(
+                "v0"
+            ),
+            (F.greatest(t01, t11) + F.element_at(b1, k.cast("int"))).alias(
+                "v1"
+            ),
+            F.when(t00 >= t10, acc["c0"]).otherwise(acc["c1"]).alias(
+                "c0"
+            ),
+            (
+                F.when(t01 >= t11, acc["c0"]).otherwise(acc["c1"]) + 1
+            ).alias("c1"),
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), F.col("n")), seed, step
+    )
+    return base.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        final["v0"].alias("v0"),
+        final["v1"].alias("v1"),
+        F.when(final["v0"] >= final["v1"], 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("best_state"),
+        F.when(final["v0"] >= final["v1"], final["c0"])
+        .otherwise(final["c1"])
+        .alias("intent_steps"),
+    )
