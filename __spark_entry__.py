@@ -40,14 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # that have never had a driver-verified row get one.
 #
 # Round-11 rotation (VERDICT r10 item #1 — close the staleness tail):
-# flagship + the 36 round-11 newcomers (phases 63-84) +
+# flagship + the 38 round-11 newcomers (phases 63-86) +
 # q_stream_state_census (its output schema grew the RocksDB provider
 # columns this round, so its driver row must refresh) + the 10 queries
 # whose latest driver row is still r2 (the refresher slice r10's
 # window arithmetic could not reach — ROUND_NOTES r10 over-claimed
 # "nothing older than r3" by exactly these rows), topped up with the
 # alphabetically-first r3-era rows. After this window lands, no
-# query's latest driver row is older than r3, and 3 of the 48 r3-era
+# query's latest driver row is older than r3, and 1 of the 48 r3-era
 # rows advance too (the rest lead r12).
 _NEWCOMERS_R11: list[str] = [
     # -- phase 63: exact-substring dedup + paragraph-grain removal --
@@ -106,6 +106,9 @@ _NEWCOMERS_R11: list[str] = [
     # -- phases 83-84: wavefront DTW + max-plus Viterbi --
     "q_dtw",
     "q_viterbi",
+    # -- phases 85-86: Durbin-Levinson PACF + closed-form ridge --
+    "q_pacf",
+    "q_ridge",
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -477,6 +477,9 @@ HEADLINE = [
     # round-11 phases 83-84: wavefront DTW, max-plus Viterbi
     "q_dtw",
     "q_viterbi",
+    # round-11 phases 85-86: Durbin-Levinson PACF, closed-form ridge
+    "q_pacf",
+    "q_ridge",
 ]
 
 

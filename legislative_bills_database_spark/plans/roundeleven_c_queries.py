@@ -1764,3 +1764,359 @@ def q_viterbi(spark, sf_dir):
         .otherwise(final["c1"])
         .alias("intent_steps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation (Durbin-Levinson recursion)
+# ---------------------------------------------------------------------------
+
+_PACF_K = 7
+
+# The Durbin-Levinson fold, spelled once: every sum is seeded-fold-
+# subtract in ascending j2 order in BOTH engines, so the float walks
+# are IEEE-identical; autocovariances are exact BIGINTs (n-scaled
+# cross products (n·xₜ−S)(n·xₜ₊ₖ−S), no float mean).
+_PACF_PKK = """list_reduce([it.r[it.k + 1]]
+              || [it.phi[j2] * it.r[it.k + 1 - j2]
+                  FOR j2 IN generate_series(1, it.k)],
+              (acc, t) -> acc - t)
+            / list_reduce([CAST(1.0 AS DOUBLE)]
+              || [it.phi[j2] * it.r[j2]
+                  FOR j2 IN generate_series(1, it.k)],
+              (acc, t) -> acc - t)"""
+
+
+def _sql_pacf() -> str:
+    k = _PACF_K
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(x ORDER BY day) AS xs,
+             CAST(len(list(x ORDER BY day)) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ), cks AS (
+      SELECT event_type, n,
+             [CAST(list_sum([ (n * xs[t] - s) * (n * xs[t + kk] - s)
+                    FOR t IN generate_series(1, n - kk)]) AS BIGINT)
+              FOR kk IN generate_series(0, {k})] AS ck
+      FROM ser
+    ), rs AS (
+      SELECT event_type, n, ck,
+             [CAST(ck[kk + 2] AS DOUBLE) / ck[1]
+              FOR kk IN generate_series(0, {k - 1})] AS r
+      FROM cks
+    ), it AS (
+      SELECT event_type, n, ck, r, 1 AS k,
+             [r[1]] AS phi, [r[1]] AS pacf
+      FROM rs
+      UNION ALL
+      SELECT it.event_type, it.n, it.ck, it.r, it.k + 1,
+             [it.phi[j] - ({_PACF_PKK}) * it.phi[it.k + 1 - j]
+              FOR j IN generate_series(1, it.k)]
+             || [{_PACF_PKK}] AS phi,
+             it.pacf || [{_PACF_PKK}] AS pacf
+      FROM it WHERE it.k < {k}
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           ck[lag + 1] AS ck_scaled,
+           ROUND(r[lag], 6) AS acf,
+           ROUND(pacf[lag], 6) AS pacf
+    FROM it, unnest(generate_series(1, {k})) AS u(lag)
+    WHERE k = {k}
+    """
+
+
+@query("q_pacf", _sql_pacf())
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation function via the Durbin-Levinson
+    recursion — the AR-order selection tool that completes the
+    repo's correlogram suite (q_autocorrelation gives the ACF,
+    q_ljung_box its joint significance; PACF is what actually tells
+    you p in AR(p): the correlation at lag k AFTER the shorter-lag
+    structure is regressed away). Autocovariances are EXACT BIGINTs
+    — n-scaled cross products (n·xₜ−S)(n·xₜ₊ₖ−S) avoid the float
+    mean entirely — so the acf ratios are single divisions of exact
+    integers, and the Levinson recursion's float walk is seeded-fold-
+    subtract in ascending-j order in both engines: bit-identical,
+    hash-certified through all 7 recursion levels (the ck_scaled
+    column rides along so the hash also pins the integer core).
+
+    Scale shape: one (type, day) aggregate, 5 calendar-bounded
+    series, everything after the scan is bounded array programs; the
+    per-type series never exceeds the 31-day window at any SF."""
+    events = load_table(spark, sf_dir, "events")
+    K = _PACF_K
+    daily = events.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "x"))),
+                lambda s: s["x"],
+            ).alias("xs")
+        )
+        .withColumn("n", F.size("xs").cast("long"))
+        .withColumn(
+            "s",
+            F.aggregate(
+                "xs", F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+        )
+    )
+    xs, n, s = F.col("xs"), F.col("n"), F.col("s")
+    ck = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(K).cast("long")),
+        lambda kk: F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n - kk),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + (n * F.element_at(xs, t.cast("int")) - s)
+            * (n * F.element_at(xs, (t + kk).cast("int")) - s),
+        ),
+    )
+    base = ser.withColumn("ck", ck).withColumn(
+        "r",
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(K - 1).cast("long")
+            ),
+            lambda kk: F.element_at(
+                F.col("ck"), (kk + 2).cast("int")
+            ).cast("double")
+            / F.element_at(F.col("ck"), 1),
+        ),
+    )
+    r = F.col("r")
+
+    def step(acc, k):
+        phi = acc["phi"]
+        num = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), k - 1),
+                lambda j2: F.element_at(phi, j2.cast("int"))
+                * F.element_at(r, (k - j2).cast("int")),
+            ),
+            F.element_at(r, k.cast("int")),
+            lambda a, t: a - t,
+        )
+        den = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), k - 1),
+                lambda j2: F.element_at(phi, j2.cast("int"))
+                * F.element_at(r, j2.cast("int")),
+            ),
+            F.lit(1.0),
+            lambda a, t: a - t,
+        )
+        pkk = num / den
+        newphi = F.concat(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), k - 1),
+                lambda j: F.element_at(phi, j.cast("int"))
+                - pkk * F.element_at(phi, (k - j).cast("int")),
+            ),
+            F.array(pkk),
+        )
+        return F.struct(
+            newphi.alias("phi"),
+            F.concat(acc["pacf"], F.array(pkk)).alias("pacf"),
+        )
+
+    seed = F.struct(
+        F.array(F.element_at(r, 1)).alias("phi"),
+        F.array(F.element_at(r, 1)).alias("pacf"),
+    )
+    final = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), F.lit(K).cast("long")),
+        seed,
+        step,
+    )
+    out = base.withColumn("pacf_arr", final["pacf"]).select(
+        "event_type",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1).cast("long"), F.lit(K).cast("long")
+                ),
+                lambda lag: F.struct(
+                    lag.alias("lag"),
+                    F.element_at(
+                        F.col("ck"), (lag + 1).cast("int")
+                    ).alias("ck_scaled"),
+                    F.round(
+                        F.element_at(F.col("r"), lag.cast("int")), 6
+                    ).alias("acf"),
+                    F.round(
+                        F.element_at(
+                            F.col("pacf_arr"), lag.cast("int")
+                        ),
+                        6,
+                    ).alias("pacf"),
+                ),
+            )
+        ).alias("pos", "z"),
+    )
+    return out.select(
+        "event_type",
+        F.col("z.lag").alias("lag"),
+        F.col("z.ck_scaled").alias("ck_scaled"),
+        F.col("z.acf").alias("acf"),
+        F.col("z.pacf").alias("pacf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ridge regression (closed-form, exact cross-multiplied normal equations)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAM = 100
+
+
+@query(
+    "q_ridge",
+    f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(l_quantity) AS BIGINT) AS sx1,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS sx2,
+             CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM(l_quantity * l_quantity) AS BIGINT) AS sx1x1,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS sx2x2,
+             CAST(SUM(l_quantity
+                      * CAST(ROUND(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS sx1x2,
+             CAST(SUM(l_quantity
+                      * CAST(ROUND(l_extendedprice) AS BIGINT))
+                  AS BIGINT) AS sx1y,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice) AS BIGINT))
+                  AS BIGINT) AS sx2y
+      FROM lineitem
+    ), d AS (
+      SELECT n, sx1, sx2, sy, sx1y, sx2y,
+             CAST(n AS DECIMAL(38,0)) * sx1x1
+               - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS a11,
+             CAST(n AS DECIMAL(38,0)) * sx2x2
+               - CAST(sx2 AS DECIMAL(38,0)) * sx2 AS a22,
+             CAST(n AS DECIMAL(38,0)) * sx1x2
+               - CAST(sx1 AS DECIMAL(38,0)) * sx2 AS a12,
+             CAST(n AS DECIMAL(38,0)) * sx1y
+               - CAST(sx1 AS DECIMAL(38,0)) * sy AS b1,
+             CAST(n AS DECIMAL(38,0)) * sx2y
+               - CAST(sx2 AS DECIMAL(38,0)) * sy AS b2,
+             CAST({_RIDGE_LAM} AS DECIMAL(38,0)) * n AS lam
+      FROM base
+    ), betas AS (
+      SELECT n, sx1, sx2, sy, sx1y, sx2y,
+             CAST(b1 * (a22 + lam) - b2 * a12 AS DOUBLE)
+               / CAST((a11 + lam) * (a22 + lam) - a12 * a12
+                      AS DOUBLE) AS beta1,
+             CAST(b2 * (a11 + lam) - b1 * a12 AS DOUBLE)
+               / CAST((a11 + lam) * (a22 + lam) - a12 * a12
+                      AS DOUBLE) AS beta2
+      FROM d
+    )
+    SELECT n, sx1y, sx2y,
+           ROUND(beta1, 6) AS beta_qty,
+           ROUND(beta2, 6) AS beta_disc,
+           ROUND((CAST(sy AS DOUBLE) - beta1 * sx1 - beta2 * sx2)
+                 / n, 6) AS intercept
+    FROM betas
+    """,
+)
+def q_ridge(spark, sf_dir):
+    """Two-feature ridge regression (price ~ quantity + discount, λ =
+    100) in CLOSED FORM on cross-multiplied exact normal equations —
+    distributed linear modeling with zero iteration and zero float
+    accumulation: the map-side-combined base sums are exact BIGINTs
+    (y in whole dollars keeps Σx·y inside int64 through sf10), the
+    n-scaled centered Gram entries (n·Sxx − Sx², + λ·n on the
+    diagonal — note λ·n, NOT λ·n²: the scaled system is n·(Gram+λI))
+    are exact DECIMAL(38,0) — 2×2 Cramer numerators peak ~1.3e36 at
+    sf10, inside 38 digits — and the ONLY floats are two final
+    divisions of exact decimals plus the intercept expression,
+    written in identical operation order in both engines. The exact
+    sx1y/sx2y ride the output row so the hash pins the integer core.
+    Verified against numpy's centered ridge solve in pytest.
+
+    Scale shape: ONE fact-scan aggregate (9 sums, map-side combine) →
+    a single-row closed-form solve. The regression every fleet-size
+    dataset can afford because it never materializes X."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    x1 = F.col("l_quantity").cast("long")
+    base = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("sx1"),
+        F.sum(x2).cast("long").alias("sx2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("sx1x1"),
+        F.sum(x2 * x2).cast("long").alias("sx2x2"),
+        F.sum(x1 * x2).cast("long").alias("sx1x2"),
+        F.sum(x1 * y).cast("long").alias("sx1y"),
+        F.sum(x2 * y).cast("long").alias("sx2y"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    d = base.select(
+        "n", "sx1", "sx2", "sy", "sx1y", "sx2y",
+        (dec(F.col("n")) * F.col("sx1x1")
+         - dec(F.col("sx1")) * F.col("sx1")).alias("a11"),
+        (dec(F.col("n")) * F.col("sx2x2")
+         - dec(F.col("sx2")) * F.col("sx2")).alias("a22"),
+        (dec(F.col("n")) * F.col("sx1x2")
+         - dec(F.col("sx1")) * F.col("sx2")).alias("a12"),
+        (dec(F.col("n")) * F.col("sx1y")
+         - dec(F.col("sx1")) * F.col("sy")).alias("b1"),
+        (dec(F.col("n")) * F.col("sx2y")
+         - dec(F.col("sx2")) * F.col("sy")).alias("b2"),
+        (dec(F.lit(_RIDGE_LAM)) * F.col("n")).alias("lam"),
+    )
+    det = (
+        (F.col("a11") + F.col("lam")) * (F.col("a22") + F.col("lam"))
+        - F.col("a12") * F.col("a12")
+    ).cast("double")
+    betas = d.select(
+        "n", "sx1", "sx2", "sy", "sx1y", "sx2y",
+        (
+            (
+                F.col("b1") * (F.col("a22") + F.col("lam"))
+                - F.col("b2") * F.col("a12")
+            ).cast("double")
+            / det
+        ).alias("beta1"),
+        (
+            (
+                F.col("b2") * (F.col("a11") + F.col("lam"))
+                - F.col("b1") * F.col("a12")
+            ).cast("double")
+            / det
+        ).alias("beta2"),
+    )
+    return betas.select(
+        "n", "sx1y", "sx2y",
+        F.round("beta1", 6).alias("beta_qty"),
+        F.round("beta2", 6).alias("beta_disc"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - F.col("beta1") * F.col("sx1")
+                - F.col("beta2") * F.col("sx2")
+            )
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
