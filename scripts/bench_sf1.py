@@ -79,6 +79,9 @@ EXTRA_HEAVY = [
     "q_seq_patterns",
     # phase 81: per-order brand-duel self-join (basket-bounded fan-out)
     "q_bradley_terry",
+    # phases 83-84: events-scale collect + bounded wavefront/max-plus
+    # folds (linearity controls like q_isotonic_points)
+    "q_dtw", "q_viterbi",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
