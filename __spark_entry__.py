@@ -109,6 +109,10 @@ _NEWCOMERS_R11: list[str] = [
     # -- phases 85-86: Durbin-Levinson PACF + closed-form ridge --
     "q_pacf",
     "q_ridge",
+    # phase 87 (q_stream_outer_join) is deliberately NOT windowed: the
+    # window is at its 50-slot cap with the 10 untouchable r2-era rows
+    # (VERDICT r10 #1); its driver row leads the r12 window, and it is
+    # fully gated locally (preflight both SFs + tests/test_phase87.py).
     # schema changed this round (dual-provider columns) → refresh row
     "q_stream_state_census",
 ]

@@ -480,6 +480,9 @@ HEADLINE = [
     # round-11 phases 85-86: Durbin-Levinson PACF, closed-form ridge
     "q_pacf",
     "q_ridge",
+    # round-11 phase 87: LEFT OUTER stream-stream expiry census (a real
+    # availableNow run per invocation)
+    "q_stream_outer_join",
 ]
 
 

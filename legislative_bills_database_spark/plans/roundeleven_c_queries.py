@@ -2120,3 +2120,26 @@ def q_ridge(spark, sf_dir):
             6,
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER join watermark-expiry census
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_outer_join")  # real availableNow stream → rows-only
+def q_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join watermark-expiry certificate —
+    the half of stream-join semantics q_stream_join's inner census
+    can't see: an unmatched left row emits its null only once the
+    watermark PROVES no match can still arrive, so append-mode outer
+    ≠ batch outer while the stream is live. The census certifies the
+    exact three-way decomposition (matched rows multiset-equal to
+    batch; nulls ⊆ batch-unmatched with zero phantoms; every withheld
+    row inside the expiry-horizon tail) and that nulls DID flow
+    (availableNow's final no-data micro-batch advances the watermark
+    — disabled in the other censuses' confs, REQUIRED here;
+    streaming/joins.outer_join_report)."""
+    from ..streaming.joins import outer_join_report
+
+    return outer_join_report(spark, sf_dir)
