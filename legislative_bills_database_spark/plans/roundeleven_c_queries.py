@@ -1268,7 +1268,6 @@ def q_bradley_terry(spark, sf_dir):
     pi = wtot.select(
         "brand", F.lit(_BT_S).cast("long").alias("piq")
     ).localCheckpoint(eager=True)
-    wall = Window.partitionBy()
     for _ in range(_BT_ROUNDS):
         pa = pi.select(F.col("brand").alias("i"), F.col("piq").alias("pi_i"))
         pb = pi.select(F.col("brand").alias("j"), F.col("piq").alias("pi_j"))

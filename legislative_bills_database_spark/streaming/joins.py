@@ -296,19 +296,24 @@ def outer_join_report(spark, sf_dir: str):
             .crossJoin(F.broadcast(horizon))
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_unmatched_batch"),
-                F.sum(F.coalesce("emitted", F.lit(0)))
+                F.coalesce(
+                    F.sum(F.coalesce("emitted", F.lit(0))), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_null_emitted"),
-                F.sum(
-                    F.when(
-                        F.col("emitted").isNull()
-                        & (
-                            F.col("p_ts")
-                            + F.expr("INTERVAL 60 minutes")
-                            <= F.col("max_ts")
-                        ),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("emitted").isNull()
+                            & (
+                                F.col("p_ts")
+                                + F.expr("INTERVAL 60 minutes")
+                                < F.col("max_ts")
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_withheld_outside_tail"),
