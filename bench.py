@@ -485,6 +485,8 @@ HEADLINE = [
     "q_stream_outer_join",
     # round-12 phase 88: banded Needleman-Wunsch wavefront alignment
     "q_needleman",
+    # round-12 phase 89: quantized-exact HMM forward filter
+    "q_hmm_forward",
 ]
 
 

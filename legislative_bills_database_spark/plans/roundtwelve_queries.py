@@ -205,3 +205,210 @@ def q_needleman(spark, sf_dir):
         "m",
         F.element_at(final["p"], (n + 1).cast("int")).alias("nw_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HMM forward filter (sum-product, quantized-exact Rabiner scaling)
+# ---------------------------------------------------------------------------
+
+# The SAME 2-state browse/buy-intent HMM q_viterbi decodes, here as
+# PROBABILITY hundredths (q_viterbi's micro-nat log literals are the
+# lns of exactly these values), so the two queries are the max-plus
+# and sum-product views of one model.
+_FWD_A = {(0, 0): 80, (0, 1): 20, (1, 0): 30, (1, 1): 70}
+_FWD_INIT = (60, 40)
+_FWD_B0 = {"view": 30, "click": 30, "signup": 15, "error": 15,
+           "purchase": 10}
+_FWD_B1 = {"view": 15, "click": 25, "signup": 10, "error": 10,
+           "purchase": 40}
+_FWD_S = 100_000  # filter-distribution quantization grid
+
+# the un-normalized one-step predictors, spelled once (substituted
+# repeatedly — the recursive term cannot reference its own lateral
+# aliases safely, the q_viterbi binding hazard)
+_FWD_T0 = "(it.a0 * 80 + it.a1 * 30) * it.b0[it.k + 1]"
+_FWD_T1 = "(it.a0 * 20 + it.a1 * 70) * it.b1[it.k + 1]"
+_FWD_A0N = f"({_FWD_T0} * 100000 // ({_FWD_T0} + {_FWD_T1}))"
+_FWD_A1N = f"({_FWD_T1} * 100000 // ({_FWD_T0} + {_FWD_T1}))"
+
+
+def _sql_emission_fwd(col: str, table: dict) -> str:
+    cases = " ".join(
+        f"WHEN {col} = '{k}' THEN {v}" for k, v in table.items()
+    )
+    return f"CASE {cases} END"
+
+
+def _sql_hmm_forward() -> str:
+    return f"""
+    WITH RECURSIVE vals AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS obs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), emit AS (
+      SELECT user_id, n,
+             [{_sql_emission_fwd('o', _FWD_B0)} FOR o IN obs] AS b0,
+             [{_sql_emission_fwd('o', _FWD_B1)} FOR o IN obs] AS b1
+      FROM vals
+    ), seeded AS (
+      SELECT user_id, n, b0, b1,
+             CAST({_FWD_INIT[0]} * b0[1] AS BIGINT) * {_FWD_S}
+               // ({_FWD_INIT[0]} * b0[1] + {_FWD_INIT[1]} * b1[1])
+               AS s0,
+             CAST({_FWD_INIT[1]} * b1[1] AS BIGINT) * {_FWD_S}
+               // ({_FWD_INIT[0]} * b0[1] + {_FWD_INIT[1]} * b1[1])
+               AS s1
+      FROM emit
+    ), it AS (
+      SELECT user_id, n, b0, b1, 1 AS k,
+             s0 AS a0, s1 AS a1,
+             CAST(CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS BIGINT)
+               AS cnt,
+             s1 AS best, CAST(1 AS BIGINT) AS bestk
+      FROM seeded
+      UNION ALL
+      SELECT it.user_id, it.n, it.b0, it.b1, it.k + 1,
+             {_FWD_A0N} AS a0,
+             {_FWD_A1N} AS a1,
+             it.cnt + CASE WHEN {_FWD_A1N} > {_FWD_A0N}
+                           THEN 1 ELSE 0 END AS cnt,
+             CASE WHEN {_FWD_A1N} > it.best
+                  THEN {_FWD_A1N} ELSE it.best END AS best,
+             CASE WHEN {_FWD_A1N} > it.best
+                  THEN it.k + 1 ELSE it.bestk END AS bestk
+      FROM it WHERE it.k < it.n
+    )
+    SELECT user_id, n AS n_events, a0 AS a0_q, a1 AS a1_q,
+           cnt AS intent_steps, best AS peak_a1_q,
+           bestk AS peak_step
+    FROM it WHERE k = n
+    """
+
+
+@query("q_hmm_forward", _sql_hmm_forward())
+def q_hmm_forward(spark, sf_dir):
+    """HMM forward filter (sum-product) over each user's event-type
+    sequence — q_viterbi's other half: not the single best hidden
+    path but the posterior P(state | obs so far) marginal at every
+    step, the quantity online intent scoring, anomaly gating, and
+    belief-state features actually consume.
+
+    Exact log-sum-exp cannot cross engines (transcendental at query
+    time) and the raw forward recursion underflows any fixed
+    precision, so this runs the standard fix — Rabiner per-step
+    scaling (the normalizer is re-derived each step) — with the
+    normalized filter distribution FLOOR-QUANTIZED to the 10⁵ grid
+    after every step (the q_pagerank_exact / q_bradley_terry
+    discipline). Every step is then pure BIGINT arithmetic:
+    u_j = (a0·A[0][j] + a1·A[1][j])·B[j][obs], a_j' = u_j·10⁵ div
+    (u0+u1), so the whole iterative filter hash-matches a
+    recursive-CTE twin, and the quantization error vs the float
+    filter is bounded by the pytest pin. The fold also carries three
+    trajectory functionals a final row alone couldn't certify: the
+    count of steps where intent dominates (a1 > a0, strict in both
+    engines), the peak intent belief, and its FIRST achieving step
+    (strict > keeps the earliest). Magnitudes: u_j·10⁵ ≤ 1.1e14 —
+    inside the 2⁵³ window, so the lambda-scope floor-div (subtract
+    pmod, then an exactly-divisible double division; Spark has no
+    `div` inside higher-order-function lambdas) is exact.
+
+    Scale shape: identical to q_viterbi — one per-user ordered
+    collect, integer emission arrays, one JVM fold, no UDF, no
+    per-step shuffle; the DuckDB twin advances all users together
+    one scalar step per CTE round with it.-qualified reads and the
+    predictor expressions substituted textually (lateral-alias
+    binding hazard, documented at q_viterbi)."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("obs")
+    ).withColumn("n", F.size("obs").cast("long"))
+
+    def emis(table):
+        def f(o):
+            expr = None
+            for k, v in table.items():
+                cond = o == k
+                expr = (
+                    F.when(cond, F.lit(v).cast("long"))
+                    if expr is None
+                    else expr.when(cond, F.lit(v).cast("long"))
+                )
+            return expr
+
+        return f
+
+    base = vals.select(
+        "user_id",
+        "n",
+        F.transform("obs", emis(_FWD_B0)).alias("b0"),
+        F.transform("obs", emis(_FWD_B1)).alias("b1"),
+    )
+    b0, b1 = F.col("b0"), F.col("b1")
+    S = F.lit(_FWD_S).cast("long")
+    a = _FWD_A
+
+    def _floordiv(num, den):
+        # exact BIGINT floor-div inside a lambda: num - pmod is an
+        # exact multiple <= 1.1e14 (< 2^53), so the double division
+        # returns the integer quotient exactly
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    u0s = F.lit(_FWD_INIT[0]).cast("long") * F.element_at(b0, 1)
+    u1s = F.lit(_FWD_INIT[1]).cast("long") * F.element_at(b1, 1)
+    s0 = _floordiv(u0s * S, u0s + u1s)
+    s1 = _floordiv(u1s * S, u0s + u1s)
+    seed = F.struct(
+        s0.alias("a0"),
+        s1.alias("a1"),
+        F.when(s1 > s0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cnt"),
+        s1.alias("best"),
+        F.lit(1).cast("long").alias("bestk"),
+    )
+
+    def step(acc, k):
+        u0 = (acc["a0"] * a[(0, 0)] + acc["a1"] * a[(1, 0)]) * (
+            F.element_at(b0, k.cast("int"))
+        )
+        u1 = (acc["a0"] * a[(0, 1)] + acc["a1"] * a[(1, 1)]) * (
+            F.element_at(b1, k.cast("int"))
+        )
+        den = u0 + u1
+        na0 = _floordiv(u0 * S, den)
+        na1 = _floordiv(u1 * S, den)
+        return F.struct(
+            na0.alias("a0"),
+            na1.alias("a1"),
+            (
+                acc["cnt"]
+                + F.when(na1 > na0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("cnt"),
+            F.when(na1 > acc["best"], na1)
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(na1 > acc["best"], k)
+            .otherwise(acc["bestk"])
+            .alias("bestk"),
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), F.col("n")), seed, step
+    )
+    return base.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        final["a0"].alias("a0_q"),
+        final["a1"].alias("a1_q"),
+        final["cnt"].alias("intent_steps"),
+        final["best"].alias("peak_a1_q"),
+        final["bestk"].alias("peak_step"),
+    )

@@ -103,3 +103,89 @@ def test_needleman_self_alignment_is_perfect():
     assert _nw_banded(mutated, ref, 3) == m * _NW_MATCH - (
         _NW_MATCH - _NW_MISMATCH
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 89: HMM forward filter (quantized-exact Rabiner scaling)
+# ---------------------------------------------------------------------------
+
+from legislative_bills_database_spark.plans.roundtwelve_queries import (  # noqa: E402
+    _FWD_A,
+    _FWD_B0,
+    _FWD_B1,
+    _FWD_INIT,
+    _FWD_S,
+)
+
+
+def _event_sequences():
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT user_id, list(event_type ORDER BY ts, event_id)
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1
+        """
+    ).fetchall()
+
+
+def _forward_int(obs):
+    """The exact integer recursion as specified (floor-quantized)."""
+    u0 = _FWD_INIT[0] * _FWD_B0[obs[0]]
+    u1 = _FWD_INIT[1] * _FWD_B1[obs[0]]
+    a0, a1 = u0 * _FWD_S // (u0 + u1), u1 * _FWD_S // (u0 + u1)
+    cnt = 1 if a1 > a0 else 0
+    best, bestk = a1, 1
+    for k, o in enumerate(obs[1:], start=2):
+        u0 = (a0 * _FWD_A[(0, 0)] + a1 * _FWD_A[(1, 0)]) * _FWD_B0[o]
+        u1 = (a0 * _FWD_A[(0, 1)] + a1 * _FWD_A[(1, 1)]) * _FWD_B1[o]
+        den = u0 + u1
+        a0, a1 = u0 * _FWD_S // den, u1 * _FWD_S // den
+        if a1 > a0:
+            cnt += 1
+        if a1 > best:
+            best, bestk = a1, k
+    return a0, a1, cnt, best, bestk
+
+
+def _forward_float(obs):
+    """Textbook scaled forward filter in floats (the quantization-error
+    yardstick)."""
+    p0 = _FWD_INIT[0] / 100 * _FWD_B0[obs[0]] / 100
+    p1 = _FWD_INIT[1] / 100 * _FWD_B1[obs[0]] / 100
+    s = p0 + p1
+    p0, p1 = p0 / s, p1 / s
+    for o in obs[1:]:
+        u0 = (p0 * 0.8 + p1 * 0.3) * _FWD_B0[o] / 100
+        u1 = (p0 * 0.2 + p1 * 0.7) * _FWD_B1[o] / 100
+        s = u0 + u1
+        p0, p1 = u0 / s, u1 / s
+    return p0, p1
+
+
+def test_hmm_forward_matches_integer_replay(spark):
+    got = {
+        r.user_id: (
+            r.n_events, r.a0_q, r.a1_q, r.intent_steps,
+            r.peak_a1_q, r.peak_step,
+        )
+        for r in QUERIES["q_hmm_forward"](spark, SF).collect()
+    }
+    seqs = dict(_event_sequences())
+    assert set(got) == set(seqs)
+    for u, obs in seqs.items():
+        a0, a1, cnt, best, bestk = _forward_int(obs)
+        assert got[u] == (len(obs), a0, a1, cnt, best, bestk), u
+        # normalization survives flooring: at most 1 grid unit lost
+        assert _FWD_S - 1 <= a0 + a1 <= _FWD_S
+        assert 0 <= cnt <= len(obs)
+        assert 1 <= bestk <= len(obs) and best >= a1
+
+
+def test_hmm_forward_quantization_error_bounded():
+    # the 10^-5 per-step floor error must not accumulate visibly:
+    # final filtered belief within 1e-3 of the float filter
+    for u, obs in _event_sequences():
+        a0, a1, *_ = _forward_int(obs)
+        p0, p1 = _forward_float(obs)
+        assert abs(a1 / _FWD_S - p1) < 1e-3, (u, a1 / _FWD_S, p1)
+        assert abs(a0 / _FWD_S - p0) < 1e-3, (u, a0 / _FWD_S, p0)
