@@ -487,6 +487,9 @@ HEADLINE = [
     "q_needleman",
     # round-12 phase 89: quantized-exact HMM forward filter
     "q_hmm_forward",
+    # round-12 phase 90: row-group skipping certificate (writes two
+    # single-file layouts then runs six measured reads)
+    "q_rowgroup_skip_census",
 ]
 
 

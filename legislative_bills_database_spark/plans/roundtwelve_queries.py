@@ -412,3 +412,174 @@ def q_hmm_forward(spark, sf_dir):
         final["best"].alias("peak_a1_q"),
         final["bestk"].alias("peak_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# parquet row-group skipping certificate (Z-order vs linear layout)
+# ---------------------------------------------------------------------------
+
+_RG_BITS = 8  # per-dimension bucket bits for the Morton code
+_RG_BLOCK = 16 * 1024  # parquet.block.size: small => many row groups
+
+
+def _scan_output_rows(df) -> int:
+    """Sum of numOutputRows over the executed plan's parquet scan
+    nodes — rows the reader actually DECODED after row-group/page
+    skipping (per-row residual filtering happens in FilterExec above,
+    with its own metric). Same AQE access path as
+    q_partition_pruning_census._scan_metrics (QueryStage hops via
+    .plan(), final plan via .executedPlan())."""
+    ep = df._jdf.queryExecution().executedPlan()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(ep)
+    return total
+
+
+@query("q_rowgroup_skip_census")  # engine-physical → rows-only
+def q_rowgroup_skip_census(spark, sf_dir):
+    """Row-group-skipping certificate — the ROWGROUP-grain sibling of
+    q_partition_pruning_census (directory grain) that closes the loop
+    q_zorder_stats only evidences statistically: does the Morton
+    layout actually make the parquet reader DECODE fewer rows than a
+    linear sort, measured from the executed scan's numOutputRows?
+
+    Two single-file layouts of the same (custkey, day, cents)
+    projection, written with 16 KiB row groups so footer min/max
+    stats exist at fine grain: 'linear' sorted by day (the layout a
+    time-series table naturally has) and 'zorder' sorted by the
+    8+8-bit Morton interleave of bucketed (custkey, day)
+    (operators/layout.z_value — the Delta/Iceberg OPTIMIZE ZORDER
+    trick). Three pushed predicates probe them: a custkey band
+    (selectivity ~1/8), a one-year day band, and their box. The
+    linear layout prunes day filters and reads ~100% for the custkey
+    band (every row group spans the full custkey range); the Morton
+    layout bounds BOTH dimensions per row group — constraining the
+    custkey band's top 3 bucket bits fixes alternating z-bits, so
+    only ~2^3 of the 2^5 z-contiguous row groups can intersect
+    (~25% decoded for a 12.5% filter). The scan metric is the
+    honest number: rows the reader materialized, not rows the query
+    returned — per-row residual filtering happens above the scan.
+
+    Per (layout × predicate) row: row groups in the file (pyarrow
+    footer), total rows, scan-decoded rows, result rows and exact
+    cents (the value-parity anchor: layouts must agree on WHAT, only
+    HOW MUCH I/O differs). Engine-physical → rows-only; the skipping
+    asymmetry and parity are pinned in pytest at sf0.01.
+
+    100 TB shape: this is the certificate that decides whether a
+    secondary-dimension point lookup costs a full-table scan or a
+    handful of row groups; the write is one range shuffle, the same
+    cost as any sorted write (operators/layout.zorder_write)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.layout import int_bucket, z_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_df = orders.select(
+        F.col("o_custkey").cast("long").alias("xk"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = base_df.agg(
+        F.min("xk").alias("xlo"),
+        F.max("xk").alias("xhi"),
+        F.min("dn").alias("dlo"),
+        F.max("dn").alias("dhi"),
+    ).collect()[0]
+    xlo, xhi = int(bounds.xlo), int(bounds.xhi)
+    dlo, dhi = int(bounds.dlo), int(bounds.dhi)
+    # custkey band: lowest 1/8 of the range; day band: one middle year
+    xcut = xlo + max(1, (xhi - xlo + 1) // 8) - 1
+    dcut_lo = dlo + 3 * 365
+    dcut_hi = min(dhi, dcut_lo + 364)
+    z = z_value(
+        [
+            int_bucket(F.col("xk"), xlo, xhi + 1, _RG_BITS),
+            int_bucket(F.col("dn"), dlo, dhi + 1, _RG_BITS),
+        ],
+        _RG_BITS,
+    )
+    tmp = tempfile.mkdtemp(prefix="q_rowgroup_skip_")
+    try:
+        layouts = {}
+        for name, sort_col in [("linear", F.col("dn")), ("zorder", z)]:
+            path = os.path.join(tmp, name)
+            (
+                base_df.withColumn("__s", sort_col)
+                .repartition(1)
+                .sortWithinPartitions("__s")
+                .drop("__s")
+                .write.option("parquet.block.size", _RG_BLOCK)
+                .parquet(path)
+            )
+            part = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            assert len(part) == 1, part
+            meta = pq.ParquetFile(part[0])
+            layouts[name] = (path, meta.metadata.num_row_groups,
+                             meta.metadata.num_rows)
+        preds = {
+            "custkey_band": (F.col("xk") >= xlo) & (F.col("xk") <= xcut),
+            "day_band": (F.col("dn") >= dcut_lo) & (F.col("dn") <= dcut_hi),
+            "box": (F.col("xk") >= xlo)
+            & (F.col("xk") <= xcut)
+            & (F.col("dn") >= dcut_lo)
+            & (F.col("dn") <= dcut_hi),
+        }
+        rows = []
+        for lname, (path, n_rg, n_total) in sorted(layouts.items()):
+            df = spark.read.parquet(path)
+            for pname, pred in sorted(preds.items()):
+                agg = df.filter(pred).agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.coalesce(F.sum("cents"), F.lit(0))
+                    .cast("long")
+                    .alias("c"),
+                )
+                out = agg.collect()[0]
+                rows.append(
+                    (
+                        lname,
+                        pname,
+                        int(n_rg),
+                        int(n_total),
+                        int(_scan_output_rows(agg)),
+                        int(out["n"]),
+                        int(out["c"]),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "layout string, predicate string, n_rowgroups long, "
+            "total_rows long, scan_rows long, rows long, sum_cents long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

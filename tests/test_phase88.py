@@ -189,3 +189,46 @@ def test_hmm_forward_quantization_error_bounded():
         p0, p1 = _forward_float(obs)
         assert abs(a1 / _FWD_S - p1) < 1e-3, (u, a1 / _FWD_S, p1)
         assert abs(a0 / _FWD_S - p0) < 1e-3, (u, a0 / _FWD_S, p0)
+
+
+# ---------------------------------------------------------------------------
+# phase 90: parquet row-group skipping certificate (zorder vs linear)
+# ---------------------------------------------------------------------------
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_rowgroup_skip_census(spark):
+    out = {
+        (r.layout, r.predicate): r
+        for r in QUERIES["q_rowgroup_skip_census"](spark, SF01).collect()
+    }
+    assert len(out) == 6
+    total = out[("linear", "box")].total_rows
+    # enough row groups for the certificate to be meaningful
+    for r in out.values():
+        assert r.n_rowgroups >= 8, r
+        assert r.total_rows == total
+        assert 0 < r.rows <= r.scan_rows <= r.total_rows, r
+    # value parity: layouts agree on WHAT, only decoded volume differs
+    for pred in ("custkey_band", "day_band", "box"):
+        a, b = out[("linear", pred)], out[("zorder", pred)]
+        assert (a.rows, a.sum_cents) == (b.rows, b.sum_cents), pred
+    # the headline asymmetry: the linear(day) layout cannot skip on
+    # custkey (every row group spans the full range) while zorder can
+    lin_ck = out[("linear", "custkey_band")]
+    zo_ck = out[("zorder", "custkey_band")]
+    assert lin_ck.scan_rows >= int(0.9 * total)
+    assert zo_ck.scan_rows <= int(0.6 * total)
+    assert zo_ck.scan_rows < lin_ck.scan_rows
+    # the trade: on its OWN sort dimension the linear layout prunes
+    # harder than zorder (zorder pays per-dimension resolution)
+    lin_day = out[("linear", "day_band")]
+    zo_day = out[("zorder", "day_band")]
+    assert lin_day.scan_rows <= int(0.5 * total)
+    assert zo_day.scan_rows <= int(0.8 * total)
+    # 2-D box: zorder bounds both dimensions -> at most linear's I/O
+    assert (
+        out[("zorder", "box")].scan_rows
+        <= out[("linear", "box")].scan_rows
+    )
