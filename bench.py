@@ -490,6 +490,8 @@ HEADLINE = [
     # round-12 phase 90: row-group skipping certificate (writes two
     # single-file layouts then runs six measured reads)
     "q_rowgroup_skip_census",
+    # round-12 phase 91: approximate composite inclusion dependencies
+    "q_approx_ind",
 ]
 
 

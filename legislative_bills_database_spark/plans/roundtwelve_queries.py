@@ -583,3 +583,191 @@ def q_rowgroup_skip_census(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# approximate composite inclusion dependencies (g3-style tolerance tier)
+# ---------------------------------------------------------------------------
+
+# Bracket candidates spanning the violation spectrum at sf0.01 (the
+# q_approx_fd discipline): the exact-holding phase-74 pair domain (0),
+# a DIRTY-but-structurally-right near-IND (per-user hour-of-day
+# coverage mostly transfers across the day-15 boundary, ~26% of pairs
+# are new but the model is sound), and two wrong-model candidates
+# (customer order-status mix ~54% and the random lineitem split ~86% —
+# no amount of cleaning rescues either).
+_AIND_TOL_STRICT = "0.01"
+_AIND_TOL_LOOSE = "0.30"
+_AIND_CANDIDATES = [
+    (
+        "events[d16-30]:(user_id,event_type) <= events[d1-15]",
+        ("events", "user_id", "event_type", "day_ge_16"),
+        ("events", "user_id", "event_type", "day_le_15"),
+    ),
+    (
+        "events[d16-30]:(user_id,hour) <= events[d1-15]",
+        ("events", "user_id", "__hour", "day_ge_16"),
+        ("events", "user_id", "__hour", "day_le_15"),
+    ),
+    (
+        "orders[1997+]:(o_custkey,o_orderstatus) <= orders[pre-1997]",
+        ("orders", "o_custkey", "o_orderstatus", "date_ge_97"),
+        ("orders", "o_custkey", "o_orderstatus", "date_lt_97"),
+    ),
+    (
+        "lineitem[even orders]:(l_partkey,l_suppkey) <= lineitem[odd]",
+        ("lineitem", "l_partkey", "l_suppkey", "even"),
+        ("lineitem", "l_partkey", "l_suppkey", "odd"),
+    ),
+]
+
+_AIND_SQL_FILTERS = {
+    "day_ge_16": "date_part('day', ts) >= 16",
+    "day_le_15": "date_part('day', ts) <= 15",
+    "date_ge_97": "o_orderdate >= '1997-01-01'",
+    "date_lt_97": "o_orderdate < '1997-01-01'",
+    "even": "l_orderkey % 2 = 0",
+    "odd": "l_orderkey % 2 = 1",
+}
+
+
+def _sql_aind_col(col: str) -> str:
+    if col == "__hour":
+        return "CAST(date_part('hour', ts) AS BIGINT)"
+    return col
+
+
+def _sql_aind_block(label: str, lhs, rhs) -> str:
+    lt, la, lb, lf = lhs
+    rt, ra, rb, rf = rhs
+    return f"""
+    SELECT '{label}' AS ind,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS miss_pairs,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN hit IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS miss_rows,
+           ROUND(CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS g3_pairs,
+           ROUND(CAST(SUM(CASE WHEN hit IS NULL THEN c ELSE 0 END)
+                 AS DOUBLE) / SUM(c), 6) AS g3_rows,
+           CAST(CASE WHEN CAST(SUM(CASE WHEN hit IS NULL THEN c ELSE 0
+                 END) AS DOUBLE) / SUM(c) <= {_AIND_TOL_STRICT}
+                 THEN 1 ELSE 0 END AS INTEGER) AS holds_1pct,
+           CAST(CASE WHEN CAST(SUM(CASE WHEN hit IS NULL THEN c ELSE 0
+                 END) AS DOUBLE) / SUM(c) <= {_AIND_TOL_LOOSE}
+                 THEN 1 ELSE 0 END AS INTEGER) AS holds_30pct
+    FROM (SELECT {_sql_aind_col(la)} AS k1, {_sql_aind_col(lb)} AS k2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM {lt} WHERE {_AIND_SQL_FILTERS[lf]} GROUP BY 1, 2) l
+    LEFT JOIN (SELECT DISTINCT {_sql_aind_col(ra)} AS k1,
+                      {_sql_aind_col(rb)} AS k2, 1 AS hit
+               FROM {rt} WHERE {_AIND_SQL_FILTERS[rf]}) r
+      USING (k1, k2)
+    """
+
+
+def _aind_col(df, col):
+    if col == "__hour":
+        return F.hour("ts").cast("long")
+    return F.col(col)
+
+
+def _aind_filter(df, tag):
+    return {
+        "day_ge_16": lambda d: d.filter(F.dayofmonth("ts") >= 16),
+        "day_le_15": lambda d: d.filter(F.dayofmonth("ts") <= 15),
+        "date_ge_97": lambda d: d.filter(
+            F.col("o_orderdate") >= "1997-01-01"
+        ),
+        "date_lt_97": lambda d: d.filter(
+            F.col("o_orderdate") < "1997-01-01"
+        ),
+        "even": lambda d: d.filter(F.col("l_orderkey") % 2 == 0),
+        "odd": lambda d: d.filter(F.col("l_orderkey") % 2 == 1),
+    }[tag](df)
+
+
+@query(
+    "q_approx_ind",
+    "\nUNION ALL\n".join(_sql_aind_block(*c) for c in _AIND_CANDIDATES),
+)
+def q_approx_ind(spark, sf_dir):
+    """Approximate composite inclusion dependencies — the tolerance
+    tier over the phase-74 q_composite_ind domain, completing the
+    schema-discovery ladder exact IND → approximate FD → composite
+    IND → composite approximate IND. Two g3-style error measures per
+    candidate: the fraction of distinct key PAIRS absent from the
+    reference domain (what a profiler reports) and the fraction of
+    ROW MASS those pairs carry (what cleaning actually costs — a rare
+    new pair and a dominant new pair are different problems; the two
+    measures diverge exactly when violations concentrate). Verdicts
+    at 1% (dirty-data tolerance) and 30% (structure tolerance) give
+    the three-way decision q_approx_fd established: keep the model,
+    clean the data, or fix the schema. On this fixture at sf0.01 the
+    four candidates land exactly one per bracket: the day-15 pair
+    domain holds exactly; per-user HOUR coverage is dirty-but-sound
+    (g3≈0.26 — users keep their types but visit a few new hours);
+    customer status mix (≈0.55) and the random lineitem split
+    (≈0.86) are wrong models.
+
+    Scale shape per candidate: ONE aggregation of the lhs to pair
+    grain carrying row counts (map-side combine; row mass never
+    re-shuffles), a distinct-projected rhs, one pair-grain left join
+    — distinct-tuple cardinality bounds every shuffle exactly as in
+    q_composite_ind; candidates union in parallel. Exact BIGINT
+    counts until the two final ROUND divisions."""
+    out = None
+    for label, (lt, la, lb, lf), (rt, ra, rb, rf) in _AIND_CANDIDATES:
+        lhs = (
+            _aind_filter(load_table(spark, sf_dir, lt), lf)
+            .groupBy(
+                _aind_col(None, la).alias("k1"),
+                _aind_col(None, lb).alias("k2"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        rhs = (
+            _aind_filter(load_table(spark, sf_dir, rt), rf)
+            .select(
+                _aind_col(None, ra).alias("k1"),
+                _aind_col(None, rb).alias("k2"),
+            )
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        joined = lhs.join(rhs, ["k1", "k2"], "left")
+        n_pairs = F.count(F.lit(1)).cast("long")
+        miss_pairs = F.sum(
+            F.when(F.col("hit").isNull(), 1).otherwise(0)
+        ).cast("long")
+        n_rows = F.sum("c").cast("long")
+        miss_rows = F.sum(
+            F.when(F.col("hit").isNull(), F.col("c")).otherwise(0)
+        ).cast("long")
+        g3r = miss_rows.cast("double") / n_rows
+        block = joined.agg(
+            F.lit(label).alias("ind"),
+            n_pairs.alias("n_pairs"),
+            miss_pairs.alias("miss_pairs"),
+            n_rows.alias("n_rows"),
+            miss_rows.alias("miss_rows"),
+            F.round(miss_pairs.cast("double") / n_pairs, 6).alias(
+                "g3_pairs"
+            ),
+            F.round(g3r, 6).alias("g3_rows"),
+            F.when(g3r <= float(_AIND_TOL_STRICT), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("holds_1pct"),
+            F.when(g3r <= float(_AIND_TOL_LOOSE), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("holds_30pct"),
+        ).select(
+            "ind", "n_pairs", "miss_pairs", "n_rows", "miss_rows",
+            "g3_pairs", "g3_rows", "holds_1pct", "holds_30pct",
+        )
+        out = block if out is None else out.unionByName(block)
+    return out

@@ -232,3 +232,38 @@ def test_rowgroup_skip_census(spark):
         out[("zorder", "box")].scan_rows
         <= out[("linear", "box")].scan_rows
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 91: approximate composite inclusion dependencies
+# ---------------------------------------------------------------------------
+
+
+def test_approx_ind_brackets(spark):
+    rows = {
+        r.ind: r for r in QUERIES["q_approx_ind"](spark, SF01).collect()
+    }
+    assert len(rows) == 4
+    exact = rows["events[d16-30]:(user_id,event_type) <= events[d1-15]"]
+    dirty = rows["events[d16-30]:(user_id,hour) <= events[d1-15]"]
+    wrong1 = rows[
+        "orders[1997+]:(o_custkey,o_orderstatus) <= orders[pre-1997]"
+    ]
+    wrong2 = rows[
+        "lineitem[even orders]:(l_partkey,l_suppkey) <= lineitem[odd]"
+    ]
+    # one candidate per bracket: holds / dirty-but-sound / wrong model
+    assert (exact.holds_1pct, exact.holds_30pct) == (1, 1)
+    assert exact.miss_pairs == 0 and exact.miss_rows == 0
+    assert (dirty.holds_1pct, dirty.holds_30pct) == (0, 1)
+    assert 0 < dirty.miss_pairs < dirty.n_pairs
+    for w in (wrong1, wrong2):
+        assert (w.holds_1pct, w.holds_30pct) == (0, 0)
+        assert w.g3_rows > 0.3
+    # internal consistency of the two g3 measures
+    for r in rows.values():
+        assert 0 <= r.miss_pairs <= r.n_pairs
+        assert 0 <= r.miss_rows <= r.n_rows
+        assert r.miss_rows >= r.miss_pairs  # each pair carries >=1 row
+        assert abs(r.g3_pairs - r.miss_pairs / r.n_pairs) < 1e-6
+        assert abs(r.g3_rows - r.miss_rows / r.n_rows) < 1e-6
