@@ -771,3 +771,141 @@ def q_approx_ind(spark, sf_dir):
         )
         out = block if out is None else out.unionByName(block)
     return out
+
+
+# ---------------------------------------------------------------------------
+# state-store cardinality sweep (bytes/state-row growth per provider)
+# ---------------------------------------------------------------------------
+
+_SSS_MULTS = (1, 10, 100)  # group-key cardinality multipliers
+
+
+@query("q_stream_state_scale")  # runs real availableNow streams
+def q_stream_state_scale(spark, sf_dir):
+    """State-store CARDINALITY sweep — the scale axis
+    q_stream_state_census fixes at one point: the same hourly-window
+    aggregate run under BOTH providers (HDFS-backed heap store and
+    RocksDB) at 1×, 10× and 100× group-key cardinality (the window ×
+    event_type key salted with event_id % mult), reporting per
+    (provider, cardinality) the final state-row count against the
+    batch-side distinct-group truth, total state memory, and
+    bytes/state-row — the number that actually decides a 100 TB
+    streaming deployment: the HDFS store keeps every state row on the
+    JVM heap (bytes/row × rows must fit in executor memory), RocksDB
+    keeps them native/on-disk (its memoryUsedBytes is block-cache
+    accounting), so the crossover is rows × bytes/row vs heap budget,
+    and this census measures how that product grows with key space.
+
+    Certificates riding the sweep: state rows EQUAL distinct groups
+    at every cardinality under both providers (exactness does not
+    degrade with state size), and total measured footprint is
+    monotone in cardinality per provider (pinned in pytest; bytes/row
+    is reported, not cross-provider-compared — the two backends'
+    accounting is deliberately not comparable, see
+    q_stream_state_census). Machine-dependent footprints → rows-only
+    by design.
+
+    Scale shape: the events fixture lands once as 4 time-ordered JSON
+    files; 2 providers × 3 cardinalities = 6 real availableNow runs
+    with 8 shuffle partitions (state commit overhead is per-partition
+    per-trigger, see streaming.events._census_stream_confs)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.events import _census_stream_confs
+    from .roundnine_queries import _STATE_PROVIDERS
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_state_scale_")
+    names: list[str] = []
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    try:
+        json_dir = f"{tmp}/events_json"
+        events.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartitionByRange(4, "ts").write.json(json_dir)
+        landed_schema = (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        batch = spark.read.schema(landed_schema).json(json_dir)
+        rows = []
+        for prov, cls in sorted(_STATE_PROVIDERS.items()):
+            for mult in _SSS_MULTS:
+                salted_key = F.concat_ws(
+                    "#",
+                    F.col("event_type"),
+                    F.pmod(F.col("event_id"), F.lit(mult)).cast("string"),
+                )
+                name = (
+                    f"q_sss_{prov}_{mult}_" + _uuid.uuid4().hex[:8]
+                )
+                names.append(name)
+                stream_df = (
+                    spark.readStream.format("json")
+                    .schema(landed_schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .load(json_dir)
+                )
+                agg = stream_df.groupBy(
+                    F.window("ts", "1 hour").alias("w"),
+                    salted_key.alias("k"),
+                ).agg(F.count(F.lit(1)).alias("n"))
+                spark.conf.set(prov_key, cls)
+                try:
+                    with _census_stream_confs(spark, "8"):
+                        q = (
+                            agg.writeStream.format("memory")
+                            .queryName(name)
+                            .outputMode("update")
+                            .trigger(availableNow=True)
+                            .start()
+                        )
+                        q.awaitTermination(180)
+                finally:
+                    if prev_prov is None:
+                        spark.conf.unset(prov_key)
+                    else:
+                        spark.conf.set(prov_key, prev_prov)
+                state_rows = mem_bytes = n_batches = 0
+                for p in q.recentProgress:
+                    ops = p.get("stateOperators") or []
+                    if not ops:
+                        continue
+                    n_batches += 1
+                    state_rows = int(ops[0].get("numRowsTotal", 0))
+                    mem_bytes = int(ops[0].get("memoryUsedBytes", 0))
+                n_groups = (
+                    batch.select(
+                        F.date_trunc("hour", "ts").alias("h"),
+                        salted_key.alias("k"),
+                    )
+                    .distinct()
+                    .count()
+                )
+                rows.append(
+                    (
+                        prov,
+                        int(mult),
+                        int(n_batches),
+                        int(state_rows),
+                        int(n_groups),
+                        int(state_rows == n_groups),
+                        int(mem_bytes),
+                        int(mem_bytes // state_rows) if state_rows else 0,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "provider string, key_mult long, n_microbatches long,"
+            " state_rows long, n_groups_batch long, rows_match long,"
+            " memory_bytes long, bytes_per_row long",
+        )
+    finally:
+        existing = {t.name for t in spark.catalog.listTables()}
+        for name in names:
+            if name in existing:
+                spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp, ignore_errors=True)

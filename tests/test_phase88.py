@@ -267,3 +267,35 @@ def test_approx_ind_brackets(spark):
         assert r.miss_rows >= r.miss_pairs  # each pair carries >=1 row
         assert abs(r.g3_pairs - r.miss_pairs / r.n_pairs) < 1e-6
         assert abs(r.g3_rows - r.miss_rows / r.n_rows) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# phase 92: state-store cardinality sweep
+# ---------------------------------------------------------------------------
+
+
+def test_stream_state_scale_sweep(spark):
+    out = QUERIES["q_stream_state_scale"](spark, SF).collect()
+    assert len(out) == 6
+    by_prov = {}
+    for r in out:
+        # exactness does not degrade with state size
+        assert r.rows_match == 1, r
+        assert r.state_rows == r.n_groups_batch > 0
+        assert r.n_microbatches == 4
+        assert r.memory_bytes > 0 and r.bytes_per_row > 0
+        by_prov.setdefault(r.provider, []).append(r)
+    assert set(by_prov) == {"hdfs", "rocksdb"}
+    for prov, rows in by_prov.items():
+        rows.sort(key=lambda r: r.key_mult)
+        assert [r.key_mult for r in rows] == [1, 10, 100]
+        # salting only grows the key space, and footprint tracks it:
+        # strictly more state rows must cost strictly more bytes; at
+        # equal row counts (the salt saturates the small fixture's key
+        # space) the estimate may wobble by key-string length only
+        for a, b in zip(rows, rows[1:]):
+            assert b.state_rows >= a.state_rows, prov
+            if b.state_rows > a.state_rows:
+                assert b.memory_bytes > a.memory_bytes, prov
+            else:
+                assert b.memory_bytes >= int(0.9 * a.memory_bytes), prov
