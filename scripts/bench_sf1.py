@@ -82,6 +82,11 @@ EXTRA_HEAVY = [
     # phases 83-84: events-scale collect + bounded wavefront/max-plus
     # folds (linearity controls like q_isotonic_points)
     "q_dtw", "q_viterbi",
+    # round-12 newcomers: wavefront alignment + forward filter
+    # (bounded folds, linearity controls), the pair-grain approx-IND
+    # sweep over lineitem, and the layout-writing row-group certificate
+    "q_needleman", "q_hmm_forward", "q_approx_ind",
+    "q_rowgroup_skip_census",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",
@@ -93,6 +98,11 @@ BASELINE_21 = [
     "q_pipeline_keyword_search",
 ]
 N_RUNS = 2
+# VERDICT r11 #7: the two cells that read >10x in the r11 artifact get
+# min-of-3 at BOTH ends (their extra repeats + per-plan sf0.1
+# denominators below) so a single co-tenant stall cannot flag a
+# linear plan as superlinear
+HOT_CELLS = {"q_substr_dedup_strip", "q_item_cf_recs_approx"}
 
 
 def main() -> None:
@@ -110,10 +120,27 @@ def main() -> None:
               "documents", "embeddings"]:
         spark.read.parquet(f"{SF1_DIR}/{t}.parquet").count()
 
+    # machine-speed calibration token (same job as bench.py's): lets
+    # sf1/sf0.1 ratios be read against the drift denominator when the
+    # two sweeps ran under different machine load
+    def _calibration() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).agg(
+                F.expr("bit_xor(xxhash64(id))").alias("h")
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    calib = _calibration()
+    print(f"  calibration token: {calib:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in BASELINE_21 + EXTRA_HEAVY:
         best = None
-        for _ in range(N_RUNS):
+        for _ in range(3 if name in HOT_CELLS else N_RUNS):
             # per-PLAN semantics (the bench_skew rationale): clear the
             # similarity-chain memos so each run pays its own chain
             from legislative_bills_database_spark.plans import (
@@ -149,9 +176,9 @@ def main() -> None:
     }
     sf01_dir = "/root/testdata/sf0.1"
     perplan01: dict[str, float] = {}
-    for name in sorted(MEMOIZED & set(timings)):
+    for name in sorted((MEMOIZED | HOT_CELLS) & set(timings)):
         best = None
-        for _ in range(N_RUNS):
+        for _ in range(3 if name in HOT_CELLS else N_RUNS):
             from legislative_bills_database_spark.plans import (
                 roundseven_queries as _r7,
             )
@@ -165,14 +192,31 @@ def main() -> None:
         perplan01[name] = round(best, 3)
         print(f"  {name} (sf0.1 per-plan): {best:.3f}s", file=sys.stderr)
     ratios = {}
+    ratios_adj = {}
+    prev_calib = None
     try:
         with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
-            prev = json.load(fh).get("queries", {})
+            full = json.load(fh)
+        prev = full.get("queries", {})
+        prev_calib = full.get("calib_sec")
         prev.update(perplan01)
         ratios = {
             n: round(timings[n] / prev[n], 2)
             for n in timings if prev.get(n)
         }
+        # drift-corrected ratio: per-plan sf0.1 denominators were
+        # measured THIS run (same machine state as the sf1 sweep), so
+        # only BENCH_FULL-sourced denominators get the calib scaling
+        if prev_calib:
+            ratios_adj = {
+                n: round(
+                    r / (calib / prev_calib)
+                    if n not in perplan01
+                    else r,
+                    2,
+                )
+                for n, r in ratios.items()
+            }
     except (OSError, json.JSONDecodeError):
         pass
     out = {
@@ -183,6 +227,9 @@ def main() -> None:
         "sf": 1.0,
         "queries": timings,
         "ratio_vs_sf0.1": ratios,
+        "ratio_vs_sf0.1_calibadj": ratios_adj,
+        "calib_sec": calib,
+        "sf0.1_calib_sec": prev_calib,
         "note": "10x data; ratio ~<=10 = linear-or-better scaling "
                 "(fixed overheads amortize); >10 flags superlinearity",
         "sf0.1_per_plan_denominators": perplan01,
