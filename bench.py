@@ -492,6 +492,8 @@ HEADLINE = [
     "q_rowgroup_skip_census",
     # round-12 phase 91: approximate composite inclusion dependencies
     "q_approx_ind",
+    # round-12 phase 93: banded Smith-Waterman local alignment
+    "q_smith_waterman",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

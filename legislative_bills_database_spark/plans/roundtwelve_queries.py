@@ -36,10 +36,62 @@ _NW_GAP = -2
 _NW_MODAL_DUCK = "(min({'a': -cnt, 'b': event_type})).b"
 
 
-@query(
-    "q_needleman",
-    f"""
-    WITH RECURSIVE dayc AS (
+def _modal_alignment_base(spark, sf_dir):
+    """Per-user daily modal-event-type sequence x vs the fleet modal
+    sequence r, with the Sakoe-Chiba band width w = |n−m|+3 — the
+    shared front half of q_needleman / q_smith_waterman. One (user,
+    day, type) count aggregate feeds both sides (lazy localCheckpoint
+    so the 1-row broadcast reference does not replay the subtree —
+    the plan-census ≤2-BNLJ rule); modal tiebreak is the
+    (−count, type) struct-min in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    dayc = (
+        events.groupBy(
+            "user_id",
+            F.dayofmonth("ts").cast("long").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # xs + ref share it
+    )
+    modal = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("a"), F.col("event_type").alias("b")
+        )
+    )["b"].alias("ty")
+    umod = dayc.groupBy("user_id", "day").agg(modal)
+    xs = (
+        umod.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "ty"))),
+                lambda s: s["ty"],
+            ).alias("x")
+        )
+        .withColumn("n", F.size("x").cast("long"))
+    )
+    ref = (
+        dayc.groupBy("day", "event_type")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .groupBy("day")
+        .agg(modal)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "ty"))),
+                lambda s: s["ty"],
+            ).alias("r")
+        )
+        .withColumn("m", F.size("r").cast("long"))
+    )
+    return xs.crossJoin(F.broadcast(ref)).withColumn(
+        "w", F.abs(F.col("n") - F.col("m")) + 3
+    )
+
+
+# the modal-sequence CTE prefix both alignment queries share: per-user
+# daily modal-type sequence x (n symbols) vs the fleet modal sequence r
+# (m symbols), band w = |n-m|+3
+_NW_SEQ_CTES = f"""dayc AS (
       SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS day,
              event_type, CAST(count(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2, 3
@@ -63,7 +115,13 @@ _NW_MODAL_DUCK = "(min({'a': -cnt, 'b': event_type})).b"
       SELECT x.user_id, x.x, x.n, ref.r, ref.m,
              ABS(x.n - ref.m) + 3 AS w
       FROM xs x CROSS JOIN ref
-    ), it AS (
+    )"""
+
+
+@query(
+    "q_needleman",
+    f"""
+    WITH RECURSIVE {_NW_SEQ_CTES}, it AS (
       SELECT user_id, x, n, r, m, w, 0 AS d,
              [CASE WHEN i = 0 THEN 0 ELSE {_NW_NEG} END
               FOR i IN generate_series(0, n)] AS prev,
@@ -118,48 +176,7 @@ def q_needleman(spark, sf_dir):
     calendar-bounded at ≤31 symbols per key, the whole DP in JVM
     codegen (transform inside aggregate) — no UDF, no per-step
     shuffle, per key O((n+m)·n) ≈ 2k cell updates at any SF."""
-    events = load_table(spark, sf_dir, "events")
-    dayc = (
-        events.groupBy(
-            "user_id",
-            F.dayofmonth("ts").cast("long").alias("day"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)  # xs + ref share it
-    )
-    modal = F.min(
-        F.struct(
-            (-F.col("cnt")).alias("a"), F.col("event_type").alias("b")
-        )
-    )["b"].alias("ty")
-    umod = dayc.groupBy("user_id", "day").agg(modal)
-    xs = (
-        umod.groupBy("user_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("day", "ty"))),
-                lambda s: s["ty"],
-            ).alias("x")
-        )
-        .withColumn("n", F.size("x").cast("long"))
-    )
-    ref = (
-        dayc.groupBy("day", "event_type")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .groupBy("day")
-        .agg(modal)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("day", "ty"))),
-                lambda s: s["ty"],
-            ).alias("r")
-        )
-        .withColumn("m", F.size("r").cast("long"))
-    )
-    base = xs.crossJoin(F.broadcast(ref)).withColumn(
-        "w", F.abs(F.col("n") - F.col("m")) + 3
-    )
+    base = _modal_alignment_base(spark, sf_dir)
     NEG = F.lit(_NW_NEG).cast("long")
     GAP = F.lit(_NW_GAP).cast("long")
     x, r = F.col("x"), F.col("r")
@@ -909,3 +926,119 @@ def q_stream_state_scale(spark, sf_dir):
             if name in existing:
                 spark.catalog.dropTempView(name)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# banded Smith-Waterman local alignment (wavefront + running max)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_smith_waterman",
+    f"""
+    WITH RECURSIVE {_NW_SEQ_CTES}, it AS (
+      SELECT user_id, x, n, r, m, w, 0 AS d,
+             [CAST(0 AS BIGINT) FOR i IN generate_series(0, n)] AS prev,
+             [CAST(0 AS BIGINT) FOR i IN generate_series(0, n)]
+               AS prev2,
+             CAST(0 AS BIGINT) AS best
+      FROM base
+      UNION ALL
+      SELECT it.user_id, it.x, it.n, it.r, it.m, it.w, it.d + 1,
+             [CASE
+                WHEN it.d + 1 - i < 1 OR it.d + 1 - i > it.m OR i = 0
+                     OR ABS(i - (it.d + 1 - i)) > it.w
+                THEN CAST(0 AS BIGINT)
+                ELSE GREATEST(
+                  CAST(0 AS BIGINT),
+                  it.prev2[i] + CASE WHEN it.x[i] = it.r[it.d + 1 - i]
+                                     THEN {_NW_MATCH}
+                                     ELSE {_NW_MISMATCH} END,
+                  it.prev[i] + {_NW_GAP},
+                  it.prev[i + 1] + {_NW_GAP})
+              END FOR i IN generate_series(0, it.n)] AS prev,
+             it.prev AS prev2,
+             GREATEST(it.best, list_max(it.prev)) AS best
+      FROM it WHERE it.d < it.n + it.m
+    )
+    SELECT user_id, n, m,
+           GREATEST(best, list_max(prev)) AS sw_score
+    FROM it WHERE d = n + m
+    """,
+)
+def q_smith_waterman(spark, sf_dir):
+    """Banded Smith-Waterman LOCAL alignment (Smith & Waterman 1981)
+    — q_needleman's local sibling on the same modal-type sequences:
+    the best-scoring SUBSEQUENCE alignment between each user's daily
+    behaviour and the fleet's, the primitive behind motif finding and
+    partial-overlap fuzzy matching where global alignment's
+    end-to-end gap charges drown the signal (a user active only one
+    week can still align that week perfectly).
+
+    Same anti-diagonal wavefront as q_needleman with the two local
+    twists: every cell takes max(0, ·) — an alignment may RESTART
+    anywhere, so boundary and out-of-band cells are plain 0, no
+    sentinel needed (reading 0 from an out-of-band predecessor is
+    semantically a restart at the band edge, identical in both
+    engines) — and the answer is the RUNNING MAX over all cells, not
+    the corner. The max folds lag one step (best absorbs diagonal
+    d−1 while d is being built; the final SELECT folds in the last
+    diagonal) so no engine ever references a freshly-built alias —
+    the q_viterbi lateral-binding hazard. All scores exact BIGINTs.
+
+    Scale shape: identical to q_needleman (shared
+    _modal_alignment_base: one count aggregate, 1-row broadcast
+    reference, calendar-bounded arrays, the whole DP in JVM codegen);
+    the running max adds one array_max per wavefront, O(n) — nothing
+    new shuffles."""
+    base = _modal_alignment_base(spark, sf_dir)
+    ZERO = F.lit(0).cast("long")
+    GAP = F.lit(_NW_GAP).cast("long")
+    x, r = F.col("x"), F.col("r")
+    n, m, w = F.col("n"), F.col("m"), F.col("w")
+    idx = F.sequence(F.lit(0).cast("long"), n)
+    zeros = F.transform(idx, lambda i: ZERO)
+
+    def step(acc, d):
+        prev, prev2 = acc["p"], acc["q"]
+        new = F.transform(
+            idx,
+            lambda i: F.when(
+                (d - i < 1)
+                | (d - i > m)
+                | (i == 0)
+                | (F.abs(i - (d - i)) > w),
+                ZERO,
+            ).otherwise(
+                F.greatest(
+                    ZERO,
+                    F.element_at(prev2, i.cast("int"))
+                    + F.when(
+                        F.element_at(x, i.cast("int"))
+                        == F.element_at(r, (d - i).cast("int")),
+                        F.lit(_NW_MATCH).cast("long"),
+                    ).otherwise(F.lit(_NW_MISMATCH).cast("long")),
+                    F.element_at(prev, i.cast("int")) + GAP,
+                    F.element_at(prev, (i + 1).cast("int")) + GAP,
+                )
+            ),
+        )
+        return F.struct(
+            new.alias("p"),
+            prev.alias("q"),
+            F.greatest(acc["best"], F.array_max(prev)).alias("best"),
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), n + m),
+        F.struct(zeros.alias("p"), zeros.alias("q"), ZERO.alias("best")),
+        step,
+    )
+    return base.select(
+        "user_id",
+        "n",
+        "m",
+        F.greatest(final["best"], F.array_max(final["p"])).alias(
+            "sw_score"
+        ),
+    )

@@ -299,3 +299,55 @@ def test_stream_state_scale_sweep(spark):
                 assert b.memory_bytes > a.memory_bytes, prov
             else:
                 assert b.memory_bytes >= int(0.9 * a.memory_bytes), prov
+
+
+# ---------------------------------------------------------------------------
+# phase 93: banded Smith-Waterman local alignment
+# ---------------------------------------------------------------------------
+
+
+def _sw_banded(x, r, w):
+    n, m = len(x), len(r)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    best = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if abs(i - j) > w:
+                continue
+            s = _NW_MATCH if x[i - 1] == r[j - 1] else _NW_MISMATCH
+            dp[i][j] = max(
+                0,
+                dp[i - 1][j - 1] + s,
+                dp[i - 1][j] + _NW_GAP,
+                dp[i][j - 1] + _NW_GAP,
+            )
+            best = max(best, dp[i][j])
+    return best
+
+
+def test_smith_waterman_matches_rowmajor_replay(spark):
+    series, ref = _modal_sequences()
+    m = len(ref)
+    got = {
+        row.user_id: (row.n, row.m, row.sw_score)
+        for row in QUERIES["q_smith_waterman"](spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for u, x in series.items():
+        w = abs(len(x) - m) + 3
+        expect = _sw_banded(x, ref, w)
+        assert got[u] == (len(x), m, expect), u
+        # local >= global restricted to the same band: SW may drop
+        # NW's end charges but never scores below a nonneg local hit
+        assert expect >= max(0, _nw_banded(x, ref, w))
+
+
+def test_smith_waterman_structural():
+    _, ref = _modal_sequences()
+    m = len(ref)
+    # self-alignment: the whole sequence is the best local hit
+    assert _sw_banded(ref, ref, 3) == m * _NW_MATCH
+    # a sequence sharing only one symbol scores exactly one match
+    assert _sw_banded([ref[0]], ref, m + 3) == _NW_MATCH
+    # disjoint alphabets -> empty local alignment scores 0
+    assert _sw_banded(["\x00x", "\x00y"], ref, m + 3) == 0
