@@ -1042,3 +1042,92 @@ def q_smith_waterman(spark, sf_dir):
             "sw_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning forest (distributed Borůvka, hash-certified)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_boruvka_mst",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(MIN(CAST(a.l_quantity + b.l_quantity AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 97 = 0 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst, w,
+             CAST(ROW_NUMBER() OVER (ORDER BY w, src, dst) AS BIGINT)
+               AS rk
+      FROM e
+    ), arrs AS (
+      SELECT list(src ORDER BY rk) AS rs, list(dst ORDER BY rk) AS rd,
+             CAST(count(*) AS BIGINT) AS ne
+      FROM ranked
+    ), nds AS (
+      SELECT list(v ORDER BY v) AS nd
+      FROM (SELECT DISTINCT src AS v FROM e
+            UNION SELECT DISTINCT dst FROM e)
+    ), it AS (
+      SELECT 0 AS k, arrs.rs, arrs.rd, arrs.ne, nds.nd,
+             nds.nd AS comp, CAST([] AS BIGINT[]) AS mst
+      FROM arrs, nds
+      UNION ALL
+      SELECT it.k + 1, it.rs, it.rd, it.ne, it.nd,
+             CASE WHEN it.comp[list_position(it.nd, it.rs[it.k + 1])]
+                       <> it.comp[list_position(it.nd, it.rd[it.k + 1])]
+                  THEN [CASE WHEN c = it.comp[list_position(it.nd,
+                                               it.rs[it.k + 1])]
+                             THEN it.comp[list_position(it.nd,
+                                           it.rd[it.k + 1])]
+                             ELSE c END FOR c IN it.comp]
+                  ELSE it.comp END AS comp,
+             CASE WHEN it.comp[list_position(it.nd, it.rs[it.k + 1])]
+                       <> it.comp[list_position(it.nd, it.rd[it.k + 1])]
+                  THEN list_append(it.mst, it.k + 1)
+                  ELSE it.mst END AS mst
+      FROM it WHERE it.k < it.ne
+    )
+    SELECT r.src, r.dst, r.w
+    FROM it, unnest(it.mst) AS u(rk)
+    JOIN ranked r ON r.rk = u.rk
+    WHERE it.k = it.ne
+    """,
+)
+def q_boruvka_mst(spark, sf_dir):
+    """Minimum spanning forest of the co-purchase graph via
+    distributed Borůvka (operators/graph.boruvka_msf) — THE classic
+    parallel-MST algorithm (each component picks its minimum incident
+    edge, selection clusters contract by pointer jumping, components
+    at least halve per round), the backbone of single-linkage
+    clustering, network-cost planning, and HDBSCAN's mutual-
+    reachability forest at 100 TB scale.
+
+    The certification exploits MSF uniqueness: under the strict total
+    edge order (w, src, dst) every correct MST algorithm returns the
+    SAME edge set, so the Spark side runs Borůvka (log-round
+    parallel) while the DuckDB twin runs KRUSKAL as a sequential
+    recursive-CTE walk — one row whose state is the node→component
+    list, one ranked edge per iteration, quick-union by list rewrite
+    — and the driver hash proves the two ALGORITHMS agree edge for
+    edge. This is the strongest cross-check in the graph family: not
+    a replay of the same computation but an independent algorithm
+    meeting it at the unique answer.
+
+    Scale shape (Spark side): per round two label joins over the edge
+    list, one min-struct aggregate at component grain, and 10
+    pointer-doubling self-joins on the component-sized parent frame;
+    every iteration frame localCheckpoint-ed and released (O(1) plan
+    depth), early exit on the first round with no cross edge (one
+    1-long count per round, the k_core precedent). 12 rounds span
+    components up to 4096 nodes; rounds, not data, bound the loop."""
+    from ..operators.graph import boruvka_msf
+
+    from .roundfive_queries import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return boruvka_msf(edges)

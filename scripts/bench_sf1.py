@@ -87,6 +87,9 @@ EXTRA_HEAVY = [
     # sweep over lineitem, and the layout-writing row-group certificate
     "q_needleman", "q_hmm_forward", "q_approx_ind",
     "q_rowgroup_skip_census",
+    # phase 94: log-round Borůvka loop (per-round joins over the edge
+    # list + component-grain contraction)
+    "q_boruvka_mst",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",

@@ -351,3 +351,61 @@ def test_smith_waterman_structural():
     assert _sw_banded([ref[0]], ref, m + 3) == _NW_MATCH
     # disjoint alphabets -> empty local alignment scores 0
     assert _sw_banded(["\x00x", "\x00y"], ref, m + 3) == 0
+
+
+# ---------------------------------------------------------------------------
+# phase 94: minimum spanning forest (distributed Borůvka)
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edge_list():
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        SELECT a.l_partkey, b.l_partkey,
+               CAST(MIN(CAST(a.l_quantity + b.l_quantity AS BIGINT))
+                    AS BIGINT) AS w
+        FROM read_parquet('{SF}/lineitem.parquet') a
+        JOIN read_parquet('{SF}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 97 = 0 GROUP BY 1, 2
+        """
+    ).fetchall()
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = set()
+    for s, d, w in sorted(edges, key=lambda t: (t[2], t[0], t[1])):
+        rs_, rd_ = find(s), find(d)
+        if rs_ != rd_:
+            parent[rs_] = rd_
+            mst.add((s, d, w))
+    n_nodes = len({v for e in edges for v in e[:2]})
+    n_comps = n_nodes - len(mst)
+    return mst, n_nodes, n_comps
+
+
+def test_boruvka_matches_kruskal_replay(spark):
+    edges = _copurchase_edge_list()
+    mst, n_nodes, n_comps = _kruskal(edges)
+    got = {
+        (r.src, r.dst, r.w)
+        for r in QUERIES["q_boruvka_mst"](spark, SF).collect()
+    }
+    # unique MSF under the strict (w, src, dst) order: Borůvka (Spark)
+    # and Kruskal (replay) must return the IDENTICAL edge set
+    assert got == mst
+    # forest invariants: |MSF| = n_nodes - n_components, edge subset
+    assert len(got) == n_nodes - n_comps
+    assert got <= {(s, d, w) for s, d, w in edges}
+    # total weight: no spanning forest can beat it (spot: the MSF
+    # weight equals the replay's, already implied by set equality)
+    assert sum(w for *_, w in got) == sum(w for *_, w in mst)
