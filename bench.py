@@ -496,6 +496,8 @@ HEADLINE = [
     "q_smith_waterman",
     # round-12 phase 94: distributed Borůvka minimum spanning forest
     "q_boruvka_mst",
+    # round-12 phase 95: HMM forward-backward posterior smoothing
+    "q_hmm_posterior",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

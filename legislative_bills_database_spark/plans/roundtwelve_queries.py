@@ -1131,3 +1131,266 @@ def q_boruvka_mst(spark, sf_dir):
 
     edges = _copurchase_edges(spark, sf_dir)
     return boruvka_msf(edges)
+
+
+# ---------------------------------------------------------------------------
+# HMM posterior smoothing (forward-backward, quantized-exact)
+# ---------------------------------------------------------------------------
+
+# forward step macros over LIST state (fa0/fa1 accumulate the whole
+# filter trajectory; the last element drives the next step)
+_FB_T0 = ("(it.fa0[it.k] * 80 + it.fa1[it.k] * 30)"
+          " * it.b0[it.k + 1]")
+_FB_T1 = ("(it.fa0[it.k] * 20 + it.fa1[it.k] * 70)"
+          " * it.b1[it.k + 1]")
+_FB_A0N = f"({_FB_T0} * 100000 // ({_FB_T0} + {_FB_T1}))"
+_FB_A1N = f"({_FB_T1} * 100000 // ({_FB_T0} + {_FB_T1}))"
+# backward step macros: beta_{k-1}[i] = sum_j A[i][j] B[j][o_k] b_k[j]
+_FB_U0 = ("(80 * it.b0[it.k] * it.bb0[1]"
+          " + 20 * it.b1[it.k] * it.bb1[1])")
+_FB_U1 = ("(30 * it.b0[it.k] * it.bb0[1]"
+          " + 70 * it.b1[it.k] * it.bb1[1])")
+_FB_B0N = f"({_FB_U0} * 100000 // ({_FB_U0} + {_FB_U1}))"
+_FB_B1N = f"({_FB_U1} * 100000 // ({_FB_U0} + {_FB_U1}))"
+# posterior at step t (substituted into list comprehensions)
+_FB_G1 = ("(fa1[t] * bb1[t] * 100000"
+          " // (fa0[t] * bb0[t] + fa1[t] * bb1[t]))")
+_FB_G0 = ("(fa0[t] * bb0[t] * 100000"
+          " // (fa0[t] * bb0[t] + fa1[t] * bb1[t]))")
+
+
+def _sql_hmm_posterior() -> str:
+    return f"""
+    WITH RECURSIVE vals AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS obs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), emit AS (
+      SELECT user_id, n,
+             [{_sql_emission_fwd('o', _FWD_B0)} FOR o IN obs] AS b0,
+             [{_sql_emission_fwd('o', _FWD_B1)} FOR o IN obs] AS b1
+      FROM vals
+    ), seeded AS (
+      SELECT user_id, n, b0, b1,
+             CAST({_FWD_INIT[0]} * b0[1] AS BIGINT) * {_FWD_S}
+               // ({_FWD_INIT[0]} * b0[1] + {_FWD_INIT[1]} * b1[1])
+               AS s0,
+             CAST({_FWD_INIT[1]} * b1[1] AS BIGINT) * {_FWD_S}
+               // ({_FWD_INIT[0]} * b0[1] + {_FWD_INIT[1]} * b1[1])
+               AS s1
+      FROM emit
+    ), fwd AS (
+      SELECT user_id, n, b0, b1, 1 AS k, [s0] AS fa0, [s1] AS fa1
+      FROM seeded
+      UNION ALL
+      SELECT it.user_id, it.n, it.b0, it.b1, it.k + 1,
+             list_append(it.fa0, {_FB_A0N}),
+             list_append(it.fa1, {_FB_A1N})
+      FROM fwd it WHERE it.k < it.n
+    ), bwd AS (
+      SELECT user_id, n, b0, b1, n AS k,
+             [CAST({_FWD_S // 2} AS BIGINT)] AS bb0,
+             [CAST({_FWD_S // 2} AS BIGINT)] AS bb1
+      FROM emit
+      UNION ALL
+      SELECT it.user_id, it.n, it.b0, it.b1, it.k - 1,
+             list_prepend({_FB_B0N}, it.bb0),
+             list_prepend({_FB_B1N}, it.bb1)
+      FROM bwd it WHERE it.k > 1
+    ), joined AS (
+      SELECT f.user_id, f.n, f.fa0, f.fa1, b.bb0, b.bb1
+      FROM (SELECT * FROM fwd WHERE k = n) f
+      JOIN (SELECT * FROM bwd WHERE k = 1) b USING (user_id)
+    ), post AS (
+      SELECT user_id, n, fa0, fa1,
+             [{_FB_G0} FOR t IN generate_series(1, n)] AS g0,
+             [{_FB_G1} FOR t IN generate_series(1, n)] AS g1
+      FROM joined
+    )
+    SELECT user_id, n AS n_events,
+           CAST(list_sum([CASE WHEN g1[t] > g0[t] THEN 1 ELSE 0 END
+                FOR t IN generate_series(1, n)]) AS BIGINT)
+             AS smooth_steps,
+           CAST(list_sum([CASE WHEN (g1[t] > g0[t])
+                               <> (fa1[t] > fa0[t])
+                               THEN 1 ELSE 0 END
+                FOR t IN generate_series(1, n)]) AS BIGINT)
+             AS n_flips,
+           g1[n] AS g1_final,
+           CAST(list_max(g1) AS BIGINT) AS peak_g1,
+           CAST(list_position(g1, list_max(g1)) AS BIGINT)
+             AS peak_step
+    FROM post
+    """
+
+
+@query("q_hmm_posterior", _sql_hmm_posterior())
+def q_hmm_posterior(spark, sf_dir):
+    """HMM posterior smoothing (forward-backward / Rauch-style
+    two-filter marginals) — the third face of the browse/buy-intent
+    model after q_viterbi (best path) and q_hmm_forward (online
+    filter): P(state_t | ALL observations), the offline label a
+    training pipeline actually wants (the filter can only use the
+    past; smoothing corrects it with hindsight). Both passes run the
+    q_hmm_forward discipline — per-step normalization with the
+    distribution floor-quantized to the 10⁵ grid — so forward filter
+    trajectories, backward messages, and the per-step posterior
+    γ_t ∝ ᾱ_t·β̄_t are all pure BIGINT walks, hash-certified against
+    two recursive-CTE twins (fwd appends, bwd prepends; the
+    engine-shared list state is the DTW idiom at sequence grain).
+
+    The output certifies the SMOOTHING EFFECT itself: smooth_steps
+    (posterior intent-dominant count) vs n_flips — the steps where
+    hindsight REVERSES the online filter's call, the quantity that
+    decides whether offline relabeling is worth running. Plus the
+    final posterior, peak intent belief, and its first achieving
+    step (list_position/array_position both return the FIRST max).
+
+    Magnitudes: γ numerators ᾱ·β̄·10⁵ ≤ 1e15 < 2⁵³, so the
+    subtract-pmod floor-div stays exact in the lambda (the
+    q_hmm_forward bound, one factor tighter). Scale shape: one
+    per-user ordered collect, two O(n)-state JVM folds and one O(n)
+    transform — no UDF, no per-step shuffle; list state is
+    calendar×activity-bounded per key."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("obs")
+    ).withColumn("n", F.size("obs").cast("long"))
+
+    def emis(table):
+        def f(o):
+            expr = None
+            for k, v in table.items():
+                cond = o == k
+                expr = (
+                    F.when(cond, F.lit(v).cast("long"))
+                    if expr is None
+                    else expr.when(cond, F.lit(v).cast("long"))
+                )
+            return expr
+
+        return f
+
+    base = vals.select(
+        "user_id",
+        "n",
+        F.transform("obs", emis(_FWD_B0)).alias("b0"),
+        F.transform("obs", emis(_FWD_B1)).alias("b1"),
+    )
+    b0, b1 = F.col("b0"), F.col("b1")
+    n = F.col("n")
+    S = F.lit(_FWD_S).cast("long")
+    a = _FWD_A
+
+    def _fd(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    u0s = F.lit(_FWD_INIT[0]).cast("long") * F.element_at(b0, 1)
+    u1s = F.lit(_FWD_INIT[1]).cast("long") * F.element_at(b1, 1)
+    fseed = F.struct(
+        F.array(_fd(u0s * S, u0s + u1s)).alias("fa0"),
+        F.array(_fd(u1s * S, u0s + u1s)).alias("fa1"),
+    )
+
+    def fstep(acc, k):
+        la0 = F.element_at(acc["fa0"], -1)
+        la1 = F.element_at(acc["fa1"], -1)
+        t0 = (la0 * a[(0, 0)] + la1 * a[(1, 0)]) * F.element_at(
+            b0, k.cast("int")
+        )
+        t1 = (la0 * a[(0, 1)] + la1 * a[(1, 1)]) * F.element_at(
+            b1, k.cast("int")
+        )
+        den = t0 + t1
+        return F.struct(
+            F.concat(acc["fa0"], F.array(_fd(t0 * S, den))).alias("fa0"),
+            F.concat(acc["fa1"], F.array(_fd(t1 * S, den))).alias("fa1"),
+        )
+
+    fwd = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), n), fseed, fstep
+    )
+    half = F.lit(_FWD_S // 2).cast("long")
+    bseed = F.struct(
+        F.array(half).alias("bb0"), F.array(half).alias("bb1")
+    )
+
+    def bstep(acc, k):
+        # computing beta for step k-1 from beta at step k (list head)
+        nb0 = F.element_at(acc["bb0"], 1)
+        nb1 = F.element_at(acc["bb1"], 1)
+        e0 = F.element_at(b0, k.cast("int"))
+        e1 = F.element_at(b1, k.cast("int"))
+        u0 = a[(0, 0)] * e0 * nb0 + a[(0, 1)] * e1 * nb1
+        u1 = a[(1, 0)] * e0 * nb0 + a[(1, 1)] * e1 * nb1
+        den = u0 + u1
+        return F.struct(
+            F.concat(F.array(_fd(u0 * S, den)), acc["bb0"]).alias("bb0"),
+            F.concat(F.array(_fd(u1 * S, den)), acc["bb1"]).alias("bb1"),
+        )
+
+    bwd = F.aggregate(
+        F.sequence(n, F.lit(2).cast("long"), F.lit(-1).cast("long")),
+        bseed,
+        bstep,
+    )
+    fa0, fa1 = fwd["fa0"], fwd["fa1"]
+    bb0, bb1 = bwd["bb0"], bwd["bb1"]
+    ts = F.sequence(F.lit(1).cast("long"), n)
+
+    def gamma(which):
+        def g(t):
+            ti = t.cast("int")
+            p0 = F.element_at(fa0, ti) * F.element_at(bb0, ti)
+            p1 = F.element_at(fa1, ti) * F.element_at(bb1, ti)
+            num = (p1 if which == 1 else p0) * S
+            return _fd(num, p0 + p1)
+
+        return g
+
+    out = base.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.transform(ts, gamma(0)).alias("g0"),
+        F.transform(ts, gamma(1)).alias("g1"),
+        fa0.alias("fa0"),
+        fa1.alias("fa1"),
+    )
+    idx = F.sequence(F.lit(1).cast("long"), F.size("g1").cast("long"))
+    smooth = F.size(
+        F.filter(
+            idx,
+            lambda t: F.element_at("g1", t.cast("int"))
+            > F.element_at("g0", t.cast("int")),
+        )
+    ).cast("long")
+    flips = F.size(
+        F.filter(
+            idx,
+            lambda t: (
+                F.element_at("g1", t.cast("int"))
+                > F.element_at("g0", t.cast("int"))
+            )
+            != (
+                F.element_at("fa1", t.cast("int"))
+                > F.element_at("fa0", t.cast("int"))
+            ),
+        )
+    ).cast("long")
+    return out.select(
+        "user_id",
+        "n_events",
+        smooth.alias("smooth_steps"),
+        flips.alias("n_flips"),
+        F.element_at("g1", -1).alias("g1_final"),
+        F.array_max("g1").alias("peak_g1"),
+        F.array_position("g1", F.array_max("g1"))
+        .cast("long")
+        .alias("peak_step"),
+    )

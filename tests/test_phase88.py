@@ -409,3 +409,71 @@ def test_boruvka_matches_kruskal_replay(spark):
     # total weight: no spanning forest can beat it (spot: the MSF
     # weight equals the replay's, already implied by set equality)
     assert sum(w for *_, w in got) == sum(w for *_, w in mst)
+
+
+# ---------------------------------------------------------------------------
+# phase 95: HMM posterior smoothing (forward-backward)
+# ---------------------------------------------------------------------------
+
+
+def _forward_backward_int(obs):
+    n = len(obs)
+    # forward trajectory (same recursion as q_hmm_forward)
+    u0 = _FWD_INIT[0] * _FWD_B0[obs[0]]
+    u1 = _FWD_INIT[1] * _FWD_B1[obs[0]]
+    fa0 = [u0 * _FWD_S // (u0 + u1)]
+    fa1 = [u1 * _FWD_S // (u0 + u1)]
+    for o in obs[1:]:
+        t0 = (fa0[-1] * _FWD_A[(0, 0)] + fa1[-1] * _FWD_A[(1, 0)]) * _FWD_B0[o]
+        t1 = (fa0[-1] * _FWD_A[(0, 1)] + fa1[-1] * _FWD_A[(1, 1)]) * _FWD_B1[o]
+        fa0.append(t0 * _FWD_S // (t0 + t1))
+        fa1.append(t1 * _FWD_S // (t0 + t1))
+    # backward messages
+    bb0, bb1 = [_FWD_S // 2], [_FWD_S // 2]
+    for k in range(n, 1, -1):
+        e0, e1 = _FWD_B0[obs[k - 1]], _FWD_B1[obs[k - 1]]
+        u0 = _FWD_A[(0, 0)] * e0 * bb0[0] + _FWD_A[(0, 1)] * e1 * bb1[0]
+        u1 = _FWD_A[(1, 0)] * e0 * bb0[0] + _FWD_A[(1, 1)] * e1 * bb1[0]
+        bb0.insert(0, u0 * _FWD_S // (u0 + u1))
+        bb1.insert(0, u1 * _FWD_S // (u0 + u1))
+    g0, g1 = [], []
+    for t in range(n):
+        p0, p1 = fa0[t] * bb0[t], fa1[t] * bb1[t]
+        g0.append(p0 * _FWD_S // (p0 + p1))
+        g1.append(p1 * _FWD_S // (p0 + p1))
+    smooth = sum(1 for t in range(n) if g1[t] > g0[t])
+    flips = sum(
+        1
+        for t in range(n)
+        if (g1[t] > g0[t]) != (fa1[t] > fa0[t])
+    )
+    peak = max(g1)
+    return smooth, flips, g1[-1], peak, g1.index(peak) + 1, fa0, fa1, g1
+
+
+def test_hmm_posterior_matches_integer_replay(spark):
+    got = {
+        r.user_id: (
+            r.n_events, r.smooth_steps, r.n_flips,
+            r.g1_final, r.peak_g1, r.peak_step,
+        )
+        for r in QUERIES["q_hmm_posterior"](spark, SF).collect()
+    }
+    seqs = dict(_event_sequences())
+    assert set(got) == set(seqs)
+    any_flip = False
+    for u, obs in seqs.items():
+        smooth, flips, g1f, peak, pstep, fa0, fa1, g1 = (
+            _forward_backward_int(obs)
+        )
+        assert got[u] == (len(obs), smooth, flips, g1f, peak, pstep), u
+        any_flip = any_flip or flips > 0
+        # at the final step beta is uniform, so the posterior ordering
+        # equals the filter's there (hindsight adds nothing at t=n)
+        assert (g1[-1] > _FWD_S - g1[-1]) == (fa1[-1] > fa0[-1])
+        # the filter trajectory must agree with q_hmm_forward's final
+        a0, a1, *_ = _forward_int(obs)
+        assert (fa0[-1], fa1[-1]) == (a0, a1)
+    # the fixture genuinely exercises smoothing: hindsight flips at
+    # least one step for at least one user
+    assert any_flip
