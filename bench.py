@@ -498,6 +498,8 @@ HEADLINE = [
     "q_boruvka_mst",
     # round-12 phase 95: HMM forward-backward posterior smoothing
     "q_hmm_posterior",
+    # round-12 phase 96: quantized Goertzel periodicity sweep
+    "q_goertzel",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

@@ -1394,3 +1394,175 @@ def q_hmm_posterior(spark, sf_dir):
         .cast("long")
         .alias("peak_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantized Goertzel spectral sweep (single-bin DFT periodicity)
+# ---------------------------------------------------------------------------
+
+# 2·cos(2π/p) on the 10³ grid for candidate periods 2..10 days — the
+# SPRT no-transcendentals idiom: no engine evaluates cos at query
+# time, the quantized coefficients ARE the spec. p=2 → −2000 (Nyquist),
+# p=4 → 0: the sweep crosses zero and sign, so division semantics on
+# NEGATIVES must match — DuckDB's // TRUNCATES toward zero, hence the
+# Spark side uses (a − a % b)/b (Spark % carries the dividend sign,
+# exactly DuckDB's), NOT the floor-div pmod idiom used elsewhere.
+_GZ_GRID = 1000
+_GZ_COEF = {2: -2000, 3: -1000, 4: 0, 5: 618, 6: 1000,
+            7: 1247, 8: 1414, 9: 1532, 10: 1618}
+_GZ_DAYS = 31  # dense calendar grid; absent days contribute 0
+
+# one Goertzel step, spelled once for the oracle: s ← x·G + (C·s₁)//G − s₂
+_GZ_STEP = ("(it.xs[it.t + 1] * 1000"
+            " + (it.c * it.s1) // 1000 - it.s2)")
+
+
+def _sql_goertzel() -> str:
+    coefs = ", ".join(f"({p}, {c})" for p, c in _GZ_COEF.items())
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS ds,
+             list(x ORDER BY day) AS raw
+      FROM daily GROUP BY 1
+    ), dense AS (
+      SELECT event_type,
+             [CASE WHEN list_position(ds, CAST(d AS BIGINT)) > 0
+                   THEN raw[list_position(ds, CAST(d AS BIGINT))]
+                   ELSE 0 END
+              FOR d IN generate_series(1, {_GZ_DAYS})] AS xs
+      FROM ser
+    ), pc AS (
+      SELECT p.period, p.c, dense.event_type, dense.xs
+      FROM (SELECT * FROM (VALUES {coefs}) v(period, c)) p, dense
+    ), it AS (
+      SELECT event_type, CAST(period AS BIGINT) AS period,
+             CAST(c AS BIGINT) AS c, xs, 0 AS t,
+             CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+      FROM pc
+      UNION ALL
+      SELECT it.event_type, it.period, it.c, it.xs, it.t + 1,
+             {_GZ_STEP} AS s1, it.s1 AS s2
+      FROM it WHERE it.t < {_GZ_DAYS}
+    ), pw AS (
+      SELECT event_type, period,
+             s1 * s1 + s2 * s2 - ((c * s1) // 1000) * s2 AS power
+      FROM it WHERE t = {_GZ_DAYS}
+    )
+    SELECT event_type, period, power,
+           CAST(CASE WHEN power = MAX(power) OVER
+                (PARTITION BY event_type) THEN 1 ELSE 0 END
+                AS INTEGER) AS is_peak
+    FROM pw
+    """
+
+
+@query("q_goertzel", _sql_goertzel())
+def q_goertzel(spark, sf_dir):
+    """Single-bin DFT power sweep via the Goertzel recurrence
+    (Goertzel 1958) — periodicity DETECTION for the time-series
+    family: which candidate period (2..10 days) carries the most
+    spectral energy in each event type's daily count series, the
+    question upstream of every seasonal model the repo already fits
+    (q_holt_winters assumes its season length; this measures it).
+
+    No engine evaluates cos at query time: the coefficients
+    2·cos(2π/p) are ×10³-quantized literals (the SPRT discipline),
+    and the recurrence sₜ = 10³·xₜ + (C·sₜ₋₁)//10³ − sₜ₋₂ is an exact
+    BIGINT walk — hash-certified against a recursive-CTE twin that
+    advances all (type, period) rows one step per round. The sweep
+    crosses C = 0 and C < 0 (p=4, p∈{2,3}), so the division on
+    negatives is TRUNCATING in both engines (DuckDB // truncates
+    toward zero; the Spark side uses (a − a%b)/b with Spark's
+    dividend-sign %, NOT the floor pmod idiom used elsewhere — the
+    one-character semantics trap this query exists to pin). Power
+    P = s₁² + s₂² − ((C·s₁)//10³)·s₂ ≥ 0 up to grid wobble
+    (discriminant C²−4·10⁶ < 0 for all p > 2). Magnitudes: |s| ≤
+    ~10³·Σx, C·s ≤ ~1e12 at sf1 — inside 2⁵³ for the exact double
+    division; P ≤ ~1e18 inside BIGINT.
+
+    Scale shape: one (type, day) count aggregate, a 31-slot dense
+    grid per key (absent days are true zeros — gaps ARE signal for
+    periodicity), a 9-period broadcast literal fan-out, one JVM fold
+    per (type, period); no UDF, no per-step shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ser = daily.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("day", "x")))
+        ).alias("m")
+    )
+    grid = F.sequence(F.lit(1).cast("long"), F.lit(_GZ_DAYS).cast("long"))
+    dense = ser.select(
+        "event_type",
+        F.transform(
+            grid,
+            lambda d: F.coalesce(
+                F.try_element_at("m", d), F.lit(0).cast("long")
+            ),
+        ).alias("xs"),
+    )
+    periods = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("period"),
+                    F.lit(c).cast("long").alias("c"),
+                )
+                for p, c in _GZ_COEF.items()
+            ]
+        )
+    ).alias("pc")
+    pc = dense.select("event_type", "xs", periods).select(
+        "event_type", "xs", F.col("pc.period").alias("period"),
+        F.col("pc.c").alias("c"),
+    )
+    G = F.lit(_GZ_GRID).cast("long")
+    c, xs = F.col("c"), F.col("xs")
+
+    def _truncdiv(num, den):
+        # DuckDB // truncates toward zero; Spark % carries the
+        # dividend's sign, so (num - num % den)/den matches exactly.
+        # |num| stays < 2^53, so the double division is exact.
+        return ((num - num % den) / den).cast("long")
+
+    def step(acc, t):
+        s1n = (
+            F.element_at(xs, t.cast("int")) * G
+            + _truncdiv(c * acc["s1"], G)
+            - acc["s2"]
+        )
+        return F.struct(s1n.alias("s1"), acc["s1"].alias("s2"))
+
+    final = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.lit(_GZ_DAYS).cast("long")),
+        F.struct(
+            F.lit(0).cast("long").alias("s1"),
+            F.lit(0).cast("long").alias("s2"),
+        ),
+        step,
+    )
+    s1, s2 = final["s1"], final["s2"]
+    pw = pc.select(
+        "event_type",
+        "period",
+        (s1 * s1 + s2 * s2 - _truncdiv(c * s1, G) * s2).alias("power"),
+    )
+    from pyspark.sql import Window
+
+    wmax = F.max("power").over(Window.partitionBy("event_type"))
+    return pw.select(
+        "event_type",
+        "period",
+        "power",
+        F.when(F.col("power") == wmax, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_peak"),
+    )

@@ -477,3 +477,89 @@ def test_hmm_posterior_matches_integer_replay(spark):
     # the fixture genuinely exercises smoothing: hindsight flips at
     # least one step for at least one user
     assert any_flip
+
+
+# ---------------------------------------------------------------------------
+# phase 96: quantized Goertzel spectral sweep
+# ---------------------------------------------------------------------------
+
+import math
+
+from legislative_bills_database_spark.plans.roundtwelve_queries import (  # noqa: E402
+    _GZ_COEF,
+    _GZ_DAYS,
+    _GZ_GRID,
+)
+
+
+def _daily_series():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(date_part('day', ts) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = defaultdict(dict)
+    for t, d, x in rows:
+        out[t][d] = x
+    return {
+        t: [m.get(d, 0) for d in range(1, _GZ_DAYS + 1)]
+        for t, m in out.items()
+    }
+
+
+def _tdiv(a, b):
+    return int(a / b) if b else 0  # truncation toward zero
+
+
+def _goertzel_int(xs, c):
+    s1 = s2 = 0
+    for x in xs:
+        s1, s2 = x * _GZ_GRID + _tdiv(c * s1, _GZ_GRID) - s2, s1
+    return s1 * s1 + s2 * s2 - _tdiv(c * s1, _GZ_GRID) * s2
+
+
+def _goertzel_float(xs, p):
+    c = 2 * math.cos(2 * math.pi / p)
+    s1 = s2 = 0.0
+    for x in xs:
+        s1, s2 = x + c * s1 - s2, s1
+    return s1 * s1 + s2 * s2 - c * s1 * s2
+
+
+def test_goertzel_matches_integer_replay(spark):
+    series = _daily_series()
+    got = {
+        (r.event_type, r.period): (r.power, r.is_peak)
+        for r in QUERIES["q_goertzel"](spark, SF).collect()
+    }
+    assert len(got) == len(series) * len(_GZ_COEF)
+    for t, xs in series.items():
+        powers = {p: _goertzel_int(xs, c) for p, c in _GZ_COEF.items()}
+        peak = max(powers.values())
+        for p in _GZ_COEF:
+            assert got[(t, p)] == (powers[p], int(powers[p] == peak)), (
+                t, p,
+            )
+            # positive semidefinite quadratic form (C^2 < 4*grid^2 for
+            # p > 2) up to grid wobble
+            assert powers[p] >= -_GZ_GRID * _GZ_GRID
+        assert sum(got[(t, p)][1] for p in _GZ_COEF) >= 1
+
+
+def test_goertzel_quantization_tracks_float():
+    # the x1000-quantized walk must RANK periods like the float
+    # Goertzel on a synthetic pure-period signal (the detection claim)
+    for true_p in (5, 7, 10):
+        xs = [
+            100 + round(80 * math.cos(2 * math.pi * d / true_p))
+            for d in range(_GZ_DAYS)
+        ]
+        qi = {p: _goertzel_int(xs, c) for p, c in _GZ_COEF.items()}
+        qf = {p: _goertzel_float(xs, p) for p in _GZ_COEF}
+        # scale: quantized power carries grid^2
+        best_i = max(qi, key=qi.get)
+        best_f = max(qf, key=qf.get)
+        assert best_i == best_f == true_p, (true_p, best_i, best_f)
