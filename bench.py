@@ -500,6 +500,8 @@ HEADLINE = [
     "q_hmm_posterior",
     # round-12 phase 96: quantized Goertzel periodicity sweep
     "q_goertzel",
+    # round-12 phase 97: AR(2) Yule-Walker fit + forecast
+    "q_ar2_forecast",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

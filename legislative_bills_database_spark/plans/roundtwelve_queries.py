@@ -1566,3 +1566,126 @@ def q_goertzel(spark, sf_dir):
         .cast("int")
         .alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) fit + one-step forecast (Yule-Walker on exact autocovariances)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ar2_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(x ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ), cks AS (
+      SELECT event_type, n, s, xs,
+             CAST(list_sum([(n * xs[t] - s) * (n * xs[t] - s)
+                  FOR t IN generate_series(1, n)]) AS BIGINT) AS c0,
+             CAST(list_sum([(n * xs[t] - s) * (n * xs[t + 1] - s)
+                  FOR t IN generate_series(1, n - 1)]) AS BIGINT) AS c1,
+             CAST(list_sum([(n * xs[t] - s) * (n * xs[t + 2] - s)
+                  FOR t IN generate_series(1, n - 2)]) AS BIGINT) AS c2
+      FROM ser
+    ), fit AS (
+      SELECT event_type, n, s, xs, c0, c1, c2,
+             CAST(CAST(c1 AS DECIMAL(38,0)) * (c0 - c2) AS DOUBLE)
+               / CAST(CAST(c0 AS DECIMAL(38,0)) * c0
+                      - CAST(c1 AS DECIMAL(38,0)) * c1 AS DOUBLE)
+               AS phi1,
+             CAST(CAST(c0 AS DECIMAL(38,0)) * c2
+                  - CAST(c1 AS DECIMAL(38,0)) * c1 AS DOUBLE)
+               / CAST(CAST(c0 AS DECIMAL(38,0)) * c0
+                      - CAST(c1 AS DECIMAL(38,0)) * c1 AS DOUBLE)
+               AS phi2
+      FROM cks
+    )
+    SELECT event_type, n, c0, c1, c2,
+           ROUND(phi1, 6) AS phi1,
+           ROUND(phi2, 6) AS phi2,
+           ROUND(CAST(s AS DOUBLE) / n
+                 + phi1 * (CAST(xs[n] AS DOUBLE)
+                           - CAST(s AS DOUBLE) / n)
+                 + phi2 * (CAST(xs[n - 1] AS DOUBLE)
+                           - CAST(s AS DOUBLE) / n), 6) AS forecast
+    FROM fit
+    """,
+)
+def q_ar2_forecast(spark, sf_dir):
+    """AR(2) fit by Yule-Walker plus a one-step forecast — the step
+    the correlogram suite builds toward (q_autocorrelation measures
+    the ACF, q_pacf picks the order, THIS fits the model and
+    forecasts): per event type, φ₁ = r₁(1−r₂)/(1−r₁²) and
+    φ₂ = (r₂−r₁²)/(1−r₁²) cross-multiplied into EXACT integer form —
+    φ₁ = c₁(c₀−c₂)/(c₀²−c₁²), φ₂ = (c₀c₂−c₁²)/(c₀²−c₁²) — where the
+    cₖ are the q_pacf n-scaled BIGINT autocovariances (no float
+    mean), the quadratic products ride DECIMAL(38,0) (the q_ridge
+    normal-equation discipline, ≤ ~2e25 at sf1), and only the two
+    final divisions plus the forecast line are doubles in one
+    identical operation order. The exact c₀,c₁,c₂ ride the row so
+    the hash anchors the integer core; the forecast is
+    x̂ₙ₊₁ = μ + φ₁(xₙ−μ) + φ₂(xₙ₋₁−μ) on the raw count scale.
+
+    Scale shape: one (type, day) count aggregate, calendar-bounded
+    arrays, one list_sum per lag — identical to q_pacf; the 5-type
+    output frame is driver-size by construction."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda r: r["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    xs, n, s = F.col("xs"), F.col("n"), F.col("s")
+
+    def ck(k):
+        return F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n - k),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + (n * F.element_at(xs, t.cast("int")) - s)
+            * (n * F.element_at(xs, (t + k).cast("int")) - s),
+        )
+
+    cks = ser.select(
+        "event_type", "n", "s", "xs",
+        ck(0).alias("c0"), ck(1).alias("c1"), ck(2).alias("c2"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    den = (dec("c0") * F.col("c0") - dec("c1") * F.col("c1")).cast(
+        "double"
+    )
+    phi1 = (dec("c1") * (F.col("c0") - F.col("c2"))).cast("double") / den
+    phi2 = (
+        dec("c0") * F.col("c2") - dec("c1") * F.col("c1")
+    ).cast("double") / den
+    fit = cks.select(
+        "event_type", "n", "s", "xs", "c0", "c1", "c2",
+        phi1.alias("phi1"), phi2.alias("phi2"),
+    )
+    mu = s.cast("double") / n
+    fcast = (
+        mu
+        + F.col("phi1")
+        * (F.element_at(xs, n.cast("int")).cast("double") - mu)
+        + F.col("phi2")
+        * (F.element_at(xs, (n - 1).cast("int")).cast("double") - mu)
+    )
+    return fit.select(
+        "event_type", "n", "c0", "c1", "c2",
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(fcast, 6).alias("forecast"),
+    )

@@ -563,3 +563,63 @@ def test_goertzel_quantization_tracks_float():
         best_i = max(qi, key=qi.get)
         best_f = max(qf, key=qf.get)
         assert best_i == best_f == true_p, (true_p, best_i, best_f)
+
+
+# ---------------------------------------------------------------------------
+# phase 97: AR(2) Yule-Walker fit + one-step forecast
+# ---------------------------------------------------------------------------
+
+
+def test_ar2_matches_numpy_yule_walker(spark):
+    import numpy as np
+
+    series = {
+        t: xs for t, xs in (
+            (t, [x for d, x in sorted(m.items())])
+            for t, m in _daily_map().items()
+        )
+    }
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_ar2_forecast"](spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for t, xs in series.items():
+        a = np.array(xs, dtype=np.int64)
+        n, s = len(a), int(a.sum())
+        sc = n * a - s  # n-scaled centered series (exact ints)
+        c0 = int((sc * sc).sum())
+        c1 = int((sc[:-1] * sc[1:]).sum())
+        c2 = int((sc[:-2] * sc[2:]).sum())
+        r = got[t]
+        assert (r.c0, r.c1, r.c2) == (c0, c1, c2)
+        den = c0 * c0 - c1 * c1
+        phi1 = c1 * (c0 - c2) / den
+        phi2 = (c0 * c2 - c1 * c1) / den
+        assert abs(r.phi1 - phi1) < 2e-6 and abs(r.phi2 - phi2) < 2e-6
+        # same fit via the float Yule-Walker equations (independent
+        # derivation: solve [1 r1; r1 1][f1 f2]' = [r1 r2]')
+        r1, r2 = c1 / c0, c2 / c0
+        f1 = r1 * (1 - r2) / (1 - r1 * r1)
+        f2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        assert abs(f1 - phi1) < 1e-9 and abs(f2 - phi2) < 1e-9
+        # stationarity region spot-check for a fitted AR(2)
+        assert abs(phi2) < 1 and phi2 + phi1 < 1 and phi2 - phi1 < 1
+        mu = s / n
+        fc = mu + phi1 * (xs[-1] - mu) + phi2 * (xs[-2] - mu)
+        assert abs(r.forecast - fc) < 1e-5
+
+
+def _daily_map():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(date_part('day', ts) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = defaultdict(dict)
+    for t, d, x in rows:
+        out[t][d] = x
+    return out
