@@ -56,6 +56,14 @@ _NEWCOMERS_R12: list[str] = [
     "q_stream_outer_join",
     # -- phase 88: banded Needleman-Wunsch global alignment --
     "q_needleman",
+    # The other r12 newcomers (phases 89-97: q_hmm_forward,
+    # q_rowgroup_skip_census, q_approx_ind, q_stream_state_scale,
+    # q_smith_waterman, q_boruvka_mst, q_hmm_posterior, q_goertzel,
+    # q_ar2_forecast) are NOT windowed — the 47-row r3-era backlog
+    # fills the remaining slots (the r11 precedent: newcomers queue
+    # for the next window once the cap is hit, each fully gated
+    # locally by preflight at both SFs + its pytest pins). They lead
+    # the r13 window, followed by the r4-era backlog.
 ]
 
 # ALL 47 queries whose latest driver CORRECTNESS row is r3, recomputed

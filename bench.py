@@ -502,6 +502,8 @@ HEADLINE = [
     "q_goertzel",
     # round-12 phase 97: AR(2) Yule-Walker fit + forecast
     "q_ar2_forecast",
+    # round-12 phase 98: exchange-reuse census (three probe plans)
+    "q_exchange_reuse_census",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

@@ -1689,3 +1689,101 @@ def q_ar2_forecast(spark, sf_dir):
         F.round("phi2", 6).alias("phi2"),
         F.round(fcast, 6).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exchange-reuse census (shared-subplan execution semantics)
+# ---------------------------------------------------------------------------
+
+
+def _plan_marker_counts(df) -> dict:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "reused": p.count("ReusedExchange"),
+        "exchanges": p.count("Exchange"),
+        "scans": p.count("Scan parquet"),
+    }
+
+
+@query("q_exchange_reuse_census")  # engine-physical → rows-only
+def q_exchange_reuse_census(spark, sf_dir):
+    """Exchange-reuse census — WHEN does Spark execute a shared
+    subplan once vs twice? The engine-physical fact every DAG author
+    needs before factoring a pipeline: reuse happens at EXCHANGE
+    (shuffle) granularity only. Three probe shapes over lineitem:
+
+    - 'selfjoin_agg': the same groupBy aggregate joined to itself —
+      the second Exchange subtree is replaced by ReusedExchange, the
+      aggregation runs ONCE (reuse fires).
+    - 'union_agg_legs': a union whose legs both contain the same
+      aggregate — again one ReusedExchange (reuse fires across union
+      legs too, despite the shuffle boundary sitting under a Union).
+    - 'union_map_legs': a union of map-only projections of the same
+      scan — NO exchange under the legs means NOTHING to reuse: the
+      scan executes twice (2 parquet scans in the plan), the measured
+      fact operators/dedup.connected_components documents (its pairs
+      frame is persisted precisely because of this). localCheckpoint/
+      persist, not plan factoring, is the dedup tool below a shuffle
+      boundary.
+
+    Each row carries the shape's plan-marker counts (ReusedExchange /
+    Exchange / parquet scans from the executed plan of THIS run) and
+    a value anchor (row count + exact quantity sum) so the census is
+    self-consistent. Engine-physical → rows-only; the fires/doesn't
+    asymmetry is pinned in pytest.
+
+    100 TB shape: at scale a re-executed scan leg is the difference
+    between reading a table once or twice — this census is the
+    decision procedure for when to persist()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = []
+    # shape 1: self-join of an aggregate
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("q")
+    )
+    right = agg.select("l_partkey", F.col("q").alias("q2"))
+    j = agg.join(right, "l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q") + F.col("q2")).cast("long").alias("s"),
+    )
+    out = j.collect()[0]
+    m = _plan_marker_counts(j)
+    rows.append(
+        ("selfjoin_agg", m["reused"], m["exchanges"], m["scans"],
+         int(out["n"]), int(out["s"]))
+    )
+    # shape 2: union with an exchange under each leg
+    u2 = (
+        agg.select("l_partkey", "q")
+        .unionByName(agg.select("l_partkey", "q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("s"),
+        )
+    )
+    out = u2.collect()[0]
+    m = _plan_marker_counts(u2)
+    rows.append(
+        ("union_agg_legs", m["reused"], m["exchanges"], m["scans"],
+         int(out["n"]), int(out["s"]))
+    )
+    # shape 3: union of map-only legs (no shuffle boundary to reuse)
+    sel = li.select(
+        F.col("l_partkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    u3 = sel.unionByName(sel).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+    )
+    out = u3.collect()[0]
+    m = _plan_marker_counts(u3)
+    rows.append(
+        ("union_map_legs", m["reused"], m["exchanges"], m["scans"],
+         int(out["n"]), int(out["s"]))
+    )
+    return spark.createDataFrame(
+        rows,
+        "shape string, n_reused_exchange long, n_exchanges long,"
+        " n_scans long, rows long, anchor_sum long",
+    )

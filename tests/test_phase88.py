@@ -623,3 +623,30 @@ def _daily_map():
     for t, d, x in rows:
         out[t][d] = x
     return out
+
+
+# ---------------------------------------------------------------------------
+# phase 98: exchange-reuse census
+# ---------------------------------------------------------------------------
+
+
+def test_exchange_reuse_census(spark):
+    out = {
+        r.shape: r
+        for r in QUERIES["q_exchange_reuse_census"](spark, SF01).collect()
+    }
+    assert set(out) == {"selfjoin_agg", "union_agg_legs",
+                        "union_map_legs"}
+    # reuse fires at exchange granularity...
+    assert out["selfjoin_agg"].n_reused_exchange >= 1
+    assert out["union_agg_legs"].n_reused_exchange >= 1
+    # ...and ONLY there: map-only union legs re-execute the scan
+    assert out["union_map_legs"].n_reused_exchange == 0
+    assert (
+        out["union_map_legs"].n_scans
+        > out["selfjoin_agg"].n_reused_exchange
+    )
+    # cross-shape value anchor: all three compute 2x total quantity
+    sums = {r.anchor_sum for r in out.values()}
+    assert len(sums) == 1
+    assert out["union_agg_legs"].rows == 2 * out["selfjoin_agg"].rows
