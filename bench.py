@@ -504,6 +504,8 @@ HEADLINE = [
     "q_ar2_forecast",
     # round-12 phase 98: exchange-reuse census (three probe plans)
     "q_exchange_reuse_census",
+    # round-12 phase 99: parquet aggregate-pushdown census
+    "q_agg_pushdown_census",
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)

@@ -1787,3 +1787,94 @@ def q_exchange_reuse_census(spark, sf_dir):
         "shape string, n_reused_exchange long, n_exchanges long,"
         " n_scans long, rows long, anchor_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# parquet aggregate-pushdown census (footer-stats answering)
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_pushdown_census")  # engine-physical → rows-only
+def q_agg_pushdown_census(spark, sf_dir):
+    """Aggregate-pushdown certificate — the scan-elimination tier
+    above predicate pushdown: COUNT/MIN/MAX without GROUP BY can be
+    answered from parquet FOOTER STATISTICS (one stat tuple per row
+    group) instead of decoding any data page. Spark only does this
+    through the DataSource V2 parquet reader with
+    spark.sql.parquet.aggregatePushdown=true, so the census runs the
+    same count(*)/min/max aggregate over orders three ways — V2 with
+    pushdown, V2 without, and the default V1 reader — with the two
+    confs scoped-and-restored (the q_stream_state_census pattern),
+    and reports per mode: whether the executed plan carries a
+    non-empty PushedAggregation list, the scan's numOutputRows (under
+    pushdown: one pre-aggregated row per row group / partition, not
+    data rows), and the answers themselves — which must be IDENTICAL
+    across modes (the value anchor: pushdown is an execution
+    strategy, never a semantics change).
+
+    Engine-physical → rows-only; the fires/doesn't asymmetry, the
+    orders-of-magnitude scan_rows drop, and tri-modal value parity
+    are pinned in pytest.
+
+    100 TB shape: a fleet-wide row count or freshness max(date) over
+    a petabyte table becomes a footer-metadata walk — this census is
+    the proof the layout actually grants that."""
+    path = f"{sf_dir}/orders.parquet"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    prev_v1 = spark.conf.get(v1_key, None)
+    prev_push = spark.conf.get(push_key, None)
+    rows = []
+    try:
+        for mode, v1list, push in [
+            ("v2_pushdown", "", "true"),
+            ("v2_no_pushdown", "", "false"),
+            ("v1_default", None, "true"),
+        ]:
+            if v1list is None:
+                if prev_v1 is None:
+                    spark.conf.unset(v1_key)
+                else:
+                    spark.conf.set(v1_key, prev_v1)
+            else:
+                spark.conf.set(v1_key, v1list)
+            spark.conf.set(push_key, push)
+            # long columns only: pushdown bails if ANY aggregate is
+            # on an unsupported type (the fixture's timestamp column
+            # silently disabled it — count(lit) likewise compiles to
+            # count(1), not the COUNT(*) the V2 reader recognizes)
+            df = spark.read.parquet(path).agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("o_custkey").cast("long").alias("mn_cust"),
+                F.max("o_custkey").cast("long").alias("mx_cust"),
+            )
+            out = df.collect()[0]
+            p = df._jdf.queryExecution().executedPlan().toString()
+            pushed = int(
+                "PushedAggregation: [COUNT" in p
+                or "PushedAggregation: [MIN" in p
+            )
+            rows.append(
+                (
+                    mode,
+                    pushed,
+                    int(_scan_output_rows(df)),
+                    int(out["n"]),
+                    int(out["mn_cust"]),
+                    int(out["mx_cust"]),
+                )
+            )
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset(v1_key)
+        else:
+            spark.conf.set(v1_key, prev_v1)
+        if prev_push is None:
+            spark.conf.unset(push_key)
+        else:
+            spark.conf.set(push_key, prev_push)
+    return spark.createDataFrame(
+        rows,
+        "mode string, agg_pushed long, scan_rows long, n long,"
+        " mn_cust long, mx_cust long",
+    )

@@ -650,3 +650,29 @@ def test_exchange_reuse_census(spark):
     sums = {r.anchor_sum for r in out.values()}
     assert len(sums) == 1
     assert out["union_agg_legs"].rows == 2 * out["selfjoin_agg"].rows
+
+
+# ---------------------------------------------------------------------------
+# phase 99: parquet aggregate-pushdown census
+# ---------------------------------------------------------------------------
+
+
+def test_agg_pushdown_census(spark):
+    out = {
+        r.mode: r
+        for r in QUERIES["q_agg_pushdown_census"](spark, SF01).collect()
+    }
+    assert set(out) == {"v2_pushdown", "v2_no_pushdown", "v1_default"}
+    # pushdown fires only in the V2+conf mode...
+    assert out["v2_pushdown"].agg_pushed == 1
+    assert out["v2_no_pushdown"].agg_pushed == 0
+    assert out["v1_default"].agg_pushed == 0
+    # ...and answers from footer stats: orders of magnitude fewer
+    # rows decoded than the data-scanning modes
+    assert out["v2_pushdown"].scan_rows * 100 <= out[
+        "v2_no_pushdown"
+    ].scan_rows
+    # value anchor: an execution strategy, never a semantics change
+    answers = {(r.n, r.mn_cust, r.mx_cust) for r in out.values()}
+    assert len(answers) == 1
+    assert out["v1_default"].n == out["v1_default"].scan_rows
