@@ -815,12 +815,14 @@ def q_stream_state_scale(spark, sf_dir):
 
     Certificates riding the sweep: state rows EQUAL distinct groups
     at every cardinality under both providers (exactness does not
-    degrade with state size), and total measured footprint is
-    monotone in cardinality per provider (pinned in pytest; bytes/row
-    is reported, not cross-provider-compared — the two backends'
-    accounting is deliberately not comparable, see
-    q_stream_state_census). Machine-dependent footprints → rows-only
-    by design.
+    degrade with state size), and the HEAP provider's measured
+    footprint is strictly monotone in state rows (pinned in pytest).
+    RocksDB's memoryUsedBytes is block-cache accounting and measured
+    NON-monotone at census scale (868 rows → 36 952 B vs 1000 rows →
+    35 232 B: a flat cache floor dominates until state dwarfs it) —
+    pinned only to a sane band, and deliberately never compared to
+    the heap column (see q_stream_state_census). Machine-dependent
+    footprints → rows-only by design.
 
     Scale shape: the events fixture lands once as 4 time-ordered JSON
     files; 2 providers × 3 cardinalities = 6 real availableNow runs

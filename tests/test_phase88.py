@@ -289,16 +289,26 @@ def test_stream_state_scale_sweep(spark):
     for prov, rows in by_prov.items():
         rows.sort(key=lambda r: r.key_mult)
         assert [r.key_mult for r in rows] == [1, 10, 100]
-        # salting only grows the key space, and footprint tracks it:
-        # strictly more state rows must cost strictly more bytes; at
-        # equal row counts (the salt saturates the small fixture's key
-        # space) the estimate may wobble by key-string length only
+        # salting only grows the key space
         for a, b in zip(rows, rows[1:]):
             assert b.state_rows >= a.state_rows, prov
-            if b.state_rows > a.state_rows:
-                assert b.memory_bytes > a.memory_bytes, prov
-            else:
-                assert b.memory_bytes >= int(0.9 * a.memory_bytes), prov
+        if prov == "hdfs":
+            # the heap store's estimate is per-row: strictly more
+            # state rows must cost strictly more bytes (equal counts
+            # may wobble by key-string length only)
+            for a, b in zip(rows, rows[1:]):
+                if b.state_rows > a.state_rows:
+                    assert b.memory_bytes > a.memory_bytes, prov
+                else:
+                    assert b.memory_bytes >= int(0.9 * a.memory_bytes)
+        else:
+            # RocksDB's memoryUsedBytes is BLOCK-CACHE accounting —
+            # measured non-monotone at census scale (868 rows→36952 B
+            # vs 1000 rows→35232 B): a flat cache floor dominates
+            # until state dwarfs it. Pin only a sane band.
+            lo = min(r.memory_bytes for r in rows)
+            hi = max(r.memory_bytes for r in rows)
+            assert lo > 0 and hi <= 10 * lo, (lo, hi)
 
 
 # ---------------------------------------------------------------------------
