@@ -1342,28 +1342,42 @@ def q_hmm_posterior(spark, sf_dir):
         bseed,
         bstep,
     )
-    fa0, fa1 = fwd["fa0"], fwd["fa1"]
-    bb0, bb1 = bwd["bb0"], bwd["bb1"]
-    ts = F.sequence(F.lit(1).cast("long"), n)
+    # OPTIMIZATION BARRIERS between the three projections: an
+    # expression referenced inside a higher-order-function lambda is
+    # inlined PER ELEMENT (codegen subexpression elimination does not
+    # reach into lambda bodies), and CollapseProject would merge
+    # chained selects right back into that shape — measured as a
+    # single task pinned >10 min at sf0.1 (~O(n³) re-evaluation of the
+    # folds). repartition(user_id) nodes between the projections stop
+    # the collapse; each stage then computes its arrays ONCE per row.
+    mats = base.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        fwd["fa0"].alias("fa0"),
+        fwd["fa1"].alias("fa1"),
+        bwd["bb0"].alias("bb0"),
+        bwd["bb1"].alias("bb1"),
+    ).repartition("user_id")
+    ts = F.sequence(F.lit(1).cast("long"), F.col("n_events"))
 
     def gamma(which):
         def g(t):
             ti = t.cast("int")
-            p0 = F.element_at(fa0, ti) * F.element_at(bb0, ti)
-            p1 = F.element_at(fa1, ti) * F.element_at(bb1, ti)
+            p0 = F.element_at("fa0", ti) * F.element_at("bb0", ti)
+            p1 = F.element_at("fa1", ti) * F.element_at("bb1", ti)
             num = (p1 if which == 1 else p0) * S
             return _fd(num, p0 + p1)
 
         return g
 
-    out = base.select(
+    out = mats.select(
         "user_id",
-        F.col("n").alias("n_events"),
+        "n_events",
         F.transform(ts, gamma(0)).alias("g0"),
         F.transform(ts, gamma(1)).alias("g1"),
-        fa0.alias("fa0"),
-        fa1.alias("fa1"),
-    )
+        "fa0",
+        "fa1",
+    ).repartition("user_id")
     idx = F.sequence(F.lit(1).cast("long"), F.size("g1").cast("long"))
     smooth = F.size(
         F.filter(
