@@ -177,9 +177,17 @@ def main() -> None:
         # cliff that is actually a denominator artifact
         "q_map_at_k", "q_mrr",
     }
+    # SAME-SESSION sf0.1 denominators for EVERY timed query (r12
+    # hardening): this round measured the machine running 2.45x slower
+    # during the BENCH_FULL sweep than during this sf1 sweep (calib
+    # 0.575 vs 0.216) with load varying WITHIN sweeps too, so any
+    # cross-sweep ratio — even calibration-adjusted — is unreliable on
+    # a loud machine. Measuring both ends in one session makes the
+    # scaling ratio self-contained; the calibadj column then only
+    # corrects residual BENCH_FULL fallbacks (none in a clean run).
     sf01_dir = "/root/testdata/sf0.1"
     perplan01: dict[str, float] = {}
-    for name in sorted((MEMOIZED | HOT_CELLS) & set(timings)):
+    for name in sorted(set(timings)):
         best = None
         for _ in range(3 if name in HOT_CELLS else N_RUNS):
             from legislative_bills_database_spark.plans import (
