@@ -39,93 +39,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity); the first-50 window below is rotated each round so queries
 # that have never had a driver-verified row get one.
 #
-# Round-12 rotation (VERDICT r11 "Next round" item #1 — close the
-# driver record completely): flagship + q_stream_outer_join (the ONLY
-# query that has never had a driver row — added at phase 87 after the
-# r11 window froze) + ALL 47 queries whose latest driver row is r3.
-# The 47 is the judge's own recount from the CORRECTNESS_r*.json files
-# (the r11 notes' "43 remain" was off by 4, and the r11 _REFRESHERS
-# list stopped alphabetically at q_range_join, leaving 11 of the 47
-# unreachable by the window mechanism — both corrected here). That
-# fills 49 of 50 slots; the last slot goes to the first r12 newcomer
-# (q_needleman). After CORRECTNESS_r12 lands, every declared query has
-# a driver row and no query's latest row is older than r4.
-_NEWCOMERS_R12: list[str] = [
-    # -- phase 87 (built in r11, never driver-rowed): stream-stream
-    #    LEFT OUTER watermark-expiry census --
-    "q_stream_outer_join",
-    # -- phase 88: banded Needleman-Wunsch global alignment --
-    "q_needleman",
-    # The other r12 newcomers (phases 89-97: q_hmm_forward,
-    # q_rowgroup_skip_census, q_approx_ind, q_stream_state_scale,
-    # q_smith_waterman, q_boruvka_mst, q_hmm_posterior, q_goertzel,
-    # q_ar2_forecast) are NOT windowed — the 47-row r3-era backlog
-    # fills the remaining slots (the r11 precedent: newcomers queue
-    # for the next window once the cap is hit, each fully gated
-    # locally by preflight at both SFs + its pytest pins). They lead
-    # the r13 window, followed by the r4-era backlog.
-]
-
-# ALL 47 queries whose latest driver CORRECTNESS row is r3, recomputed
-# from CORRECTNESS_r{1..11}.json (matches VERDICT r11's own recount;
-# includes the 11 rows the r11 list could not reach:
-# q_rollup_maintenance .. q_tumbling_window_batch).
-_REFRESHERS = [
-    "q_ann_recall",
-    "q_asof_join",
-    "q_bigram_pmi",
-    "q_char_entropy",
-    "q_cohort_retention",
-    "q_column_profile",
-    "q_corpus_filter_pipeline",
-    "q_cosine_topk",
-    "q_data_mixture",
-    "q_decontaminate",
-    "q_dsir_weights",
-    "q_ewma",
-    "q_exact_dedup",
-    "q_fallback_join",
-    "q_funnel",
-    "q_fuzzy_join",
-    "q_gap_fill",
-    "q_incremental_dedup",
-    "q_json_scan",
-    "q_knn_accuracy",
-    "q_length_trim",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multiterm_or_filter",
-    "q_near_dedup_corpus",
-    "q_neardup_precision",
-    "q_ngram_jaccard",
-    "q_ngram_novelty",
-    "q_pdf_text_source",
-    "q_phrase_search",
-    "q_pipeline_keyword_search",
-    "q_pipeline_legislator_counts",
-    "q_pq_recall",
-    "q_quality_score",
-    "q_rag_chunks",
-    "q_range_join",
-    "q_rollup_maintenance",
-    "q_salted_join",
-    "q_scd2_merge",
-    "q_semdedup",
-    "q_shard_manifest",
-    "q_snapshot_diff",
-    "q_special_case_collect",
-    "q_text_stats",
-    "q_tfidf_top_terms",
-    "q_triangle_count",
-    "q_tumbling_window_batch",
-]
-
+# Round-13 rotation (VERDICT r12 "Next round" items #1 and #7): the
+# window is now COMPUTED, not hand-copied — scripts/window_plan.py
+# derives it from the CORRECTNESS_r*.json ledger (flagship, then every
+# query with no driver row in registry order, then refreshers
+# oldest-round-first alphabetical, cap 50) and
+# tests/test_window_plan.py pins this literal equal to its output.
+# Hand-tallied counts drifted three rounds running (r10 "43 vs 47",
+# r11 alphabetical truncation, r12 "9 vs 11 newcomers"); this ends
+# that defect class. This round: flagship + the 11 r12 newcomers
+# (phases 89-99) + 38 of the 49 r4-era rows. The 11 r4 rows that
+# spill to r14 (named, per VERDICT r12 #1): q_set_ops, q_stats_agg,
+# q_stratified_fixed_n, q_stratified_sample, q_stream_parity,
+# q_train_val_split, q_unigram_score, q_upsert_partition,
+# q_window_analytics, q_zorder_value, q_zscore_outliers.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-]
-_WINDOW += [q for q in _NEWCOMERS_R12 if q not in _WINDOW]
-_WINDOW += [q for q in _REFRESHERS if q not in _WINDOW][
-    : max(0, 50 - len(_WINDOW))
+    # -- 11 r12 newcomers (no driver row yet), registry order --
+    "q_hmm_forward",
+    "q_rowgroup_skip_census",
+    "q_approx_ind",
+    "q_stream_state_scale",
+    "q_smith_waterman",
+    "q_boruvka_mst",
+    "q_hmm_posterior",
+    "q_goertzel",
+    "q_ar2_forecast",
+    "q_exchange_reuse_census",
+    "q_agg_pushdown_census",
+    # -- 38 of the 49 r4-era refreshers (oldest era, alphabetical) --
+    "q_bfs_hops",
+    "q_bm25_rank",
+    "q_boilerplate_strip",
+    "q_bpe_encode",
+    "q_bpe_vocab",
+    "q_cdc_apply",
+    "q_compact_files",
+    "q_containment_join",
+    "q_cube_counts",
+    "q_curriculum_buckets",
+    "q_dq_constraints",
+    "q_ewma_chunked",
+    "q_fk_orphans",
+    "q_global_index",
+    "q_grouping_sets",
+    "q_heavy_hitters",
+    "q_hll_merge",
+    "q_hopping_window_batch",
+    "q_incremental_neardup",
+    "q_inverted_index",
+    "q_kmeans_clusters",
+    "q_max_concurrency",
+    "q_multimodal_audio",
+    "q_multimodal_resize",
+    "q_orc_roundtrip",
+    "q_pack_chunks",
+    "q_pagerank",
+    "q_partitioned_sink",
+    "q_pii_redact",
+    "q_pq_topk",
+    "q_prefix_jaccard_join",
+    "q_projection_distortion",
+    "q_quantiles",
+    "q_random_projection",
+    "q_repetition",
+    "q_rollup_counts",
+    "q_schema_evolution",
+    "q_seq_pack",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -1051,7 +1051,7 @@ def boruvka_msf(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    max_rounds: int = 12,
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Minimum spanning forest via distributed Borůvka (Borůvka 1926;
     the GPU/Pregel MST algorithm): every component picks its minimum
@@ -1060,9 +1060,14 @@ def boruvka_msf(
     is unique and any correct algorithm (this one, Kruskal, Prim)
     must return the identical edge set — then the selection graph is
     contracted and the loop repeats. Components at least halve per
-    round, so ``max_rounds`` = 12 spans components up to 4096 nodes;
+    round, so ``max_rounds`` = 20 spans components up to ~10⁶ nodes;
     the loop exits early (one bounded 1-long count per round, the
-    k_core_fixed precedent) once no cross-component edge remains.
+    k_core_fixed precedent) once no cross-component edge remains, so
+    unused rounds are free. If the budget IS exhausted with
+    cross-component edges still present the forest would be silently
+    partial — the certificate vs the Kruskal twin would break with no
+    error — so exhaustion raises ``RuntimeError`` (the
+    ``connected_components`` non-convergence precedent).
 
     Contraction reuses :func:`..operators.dedup.connected_components`
     on the COMPONENT-grain selection graph (≤ one edge per component,
@@ -1099,58 +1104,88 @@ def boruvka_msf(
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     forest = spark.createDataFrame([], "src long, dst long, w long")
-    for _ in range(max_rounds):
-        cs = lab.select(
-            F.col("node").alias("src"), F.col("comp").alias("cs")
-        )
-        cd = lab.select(
-            F.col("node").alias("dst"), F.col("comp").alias("cd")
-        )
-        cross = (
-            e.join(cs, "src")
-            .join(cd, "dst")
-            .filter(F.col("cs") != F.col("cd"))
-            .localCheckpoint(eager=True)
-        )
-        if cross.limit(1).count() == 0:
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            cs = lab.select(
+                F.col("node").alias("src"), F.col("comp").alias("cs")
+            )
+            cd = lab.select(
+                F.col("node").alias("dst"), F.col("comp").alias("cd")
+            )
+            cross = (
+                e.join(cs, "src")
+                .join(cd, "dst")
+                .filter(F.col("cs") != F.col("cd"))
+                .localCheckpoint(eager=True)
+            )
+            if cross.limit(1).count() == 0:
+                release_checkpoint(cross)
+                converged = True
+                break
+            cand = cross.select(
+                F.col("cs").alias("comp"), "w", "src", "dst"
+            ).unionByName(
+                cross.select(F.col("cd").alias("comp"), "w", "src", "dst")
+            )
+            sel = (
+                cand.groupBy("comp")
+                .agg(F.min(F.struct("w", "src", "dst")).alias("e"))
+                .select(
+                    F.col("e.w").alias("w"),
+                    F.col("e.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            prev_forest = forest
+            forest = forest.unionByName(sel).localCheckpoint(eager=True)
+            release_checkpoint(prev_forest)
+            # contract: CC over the component-grain selection graph
+            selpairs = sel.join(
+                cross.select("src", "dst", "cs", "cd"), ["src", "dst"]
+            ).select(
+                F.col("cs").alias("id_a"), F.col("cd").alias("id_b")
+            )
+            comps = lab.select(F.col("comp").alias("c")).distinct()
+            roots = connected_components(
+                selpairs, comps, id_col="c", label_col="root"
+            )
+            newlab = (
+                lab.join(roots, lab.comp == roots.c, "left")
+                .select(
+                    "node", F.coalesce("root", "comp").alias("comp")
+                )
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(lab)
             release_checkpoint(cross)
-            break
-        cand = cross.select(
-            F.col("cs").alias("comp"), "w", "src", "dst"
-        ).unionByName(
-            cross.select(F.col("cd").alias("comp"), "w", "src", "dst")
-        )
-        sel = (
-            cand.groupBy("comp")
-            .agg(F.min(F.struct("w", "src", "dst")).alias("e"))
-            .select(
-                F.col("e.w").alias("w"),
-                F.col("e.src").alias("src"),
-                F.col("e.dst").alias("dst"),
+            release_checkpoint(sel)
+            lab = newlab
+        if not converged:
+            # the final round's contraction may have finished the job;
+            # recheck before declaring the forest partial
+            cs = lab.select(
+                F.col("node").alias("src"), F.col("comp").alias("cs")
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        forest = forest.unionByName(sel).localCheckpoint(eager=True)
-        # contract: CC over the component-grain selection graph
-        selpairs = sel.join(
-            cross.select("src", "dst", "cs", "cd"), ["src", "dst"]
-        ).select(
-            F.col("cs").alias("id_a"), F.col("cd").alias("id_b")
-        )
-        comps = lab.select(F.col("comp").alias("c")).distinct()
-        roots = connected_components(
-            selpairs, comps, id_col="c", label_col="root"
-        )
-        newlab = (
-            lab.join(roots, lab.comp == roots.c, "left")
-            .select(
-                "node", F.coalesce("root", "comp").alias("comp")
+            cd = lab.select(
+                F.col("node").alias("dst"), F.col("comp").alias("cd")
             )
-            .localCheckpoint(eager=True)
-        )
+            remaining = (
+                e.join(cs, "src")
+                .join(cd, "dst")
+                .filter(F.col("cs") != F.col("cd"))
+                .limit(1)
+                .count()
+            )
+            if remaining:
+                raise RuntimeError(
+                    f"boruvka_msf: cross-component edges remain after "
+                    f"{max_rounds} rounds — forest would be partial; "
+                    f"raise max_rounds"
+                )
+    finally:
         release_checkpoint(lab)
-        release_checkpoint(cross)
-        release_checkpoint(sel)
-        lab = newlab
+        release_checkpoint(e)
     return forest

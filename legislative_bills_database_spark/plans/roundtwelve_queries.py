@@ -417,9 +417,17 @@ def q_hmm_forward(spark, sf_dir):
             .alias("bestk"),
         )
 
-    final = F.aggregate(
-        F.sequence(F.lit(2).cast("long"), F.col("n")), seed, step
-    )
+    # n=1 guard: sequence(2, 1) silently yields the DESCENDING [2, 1]
+    # (Spark infers step -1 when start > stop), reading b0[2] out of
+    # bounds — fall back to the seed struct, matching the DuckDB
+    # twin's WHERE k <= n recursion bound. Latent on the fixtures
+    # (min 45 events/user) but a wrong answer on sparser data.
+    final = F.when(
+        F.col("n") >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2).cast("long"), F.col("n")), seed, step
+        ),
+    ).otherwise(seed)
     return base.select(
         "user_id",
         F.col("n").alias("n_events"),
@@ -882,7 +890,17 @@ def q_stream_state_scale(spark, sf_dir):
                             .trigger(availableNow=True)
                             .start()
                         )
-                        q.awaitTermination(180)
+                        # availableNow must DRAIN within the budget: on
+                        # timeout the stream would keep running after
+                        # the provider conf is restored below and the
+                        # progress/state rows read would reflect a
+                        # half-finished run — fail loudly instead.
+                        if not q.awaitTermination(180):
+                            q.stop()
+                            raise RuntimeError(
+                                f"q_stream_state_scale: {name} did not "
+                                f"drain in 180s; census row meaningless"
+                            )
                 finally:
                     if prev_prov is None:
                         spark.conf.unset(prov_key)
@@ -1315,9 +1333,14 @@ def q_hmm_posterior(spark, sf_dir):
             F.concat(acc["fa1"], F.array(_fd(t1 * S, den))).alias("fa1"),
         )
 
-    fwd = F.aggregate(
-        F.sequence(F.lit(2).cast("long"), n), fseed, fstep
-    )
+    # n=1 guards (both folds): sequence(2, 1) yields DESCENDING [2, 1]
+    # (out-of-bounds b0[2] read), and sequence(1, 2, -1) throws
+    # 'Illegal sequence boundaries' — fall back to the seed structs,
+    # matching the DuckDB twins' WHERE k < n / k > 1 recursion bounds.
+    fwd = F.when(
+        n >= 2,
+        F.aggregate(F.sequence(F.lit(2).cast("long"), n), fseed, fstep),
+    ).otherwise(fseed)
     half = F.lit(_FWD_S // 2).cast("long")
     bseed = F.struct(
         F.array(half).alias("bb0"), F.array(half).alias("bb1")
@@ -1337,11 +1360,14 @@ def q_hmm_posterior(spark, sf_dir):
             F.concat(F.array(_fd(u1 * S, den)), acc["bb1"]).alias("bb1"),
         )
 
-    bwd = F.aggregate(
-        F.sequence(n, F.lit(2).cast("long"), F.lit(-1).cast("long")),
-        bseed,
-        bstep,
-    )
+    bwd = F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(n, F.lit(2).cast("long"), F.lit(-1).cast("long")),
+            bseed,
+            bstep,
+        ),
+    ).otherwise(bseed)
     # OPTIMIZATION BARRIERS between the three projections: an
     # expression referenced inside a higher-order-function lambda is
     # inlined PER ELEMENT (codegen subexpression elimination does not

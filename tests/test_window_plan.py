@@ -1,0 +1,66 @@
+"""Pins for the mechanized driver window + README inventory (VERDICT r12
+items #3 and #7): the 50-slot `_WINDOW` in __spark_entry__.py must equal
+scripts/window_plan.py's computed rotation, and the README inventory
+line must carry the registry's real count — hand-tallied numbers drifted
+three rounds running (r10 "43 vs 47", r11 alphabetical truncation, r12
+"9 vs 11 newcomers"; README stale at r10/r11/r12).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_window_equals_window_plan_output():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_plan", os.path.join(REPO, "scripts", "window_plan.py")
+    )
+    wp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wp)
+
+    spec2 = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(entry)
+
+    computed = wp.plan(REPO)["window"]
+    assert entry._WINDOW == computed, (
+        "driver window drifted from scripts/window_plan.py output; "
+        "regenerate the _WINDOW literal (python scripts/window_plan.py)"
+    )
+    assert len(entry._WINDOW) == 50
+
+
+def test_window_is_prefix_of_queries():
+    """The driver caps at the first ~50 entries of queries(); the window
+    must actually BE that prefix or the rotation does nothing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry2", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    ordered = list(entry.queries())
+    assert ordered[: len(entry._WINDOW)] == entry._WINDOW
+
+
+def test_readme_inventory_matches_registry():
+    """README's inventory line is GENERATED (scripts/update_readme.py)
+    and must always equal the live registry count."""
+    from legislative_bills_database_spark.plans import QUERIES
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"(\d+) declared queries", readme)
+    assert m, "README inventory line missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} declared queries; registry has "
+        f"{len(QUERIES)} — run python scripts/update_readme.py"
+    )
