@@ -9,16 +9,41 @@ the same left-to-right order. No pandas UDF in the hot path: at 100 TB a
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Plain-identifier fast path: building a higher-order function through
+# the PySpark Column API costs ~5-10 py4j ROUND-TRIPS per lambda
+# (_create_lambda + invoke), ~0.4 s of driver wall per embedding query
+# at 6 HOFs — overhead the JVM-bound bench calibration token cannot
+# see (it is Python socket latency, not machine speed; measured while
+# root-causing the r12 q_cosine_topk flag). A single F.expr parse
+# yields the IDENTICAL Catalyst tree (same cast-to-double-first fold,
+# same left-to-right accumulation — oracle hashes unchanged) in ONE
+# round-trip, so when callers hand plain column names we parse instead
+# of composing.
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _plain(col: Column | str) -> str | None:
+    return col if isinstance(col, str) and _IDENT.match(col) else None
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product in double precision."""
+    pa, pb = _plain(a), _plain(b)
+    if pa and pb:
+        return F.expr(
+            f"aggregate(zip_with({pa}, {pb}, (x, y) ->"
+            f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,6 +53,13 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm2(a: Column | str) -> Column:
     """Squared L2 norm (double)."""
+    pa = _plain(a)
+    if pa:
+        return F.expr(
+            f"aggregate(transform({pa}, x ->"
+            f" CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),

@@ -38,19 +38,19 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
-            l2_norm(F.col(vec_col)).alias("__qn"),
+            l2_norm(vec_col).alias("__qn"),
         )
     )
     n = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
-        l2_norm(F.col(vec_col)).alias("__nn"),
+        l2_norm(vec_col).alias("__nn"),
     )
     scored = (
         q.join(n, F.col("qid") != F.col("nid"))
         .withColumn(
             "cos",
-            dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn")),
+            dot("qv", "nv") / (F.col("__qn") * F.col("__nn")),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
