@@ -47,15 +47,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_plan.py pins this literal equal to its output.
 # Hand-tallied counts drifted three rounds running (r10 "43 vs 47",
 # r11 alphabetical truncation, r12 "9 vs 11 newcomers"); this ends
-# that defect class. This round: flagship + the 11 r12 newcomers
-# (phases 89-99) + 38 of the 49 r4-era rows. The 11 r4 rows that
-# spill to r14 (named, per VERDICT r12 #1): q_set_ops, q_stats_agg,
-# q_stratified_fixed_n, q_stratified_sample, q_stream_parity,
-# q_train_val_split, q_unigram_score, q_upsert_partition,
-# q_window_analytics, q_zorder_value, q_zscore_outliers.
+# that defect class. This round: flagship + ALL 15 no-driver-row
+# newcomers (the 11 from r12 phases 89-99 plus this round's 4, phases
+# 100-102 — the mechanical newcomers-first policy gives brand-new
+# queries driver rows immediately) + 34 of the 49 r4-era rows. The 15
+# r4 rows that spill to r14 (named, per VERDICT r12 #1):
+# q_repetition, q_rollup_counts, q_schema_evolution, q_seq_pack,
+# q_set_ops, q_stats_agg, q_stratified_fixed_n, q_stratified_sample,
+# q_stream_parity, q_train_val_split, q_unigram_score,
+# q_upsert_partition, q_window_analytics, q_zorder_value,
+# q_zscore_outliers.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- 11 r12 newcomers (no driver row yet), registry order --
+    # -- 15 newcomers (no driver row yet), registry order --
     "q_hmm_forward",
     "q_rowgroup_skip_census",
     "q_approx_ind",
@@ -67,7 +71,11 @@ _WINDOW = [
     "q_ar2_forecast",
     "q_exchange_reuse_census",
     "q_agg_pushdown_census",
-    # -- 38 of the 49 r4-era refreshers (oldest era, alphabetical) --
+    "q_multiterm_scale",
+    "q_multiterm_folded",
+    "q_kalman",
+    "q_stream_tws_totals",
+    # -- 34 of the 49 r4-era refreshers (oldest era, alphabetical) --
     "q_bfs_hops",
     "q_bm25_rank",
     "q_boilerplate_strip",
@@ -102,10 +110,6 @@ _WINDOW = [
     "q_projection_distortion",
     "q_quantiles",
     "q_random_projection",
-    "q_repetition",
-    "q_rollup_counts",
-    "q_schema_evolution",
-    "q_seq_pack",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

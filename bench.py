@@ -509,6 +509,15 @@ HEADLINE = [
     # (q_stream_state_scale runs 6 real availableNow streams — ~26 s at
     # sf0.01, dominated by per-trigger state commits; kept out of
     # HEADLINE to bound bench wall, like q_stream_totals)
+    # round-13 phase 100: the dictionary-scale search head-to-head —
+    # BOTH plans timed every round so the AC-vs-folded-OR crossover
+    # (VERDICT r12 #5) stays a measured fact, not a one-off claim
+    "q_multiterm_scale",
+    "q_multiterm_folded",
+    # round-13 phase 101: quantized-exact Kalman filter + RTS smoother
+    "q_kalman",
+    # (q_stream_tws_totals runs 3 real availableNow streams; kept out
+    # of HEADLINE to bound bench wall, like q_stream_totals)
 ]
 
 

@@ -57,6 +57,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user (count, sum) via ``transformWithStateInPandas``
+    — Spark 4's successor to applyInPandasWithState (SPARK-46815): the
+    processor owns NAMED state variables (value/list/map) fetched from
+    a handle at init, instead of one implicit tuple; timers replace
+    timeout confs. Semantically identical to
+    :func:`running_user_totals`; the q_stream_tws_totals census diffs
+    both against the batch aggregate. Engine constraint certified
+    there: transformWithState runs ONLY on the RocksDB state-store
+    provider — the HDFS heap provider is refused at query start.
+    The import + subclass stay inside this function so the module
+    imports even if a future pyspark moves the experimental API."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _RunningTotalsTws(StatefulProcessor):
+        def init(self, handle) -> None:  # StatefulProcessorHandle
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._totals.get()
+            n, total = cur if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsTws(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 KEY_COUNT_SCHEMA = "key string, n long"
 _COUNT_STATE_SCHEMA = "n long"
 

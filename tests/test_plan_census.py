@@ -50,6 +50,9 @@ PYTHON_ALLOWED = {
     "q_bpe_encode",
     "q_skyline",
     "q_gzip_ratio",  # zlib deflate via Arrow pandas_udf (quality.py)
+    # Aho-Corasick mapInPandas: Spark has no multi-pattern string
+    # primitive; justification measured at operators/search.py
+    "q_multiterm_scale",
 }
 
 
