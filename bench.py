@@ -518,6 +518,12 @@ HEADLINE = [
     "q_kalman",
     # (q_stream_tws_totals runs 3 real availableNow streams; kept out
     # of HEADLINE to bound bench wall, like q_stream_totals)
+    # round-13 phases 103-106: sequential CUSUM monitor, AMS F2
+    # sketch, blocked Fellegi-Sunter linkage, grid DBSCAN
+    "q_page_cusum",
+    "q_f2_sketch",
+    "q_fellegi_sunter",
+    "q_dbscan",
 ]
 
 

@@ -496,3 +496,615 @@ def q_stream_tws_totals(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (two-sided, per-mille normalized)
+# ---------------------------------------------------------------------------
+
+_CU_DAYS = 30     # dense grid over the fixture month (days 1..30;
+                  # a 31st slot would always read 0 and fire a
+                  # phantom collapse alarm on every type)
+_CU_BASE_D = 7    # baseline window: days 1..7
+_CU_SLACK = 50    # per-mille allowance per day (k ≈ 0.5σ)
+_CU_H = 400       # alarm threshold (cumulative per-mille·days)
+
+# one normalized deviation, spelled once for the twin: per-mille of the
+# 7-day baseline mean — 7000·x_t // base − 1000 (x_t ≥ 0, base > 0, so
+# // == floor == trunc in both engines)
+_CU_DEV = "((7000 * it.xs[it.k + 1]) // it.base - 1000)"
+_CU_SP = f"GREATEST(0, it.sp + {_CU_DEV} - {_CU_SLACK})"
+_CU_SN = f"GREATEST(0, it.sn - {_CU_DEV} - {_CU_SLACK})"
+
+
+def _sql_cusum() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS ds,
+             list(x ORDER BY day) AS raw
+      FROM daily GROUP BY 1
+    ), dense AS (
+      SELECT event_type,
+             [CASE WHEN list_position(ds, CAST(d AS BIGINT)) > 0
+                   THEN raw[list_position(ds, CAST(d AS BIGINT))]
+                   ELSE 0 END
+              FOR d IN generate_series(1, {_CU_DAYS})] AS xs
+      FROM ser
+    ), based AS (
+      SELECT event_type, xs,
+             CAST(list_sum(xs[1:{_CU_BASE_D}]) AS BIGINT) AS base
+      FROM dense
+    ), it AS (
+      SELECT event_type, xs, base, CAST({_CU_BASE_D} AS BIGINT) AS k,
+             CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+             CAST(0 AS BIGINT) AS max_sp, CAST(0 AS BIGINT) AS max_sn,
+             CAST(0 AS BIGINT) AS first_up, CAST(0 AS BIGINT) AS first_dn,
+             CAST(0 AS BIGINT) AS n_alarm
+      FROM based WHERE base > 0
+      UNION ALL
+      SELECT it.event_type, it.xs, it.base, it.k + 1,
+             {_CU_SP} AS sp, {_CU_SN} AS sn,
+             GREATEST(it.max_sp, {_CU_SP}),
+             GREATEST(it.max_sn, {_CU_SN}),
+             CASE WHEN it.first_up = 0 AND {_CU_SP} > {_CU_H}
+                  THEN it.k + 1 ELSE it.first_up END,
+             CASE WHEN it.first_dn = 0 AND {_CU_SN} > {_CU_H}
+                  THEN it.k + 1 ELSE it.first_dn END,
+             it.n_alarm + CASE WHEN {_CU_SP} > {_CU_H}
+                                 OR {_CU_SN} > {_CU_H}
+                          THEN 1 ELSE 0 END
+      FROM it WHERE it.k < {_CU_DAYS}
+    )
+    SELECT event_type, base, max_sp, max_sn, first_up, first_dn, n_alarm
+    FROM it WHERE k = {_CU_DAYS}
+    """
+
+
+@query("q_page_cusum", _sql_cusum())
+def q_page_cusum(spark, sf_dir):
+    """Two-sided SEQUENTIAL CUSUM monitor (Page 1954) over each
+    event type's daily count series — the ONLINE sibling of q_cusum
+    (advanced_queries.py:899, the retrospective argmax change-point
+    LOCATOR): that one answers "where did the level most likely
+    shift, in hindsight"; this one accumulates evidence day by day and
+    timestamps when a persistent shift became undeniable (the
+    mixture-drift alarm a training-data pipeline wires to its intake).
+
+    Scale-invariant by construction: deviations are normalized to
+    PER-MILLE of the 7-day baseline mean (d_t = 7000·x_t div base −
+    1000), so thresholds carry across SFs; the numerator is
+    non-negative, making floor/trunc division identical in both
+    engines. The recursion S⁺ = max(0, S⁺ + d_t − 50), S⁻ = max(0, S⁻
+    − d_t − 50) is pure BIGINT, hash-certified against a recursive-CTE
+    twin; trajectory functionals ride the fold (first alarm day each
+    direction, running maxima, alarm-day count). Types absent in the
+    baseline week are excluded symmetrically (base > 0).
+
+    Scale shape: one (type, day) count aggregate, a 30-slot dense grid
+    per key (absent days are true zeros — a vanished feed IS a
+    downward change), one JVM fold; no UDF, no per-step shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ser = daily.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("day", "x")))
+        ).alias("m")
+    )
+    grid = F.sequence(F.lit(1).cast("long"), F.lit(_CU_DAYS).cast("long"))
+    dense = ser.select(
+        "event_type",
+        F.transform(
+            grid,
+            lambda d: F.coalesce(
+                F.try_element_at("m", d), F.lit(0).cast("long")
+            ),
+        ).alias("xs"),
+    ).withColumn(
+        "base",
+        F.aggregate(
+            F.slice("xs", 1, _CU_BASE_D),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    ).filter(F.col("base") > 0).repartition("event_type")
+
+    xs, base = F.col("xs"), F.col("base")
+    slack = F.lit(_CU_SLACK).cast("long")
+    h = F.lit(_CU_H).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _fd(num, den):  # non-negative numerators only here
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    seed = F.struct(
+        zero.alias("sp"), zero.alias("sn"),
+        zero.alias("max_sp"), zero.alias("max_sn"),
+        zero.alias("first_up"), zero.alias("first_dn"),
+        zero.alias("n_alarm"),
+    )
+
+    def step(acc, k):
+        d = _fd(
+            F.lit(7000).cast("long") * F.element_at(xs, k.cast("int")),
+            base,
+        ) - F.lit(1000).cast("long")
+        sp = F.greatest(zero, acc["sp"] + d - slack)
+        sn = F.greatest(zero, acc["sn"] - d - slack)
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["max_sp"], sp).alias("max_sp"),
+            F.greatest(acc["max_sn"], sn).alias("max_sn"),
+            F.when((acc["first_up"] == 0) & (sp > h), k)
+            .otherwise(acc["first_up"])
+            .alias("first_up"),
+            F.when((acc["first_dn"] == 0) & (sn > h), k)
+            .otherwise(acc["first_dn"])
+            .alias("first_dn"),
+            (
+                acc["n_alarm"]
+                + F.when((sp > h) | (sn > h), F.lit(1).cast("long"))
+                .otherwise(zero)
+            ).alias("n_alarm"),
+        )
+
+    final = F.aggregate(
+        F.sequence(
+            F.lit(_CU_BASE_D + 1).cast("long"),
+            F.lit(_CU_DAYS).cast("long"),
+        ),
+        seed,
+        step,
+    )
+    return dense.select(
+        "event_type",
+        "base",
+        final["max_sp"].alias("max_sp"),
+        final["max_sn"].alias("max_sn"),
+        final["first_up"].alias("first_up"),
+        final["first_dn"].alias("first_dn"),
+        final["n_alarm"].alias("n_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch (second frequency moment)
+# ---------------------------------------------------------------------------
+
+_F2_EST = 16  # independent ±1 estimators
+
+
+def _sql_f2() -> str:
+    def nib(expr: str) -> str:
+        c = f"ascii(substring(md5({expr}), 1, 1))"
+        return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+    key = "k || '_' || i"
+    sign = f"(1 - 2 * ({nib(key)} % 2))"
+    return f"""
+    WITH f AS (
+      SELECT CAST(user_id AS VARCHAR) AS k,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM f
+    ), z AS (
+      SELECT i, CAST(SUM({sign} * c) AS BIGINT) AS zi
+      FROM f, (SELECT CAST(unnest(generate_series(0, {_F2_EST - 1}))
+                      AS VARCHAR) AS i)
+      GROUP BY i
+    ), est AS (
+      SELECT CAST(SUM(zi * zi) AS BIGINT) AS s FROM z
+    )
+    SELECT f2 AS f2_exact, s AS f2_est_sum,
+           CAST({_F2_EST} AS BIGINT) AS n_estimators,
+           (ABS({_F2_EST} * f2 - s) * 1000000)
+             // ({_F2_EST} * f2) AS rel_err_ppm
+    FROM exact, est
+    """
+
+
+@query("q_f2_sketch", _sql_f2())
+def q_f2_sketch(spark, sf_dir):
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) for the second
+    frequency moment F₂ = Σ f_k² of the per-user event counts — the
+    sketch behind join-size estimation, self-join cardinality and
+    repeat-skew scoring, completing the sketch family (HLL counts
+    distincts = F₀, count-min approximates point frequencies, THIS
+    estimates the square mass). One pass, O(estimators) state.
+
+    Fully hash-certified, unlike typical seeded sketches: the ±1
+    Rademacher hashes come from the engine-portable md5-nibble parity
+    (importance.token_bucket discipline), so Spark and DuckDB compute
+    the IDENTICAL sketch, estimator by estimator — the oracle certifies
+    the algorithm, and the pytest pin bounds the estimation error the
+    algorithm's variance analysis promises (Var[X] ≤ 2F₂²/n). All
+    BIGINT: |Z_i| ≤ Σf_k = |events|, Z_i² ≤ 2.5e11 at sf1.
+
+    Scale shape: one count aggregate at key grain, a 16× fan-out of
+    the COUNT frame (never the event stream), one sum per estimator —
+    map-side partial aggregation everywhere; the exact F₂ rides the
+    same count frame for the certificate."""
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy(
+        F.col("user_id").cast("string").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    exact = f.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2")
+    )
+    ests = F.explode(
+        F.array(*[F.lit(str(i)) for i in range(_F2_EST)])
+    ).alias("i")
+    from ..operators.importance import _nibble
+
+    sign = (
+        F.lit(1).cast("long")
+        - 2 * F.pmod(
+            _nibble(
+                F.substring(
+                    F.md5(F.concat(F.col("k"), F.lit("_"), F.col("i"))),
+                    1, 1,
+                )
+            ).cast("long"),
+            F.lit(2).cast("long"),
+        )
+    )
+    z = (
+        f.select("k", "c", ests)
+        .groupBy("i")
+        .agg(F.sum(sign * F.col("c")).cast("long").alias("zi"))
+    )
+    est = z.agg(
+        F.sum(F.col("zi") * F.col("zi")).cast("long").alias("s")
+    )
+    ne = F.lit(_F2_EST).cast("long")
+
+    def _fd(num, den):  # non-negative by construction
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("f2").alias("f2_exact"),
+            F.col("s").alias("f2_est_sum"),
+            ne.alias("n_estimators"),
+            _fd(
+                F.abs(ne * F.col("f2") - F.col("s"))
+                * F.lit(1_000_000).cast("long"),
+                ne * F.col("f2"),
+            ).alias("rel_err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (blocked, integer weights)
+# ---------------------------------------------------------------------------
+
+# field agreement weights ×1000 (log₂ m/u as LITERALS — the SPRT
+# no-transcendentals discipline; m/u chosen for the fixture's field
+# cardinalities): acctbal $1000-band, phone last-4, name last-3 digits,
+# comment length decile
+_FS_WA = (2000, 3000, 2500, 1500)
+_FS_WD = (-800, -300, -500, -400)
+_FS_MATCH = 4000   # score ≥ → match
+_FS_POSSIBLE = 0   # score ≥ → possible; below → non-match
+
+# fixture customer columns: custkey, name, nationkey, acctbal,
+# mktsegment (nation+segment are the BLOCK key) — four comparison
+# fields derived from name + balance: $1000 band (trunc-div, signed),
+# sub-dollar cents (both engines' % carries the dividend sign), name
+# last-3 digits, balance sign
+_FS_FIELDS_DUCK = (
+    "(CAST(ROUND(a.c_acctbal * 100) AS BIGINT) // 100000"
+    " = CAST(ROUND(b.c_acctbal * 100) AS BIGINT) // 100000)",
+    "(CAST(ROUND(a.c_acctbal * 100) AS BIGINT) % 100"
+    " = CAST(ROUND(b.c_acctbal * 100) AS BIGINT) % 100)",
+    "(substring(a.c_name, length(a.c_name) - 2, 3)"
+    " = substring(b.c_name, length(b.c_name) - 2, 3))",
+    "((a.c_acctbal >= 0) = (b.c_acctbal >= 0))",
+)
+_FS_SCORE_DUCK = " + ".join(
+    f"CASE WHEN {f} THEN {wa} ELSE {wd} END"
+    for f, wa, wd in zip(_FS_FIELDS_DUCK, _FS_WA, _FS_WD)
+)
+
+
+@query(
+    "q_fellegi_sunter",
+    f"""
+    WITH pairs AS (
+      SELECT {_FS_SCORE_DUCK} AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN score >= {_FS_MATCH} THEN 'match'
+                WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non-match' END AS verdict
+    FROM pairs GROUP BY score
+    """,
+)
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (1969) — the
+    entity-resolution scorer upstream of the dedup/survivorship
+    family: candidate pairs from BLOCKING (equi-join on nation ×
+    market segment — never all-pairs), per-field agreement weights
+    log₂(m/u) as ×1000 integer LITERALS (no log at query time), the
+    pair score their sum, and the classic three-way verdict
+    (match / possible / non-match) from literal thresholds. Output at
+    score-histogram grain: 4 binary fields → ≤16 distinct scores, each
+    with its pair count and verdict — hash-certified.
+
+    Blocking arithmetic (the skew math that decides 100 TB
+    survivability): block sizes are |customers| / (25 nations × 5
+    segments), so predicted pairs grow as |C|²/250 — ~8k at sf0.01,
+    ~90M at sf1, and the equi-join shuffles each block to one reducer.
+    Past ~1e9 predicted pairs the move is a finer blocking key (add
+    the acctbal band to the join) — the q_edit_distance_join refusal
+    discipline; a pytest pin asserts the fixture stays far below the
+    cliff. Weights are data-independent literals, so the same plan
+    serves any m/u calibration pass."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    a = cust.alias("a")
+    b = cust.alias("b")
+    # acctbal can be negative: the $1000 band must be DuckDB-// (trunc
+    # toward zero) — the portable (p - p % d)/d with dividend-sign %
+    pa = F.round(F.col("a.c_acctbal") * 100).cast("long")
+    pb = F.round(F.col("b.c_acctbal") * 100).cast("long")
+    den = F.lit(100_000).cast("long")
+    agree = [
+        ((pa - pa % den) / den).cast("long")
+        == ((pb - pb % den) / den).cast("long"),
+        pa % F.lit(100).cast("long") == pb % F.lit(100).cast("long"),
+        F.expr("substring(a.c_name, length(a.c_name) - 2, 3)")
+        == F.expr("substring(b.c_name, length(b.c_name) - 2, 3)"),
+        (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0),
+    ]
+    score = None
+    for cond, wa, wd in zip(agree, _FS_WA, _FS_WD):
+        term = F.when(cond, F.lit(wa).cast("long")).otherwise(
+            F.lit(wd).cast("long")
+        )
+        score = term if score is None else score + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(score.alias("score"))
+    )
+    return (
+        pairs.groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "score",
+            "n_pairs",
+            F.when(F.col("score") >= _FS_MATCH, "match")
+            .when(F.col("score") >= _FS_POSSIBLE, "possible")
+            .otherwise("non-match")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grid-based distributed DBSCAN (density clustering on embeddings)
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 20       # radius in ×1000-quantized embedding units
+_DB_EPS2 = 400     # eps²
+_DB_MINNB = 4      # core iff ≥ 4 neighbors (minPts=5 incl. self)
+_DB_OFF = 1 << 20  # shift to non-negative before grid floor-div
+
+
+def _sql_dbscan() -> str:
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS x,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+               AS y
+      FROM embeddings
+    ), nb AS (
+      SELECT a.vec_id, count(*) AS n_nb
+      FROM p a JOIN p b
+        ON a.vec_id != b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {_DB_EPS2}
+      GROUP BY 1
+    ), core AS (
+      SELECT vec_id FROM nb WHERE n_nb >= {_DB_MINNB}
+    ), ce AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM p a JOIN p b
+        ON a.vec_id != b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {_DB_EPS2}
+      WHERE a.vec_id IN (SELECT vec_id FROM core)
+        AND b.vec_id IN (SELECT vec_id FROM core)
+    ), r AS (
+      SELECT vec_id AS node, vec_id AS label FROM core
+      UNION
+      SELECT ce.dst, r.label FROM r JOIN ce ON r.node = ce.src
+    ), lab AS (
+      SELECT node, MIN(label) AS label FROM r GROUP BY 1
+    ), border AS (
+      SELECT a.vec_id, MIN(l.label) AS label
+      FROM p a
+      JOIN p b ON a.vec_id != b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= {_DB_EPS2}
+      JOIN lab l ON l.node = b.vec_id
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM core)
+      GROUP BY 1
+    )
+    SELECT vec_id, 'core' AS role, CAST(label AS BIGINT) AS cluster
+    FROM lab JOIN core ON node = vec_id
+    UNION ALL
+    SELECT vec_id, 'border', CAST(label AS BIGINT) FROM border
+    UNION ALL
+    SELECT vec_id, 'noise', CAST(NULL AS BIGINT)
+    FROM p
+    WHERE vec_id NOT IN (SELECT node FROM lab)
+      AND vec_id NOT IN (SELECT vec_id FROM border)
+    """
+
+
+@query("q_dbscan", _sql_dbscan())
+def q_dbscan(spark, sf_dir):
+    """Grid-based distributed DBSCAN (Ester et al. 1996) over the
+    2D-quantized embedding head — DENSITY clustering, the family the
+    engine lacked (k-means partitions everything; DBSCAN finds
+    arbitrary-shape clusters and labels sparse points NOISE — the
+    outlier-corpus carve-out a curation pipeline acts on). Full
+    classic semantics: core (≥ minPts within eps), border (non-core
+    within eps of a core), noise; clusters = connected components of
+    the core-core eps-graph (labels = min vec_id, deterministic).
+
+    The scale plan is the GRID method: points land in eps-sized cells
+    (coordinates shifted non-negative, pmod floor-div — exact in both
+    engines), candidate pairs come from a 9-cell stencil equi-join
+    (explode of 9 literal offsets, shuffle on the cell key), and the
+    exact d² ≤ eps² filter prunes the stencil — O(n · local density)
+    candidate pairs, never all-pairs; the stencil is provably
+    complete (any two points within eps differ by ≤ 1 cell per axis).
+    Cluster labels reuse the checkpointed connected_components
+    operator. The DuckDB twin is the brute-force O(n²) DBSCAN — a
+    different candidate-generation strategy meeting the grid plan at
+    the identical (point, role, cluster) rows, which certifies the
+    stencil's completeness at every SF the oracle runs.
+
+    Hot-cell posture: stencil fan-out is bounded by 9 · max cell
+    occupancy; a degenerate corpus (all points in one cell) degrades
+    to the quadratic the capped families refuse — the pytest pin
+    asserts max cell occupancy stays far below the 2e9-pair cliff on
+    the fixtures."""
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    eps = F.lit(_DB_EPS).cast("long")
+    off = F.lit(_DB_OFF).cast("long")
+
+    def _cell(c):  # non-negative after shift: pmod floor-div exact
+        v = c + off
+        return ((v - F.pmod(v, eps)) / eps).cast("long")
+
+    cells = pts.select(
+        "vec_id", "x", "y",
+        _cell(F.col("x")).alias("cx"),
+        _cell(F.col("y")).alias("cy"),
+    ).localCheckpoint(eager=False)  # reused by 3 joins below
+    stencil = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).cast("long").alias("dx"),
+                    F.lit(dy).cast("long").alias("dy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probes = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        "cx", "cy", stencil,
+    ).select(
+        "a_id", "ax", "ay",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    cand = probes.join(
+        cells.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).filter(F.col("a_id") != F.col("b_id"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    nbrs = cand.filter(d2 <= _DB_EPS2).select("a_id", "b_id")
+    nbrs = nbrs.localCheckpoint(eager=False)  # degree + edges + border
+    deg = nbrs.groupBy("a_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nb")
+    )
+    core = deg.filter(F.col("n_nb") >= _DB_MINNB).select(
+        F.col("a_id").alias("vec_id")
+    ).localCheckpoint(eager=False)
+    core_a = core.select(F.col("vec_id").alias("a_id"))
+    core_b = core.select(F.col("vec_id").alias("b_id"))
+    ce = (
+        nbrs.join(core_a, "a_id")
+        .join(core_b, "b_id")
+        .select(
+            F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
+        )
+    )
+    lab = connected_components(
+        ce, core.select(F.col("vec_id").alias("n")),
+        id_col="n", label_col="cluster",
+    ).select(F.col("n").alias("vec_id"), "cluster")
+    core_rows = lab.select(
+        "vec_id", F.lit("core").alias("role"), "cluster"
+    )
+    # border: non-core with a core neighbor takes the MIN core label
+    border = (
+        nbrs.join(
+            core.select(F.col("vec_id").alias("a_id")),
+            "a_id",
+            "left_anti",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("cluster").alias("bcl"),
+            ),
+            "b_id",
+        )
+        .groupBy("a_id")
+        .agg(F.min("bcl").alias("cluster"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.lit("border").alias("role"),
+            "cluster",
+        )
+    )
+    labeled = core_rows.unionByName(border)
+    noise = (
+        pts.join(labeled.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return labeled.unionByName(noise)

@@ -1143,8 +1143,11 @@ def q_boruvka_mst(spark, sf_dir):
     pointer-doubling self-joins on the component-sized parent frame;
     every iteration frame localCheckpoint-ed and released (O(1) plan
     depth), early exit on the first round with no cross edge (one
-    1-long count per round, the k_core precedent). 12 rounds span
-    components up to 4096 nodes; rounds, not data, bound the loop."""
+    1-long count per round, the k_core precedent). 20 rounds span
+    components up to ~10⁶ nodes (components at least halve per round,
+    unused rounds are free), and round exhaustion with cross-component
+    edges remaining RAISES rather than returning a partial forest
+    (ADVICE r12) — the certificate cannot silently degrade."""
     from ..operators.graph import boruvka_msf
 
     from .roundfive_queries import _copurchase_edges

@@ -56,6 +56,13 @@ QUERIES_TO_RUN = [
     "q_hits_scores",
     "q_kruskal_wallis",
     "q_permutation_test",
+    # r12 heavy newcomers (VERDICT r12 #8): the Borůvka loop runs on
+    # the co-purchase graph the Zipf hot key distorts hardest (hot
+    # component diameter + per-round selection skew), and the
+    # pair-grain composite-IND sweep is the other new degree-shaped
+    # aggregate; both must stay ~flat or earn an ESCAPES.md row
+    "q_boruvka_mst",
+    "q_approx_ind",
 ]
 
 

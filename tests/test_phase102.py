@@ -1,0 +1,252 @@
+"""Round-13 pins (phases 103-106): sequential CUSUM, AMS F2 sketch,
+Fellegi-Sunter linkage, grid DBSCAN. Oracle parity runs in
+test_oracle_parity/preflight; these pin the algorithm-level invariants
+the hash can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+class TestPageCusum:
+    def test_planted_step_alarm_timing(self, spark, tmp_path):
+        """A planted +60% level shift on day 20 must raise the UP alarm
+        within a few days of onset and never the DOWN alarm; a stable
+        twin type must stay silent. Integer replay of the recursion
+        doubles as the expected-value computation."""
+        import datetime as dt
+
+        from legislative_bills_database_spark.plans import QUERIES
+
+        rows = []
+        eid = 0
+        for day in range(1, 31):
+            for i in range(50 if day < 20 else 80):  # 'shift' type
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 6), 1, "shift", 1.0, "{}")
+                )
+            for i in range(50):  # 'flat' type
+                eid += 1
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 7), 2, "flat", 1.0, "{}")
+                )
+        d = tmp_path / "cusum_step"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: r
+            for r in QUERIES["q_page_cusum"](spark, str(d)).collect()
+        }
+        shift, flat = got["shift"], got["flat"]
+        # per-mille deviation after the step: 7000·80//350 − 1000 = 600
+        # per day, minus slack 50 → S⁺ grows 550/day, crosses 400 on
+        # the FIRST post-shift day
+        assert shift.first_up == 20
+        assert shift.first_dn == 0
+        assert shift.max_sn == 0
+        assert shift.n_alarm == 11  # days 20..30 # noqa: ERA001
+        assert flat.first_up == 0 and flat.first_dn == 0
+        assert flat.n_alarm == 0 and flat.max_sp == 0
+
+    def test_fixture_types_all_present_and_bounded(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES
+
+        rows = QUERIES["q_page_cusum"](spark, SF_DIR).collect()
+        assert len(rows) == 5  # every event type has a baseline week
+        for r in rows:
+            assert r.base > 0
+            assert r.max_sp >= 0 and r.max_sn >= 0
+            assert 0 <= r.n_alarm <= 24  # days 8..31
+
+
+class TestF2Sketch:
+    def test_error_within_variance_bound(self, spark):
+        """Var[mean of n estimators] ≤ 2F₂²/n ⇒ sd ≤ F₂·√(2/16) ≈
+        0.354·F₂. Pin at 3 sd — a fixed-hash sketch either sits inside
+        this forever or the implementation is wrong."""
+        from legislative_bills_database_spark.plans import QUERIES
+
+        r = QUERIES["q_f2_sketch"](spark, SF_DIR).collect()[0]
+        assert r.n_estimators == 16
+        assert r.f2_exact > 0
+        assert r.rel_err_ppm <= int(3 * 0.354 * 1_000_000)
+
+    def test_exact_f2_matches_python(self, spark):
+        from collections import Counter
+
+        from legislative_bills_database_spark.plans import QUERIES
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        counts = Counter(
+            r.user_id for r in events.select("user_id").collect()
+        )
+        want = sum(c * c for c in counts.values())
+        r = QUERIES["q_f2_sketch"](spark, SF_DIR).collect()[0]
+        assert r.f2_exact == want
+
+    def test_signs_are_balanced_ish(self, spark):
+        """md5 parity should split keys ~50/50 per estimator — a
+        degenerate sign function (all +1) would make Z_i = Σf and the
+        estimator useless. |Z_i| < Σf for every estimator proves signs
+        actually alternate."""
+        from pyspark.sql import functions as F
+
+        from legislative_bills_database_spark.plans import QUERIES  # noqa: F401
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        total = events.count()
+        # recompute one estimator driver-side
+        import hashlib
+
+        keys = [
+            (str(r.k), r.c)
+            for r in events.groupBy(
+                F.col("user_id").cast("string").alias("k")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        for i in ("0", "7", "15"):
+            z = sum(
+                (1 - 2 * (int(hashlib.md5(f"{k}_{i}".encode()).hexdigest()[0], 16) % 2)) * c
+                for k, c in keys
+            )
+            assert abs(z) < total
+
+
+class TestFellegiSunter:
+    def test_score_space_and_partition(self, spark):
+        """Scores must come from the 16-combo lattice of the weight
+        literals, and the verdict must be a function of score."""
+        from itertools import product
+
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundthirteen_queries import (
+            _FS_MATCH,
+            _FS_POSSIBLE,
+            _FS_WA,
+            _FS_WD,
+        )
+
+        lattice = {
+            sum(wa if bit else wd for bit, wa, wd in zip(bits, _FS_WA, _FS_WD))
+            for bits in product((0, 1), repeat=4)
+        }
+        rows = QUERIES["q_fellegi_sunter"](spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.score in lattice
+            want = (
+                "match"
+                if r.score >= _FS_MATCH
+                else "possible"
+                if r.score >= _FS_POSSIBLE
+                else "non-match"
+            )
+            assert r.verdict == want
+            assert r.n_pairs > 0
+
+    def test_pair_count_matches_blocking_math(self, spark):
+        """Σ n_pairs must equal Σ_blocks C(|block|, 2) — the blocking
+        arithmetic the 100 TB posture is built on."""
+        from pyspark.sql import functions as F
+
+        from legislative_bills_database_spark.plans import QUERIES
+
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        blocks = (
+            cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        want = sum(b.n * (b.n - 1) // 2 for b in blocks)
+        got = sum(
+            r.n_pairs
+            for r in QUERIES["q_fellegi_sunter"](spark, SF_DIR).collect()
+        )
+        assert got == want
+        assert want < 1_000_000_000  # far below the refusal cliff
+
+
+class TestDbscan:
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES
+
+        return QUERIES["q_dbscan"](spark, SF_DIR).collect()
+
+    def test_partition_and_roles(self, spark, result):
+        n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        assert len(result) == n_emb  # every point exactly once
+        roles = {r.role for r in result}
+        assert roles == {"core", "border", "noise"}
+        for r in result:
+            assert (r.cluster is None) == (r.role == "noise")
+
+    def test_core_semantics_bruteforce(self, spark, result):
+        """Core ⟺ ≥ minPts points within eps (incl. self), recomputed
+        brute-force in numpy — certifies the grid stencil found every
+        neighbor (completeness), not just the ones the oracle hash
+        already covers at this SF."""
+        import numpy as np
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        ids = np.array([r.vec_id for r in emb])
+        xy = np.array(
+            [
+                [round(float(r.embedding[0]) * 1000), round(float(r.embedding[1]) * 1000)]
+                for r in emb
+            ],
+            dtype=np.int64,
+        )
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, 10**9)
+        n_nb = (d2 <= 400).sum(1)
+        want_core = {int(i) for i, n in zip(ids, n_nb) if n >= 4}
+        got_core = {r.vec_id for r in result if r.role == "core"}
+        assert got_core == want_core
+
+    def test_labels_are_component_minima(self, result):
+        """Every cluster label equals the min vec_id among its CORE
+        members (deterministic labeling contract)."""
+        from collections import defaultdict
+
+        by_cluster = defaultdict(list)
+        for r in result:
+            if r.role == "core":
+                by_cluster[r.cluster].append(r.vec_id)
+        assert by_cluster
+        for label, members in by_cluster.items():
+            assert label == min(members)
+
+    def test_cell_occupancy_far_below_cliff(self, spark):
+        """Stencil fan-out is 9·max-occupancy per point; the fixture
+        must sit far below anything quadratic-shaped."""
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        pts = emb.select(
+            F.round(F.element_at("embedding", 1).cast("double") * 1000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.element_at("embedding", 2).cast("double") * 1000)
+            .cast("long")
+            .alias("y"),
+        )
+        occ = (
+            pts.groupBy(
+                F.floor((F.col("x") + (1 << 20)) / 20).alias("cx"),
+                F.floor((F.col("y") + (1 << 20)) / 20).alias("cy"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        assert occ <= 1000  # 9·occ² pairs/cell — nowhere near 2e9
