@@ -47,20 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_plan.py pins this literal equal to its output.
 # Hand-tallied counts drifted three rounds running (r10 "43 vs 47",
 # r11 alphabetical truncation, r12 "9 vs 11 newcomers"); this ends
-# that defect class. This round: flagship + ALL 19 no-driver-row
-# newcomers (11 from r12 phases 89-99 + this round's 8, phases
-# 100-106 — the mechanical newcomers-first policy gives brand-new
-# queries driver rows immediately) + 30 of the 49 r4-era rows. The 19
+# that defect class. This round: flagship + ALL 20 no-driver-row
+# newcomers (11 from r12 phases 89-99 + this round's 9, phases
+# 100-107 — the mechanical newcomers-first policy gives brand-new
+# queries driver rows immediately) + 29 of the 49 r4-era rows. The 20
 # r4 rows that spill to r14 (named, recomputed by window_plan.py):
-# q_prefix_jaccard_join, q_projection_distortion, q_quantiles,
-# q_random_projection, q_repetition, q_rollup_counts,
+# q_pq_topk, q_prefix_jaccard_join, q_projection_distortion,
+# q_quantiles, q_random_projection, q_repetition, q_rollup_counts,
 # q_schema_evolution, q_seq_pack, q_set_ops, q_stats_agg,
 # q_stratified_fixed_n, q_stratified_sample, q_stream_parity,
 # q_train_val_split, q_unigram_score, q_upsert_partition,
 # q_window_analytics, q_zorder_value, q_zscore_outliers.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- 19 newcomers (no driver row yet), registry order --
+    # -- 20 newcomers (no driver row yet), registry order --
     "q_hmm_forward",
     "q_rowgroup_skip_census",
     "q_approx_ind",
@@ -80,7 +80,8 @@ _WINDOW = [
     "q_f2_sketch",
     "q_fellegi_sunter",
     "q_dbscan",
-    # -- 30 of the 49 r4-era refreshers (oldest era, alphabetical) --
+    "q_greedy_matching",
+    # -- 29 of the 49 r4-era refreshers (oldest era, alphabetical) --
     "q_bfs_hops",
     "q_bm25_rank",
     "q_boilerplate_strip",
@@ -110,7 +111,6 @@ _WINDOW = [
     "q_pagerank",
     "q_partitioned_sink",
     "q_pii_redact",
-    "q_pq_topk",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -524,6 +524,8 @@ HEADLINE = [
     "q_f2_sketch",
     "q_fellegi_sunter",
     "q_dbscan",
+    # round-13 phase 107: locally-dominant greedy matching
+    "q_greedy_matching",
 ]
 
 

@@ -1189,3 +1189,111 @@ def boruvka_msf(
         release_checkpoint(lab)
         release_checkpoint(e)
     return forest
+
+
+def greedy_maximal_matching(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Maximal weighted matching via locally-dominant edge selection
+    (Preis 1999; Manne-Bisseling) — every round selects the edges that
+    are the MINIMUM under the strict total order (w, src, dst) among
+    all edges incident to BOTH endpoints (such edges are mutually
+    non-adjacent, so the whole set matches at once), removes the
+    matched vertices, and repeats until no edges remain.
+
+    The certificate exploits a classical equivalence: the matching
+    produced equals EXACTLY the one the SEQUENTIAL greedy algorithm
+    builds scanning edges in that total order (an edge is greedy-picked
+    iff no earlier edge claimed either endpoint; induction on the
+    order shows each locally-dominant round commits precisely the
+    greedy picks whose earlier neighbors are already resolved). Two
+    different algorithms — log-round parallel vs one-edge-at-a-time
+    sequential — meet at the unique answer, the q_boruvka_mst
+    discipline. Sequential greedy is also a 1/2-approximation of the
+    maximum-weight matching (for minimization over a fixed edge set,
+    maximality + the exchange argument).
+
+    Round count: expected O(log |E|) on hash-like weights; the
+    adversarial worst case (a path with monotone weights resolves ONE
+    edge per round) is bounded by ``max_rounds`` and raises rather
+    than returning a silently partial (non-maximal) matching — the
+    boruvka_msf interlock. Per round: one node-grain min-struct
+    aggregate, two label joins, two anti-joins; edge frame
+    localCheckpoint-ed and released per round, O(1) plan depth.
+    Returns the matched edges (src, dst, w); weights cast to long so
+    min-structs are exact and engine-portable.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    matching = spark.createDataFrame([], "src long, dst long, w long")
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            if e.limit(1).count() == 0:
+                converged = True
+                break
+            est = F.struct("w", "src", "dst")
+            node_min = (
+                e.select(F.col("src").alias("node"), est.alias("e"))
+                .unionByName(
+                    e.select(F.col("dst").alias("node"), est.alias("e"))
+                )
+                .groupBy("node")
+                .agg(F.min("e").alias("m"))
+            )
+            ms = node_min.select(
+                F.col("node").alias("src"), F.col("m").alias("m_src")
+            )
+            md = node_min.select(
+                F.col("node").alias("dst"), F.col("m").alias("m_dst")
+            )
+            sel = (
+                e.join(ms, "src")
+                .join(md, "dst")
+                .filter((est == F.col("m_src")) & (est == F.col("m_dst")))
+                .select("src", "dst", "w")
+                .localCheckpoint(eager=True)
+            )
+            prev_matching = matching
+            matching = matching.unionByName(sel).localCheckpoint(
+                eager=True
+            )
+            release_checkpoint(prev_matching)
+            matched = (
+                sel.select(F.col("src").alias("node"))
+                .unionByName(sel.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            nxt = (
+                e.join(
+                    matched.select(F.col("node").alias("src")),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    matched.select(F.col("node").alias("dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(e)
+            release_checkpoint(sel)
+            e = nxt
+        if not converged and e.limit(1).count() > 0:
+            raise RuntimeError(
+                f"greedy_maximal_matching: edges remain after "
+                f"{max_rounds} rounds — matching would be non-maximal; "
+                f"raise max_rounds"
+            )
+    finally:
+        release_checkpoint(e)
+    return matching

@@ -1108,3 +1108,84 @@ def q_dbscan(spark, sf_dir):
         )
     )
     return labeled.unionByName(noise)
+
+
+# ---------------------------------------------------------------------------
+# greedy maximal matching (locally-dominant edges, hash-certified)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_greedy_matching",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(MIN(CAST(a.l_quantity + b.l_quantity AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 97 = 0 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst, w,
+             CAST(ROW_NUMBER() OVER (ORDER BY w, src, dst) AS BIGINT)
+               AS rk
+      FROM e
+    ), arrs AS (
+      SELECT list(src ORDER BY rk) AS rs, list(dst ORDER BY rk) AS rd,
+             CAST(count(*) AS BIGINT) AS ne
+      FROM ranked
+    ), it AS (
+      SELECT 0 AS k, arrs.rs, arrs.rd, arrs.ne,
+             CAST([] AS BIGINT[]) AS matched,
+             CAST([] AS BIGINT[]) AS picked
+      FROM arrs
+      UNION ALL
+      SELECT it.k + 1, it.rs, it.rd, it.ne,
+             CASE WHEN NOT list_contains(it.matched, it.rs[it.k + 1])
+                   AND NOT list_contains(it.matched, it.rd[it.k + 1])
+                  THEN list_append(
+                         list_append(it.matched, it.rs[it.k + 1]),
+                         it.rd[it.k + 1])
+                  ELSE it.matched END AS matched,
+             CASE WHEN NOT list_contains(it.matched, it.rs[it.k + 1])
+                   AND NOT list_contains(it.matched, it.rd[it.k + 1])
+                  THEN list_append(it.picked, it.k + 1)
+                  ELSE it.picked END AS picked
+      FROM it WHERE it.k < it.ne
+    )
+    SELECT r.src, r.dst, r.w
+    FROM it, unnest(it.picked) AS u(rk)
+    JOIN ranked r ON r.rk = u.rk
+    WHERE it.k = it.ne
+    """,
+)
+def q_greedy_matching(spark, sf_dir):
+    """Maximal weighted matching of the co-purchase graph via
+    locally-dominant edge selection (operators/graph.
+    greedy_maximal_matching) — the pairing primitive behind
+    record-linkage assignment (one survivor pair per entity),
+    A/B-pair construction, and graph coarsening (METIS-style matching
+    contraction), on the same sampled co-purchase graph as
+    q_boruvka_mst.
+
+    Certification is the q_boruvka_mst discipline a second time: the
+    parallel algorithm (each round commits every edge that is the
+    (w,src,dst)-minimum at BOTH endpoints — a mutually non-adjacent
+    set) provably produces the IDENTICAL matching to the SEQUENTIAL
+    greedy scan over the ranked edge list, which the DuckDB twin runs
+    as a list-state recursive-CTE walk (matched-node list + picked-rank
+    list, one edge per iteration). Two different algorithms, unique
+    answer, driver hash proves edge-for-edge agreement.
+
+    Scale shape: per round one node-grain min-struct aggregate, two
+    label joins, two anti-joins, all on the shrinking edge frame
+    (checkpointed + released, O(1) plan depth); expected O(log |E|)
+    rounds on hash-like weights, round exhaustion with live edges
+    RAISES (non-maximal = wrong, never silent). The twin is O(|E|)
+    sequential — exactly the asymmetry that makes the parallel side
+    the 100 TB plan."""
+    from ..operators.graph import greedy_maximal_matching
+
+    from .roundfive_queries import _copurchase_edges
+
+    return greedy_maximal_matching(_copurchase_edges(spark, sf_dir))

@@ -250,3 +250,75 @@ class TestDbscan:
             .collect()[0][0]
         )
         assert occ <= 1000  # 9·occ² pairs/cell — nowhere near 2e9
+
+
+class TestGreedyMatching:
+    def _match(self, spark, edges, **kw):
+        from legislative_bills_database_spark.operators.graph import (
+            greedy_maximal_matching,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        return sorted(
+            (r.src, r.dst, r.w)
+            for r in greedy_maximal_matching(df, **kw).collect()
+        )
+
+    def test_equals_sequential_greedy_replay(self, spark):
+        """The fixture co-purchase graph: parallel locally-dominant
+        rounds == python sequential greedy over (w, src, dst) order."""
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundfive_queries import (
+            _copurchase_edges,
+        )
+
+        edges = sorted(
+            (r.w, r.src, r.dst)
+            for r in _copurchase_edges(spark, SF_DIR).collect()
+        )
+        matched: set[int] = set()
+        want = []
+        for w, s, d in edges:
+            if s not in matched and d not in matched:
+                matched.update((s, d))
+                want.append((s, d, w))
+        got = {
+            (r.src, r.dst, r.w)
+            for r in QUERIES["q_greedy_matching"](spark, SF_DIR).collect()
+        }
+        assert got == set(want)
+
+    def test_is_matching_and_maximal(self, spark):
+        from collections import Counter
+
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundfive_queries import (
+            _copurchase_edges,
+        )
+
+        rows = QUERIES["q_greedy_matching"](spark, SF_DIR).collect()
+        nodes = Counter()
+        for r in rows:
+            nodes[r.src] += 1
+            nodes[r.dst] += 1
+        assert all(c == 1 for c in nodes.values())  # a matching
+        # maximal: every graph edge touches a matched node
+        for e in _copurchase_edges(spark, SF_DIR).collect():
+            assert e.src in nodes or e.dst in nodes
+
+    def test_monotone_path_worst_case(self, spark):
+        """A path with increasing weights resolves ONE edge per round
+        (the adversarial case the docstring names): greedy picks the
+        odd edges."""
+        edges = [(i, i + 1, i) for i in range(1, 10)]
+        got = self._match(spark, edges)
+        assert got == [
+            (1, 2, 1), (3, 4, 3), (5, 6, 5), (7, 8, 7), (9, 10, 9),
+        ]
+
+    def test_round_exhaustion_raises(self, spark):
+        import pytest as _pytest
+
+        edges = [(i, i + 1, i) for i in range(1, 10)]
+        with _pytest.raises(RuntimeError, match="non-maximal"):
+            self._match(spark, edges, max_rounds=1)
