@@ -526,6 +526,9 @@ HEADLINE = [
     "q_dbscan",
     # round-13 phase 107: locally-dominant greedy matching
     "q_greedy_matching",
+    # round-13 phases 108-109: parquet bloom census, quantized LOF
+    "q_parquet_bloom_census",
+    "q_lof",
 ]
 
 

@@ -1,10 +1,13 @@
 """Round-13 phases 100+: dictionary-scale multi-pattern search
 (Aho-Corasick vs the reference's folded-OR, head-to-head), the
-quantized-exact scalar Kalman filter + RTS smoother (the next rung of
-the chunked-affine ladder), and the transformWithState streaming
-census (Spark 4's successor to applyInPandasWithState).
+quantized-exact scalar Kalman filter + RTS smoother, the
+transformWithState streaming census, the sequential Page CUSUM
+monitor, the AMS F2 sketch, blocked Fellegi-Sunter linkage,
+grid-stencil DBSCAN, locally-dominant greedy matching, the parquet
+bloom-filter census, and quantized-exact LOF.
 
-VERDICT r12 "Next round" items 4-6. Discipline as everywhere:
+VERDICT r12 "Next round" items 4-6 plus the density/linkage/sketch
+families those opened. Discipline as everywhere:
 exact-integer arithmetic wherever a value crosses engines, bounded
 per-key arrays, repartition barriers between higher-order-function
 projections (the r12 lambda-inlining finding), one data-sized shuffle
@@ -1189,3 +1192,323 @@ def q_greedy_matching(spark, sf_dir):
     from .roundfive_queries import _copurchase_edges
 
     return greedy_maximal_matching(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# parquet bloom-filter census (row-group skipping on hash-random keys)
+# ---------------------------------------------------------------------------
+
+
+@query("q_parquet_bloom_census")  # engine-physical → rows-only
+def q_parquet_bloom_census(spark, sf_dir):
+    """Parquet BLOOM-FILTER certificate — the third rung of the
+    physical-pruning ladder (q_partition_pruning_census: directory
+    grain; q_rowgroup_skip_census: min/max footer stats; THIS:
+    row-group blooms where min/max is USELESS). Point lookups on a
+    high-cardinality key in hash-random order are the case stats
+    can't prune: every row group spans ~the full key range, so a
+    stats-only reader decodes the whole file for a 1-row answer. A
+    bloom filter per row group answers "definitely absent" at the
+    footer, and the Spark 4 vectorized reader consults it.
+
+    Layouts: the SAME (okey, cents) projection of orders, ONE file,
+    64 KiB row groups, dictionary encoding DISABLED (a dictionary
+    page is itself an exact-membership filter — leaving it on would
+    measure dictionaries, not blooms), rows sorted by xxhash64(okey)
+    so interior key ranges are deliberately useless; 'plain' written
+    as-is, 'bloom' with parquet.bloom.filter.enabled#okey. Probes
+    split into the two regimes the census separates: EDGE keys
+    (global min / max / beyond-max) are stats-prunable even in hash
+    order — few row groups' [min,max] cover the extremes — while
+    INTERIOR rank keys (q1 / median / q3) sit inside every row
+    group's range, so only the bloom can prune them. Measured at
+    sf0.01 (15k rows, 4 row groups): interior probes decode 15,000
+    rows plain vs 4,095 (one group) bloom; the absent key decodes 0
+    in BOTH (stats), and value parity holds on every row. Per
+    (layout × probe) row: total rows, scan-decoded rows
+    (executed-plan numOutputRows — rows MATERIALIZED, not returned),
+    result rows, cents sum (the value-parity anchor).
+
+    100 TB shape: this is the certificate for needle-in-haystack
+    lookups on join keys / IDs where Z-order can't help (hash-random
+    by nature); the bloom costs ~1% file size and turns a full scan
+    into one row group. Engine-physical → rows-only; asymmetry and
+    parity pinned in pytest."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ks = base.agg(
+        F.min("okey").alias("lo"),
+        F.max("okey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ranked = base.orderBy("okey")
+    def _rank_key(frac):
+        return int(
+            ranked.limit(max(1, int(ks.n * frac)))
+            .agg(F.max("okey"))
+            .collect()[0][0]
+        )
+    absent = int(ks.hi) * 2 + 1
+    probes = [
+        # edge keys: min/max stats prune these EVEN in hash-random
+        # order (few row groups' [min,max] cover the extremes) — the
+        # contrast rows proving stats alone handle edges
+        ("k_min", int(ks.lo)),
+        ("k_max", int(ks.hi)),
+        ("k_absent", absent),  # > global max: stats prune everything
+        # interior keys: every row group's range covers them — the
+        # rows only the bloom can prune
+        ("k_q1", _rank_key(0.25)),
+        ("k_med", _rank_key(0.50)),
+        ("k_q3", _rank_key(0.75)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="q_bloom_census_")
+    try:
+        shuffled = base.orderBy(F.xxhash64("okey")).coalesce(1)
+        common = {
+            "parquet.block.size": str(64 * 1024),
+            "parquet.enable.dictionary": "false",
+        }
+        w = shuffled.write.mode("overwrite")
+        for k, v in common.items():
+            w = w.option(k, v)
+        w.parquet(f"{tmp}/plain")
+        w = shuffled.write.mode("overwrite")
+        for k, v in common.items():
+            w = w.option(k, v)
+        w = w.option("parquet.bloom.filter.enabled#okey", "true").option(
+            "parquet.bloom.filter.expected.ndv#okey", str(int(ks.n))
+        )
+        w.parquet(f"{tmp}/bloom")
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        rows = []
+        for layout in ("plain", "bloom"):
+            (pf,) = _glob.glob(f"{tmp}/{layout}/*.parquet")
+            n_rg = _pq.ParquetFile(pf).metadata.num_row_groups
+            df_all = spark.read.parquet(f"{tmp}/{layout}")
+            total = df_all.count()
+            for pname, key in probes:
+                dagg = df_all.filter(F.col("okey") == key).agg(
+                    F.count(F.lit(1)).alias("nr"),
+                    F.coalesce(F.sum("cents"), F.lit(0)).alias("c"),
+                )
+                got = dagg.collect()[0]
+                # metrics live on the plan that EXECUTED (the agg)
+                scan = _scan_output_rows_13(dagg)
+                rows.append(
+                    (
+                        layout,
+                        pname,
+                        int(n_rg),
+                        int(total),
+                        int(scan),
+                        int(got.nr),
+                        int(got.c),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "layout string, probe string, n_rowgroups long,"
+            " total_rows long, scan_rows long, result_rows long,"
+            " cents long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _scan_output_rows_13(df) -> int:
+    """Executed-plan parquet-scan numOutputRows (the
+    roundtwelve_queries._scan_output_rows access path, re-exported
+    here to keep module imports acyclic)."""
+    from .roundtwelve_queries import _scan_output_rows
+
+    return _scan_output_rows(df)
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor (quantized-exact, squared metric)
+# ---------------------------------------------------------------------------
+
+_LOF_K = 5
+_LOF_G = 1_000_000_000  # lrd grid (k·G div Σreach²)
+_LOF_G2 = 1_000_000     # LOF grid (per-ppm)
+_LOF_CAP = 1500         # exact-baseline input bound (the neardup posture)
+_LOF_FLAG = 1_500_000   # lof_q ≥ 1.5 → outlier
+
+
+def _sql_lof() -> str:
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS x,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+               AS y
+      FROM embeddings WHERE vec_id < {_LOF_CAP}
+    ), d AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               AS d2
+      FROM p a JOIN p b ON a.vec_id != b.vec_id
+    ), nn AS (
+      SELECT aid, bid, d2,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d2, bid)
+               AS rnk
+      FROM d
+    ), knn AS (
+      SELECT aid, bid, d2 FROM nn WHERE rnk <= {_LOF_K}
+    ), kd AS (
+      SELECT aid, CAST(MAX(d2) AS BIGINT) AS kdist2,
+             CAST(COUNT(*) AS BIGINT) AS nk
+      FROM knn GROUP BY 1
+    ), lrd AS (
+      SELECT k.aid,
+             (kd.nk * {_LOF_G}) // GREATEST(
+               SUM(GREATEST(kb.kdist2, k.d2)), 1) AS lrd_q,
+             ANY_VALUE(kd.kdist2) AS kdist2,
+             ANY_VALUE(kd.nk) AS nk
+      FROM knn k
+      JOIN kd kb ON kb.aid = k.bid
+      JOIN kd ON kd.aid = k.aid
+      GROUP BY k.aid, kd.nk
+    )
+    SELECT a.aid AS vec_id, a.nk AS n_nn, a.kdist2,
+           CAST(a.lrd_q AS BIGINT) AS lrd_q,
+           CAST((SUM(lb.lrd_q) * {_LOF_G2})
+                // (a.nk * GREATEST(a.lrd_q, 1)) AS BIGINT) AS lof_q,
+           CAST(CASE WHEN (SUM(lb.lrd_q) * {_LOF_G2})
+                // (a.nk * GREATEST(a.lrd_q, 1)) >= {_LOF_FLAG}
+                THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM lrd a
+    JOIN knn k ON k.aid = a.aid
+    JOIN lrd lb ON lb.aid = k.bid
+    GROUP BY a.aid, a.nk, a.kdist2, a.lrd_q
+    """
+
+
+@query("q_lof", _sql_lof())
+def q_lof(spark, sf_dir):
+    """Local Outlier Factor (Breunig et al. 2000) on the 2D-quantized
+    embedding head — the GRADED density-outlier score q_dbscan's
+    binary noise label builds toward: LOF ≈ 1 means "as dense as your
+    neighbors", ≫ 1 means "locally sparse relative to your
+    neighborhood" — the ranking a curation pipeline uses to budget
+    manual review, not just carve.
+
+    Quantized-exact on the SQUARED metric (max is monotone, so
+    reach²(a,b) = max(kdist²(b), d²(a,b)) is the standard reachability
+    with every value a BIGINT): lrd_q = (k·10⁹) div Σreach², lof_q =
+    (Σ_b lrd_q(b) · 10⁶) div (k·lrd_q(a)) — two quantization rungs,
+    the HMM/Kalman discipline, so the whole pipeline hash-matches the
+    twin. kNN ties break by (d², vec_id), strict in both engines.
+    Magnitudes: Σ lrd_q(b)·10⁶ ≤ 5·10⁹·10⁶ = 5·10¹⁵ < 2⁶³ (BIGINT
+    multiply, division result < 2⁵³ for the exact-double lambda-free
+    path — all divisions here are column-grain, not lambda-scope).
+
+    This is the EXACT bounded baseline (vec_id < 1500 — the
+    q_embedding_neardup posture; the documented scale path for kNN at
+    100 TB is the IVF/LSH candidate generation the ANN family already
+    certifies, with LOF's formulas unchanged on approximate
+    neighborhoods). Window top-k (WindowGroupLimit) keeps the kNN
+    rank partial-aggregated; the pair generator is one broadcast
+    theta-join on the capped frame."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _LOF_CAP
+    )
+    pts = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    a = pts.select(
+        F.col("vec_id").alias("aid"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("bid"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("aid") != F.col("bid"))
+        .select("aid", "bid", d2.alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("aid").orderBy("d2", "bid")
+    knn = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LOF_K)
+        .select("aid", "bid", "d2")
+        .localCheckpoint(eager=False)  # feeds kd, lrd, lof joins
+    )
+    kd = knn.groupBy("aid").agg(
+        F.max("d2").cast("long").alias("kdist2"),
+        F.count(F.lit(1)).cast("long").alias("nk"),
+    ).localCheckpoint(eager=False)
+    G = F.lit(_LOF_G).cast("long")
+    G2 = F.lit(_LOF_G2).cast("long")
+
+    def _fd(num, den):  # non-negative here: floor == trunc == //
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    kdb = kd.select(
+        F.col("aid").alias("bid"), F.col("kdist2").alias("b_kdist2")
+    )
+    reach = knn.join(kdb, "bid").select(
+        "aid", "bid", F.greatest(F.col("b_kdist2"), F.col("d2")).alias("r2")
+    )
+    lrd = (
+        reach.groupBy("aid")
+        .agg(F.sum("r2").alias("sr"))
+        .join(kd, "aid")
+        .select(
+            "aid",
+            "nk",
+            "kdist2",
+            _fd(F.col("nk") * G, F.greatest(F.col("sr"), F.lit(1))).alias(
+                "lrd_q"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lrd_b = lrd.select(
+        F.col("aid").alias("bid"), F.col("lrd_q").alias("b_lrd")
+    )
+    agg = (
+        knn.join(lrd_b, "bid")
+        .groupBy("aid")
+        .agg(F.sum("b_lrd").alias("slrd"))
+        .join(lrd, "aid")
+    )
+    lof_q = _fd(
+        F.col("slrd") * G2,
+        F.col("nk") * F.greatest(F.col("lrd_q"), F.lit(1)),
+    )
+    return agg.select(
+        F.col("aid").alias("vec_id"),
+        F.col("nk").alias("n_nn"),
+        "kdist2",
+        "lrd_q",
+        lof_q.alias("lof_q"),
+        F.when(lof_q >= _LOF_FLAG, 1).otherwise(0).cast("int").alias(
+            "is_outlier"
+        ),
+    )

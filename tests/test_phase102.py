@@ -322,3 +322,102 @@ class TestGreedyMatching:
         edges = [(i, i + 1, i) for i in range(1, 10)]
         with _pytest.raises(RuntimeError, match="non-maximal"):
             self._match(spark, edges, max_rounds=1)
+
+
+class TestParquetBloomCensus:
+    @pytest.fixture(scope="class")
+    def census(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES
+
+        return {
+            (r.layout, r.probe): r
+            for r in QUERIES["q_parquet_bloom_census"](
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        }
+
+    def test_interior_probes_bloom_prunes_stats_cannot(self, census):
+        """Interior rank keys sit inside every row group's [min,max]:
+        the plain layout decodes the WHOLE file, the bloom layout at
+        most ~2 row groups."""
+        for probe in ("k_q1", "k_med", "k_q3"):
+            plain = census[("plain", probe)]
+            bloom = census[("bloom", probe)]
+            assert plain.n_rowgroups > 1  # sf0.01: multi-group file
+            assert plain.scan_rows == plain.total_rows  # full decode
+            per_group = plain.total_rows / plain.n_rowgroups
+            assert bloom.scan_rows <= 2 * per_group
+            assert bloom.scan_rows < plain.scan_rows
+
+    def test_absent_key_stats_prune_both(self, census):
+        for layout in ("plain", "bloom"):
+            r = census[(layout, "k_absent")]
+            assert r.scan_rows == 0 and r.result_rows == 0
+
+    def test_value_parity_across_layouts(self, census):
+        """Layouts must agree on WHAT — only decoded I/O differs."""
+        for probe in ("k_min", "k_max", "k_q1", "k_med", "k_q3"):
+            p = census[("plain", probe)]
+            b = census[("bloom", probe)]
+            assert (p.result_rows, p.cents) == (b.result_rows, b.cents)
+            assert p.result_rows == 1
+
+
+class TestLof:
+    def test_numpy_replay_exact(self, spark):
+        """Full quantized LOF pipeline replayed in python ints."""
+        import numpy as np
+
+        from legislative_bills_database_spark.plans import QUERIES
+
+        emb = [
+            r
+            for r in spark.read.parquet(
+                f"{SF_DIR}/embeddings.parquet"
+            ).collect()
+            if r.vec_id < 1500
+        ]
+        ids = [r.vec_id for r in emb]
+        xy = np.array(
+            [
+                [round(float(r.embedding[0]) * 1000), round(float(r.embedding[1]) * 1000)]
+                for r in emb
+            ],
+            dtype=np.int64,
+        )
+        n = len(ids)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        order = {i: sorted((int(d2[i][j]), ids[j], j) for j in range(n) if j != i)[:5] for i in range(n)}
+        kdist = {ids[i]: max(d for d, _, _ in order[i]) for i in range(n)}
+        nk = {ids[i]: len(order[i]) for i in range(n)}
+        sr = {
+            ids[i]: sum(max(kdist[bid], d) for d, bid, _ in order[i])
+            for i in range(n)
+        }
+        lrd = {a: (nk[a] * 10**9) // max(sr[a], 1) for a in sr}
+        want = {}
+        for i in range(n):
+            a = ids[i]
+            slrd = sum(lrd[bid] for _, bid, _ in order[i])
+            want[a] = (slrd * 10**6) // (nk[a] * max(lrd[a], 1))
+        got = {
+            r.vec_id: r
+            for r in QUERIES["q_lof"](spark, SF_DIR).collect()
+        }
+        assert set(got) == set(want)
+        for a, lof in want.items():
+            assert got[a].lof_q == lof, a
+            assert got[a].kdist2 == kdist[a], a
+            assert got[a].lrd_q == lrd[a], a
+
+    def test_scores_center_on_one(self, spark):
+        """LOF ≈ 1 for in-density points: the bulk of the corpus must
+        sit near 10⁶ on the G2 grid, with a tail above."""
+        from legislative_bills_database_spark.plans import QUERIES
+
+        rows = QUERIES["q_lof"](spark, SF_DIR).collect()
+        assert rows
+        med = sorted(r.lof_q for r in rows)[len(rows) // 2]
+        assert 800_000 <= med <= 1_300_000
+        n_out = sum(r.is_outlier for r in rows)
+        assert 0 < n_out < len(rows) // 4  # flagged set is a minority
