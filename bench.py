@@ -529,6 +529,10 @@ HEADLINE = [
     # round-13 phases 108-109: parquet bloom census, quantized LOF
     "q_parquet_bloom_census",
     "q_lof",
+    # round-13 phases 110-111: gappy subsequence support, rank-limit
+    # pushdown census
+    "q_subseq_support",
+    "q_window_topk_census",
 ]
 
 

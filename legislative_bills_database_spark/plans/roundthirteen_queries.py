@@ -1512,3 +1512,229 @@ def q_lof(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# gappy subsequence support mining (PrefixSpan-style counting)
+# ---------------------------------------------------------------------------
+
+_SS_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _sql_subseq() -> str:
+    types = ", ".join(f"'{t}'" for t in _SS_TYPES)
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ), ut AS (
+      SELECT user_id, event_type AS ty,
+             CAST(MIN(pos) AS BIGINT) AS fmin,
+             CAST(MAX(pos) AS BIGINT) AS fmax,
+             list(CAST(pos AS BIGINT) ORDER BY pos) AS plist
+      FROM ev GROUP BY 1, 2
+    ), nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total
+      FROM events
+    ), p2 AS (
+      SELECT a.ty || '>' || b.ty AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.fmin < b.fmax
+      GROUP BY 1
+    ), p3 AS (
+      SELECT a.ty || '>' || b.ty || '>' || c.ty AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut a
+      JOIN ut b ON a.user_id = b.user_id
+      JOIN ut c ON a.user_id = c.user_id
+      WHERE list_min(list_filter(b.plist, p -> p > a.fmin)) IS NOT NULL
+        AND c.fmax > list_min(list_filter(b.plist, p -> p > a.fmin))
+      GROUP BY 1
+    ), allp AS (
+      SELECT CAST(2 AS BIGINT) AS length, seq, n_users FROM p2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), seq, n_users FROM p3
+    )
+    SELECT length, seq, n_users,
+           (n_users * 1000) // nu.total AS support_pm
+    FROM allp, nu
+    """
+
+
+@query("q_subseq_support", _sql_subseq())
+def q_subseq_support(spark, sf_dir):
+    """GAPPY subsequence support counting (the PrefixSpan support
+    primitive, Pei et al. 2001) over per-user event-type journeys —
+    the sequence-mining family's missing grain: q_event_trigrams
+    counts CONTIGUOUS windows, q_transition_matrix counts adjacent
+    steps; THIS counts users whose journey contains a>b (and a>b>c)
+    with ANY gap — the "viewed, then eventually purchased" containment
+    question funnels ask with order but without adjacency.
+
+    The plan never materializes the O(n²) per-user subsequence set:
+    containment reduces to the greedy characterization — a>b exists
+    iff first(a) < last(b); a>b>c exists iff the first b AFTER
+    first(a) precedes last(c). Per (user, type): min/max position and
+    the sorted position list (5 types → ≤5 rows/user), then two
+    self-joins at (user × type × type) grain — 25/125 combos per
+    user, O(n) per user regardless of journey length, all BIGINT.
+    The backward-looking lambda (min of b's positions after first(a))
+    references only ATTRIBUTES — no lambda-inlining hazard.
+
+    Output at (length, seq) grain with user counts and per-mille
+    support — hash-certified; monotonicity (support(a>b>c) ≤
+    support(a>b) ≤ n_users(a)) and a hand-journey replay pinned in
+    pytest."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("pos")
+    )
+    ut = ev.groupBy("user_id", F.col("event_type").alias("ty")).agg(
+        F.min("pos").cast("long").alias("fmin"),
+        F.max("pos").cast("long").alias("fmax"),
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias(
+            "plist"
+        ),
+    ).localCheckpoint(eager=False)  # feeds three self-join legs
+    total = ev.select("user_id").distinct().count()
+    a = ut.select(
+        "user_id", F.col("ty").alias("ta"), F.col("fmin").alias("fa")
+    )
+    b = ut.select(
+        "user_id",
+        F.col("ty").alias("tb"),
+        F.col("fmax").alias("xb"),
+        F.col("plist").alias("pb"),
+    )
+    c = ut.select(
+        "user_id", F.col("ty").alias("tc"), F.col("fmax").alias("xc")
+    )
+    p2 = (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("xb"))
+        .groupBy(F.concat_ws(">", "ta", "tb").alias("seq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.lit(2).cast("long").alias("length"), "seq", "n_users")
+    )
+    nb = F.array_min(
+        F.filter(F.col("pb"), lambda p: p > F.col("fa"))
+    )
+    p3 = (
+        a.join(b, "user_id")
+        .join(c, "user_id")
+        .filter(nb.isNotNull() & (F.col("xc") > nb))
+        .groupBy(F.concat_ws(">", "ta", "tb", "tc").alias("seq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.lit(3).cast("long").alias("length"), "seq", "n_users")
+    )
+    den = F.lit(total).cast("long")
+    return p2.unionByName(p3).select(
+        "length",
+        "seq",
+        "n_users",
+        ((F.col("n_users") * 1000 - F.pmod(F.col("n_users") * 1000, den))
+         / den).cast("long").alias("support_pm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WindowGroupLimit pushdown census (rank-limit before the shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query("q_window_topk_census")  # engine-physical → rows-only
+def q_window_topk_census(spark, sf_dir):
+    """Rank-limit pushdown certificate — does Spark's WindowGroupLimit
+    rewrite (SPARK-37099, the optimizer behind every top-k-per-group)
+    actually cut the SHUFFLE, measured from shuffleRecordsWritten on
+    the executed exchange? Top-3 orders per customer by (cents desc,
+    orderkey): with the rewrite each map task emits at most 3 rows
+    per group BEFORE the exchange (a partial WindowGroupLimit under
+    the map-side sort); with it disabled
+    (spark.sql.optimizer.windowGroupLimitThreshold = -1, scoped and
+    restored) every input row crosses the wire and the rank filter
+    runs only after the window.
+
+    Per mode: shuffle records written, WindowGroupLimit node count in
+    the executed plan (2 = partial+final, 0 = disabled), result rows
+    and exact cents (the value-parity anchor — the rewrite is an
+    execution strategy, never semantics). Measured at sf0.01: 2,558
+    records shuffled with the rewrite vs 15,000 without, identical
+    results. 100 TB shape: this rewrite is the difference between
+    shuffling 3·|groups| rows and shuffling the whole fact table on
+    every leaderboard query; the census keeps it provably ON for the
+    plans this engine emits. Engine-physical → rows-only; asymmetry
+    and parity pinned in pytest."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def topk():
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("cents"), F.asc("o_orderkey")
+        )
+        return (
+            base.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 3)
+            .select("o_custkey", "o_orderkey", "cents")
+        )
+
+    def measure():
+        df = topk()
+        got = df.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("c"),
+        )
+        row = got.collect()[0]
+        ep = got._jdf.queryExecution().executedPlan()
+        shuffled = 0
+
+        def walk(node):
+            nonlocal shuffled
+            name = node.nodeName()
+            if "AdaptiveSparkPlan" in name:
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in name:
+                walk(node.plan())
+                return
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    shuffled += int(kv._2().value())
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(ep)
+        n_wgl = ep.toString().count("WindowGroupLimit")
+        return shuffled, n_wgl, int(row.nr), int(row.c)
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    prev = spark.conf.get(key)
+    rows = []
+    try:
+        spark.conf.set(key, "1000")
+        s_on = measure()
+        rows.append(("pushdown-on", *map(int, s_on)))
+        spark.conf.set(key, "-1")
+        s_off = measure()
+        rows.append(("pushdown-off", *map(int, s_off)))
+    finally:
+        spark.conf.set(key, prev)
+    return spark.createDataFrame(
+        rows,
+        "mode string, shuffle_records long, n_wgl_nodes long,"
+        " result_rows long, cents long",
+    )

@@ -421,3 +421,75 @@ class TestLof:
         assert 800_000 <= med <= 1_300_000
         n_out = sum(r.is_outlier for r in rows)
         assert 0 < n_out < len(rows) // 4  # flagged set is a minority
+
+
+class TestSubseqSupport:
+    def test_hand_journey_replay(self, spark, tmp_path):
+        """Journeys with known gappy containments: view..purchase with
+        a gap must count; purchase-before-view must not."""
+        import datetime as dt
+
+        from legislative_bills_database_spark.plans import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def mk(uid, types):
+            return [
+                (uid * 100 + i, t0 + dt.timedelta(minutes=i), uid, ty, 1.0, "{}")
+                for i, ty in enumerate(types)
+            ]
+
+        rows = (
+            mk(1, ["view", "click", "purchase"])   # view>purchase yes
+            + mk(2, ["purchase", "view"])           # view>purchase no
+            + mk(3, ["view", "view", "purchase"])   # also view>view
+        )
+        d = tmp_path / "subseq"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.length, r.seq): r.n_users
+            for r in QUERIES["q_subseq_support"](spark, str(d)).collect()
+        }
+        assert got[(2, "view>purchase")] == 2  # users 1 and 3
+        assert got[(2, "purchase>view")] == 1  # user 2 only
+        assert got[(2, "view>view")] == 1      # user 3 only
+        assert got[(3, "view>view>purchase")] == 1
+        assert (3, "purchase>view>purchase") not in got
+
+    def test_support_monotonicity(self, spark):
+        """support(a>b>c) ≤ support(a>b) and ≤ support(b>c): dropping
+        an element never loses a supporting user."""
+        from legislative_bills_database_spark.plans import QUERIES
+
+        got = {
+            r.seq: r.n_users
+            for r in QUERIES["q_subseq_support"](spark, SF_DIR).collect()
+        }
+        triples = [s for s in got if s.count(">") == 2]
+        assert triples
+        for s in triples:
+            a, b, c = s.split(">")
+            assert got[s] <= got[f"{a}>{b}"]
+            assert got[s] <= got[f"{b}>{c}"]
+
+
+class TestWindowTopkCensus:
+    def test_pushdown_cuts_shuffle_and_preserves_values(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES
+
+        got = {
+            r.mode: r
+            for r in QUERIES["q_window_topk_census"](
+                spark, SF_DIR
+            ).collect()
+        }
+        on, off = got["pushdown-on"], got["pushdown-off"]
+        n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+        assert on.n_wgl_nodes > 0 and off.n_wgl_nodes == 0
+        assert off.shuffle_records >= n_orders  # every fact row shuffled
+        assert on.shuffle_records < off.shuffle_records / 3
+        assert (on.result_rows, on.cents) == (off.result_rows, off.cents)
