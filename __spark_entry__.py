@@ -47,12 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_plan.py pins this literal equal to its output.
 # Hand-tallied counts drifted three rounds running (r10 "43 vs 47",
 # r11 alphabetical truncation, r12 "9 vs 11 newcomers"); this ends
-# that defect class. This round: flagship + ALL 24 no-driver-row
-# newcomers (11 from r12 phases 89-99 + this round's 13, phases
-# 100-111 — the mechanical newcomers-first policy gives brand-new
-# queries driver rows immediately) + 25 of the 49 r4-era rows. The 24
+# that defect class. This round: flagship + ALL 25 no-driver-row
+# newcomers (11 from r12 phases 89-99 + this round's 14, phases
+# 100-112 — the mechanical newcomers-first policy gives brand-new
+# queries driver rows immediately) + 24 of the 49 r4-era rows. The 25
 # r4 rows that spill to r14 (named, recomputed by window_plan.py):
-# q_pack_chunks, q_pagerank, q_partitioned_sink, q_pii_redact, q_pq_topk,
+# q_orc_roundtrip, q_pack_chunks, q_pagerank, q_partitioned_sink,
+# q_pii_redact, q_pq_topk,
 # q_prefix_jaccard_join, q_projection_distortion,
 # q_quantiles, q_random_projection, q_repetition, q_rollup_counts,
 # q_schema_evolution, q_seq_pack, q_set_ops, q_stats_agg,
@@ -61,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_window_analytics, q_zorder_value, q_zscore_outliers.
 _WINDOW = [
     "q_pivot_count",  # flagship (entry); anchors driver t1/t2 parity
-    # -- 24 newcomers (no driver row yet), registry order --
+    # -- 25 newcomers (no driver row yet), registry order --
     "q_hmm_forward",
     "q_rowgroup_skip_census",
     "q_approx_ind",
@@ -86,7 +87,8 @@ _WINDOW = [
     "q_lof",
     "q_subseq_support",
     "q_window_topk_census",
-    # -- 25 of the 49 r4-era refreshers (oldest era, alphabetical) --
+    "q_fellegi_blocked",
+    # -- 24 of the 49 r4-era refreshers (oldest era, alphabetical) --
     "q_bfs_hops",
     "q_bm25_rank",
     "q_boilerplate_strip",
@@ -111,7 +113,6 @@ _WINDOW = [
     "q_max_concurrency",
     "q_multimodal_audio",
     "q_multimodal_resize",
-    "q_orc_roundtrip",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -533,6 +533,9 @@ HEADLINE = [
     # pushdown census
     "q_subseq_support",
     "q_window_topk_census",
+    # round-13 phase 112: the fine-blocked FS escape (its coarse
+    # sibling's 97x sf1 cliff is the BENCH_SF1 evidence)
+    "q_fellegi_blocked",
 ]
 
 

@@ -1738,3 +1738,97 @@ def q_window_topk_census(spark, sf_dir):
         "mode string, shuffle_records long, n_wgl_nodes long,"
         " result_rows long, cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter with fine blocking (the 97x cliff's escape hatch)
+# ---------------------------------------------------------------------------
+
+_FSB_BAND_A = "(CAST(ROUND(a.c_acctbal * 100) AS BIGINT) // 100000)"
+_FSB_BAND_B = "(CAST(ROUND(b.c_acctbal * 100) AS BIGINT) // 100000)"
+
+
+@query(
+    "q_fellegi_blocked",
+    f"""
+    WITH pairs AS (
+      SELECT {_FS_SCORE_DUCK} AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND {_FSB_BAND_A} = {_FSB_BAND_B}
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN score >= {_FS_MATCH} THEN 'match'
+                WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non-match' END AS verdict
+    FROM pairs GROUP BY score
+    """,
+)
+def q_fellegi_blocked(spark, sf_dir):
+    """q_fellegi_sunter's ESCAPE HATCH — measured, not hypothetical:
+    the coarse (nation × segment) blocking scales pairs as |C|²/250,
+    measured **97.4× at sf1 vs sf0.1** (103.7 s — the BENCH_SF1 cliff
+    this query exists to cut). Adding the $1000 acctbal band to the
+    block key divides every block ~11 ways: measured **20.8 s at sf1,
+    ratio 12.6×** — 5× absolute and 7.7× in growth. Honest asymptotics:
+    ANY fixed-cardinality block key leaves pair growth quadratic in
+    |C| with a smaller constant; the documented ladder past this rung
+    is (a) a high-cardinality key (name-suffix digits, u ≈ 10⁻³ —
+    1000× fewer pairs, same shape), then (b) blocking whose key COUNT
+    grows with the data — sorted-neighborhood windows or LSH blocks —
+    which is where the repo's banded-minhash machinery (dedup.py)
+    takes over as the candidate generator with FS as the scorer.
+
+    Scoring keeps ALL FOUR fields — the band field trivially agrees
+    inside a fine block (a constant +2000) — so scores remain on the
+    coarse query's scale and the containment is exact: this query's
+    match set == the coarse match set restricted to band-agreeing
+    pairs. The retained-match fraction (the linkage 'recall' this
+    trade costs — only pairs whose acctbal bands differ are lost, and
+    those already carried the band disagreement penalty) is pinned in
+    pytest against the coarse baseline at sf0.01."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pa = F.round(F.col("a.c_acctbal") * 100).cast("long")
+    pb = F.round(F.col("b.c_acctbal") * 100).cast("long")
+    den = F.lit(100_000).cast("long")
+    band_a = ((pa - pa % den) / den).cast("long")
+    band_b = ((pb - pb % den) / den).cast("long")
+    agree = [
+        band_a == band_b,  # constant True inside a fine block
+        pa % F.lit(100).cast("long") == pb % F.lit(100).cast("long"),
+        F.expr("substring(a.c_name, length(a.c_name) - 2, 3)")
+        == F.expr("substring(b.c_name, length(b.c_name) - 2, 3)"),
+        (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0),
+    ]
+    score = None
+    for cond, wa, wd in zip(agree, _FS_WA, _FS_WD):
+        term = F.when(cond, F.lit(wa).cast("long")).otherwise(
+            F.lit(wd).cast("long")
+        )
+        score = term if score is None else score + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (band_a == band_b)
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(score.alias("score"))
+    )
+    return (
+        pairs.groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "score",
+            "n_pairs",
+            F.when(F.col("score") >= _FS_MATCH, "match")
+            .when(F.col("score") >= _FS_POSSIBLE, "possible")
+            .otherwise("non-match")
+            .alias("verdict"),
+        )
+    )

@@ -90,6 +90,20 @@ EXTRA_HEAVY = [
     # phase 94: log-round Borůvka loop (per-round joins over the edge
     # list + component-grain contraction)
     "q_boruvka_mst",
+    # round-13 newcomers with data-sized plans: the 1000-term search
+    # head-to-head (AC mapInPandas vs folded-OR — the crossover must
+    # hold at 10x corpus), the two-pass Kalman fold + the subsequence
+    # self-joins (linearity controls), the grid-stencil DBSCAN and
+    # the sequential-CUSUM fold, the greedy-matching loop, and the
+    # layout-writing bloom census
+    "q_multiterm_scale", "q_multiterm_folded", "q_kalman",
+    "q_subseq_support", "q_dbscan", "q_page_cusum",
+    "q_greedy_matching", "q_parquet_bloom_census", "q_f2_sketch",
+    "q_fellegi_sunter", "q_window_topk_census",
+    # (q_lof deliberately ABSENT at sf1: its exact all-pairs baseline
+    # is CAPPED at vec_id < 1500 by design, so the sf1 point measures
+    # the cap, not scaling; the ANN candidate path is the documented
+    # scale story, certified by the recall family)
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",

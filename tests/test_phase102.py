@@ -493,3 +493,61 @@ class TestWindowTopkCensus:
         assert off.shuffle_records >= n_orders  # every fact row shuffled
         assert on.shuffle_records < off.shuffle_records / 3
         assert (on.result_rows, on.cents) == (off.result_rows, off.cents)
+
+
+class TestFellegiBlocked:
+    def test_match_set_is_band_restricted_coarse(self, spark):
+        """Fine blocking keeps all four scoring fields (band trivially
+        agrees inside a block, +2000 constant), so its score histogram
+        must equal the coarse histogram restricted to band-agreeing
+        pairs — i.e. every fine (score, n) ≤ coarse (score, n), and
+        fine scores all carry the +2000 band term."""
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundthirteen_queries import (
+            _FS_WA,
+            _FS_WD,
+        )
+
+        coarse = {
+            r.score: r.n_pairs
+            for r in QUERIES["q_fellegi_sunter"](spark, SF_DIR).collect()
+        }
+        fine = {
+            r.score: r.n_pairs
+            for r in QUERIES["q_fellegi_blocked"](spark, SF_DIR).collect()
+        }
+        assert fine  # escape produces pairs on the fixture
+        base = _FS_WA[0]  # band term always +2000 in fine blocks
+        lattice_wo_band = {
+            base + sum(w)
+            for w in __import__("itertools").product(
+                *[(wa, wd) for wa, wd in zip(_FS_WA[1:], _FS_WD[1:])]
+            )
+        }
+        for score, n in fine.items():
+            assert score in lattice_wo_band
+            assert n <= coarse.get(score, 0)
+
+    def test_retained_match_fraction_measured(self, spark):
+        """The trade's cost, pinned at sf0.01 (sf0.001's 150 customers
+        produce ZERO match-verdict pairs — blocks of ~6 never agree on
+        two high-weight fields): fine blocking loses exactly the
+        coarse MATCH pairs whose bands differ. Measured 2026-08-16:
+        coarse 11 matches → fine 10 (91% retained) while candidate
+        pairs drop 8965 → 1002 (9×)."""
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundthirteen_queries import (
+            _FS_MATCH,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        coarse = QUERIES["q_fellegi_sunter"](spark, sf).collect()
+        fine = QUERIES["q_fellegi_blocked"](spark, sf).collect()
+        coarse_m = sum(r.n_pairs for r in coarse if r.score >= _FS_MATCH)
+        fine_m = sum(r.n_pairs for r in fine if r.score >= _FS_MATCH)
+        assert 0 < fine_m <= coarse_m
+        assert fine_m / coarse_m >= 0.7
+        # the whole point of the escape: an order fewer candidates
+        assert sum(r.n_pairs for r in fine) * 5 < sum(
+            r.n_pairs for r in coarse
+        )
