@@ -32,6 +32,11 @@ def _c(col: Column | str) -> Column:
 
 
 def _plain(col: Column | str) -> str | None:
+    # The generated expression backtick-quotes the name (r13 ADVICE):
+    # unquoted, a column literally named current_date / order / etc.
+    # would parse as a niladic function or keyword instead of the
+    # attribute F.col would resolve — quoting keeps the one-parse fast
+    # path while preserving F.col semantics for any identifier.
     return col if isinstance(col, str) and _IDENT.match(col) else None
 
 
@@ -40,7 +45,7 @@ def dot(a: Column | str, b: Column | str) -> Column:
     pa, pb = _plain(a), _plain(b)
     if pa and pb:
         return F.expr(
-            f"aggregate(zip_with({pa}, {pb}, (x, y) ->"
+            f"aggregate(zip_with(`{pa}`, `{pb}`, (x, y) ->"
             f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
@@ -56,7 +61,7 @@ def norm2(a: Column | str) -> Column:
     pa = _plain(a)
     if pa:
         return F.expr(
-            f"aggregate(transform({pa}, x ->"
+            f"aggregate(transform(`{pa}`, x ->"
             f" CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
             f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )

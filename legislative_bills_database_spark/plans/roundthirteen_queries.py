@@ -769,20 +769,29 @@ def q_f2_sketch(spark, sf_dir):
     )
     ne = F.lit(_F2_EST).cast("long")
 
-    def _fd(num, den):  # non-negative by construction
-        return ((num - F.pmod(num, den)) / den).cast("long")
-
+    # rel_err_ppm numerator |16·F2 − s|·10⁶ can reach ~1e17-1e18 at
+    # sf1 — inside BIGINT but ABOVE 2^53, where the (num − pmod)/den
+    # double-division idiom can round one below the exact quotient
+    # (r13 ADVICE). Spark SQL's `div` is exact BIGINT truncating
+    # division; operands are non-negative so trunc == DuckDB's
+    # floor `//`.
     return (
         exact.crossJoin(F.broadcast(est))
         .select(
             F.col("f2").alias("f2_exact"),
             F.col("s").alias("f2_est_sum"),
             ne.alias("n_estimators"),
-            _fd(
+            (
                 F.abs(ne * F.col("f2") - F.col("s"))
-                * F.lit(1_000_000).cast("long"),
-                ne * F.col("f2"),
-            ).alias("rel_err_ppm"),
+                * F.lit(1_000_000).cast("long")
+            ).alias("_num"),
+            (ne * F.col("f2")).alias("_den"),
+        )
+        .select(
+            "f2_exact",
+            "f2_est_sum",
+            "n_estimators",
+            F.expr("_num div _den").alias("rel_err_ppm"),
         )
     )
 
@@ -810,8 +819,12 @@ _FS_FIELDS_DUCK = (
     " = CAST(ROUND(b.c_acctbal * 100) AS BIGINT) // 100000)",
     "(CAST(ROUND(a.c_acctbal * 100) AS BIGINT) % 100"
     " = CAST(ROUND(b.c_acctbal * 100) AS BIGINT) % 100)",
-    "(substring(a.c_name, length(a.c_name) - 2, 3)"
-    " = substring(b.c_name, length(b.c_name) - 2, 3))",
+    # right(s, 3) instead of substring(length-2, 3): Spark treats a
+    # negative start as counting from the END while DuckDB uses the
+    # PostgreSQL before-the-string semantics, so names < 3 chars
+    # would silently diverge (r13 ADVICE); right() agrees in both
+    # engines for any length (shorter string -> whole string).
+    "(right(a.c_name, 3) = right(b.c_name, 3))",
     "((a.c_acctbal >= 0) = (b.c_acctbal >= 0))",
 )
 _FS_SCORE_DUCK = " + ".join(
@@ -870,8 +883,7 @@ def q_fellegi_sunter(spark, sf_dir):
         ((pa - pa % den) / den).cast("long")
         == ((pb - pb % den) / den).cast("long"),
         pa % F.lit(100).cast("long") == pb % F.lit(100).cast("long"),
-        F.expr("substring(a.c_name, length(a.c_name) - 2, 3)")
-        == F.expr("substring(b.c_name, length(b.c_name) - 2, 3)"),
+        F.expr("right(a.c_name, 3)") == F.expr("right(b.c_name, 3)"),
         (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0),
     ]
     score = None
@@ -1466,9 +1478,11 @@ def q_lof(spark, sf_dir):
     G = F.lit(_LOF_G).cast("long")
     G2 = F.lit(_LOF_G2).cast("long")
 
-    def _fd(num, den):  # non-negative here: floor == trunc == //
-        return ((num - F.pmod(num, den)) / den).cast("long")
-
+    # Exact BIGINT division via Spark SQL `div` (r13 ADVICE): with ≥6
+    # co-located quantized points reach² can be 0, GREATEST(sr,1)=1
+    # pushes lrd_q to 5e9 and slrd·10⁶ to ~2.5e16 > 2^53, where the
+    # (num − pmod)/den double idiom can truncate one below the exact
+    # quotient. Operands non-negative → trunc == DuckDB floor `//`.
     kdb = kd.select(
         F.col("aid").alias("bid"), F.col("kdist2").alias("b_kdist2")
     )
@@ -1483,9 +1497,11 @@ def q_lof(spark, sf_dir):
             "aid",
             "nk",
             "kdist2",
-            _fd(F.col("nk") * G, F.greatest(F.col("sr"), F.lit(1))).alias(
-                "lrd_q"
-            ),
+            (F.col("nk") * G).alias("_ln"),
+            F.greatest(F.col("sr"), F.lit(1)).cast("long").alias("_ld"),
+        )
+        .select(
+            "aid", "nk", "kdist2", F.expr("_ln div _ld").alias("lrd_q")
         )
         .localCheckpoint(eager=False)
     )
@@ -1498,19 +1514,28 @@ def q_lof(spark, sf_dir):
         .agg(F.sum("b_lrd").alias("slrd"))
         .join(lrd, "aid")
     )
-    lof_q = _fd(
-        F.col("slrd") * G2,
-        F.col("nk") * F.greatest(F.col("lrd_q"), F.lit(1)),
-    )
-    return agg.select(
-        F.col("aid").alias("vec_id"),
-        F.col("nk").alias("n_nn"),
-        "kdist2",
-        "lrd_q",
-        lof_q.alias("lof_q"),
-        F.when(lof_q >= _LOF_FLAG, 1).otherwise(0).cast("int").alias(
-            "is_outlier"
-        ),
+    lof_q = F.expr("_fn div _fd")
+    return (
+        agg.select(
+            F.col("aid").alias("vec_id"),
+            F.col("nk").alias("n_nn"),
+            "kdist2",
+            "lrd_q",
+            (F.col("slrd") * G2).alias("_fn"),
+            (F.col("nk") * F.greatest(F.col("lrd_q"), F.lit(1)))
+            .cast("long")
+            .alias("_fd"),
+        )
+        .select(
+            "vec_id",
+            "n_nn",
+            "kdist2",
+            "lrd_q",
+            lof_q.alias("lof_q"),
+            F.when(lof_q >= _LOF_FLAG, 1).otherwise(0).cast("int").alias(
+                "is_outlier"
+            ),
+        )
     )
 
 
@@ -1800,8 +1825,7 @@ def q_fellegi_blocked(spark, sf_dir):
     agree = [
         band_a == band_b,  # constant True inside a fine block
         pa % F.lit(100).cast("long") == pb % F.lit(100).cast("long"),
-        F.expr("substring(a.c_name, length(a.c_name) - 2, 3)")
-        == F.expr("substring(b.c_name, length(b.c_name) - 2, 3)"),
+        F.expr("right(a.c_name, 3)") == F.expr("right(b.c_name, 3)"),
         (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0),
     ]
     score = None
