@@ -26,3 +26,4 @@ from . import roundeleven_b_queries  # noqa: F401  (registers on import)
 from . import roundeleven_c_queries  # noqa: F401  (registers on import)
 from . import roundtwelve_queries  # noqa: F401  (registers on import)
 from . import roundthirteen_queries  # noqa: F401  (registers on import)
+from . import roundfourteen_queries  # noqa: F401  (registers on import)
