@@ -55,6 +55,7 @@ _WINDOW_LEDGER_ROUND = 13
 _WINDOW = [
     "q_pivot_count",
     "q_er_clusters",
+    "q_sax_motifs",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -102,7 +103,6 @@ _WINDOW = [
     "q_gini",
     "q_graph_jaccard",
     "q_holt_trend",
-    "q_item_cf_recs",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -180,3 +180,226 @@ def q_er_clusters(spark, sf_dir):
         F.round("c_acctbal", 2).alias("canon_acctbal"),
         "total_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 114: SAX motif discovery (exact-integer symbolization)
+# ---------------------------------------------------------------------------
+
+_SAX_W = 7   # PAA window: days per segment
+_SAX_L = 3   # motif word length in segments
+
+
+@query(
+    "q_sax_motifs",
+    f"""
+    WITH daily AS (
+      SELECT n.n_name, o.o_orderdate AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), pos AS (
+      SELECT n_name, rev,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d) - 1 AS p
+      FROM daily
+    ), paa AS (
+      SELECT n_name, p // {_SAX_W} AS win_id,
+             CAST(SUM(rev) AS BIGINT) AS v
+      FROM pos GROUP BY 1, 2 HAVING COUNT(*) = {_SAX_W}
+    ), ranked AS (
+      SELECT n_name, win_id, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY v, win_id) - 1 AS rn
+      FROM paa
+    ), nw AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_windows FROM paa
+      GROUP BY 1
+    ), bp AS (
+      SELECT nw.n_name, k.k,
+             4 * lo.v + (((nw.n_windows - 1) * k.k) % 4)
+                 * (COALESCE(hi.v, lo.v) - lo.v) AS bp4
+      FROM nw
+      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) k
+      JOIN ranked lo ON lo.n_name = nw.n_name
+       AND lo.rn = ((nw.n_windows - 1) * k.k) // 4
+      LEFT JOIN ranked hi ON hi.n_name = nw.n_name
+       AND hi.rn = ((nw.n_windows - 1) * k.k) // 4 + 1
+    ), bps AS (
+      SELECT n_name,
+             MAX(CASE WHEN k = 1 THEN bp4 END) AS b1,
+             MAX(CASE WHEN k = 2 THEN bp4 END) AS b2,
+             MAX(CASE WHEN k = 3 THEN bp4 END) AS b3
+      FROM bp GROUP BY 1
+    ), sym AS (
+      SELECT p.n_name, p.win_id,
+             CASE WHEN 4 * p.v <= b.b1 THEN 'a'
+                  WHEN 4 * p.v <= b.b2 THEN 'b'
+                  WHEN 4 * p.v <= b.b3 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM paa p JOIN bps b ON p.n_name = b.n_name
+    ), words AS (
+      SELECT n_name,
+             s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w AS word
+      FROM sym WINDOW w AS (PARTITION BY n_name ORDER BY win_id)
+    ), cnt AS (
+      SELECT n_name, word, CAST(COUNT(*) AS BIGINT) AS n_occur,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY COUNT(*) DESC, word) AS rk
+      FROM words WHERE word IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT c.n_name, c.word AS motif, c.n_occur, nw.n_windows
+    FROM cnt c JOIN nw ON c.n_name = nw.n_name
+    WHERE c.rk = 1
+    """,
+)
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif discovery (Lin et al. 2003) over the per-nation daily
+    revenue series — the classic series-mining pipeline (z-normalize →
+    PAA → symbolize → most-frequent word) that q_sax_symbols'
+    tercile-NTILE sketch gestured at, now with the REAL structure:
+    fixed-width PAA segments ({_SAX_W} days), alphabet-4 symbolization
+    against per-series linear-interpolated quartile breakpoints (the
+    q_quantiles order-statistics machinery), and the motif = each
+    series' most frequent {_SAX_L}-segment word.
+
+    Engine-parity design (the documented blocker this query waited
+    on): classic SAX z-normalizes then cuts at Gaussian breakpoints —
+    both float. Equi-depth (quantile) breakpoints make z-normalization
+    a PROVABLE no-op: z is a per-series monotone affine map, quantiles
+    are equivariant and comparisons invariant under it, and PAA means
+    over equal-width windows order like window SUMS — so the symbol
+    sequence of the z-normed, PAA-meaned series equals that of the raw
+    integer-cents window sums, and the plan computes the latter.
+    Breakpoints stay exact by 4×-scaling the interpolation: at
+    fractional position (n−1)k/4 the interpolated quantile is
+    v_lo + frac·(v_hi − v_lo) with frac ∈ {{0, ¼, ½, ¾}}, so
+    4·bp = 4·v_lo + ((n−1)k mod 4)·(v_hi − v_lo) is BIGINT and the
+    symbol test is 4·v ≤ 4·bp — no float EVER materializes, both
+    engines run the identical integer pipeline, and the oracle
+    hash-certifies symbolization, words, and motif together.
+
+    Scale shape: one fact-table shuffle (the daily grouped sum, dims
+    broadcast), then everything is window/agg work partitioned by
+    series key — per-task state bounded by series length, series
+    parallelism unbounded. The breakpoint frames are series-grain
+    (3 rows per series) and broadcast back; order statistics come from
+    a per-series ranking window, not a global sort."""
+    from ..io import load_tables
+
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("rev"))
+    )
+    wpos = Window.partitionBy("n_name").orderBy("d")
+    pos = daily.select(
+        "n_name",
+        "rev",
+        (F.row_number().over(wpos) - 1).cast("long").alias("p"),
+    )
+    paa = (
+        pos.groupBy("n_name", F.expr(f"p div {_SAX_W}").alias("win_id"))
+        .agg(
+            F.sum("rev").cast("long").alias("v"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") == _SAX_W)
+        .select("n_name", "win_id", "v")
+        # reused by ranked / nw / sym: truncate lineage so the fact
+        # scan + window subtree executes once, not three times
+        .localCheckpoint(eager=False)
+    )
+    wrank = Window.partitionBy("n_name").orderBy("v", "win_id")
+    ranked = paa.select(
+        "n_name",
+        "v",
+        (F.row_number().over(wrank) - 1).cast("long").alias("rn"),
+    ).localCheckpoint(eager=False)  # probed twice (lo + hi)
+    nw = paa.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    ks = (
+        nw.select(
+            "n_name",
+            "n_windows",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .withColumn("lo_idx", F.expr("((n_windows - 1) * k) div 4"))
+        .withColumn("frac4", F.expr("((n_windows - 1) * k) % 4"))
+    )
+    lo = ranked.select(
+        F.col("n_name").alias("lo_name"),
+        F.col("rn").alias("lo_rn"),
+        F.col("v").alias("v_lo"),
+    )
+    hi = ranked.select(
+        F.col("n_name").alias("hi_name"),
+        F.col("rn").alias("hi_rn"),
+        F.col("v").alias("v_hi"),
+    )
+    bp = (
+        ks.join(
+            lo,
+            (F.col("n_name") == F.col("lo_name"))
+            & (F.col("lo_rn") == F.col("lo_idx")),
+        )
+        .join(
+            hi,
+            (F.col("n_name") == F.col("hi_name"))
+            & (F.col("hi_rn") == F.col("lo_idx") + 1),
+            "left",
+        )
+        .select(
+            "n_name",
+            "k",
+            (
+                4 * F.col("v_lo")
+                + F.col("frac4")
+                * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+            ).alias("bp4"),
+        )
+    )
+    bps = bp.groupBy("n_name").agg(
+        F.max(F.when(F.col("k") == 1, F.col("bp4"))).alias("b1"),
+        F.max(F.when(F.col("k") == 2, F.col("bp4"))).alias("b2"),
+        F.max(F.when(F.col("k") == 3, F.col("bp4"))).alias("b3"),
+    )
+    sym = paa.join(F.broadcast(bps), "n_name").select(
+        "n_name",
+        "win_id",
+        F.when(4 * F.col("v") <= F.col("b1"), "a")
+        .when(4 * F.col("v") <= F.col("b2"), "b")
+        .when(4 * F.col("v") <= F.col("b3"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    wseq = Window.partitionBy("n_name").orderBy("win_id")
+    words = sym.select(
+        "n_name",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(wseq), F.lead("s", 2).over(wseq)
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    cnt = words.groupBy("n_name", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occur")
+    )
+    wtop = Window.partitionBy("n_name").orderBy(
+        F.col("n_occur").desc(), F.col("word").asc()
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(nw), "n_name")
+        .select(
+            "n_name", F.col("word").alias("motif"), "n_occur", "n_windows"
+        )
+    )
