@@ -536,6 +536,10 @@ HEADLINE = [
     # round-13 phase 112: the fine-blocked FS escape (its coarse
     # sibling's 97x sf1 cliff is the BENCH_SF1 evidence)
     "q_fellegi_blocked",
+    # round-14 phases 113-114: ER clusters (FS matches -> CC ->
+    # survivorship), SAX motif discovery
+    "q_er_clusters",
+    "q_sax_motifs",
 ]
 
 
@@ -656,6 +660,26 @@ def main() -> None:
     calib = _calibration()
     print(f"  calibration token: {calib:.3f}s", file=sys.stderr)
 
+    # Interleaved load probes (VERDICT r13 "What's wrong" #2): one
+    # min-of-3 token at the start is blind to load ARRIVING mid-sweep —
+    # r12/r13 both produced 1.5-1.96× "regressions" that were pure
+    # co-tenant transients (raw ratios ≤1.03). A single-shot token
+    # every CALIB_EVERY queries (plus one at the end) timestamps the
+    # machine's speed ACROSS the sweep, and each query's drift
+    # correction uses the NEAREST token instead of the sweep-global
+    # one. Single-shot (not min-of-3) is deliberate: the probe should
+    # SEE the transient load, not average it away.
+    CALIB_EVERY = 50
+
+    def _calib_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).agg(
+            F.expr("bit_xor(xxhash64(id))").alias("h")
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_points: list[tuple[int, float]] = [(0, calib)]
+
     # min of N_RUNS full executions per query = steady-state throughput.
     # 3 runs: the first often pays whole-stage-codegen compilation for
     # wide plans (measured 2.2s -> 0.6s on the 40-column pivot pipeline),
@@ -667,7 +691,8 @@ def main() -> None:
     # measurement estimator for "how fast does this plan actually run".
     N_RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    qidx: dict[str, int] = {}
+    for qi, name in enumerate(HEADLINE):
         best = None
         n = None
         for _ in range(N_RUNS):
@@ -681,7 +706,17 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        qidx[name] = qi
         print(f"  {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        if (qi + 1) % CALIB_EVERY == 0:
+            c = _calib_once()
+            calib_points.append((qi + 1, c))
+            print(f"  [calib @ {qi + 1}]: {c:.3f}s", file=sys.stderr)
+    calib_points.append((len(HEADLINE), _calib_once()))
+
+    def _calib_near(name: str) -> float:
+        i = qidx[name]
+        return min(calib_points, key=lambda p: abs(p[0] - i))[1]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -694,13 +729,20 @@ def main() -> None:
     vs_prev_calib = (
         round(calib / prev_calib, 2) if prev_calib else None
     )
-    # VERDICT r11 #5: with the calibration token now live on both ends,
-    # every round-over-round ratio gets a machine-drift-corrected twin
-    # (raw ratio / calib ratio) so a whole-sweep slowdown that tracks
-    # the token reads as drift, not as N simultaneous regressions.
+    # VERDICT r11 #5 + r13 "What's wrong" #2: each round-over-round
+    # ratio gets a machine-drift-corrected twin, now normalized against
+    # the calibration token NEAREST the query's position in the sweep
+    # (raw ratio / (nearest-token / prev calib)) — a transient load
+    # spike mid-sweep corrects the queries it actually hit instead of
+    # smearing the start-of-sweep token across all of them. RAW
+    # vs_prev is the primary column; calibadj is advisory (see
+    # load_note).
     vs_prev_calibadj = (
-        {k: round(v / vs_prev_calib, 2) for k, v in vs_prev.items()}
-        if vs_prev_calib
+        {
+            k: round(v / (_calib_near(k) / prev_calib), 2)
+            for k, v in vs_prev.items()
+        }
+        if prev_calib
         else {}
     )
     total = round(sum(timings.values()), 3)
@@ -711,10 +753,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": calib,
+        "calib_points": [
+            {"after_query_idx": i, "sec": c} for i, c in calib_points
+        ],
         "vs_prev": vs_prev,
         "vs_prev_calib": vs_prev_calib,
         "vs_prev_calibadj": vs_prev_calibadj,
         "vs_prev_baseline": prev_file,
+        "load_note": (
+            "vs_prev is RAW wall ratio vs the previous round and is the "
+            "primary comparison column. vs_prev_calibadj divides it by "
+            "the machine-speed ratio measured at the NEAREST interleaved "
+            "calibration token (calib_points; single-shot by design so "
+            "transients are visible). Both ends of a cross-round "
+            "comparison run under uncontrolled co-tenant load - confirm "
+            "any flagged cell with a solo min-of-3 re-measure before "
+            "treating it as a regression."
+        ),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
