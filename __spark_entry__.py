@@ -56,6 +56,8 @@ _WINDOW = [
     "q_pivot_count",
     "q_er_clusters",
     "q_sax_motifs",
+    "q_dbscan_capped",
+    "q_dbscan_recall",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -101,8 +103,6 @@ _WINDOW = [
     "q_fiscal_rollup",
     "q_frequent_triples",
     "q_gini",
-    "q_graph_jaccard",
-    "q_holt_trend",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

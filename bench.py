@@ -540,6 +540,10 @@ HEADLINE = [
     # survivorship), SAX motif discovery
     "q_er_clusters",
     "q_sax_motifs",
+    # round-14 phase 115: the density escape + its agreement
+    # certificate (the recall query runs exact+capped chains)
+    "q_dbscan_capped",
+    "q_dbscan_recall",
 ]
 
 

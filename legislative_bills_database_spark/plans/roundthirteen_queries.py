@@ -923,6 +923,10 @@ _DB_EPS = 20       # radius in ×1000-quantized embedding units
 _DB_EPS2 = 400     # eps²
 _DB_MINNB = 4      # core iff ≥ 4 neighbors (minPts=5 incl. self)
 _DB_OFF = 1 << 20  # shift to non-negative before grid floor-div
+# Density interlock (r13 VERDICT #6): refuse the exact stencil plan
+# past this many predicted candidates, naming q_dbscan_capped — the
+# basket.MAX_EXACT_PAIRS discipline applied to the density cliff.
+_DB_MAX_CAND = 2_000_000_000
 
 
 def _sql_dbscan() -> str:
@@ -1003,12 +1007,16 @@ def q_dbscan(spark, sf_dir):
     the identical (point, role, cluster) rows, which certifies the
     stencil's completeness at every SF the oracle runs.
 
-    Hot-cell posture: stencil fan-out is bounded by 9 · max cell
-    occupancy; a degenerate corpus (all points in one cell) degrades
-    to the quadratic the capped families refuse — the pytest pin
-    asserts max cell occupancy stays far below the 2e9-pair cliff on
-    the fixtures."""
-    from ..operators.dedup import connected_components
+    Hot-cell posture (r14: the interlock is now ARMED): stencil
+    fan-out is bounded by 9 · max cell occupancy; a degenerate corpus
+    (all points in a handful of cells) degrades to the quadratic the
+    capped families refuse. density.predicted_candidates prices the
+    stencil at CELL grain before the point join and this query raises
+    past _DB_MAX_CAND (2e9) naming the certified escape
+    q_dbscan_capped; the pytest pin asserts the fixtures stay far
+    below the cliff AND that the refusal fires on a degenerate
+    fixture."""
+    from ..operators.density import grid_dbscan
 
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
@@ -1020,109 +1028,15 @@ def q_dbscan(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
-    eps = F.lit(_DB_EPS).cast("long")
-    off = F.lit(_DB_OFF).cast("long")
-
-    def _cell(c):  # non-negative after shift: pmod floor-div exact
-        v = c + off
-        return ((v - F.pmod(v, eps)) / eps).cast("long")
-
-    cells = pts.select(
-        "vec_id", "x", "y",
-        _cell(F.col("x")).alias("cx"),
-        _cell(F.col("y")).alias("cy"),
-    ).localCheckpoint(eager=False)  # reused by 3 joins below
-    stencil = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(dx).cast("long").alias("dx"),
-                    F.lit(dy).cast("long").alias("dy"),
-                )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    ).alias("o")
-    probes = cells.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        "cx", "cy", stencil,
-    ).select(
-        "a_id", "ax", "ay",
-        (F.col("cx") + F.col("o.dx")).alias("jx"),
-        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    return grid_dbscan(
+        pts,
+        _DB_EPS,
+        _DB_EPS2,
+        _DB_MINNB,
+        _DB_OFF,
+        max_candidates=_DB_MAX_CAND,
+        route_hint="q_dbscan_capped",
     )
-    cand = probes.join(
-        cells.select(
-            F.col("vec_id").alias("b_id"),
-            F.col("x").alias("bx"),
-            F.col("y").alias("by"),
-            F.col("cx").alias("jx"),
-            F.col("cy").alias("jy"),
-        ),
-        ["jx", "jy"],
-    ).filter(F.col("a_id") != F.col("b_id"))
-    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
-    nbrs = cand.filter(d2 <= _DB_EPS2).select("a_id", "b_id")
-    nbrs = nbrs.localCheckpoint(eager=False)  # degree + edges + border
-    deg = nbrs.groupBy("a_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nb")
-    )
-    core = deg.filter(F.col("n_nb") >= _DB_MINNB).select(
-        F.col("a_id").alias("vec_id")
-    ).localCheckpoint(eager=False)
-    core_a = core.select(F.col("vec_id").alias("a_id"))
-    core_b = core.select(F.col("vec_id").alias("b_id"))
-    ce = (
-        nbrs.join(core_a, "a_id")
-        .join(core_b, "b_id")
-        .select(
-            F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
-        )
-    )
-    lab = connected_components(
-        ce, core.select(F.col("vec_id").alias("n")),
-        id_col="n", label_col="cluster",
-    ).select(F.col("n").alias("vec_id"), "cluster")
-    core_rows = lab.select(
-        "vec_id", F.lit("core").alias("role"), "cluster"
-    )
-    # border: non-core with a core neighbor takes the MIN core label
-    border = (
-        nbrs.join(
-            core.select(F.col("vec_id").alias("a_id")),
-            "a_id",
-            "left_anti",
-        )
-        .join(
-            lab.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("cluster").alias("bcl"),
-            ),
-            "b_id",
-        )
-        .groupBy("a_id")
-        .agg(F.min("bcl").alias("cluster"))
-        .select(
-            F.col("a_id").alias("vec_id"),
-            F.lit("border").alias("role"),
-            "cluster",
-        )
-    )
-    labeled = core_rows.unionByName(border)
-    noise = (
-        pts.join(labeled.select("vec_id"), "vec_id", "left_anti")
-        .select(
-            "vec_id",
-            F.lit("noise").alias("role"),
-            F.lit(None).cast("long").alias("cluster"),
-        )
-    )
-    return labeled.unionByName(noise)
 
 
 # ---------------------------------------------------------------------------

@@ -213,11 +213,106 @@ def main() -> None:
         lambda: sparse_cosine_pairs(docs_h, threshold=0.3, max_df=50),
     )
 
+    # DBSCAN density cliff (VERDICT r13 #6): the grid stencil's hot key
+    # is CELL OCCUPANCY, not a join key — squeeze the embedding head 8×
+    # so per-cell occupancy grows ~64× and the stencil join quadratics.
+    # The cell-capped escape must stay ~flat on the same dense input.
+    from legislative_bills_database_spark.operators.density import (
+        cell_cap_split,
+        grid_dbscan,
+        stencil_join,
+        with_cells,
+    )
+    from legislative_bills_database_spark.plans.roundthirteen_queries import (
+        _DB_EPS,
+        _DB_EPS2,
+        _DB_MINNB,
+        _DB_OFF,
+    )
+    from legislative_bills_database_spark.plans.roundfourteen_queries import (
+        _DBC_CAP,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pts_u = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    pts_d = pts_u.select(
+        "vec_id",
+        F.expr("(x + 1048576) div 8 - 131072").alias("x"),
+        F.expr("(y + 1048576) div 8 - 131072").alias("y"),
+    ).localCheckpoint()
+
+    def _grid(pts):
+        return grid_dbscan(
+            pts, _DB_EPS, _DB_EPS2, _DB_MINNB, _DB_OFF, max_candidates=None
+        )
+
+    def _capped(pts):
+        kept, dropped = cell_cap_split(pts, _DB_EPS, _DB_OFF, _DBC_CAP)
+        kept = kept.localCheckpoint(eager=False)
+        base = _grid(kept).localCheckpoint(eager=False)
+        core_xy = (
+            base.filter(F.col("role") == "core")
+            .select("vec_id", "cluster")
+            .join(kept, "vec_id")
+        )
+        att = (
+            stencil_join(
+                with_cells(dropped, _DB_EPS, _DB_OFF),
+                with_cells(
+                    core_xy.select("vec_id", "x", "y"), _DB_EPS, _DB_OFF
+                ),
+                _DB_EPS2,
+            )
+            .join(
+                core_xy.select(
+                    F.col("vec_id").alias("b_id"),
+                    F.col("cluster").alias("bcl"),
+                ),
+                "b_id",
+            )
+            .groupBy("a_id")
+            .agg(F.min("bcl").alias("cluster"))
+            .select(
+                F.col("a_id").alias("vec_id"),
+                F.lit("border").alias("role"),
+                "cluster",
+            )
+        )
+        noise = dropped.join(
+            att.select("vec_id"), "vec_id", "left_anti"
+        ).select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+        return base.unionByName(att).unionByName(noise)
+
+    row("dbscan_grid", lambda: _grid(pts_u), lambda: _grid(pts_d))
+    out["dbscan_grid_capped_skew"] = {
+        "skew": _timed(lambda: _capped(pts_d)),
+        "cap": _DBC_CAP,
+    }
+    print(
+        f"  dbscan capped-under-density: "
+        f"{out['dbscan_grid_capped_skew']['skew']}s",
+        file=sys.stderr,
+    )
+
     doc = {
         "metric": "text_operator_skew",
         "sf_source": SF_DIR,
         "skew": "hot blocking keys: one (brand,size) block at 20%, "
-        "5 shared name stems at 20%, one 40-token phrase in 25% of docs",
+        "5 shared name stems at 20%, one 40-token phrase in 25% of docs; "
+        "embedding head squeezed 8x (cell occupancy ~64x) for the "
+        "dbscan density cliff",
         "queries": out,
     }
     with open(os.path.join(REPO, "BENCH_TEXTSKEW.json"), "w") as fh:

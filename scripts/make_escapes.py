@@ -51,6 +51,13 @@ ESCAPES = {
         "q_edit_distance_recall",
         "p95 block cap, portable md5 sampling",
     ),
+    "dbscan_grid": (
+        "q_dbscan_capped",
+        "dbscan_grid_capped_skew",
+        "q_dbscan_recall",
+        "cell cap 32 by portable md5 rank; exact plan refuses past "
+        "2e9 predicted stencil candidates (density._DB_MAX_CAND)",
+    ),
 }
 
 
