@@ -58,6 +58,10 @@ _WINDOW = [
     "q_sax_motifs",
     "q_dbscan_capped",
     "q_dbscan_recall",
+    "q_luby_mis",
+    "q_xcorr_matrix",
+    "q_kmv_resemblance",
+    "q_stream_rate_limit",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -99,10 +103,6 @@ _WINDOW = [
     "q_degree_distribution",
     "q_did",
     "q_doc_keyphrases",
-    "q_event_pattern",
-    "q_fiscal_rollup",
-    "q_frequent_triples",
-    "q_gini",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

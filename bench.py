@@ -544,6 +544,12 @@ HEADLINE = [
     # certificate (the recall query runs exact+capped chains)
     "q_dbscan_capped",
     "q_dbscan_recall",
+    # round-14 phases 116-118: MIS certificate, xcorr matrix, KMV
+    # resemblance (q_stream_rate_limit runs 3 availableNow streams;
+    # kept out of HEADLINE to bound bench wall, like q_stream_totals)
+    "q_luby_mis",
+    "q_xcorr_matrix",
+    "q_kmv_resemblance",
 ]
 
 

@@ -1297,3 +1297,138 @@ def greedy_maximal_matching(
     finally:
         release_checkpoint(e)
     return matching
+
+
+def luby_mis(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(node, in_mis) maximal independent set via locally-minimal
+    priority rounds (Luby 1986, the deterministic-priority variant):
+    every node gets the engine-portable priority
+    md5('mis:' || node) || lpad(node, 12, '0') (strict total order —
+    the zero-padded id breaks any digest tie), and each round selects
+    every ACTIVE node whose priority is smaller than all its active
+    neighbors' (a mutually non-adjacent set by construction), adds it
+    to the MIS, and deactivates it and its neighbors.
+
+    Certificate (the greedy_maximal_matching discipline on NODES): the
+    result equals EXACTLY the lexicographically-first MIS the
+    SEQUENTIAL greedy scan builds processing nodes in ascending
+    priority (a node joins iff no earlier-priority neighbor joined —
+    induction: each locally-minimal round commits precisely the greedy
+    picks whose earlier neighbors are already resolved). The DuckDB
+    twin runs that sequential scan as a list-state recursive-CTE fold;
+    two different algorithms, unique answer, driver hash proves
+    node-for-node agreement.
+
+    Scale shape: per round one neighbor-grain min aggregate + two
+    anti-joins on the shrinking active set; expected O(log n) rounds
+    under hash-like priorities (each round removes a constant expected
+    fraction); edge/active frames localCheckpoint-ed and released per
+    round, O(1) plan depth. Round exhaustion with live nodes RAISES
+    (non-maximal = wrong, never silent) — the boruvka interlock.
+    Isolated active nodes (no surviving neighbor) are selected
+    immediately via the max-sentinel coalesce."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    pr = F.concat(
+        F.md5(F.concat(F.lit("mis:"), F.col("node").cast("string"))),
+        F.lpad(F.col("node").cast("string"), 12, "0"),
+    )
+    all_nodes = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", pr.alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    # own checkpoint, NOT an alias of all_nodes: the loop releases
+    # `active` each round, and the final membership join still reads
+    # all_nodes' blocks
+    active = all_nodes.select("node", "pr").localCheckpoint(eager=True)
+    e = sym.localCheckpoint(eager=True)
+    mis = spark.createDataFrame([], "node long")
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            if active.limit(1).count() == 0:
+                converged = True
+                break
+            nbr_min = (
+                e.join(
+                    active.select(
+                        F.col("node").alias("dst"),
+                        F.col("pr").alias("pr_d"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("pr_d").alias("nbr_min"))
+                .select(F.col("src").alias("node"), "nbr_min")
+            )
+            winners = (
+                active.join(nbr_min, "node", "left")
+                # '~' (0x7e) sorts after every hex digit: an active
+                # node with no surviving neighbor always wins
+                .filter(
+                    F.col("pr") < F.coalesce(F.col("nbr_min"), F.lit("~"))
+                )
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            prev_mis = mis
+            mis = mis.unionByName(winners).localCheckpoint(eager=True)
+            release_checkpoint(prev_mis)
+            dead = (
+                winners.unionByName(
+                    e.join(
+                        winners.select(F.col("node").alias("src")), "src"
+                    ).select(F.col("dst").alias("node"))
+                )
+                .distinct()
+            )
+            nxt_active = active.join(dead, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            nxt_e = (
+                e.join(
+                    dead.select(F.col("node").alias("src")), "src", "left_anti"
+                )
+                .join(
+                    dead.select(F.col("node").alias("dst")), "dst", "left_anti"
+                )
+                .localCheckpoint(eager=True)
+            )
+            release_checkpoint(active)
+            release_checkpoint(e)
+            release_checkpoint(winners)
+            active, e = nxt_active, nxt_e
+        if not converged and active.limit(1).count() > 0:
+            raise RuntimeError(
+                f"luby_mis: active nodes remain after {max_rounds} "
+                f"rounds — the set would be non-maximal; raise "
+                f"max_rounds"
+            )
+        return all_nodes.join(
+            mis.select(F.col("node").alias("m"), F.lit(1).alias("f")),
+            all_nodes["node"] == F.col("m"),
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("f"), F.lit(0)).cast("int").alias("in_mis"),
+        )
+    finally:
+        release_checkpoint(e)
+        release_checkpoint(active)

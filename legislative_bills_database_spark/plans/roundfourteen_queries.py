@@ -669,3 +669,512 @@ def q_dbscan_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 116: lexicographically-first MIS (Luby rounds vs sequential greedy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_luby_mis",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 97 = 0 GROUP BY 1, 2
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ), ranked AS (
+      SELECT node,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('mis:' || CAST(node AS VARCHAR))
+                        || lpad(CAST(node AS VARCHAR), 12, '0'))
+               AS BIGINT) AS rk
+      FROM nodes
+    ), adj AS (
+      SELECT r.rk, list(s.dst) AS nbrs
+      FROM ranked r JOIN sym s ON s.src = r.node
+      GROUP BY r.rk
+    ), arrs AS (
+      SELECT list(r.node ORDER BY r.rk) AS rn,
+             list(COALESCE(a.nbrs, CAST([] AS BIGINT[]))
+                  ORDER BY r.rk) AS radj,
+             CAST(count(*) AS BIGINT) AS nn
+      FROM ranked r LEFT JOIN adj a ON a.rk = r.rk
+    ), it AS (
+      SELECT 0 AS k, arrs.rn, arrs.radj, arrs.nn,
+             CAST([] AS BIGINT[]) AS blocked,
+             CAST([] AS BIGINT[]) AS picked
+      FROM arrs
+      UNION ALL
+      SELECT it.k + 1, it.rn, it.radj, it.nn,
+             CASE WHEN NOT list_contains(it.blocked, it.rn[it.k + 1])
+                  THEN list_concat(it.blocked, it.radj[it.k + 1])
+                  ELSE it.blocked END AS blocked,
+             CASE WHEN NOT list_contains(it.blocked, it.rn[it.k + 1])
+                  THEN list_append(it.picked, it.rn[it.k + 1])
+                  ELSE it.picked END AS picked
+      FROM it WHERE it.k < it.nn
+    )
+    SELECT n.node,
+           CAST(CASE WHEN list_contains(it.picked, n.node)
+                THEN 1 ELSE 0 END AS INTEGER) AS in_mis
+    FROM it, nodes n WHERE it.k = it.nn
+    """,
+)
+def q_luby_mis(spark, sf_dir):
+    """Maximal independent set of the co-purchase graph via
+    locally-minimal priority rounds (operators/graph.luby_mis) — the
+    NODE analog of q_greedy_matching's edge certificate, completing
+    the parallel-vs-sequential pair: MIS is the primitive behind
+    conflict-free scheduling (pick a set of non-adjacent jobs),
+    coordinate-descent batching, and graph-coloring seeds.
+
+    Certification is the repo's third two-algorithm certificate: the
+    Luby-style parallel rounds (select every node whose portable
+    md5-priority is smaller than all active neighbors') provably
+    produce the IDENTICAL set to the SEQUENTIAL greedy scan in
+    priority order, which the DuckDB twin runs as a list-state
+    recursive-CTE fold (blocked-neighbor list + picked list, one node
+    per iteration). Node-grain (node, in_mis) output — independence
+    and maximality are additionally pinned in pytest.
+
+    Scale shape: expected O(log n) rounds, each one neighbor-grain
+    min aggregate + two anti-joins on the SHRINKING active set,
+    checkpointed and released per round; the twin is O(n) sequential —
+    the same asymmetry that makes the parallel side the 100 TB plan."""
+    from ..operators.graph import luby_mis
+
+    from .roundfive_queries import _copurchase_edges
+
+    return luby_mis(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# phase 117: lagged cross-correlation matrix (the q_lead_lag matrix form)
+# ---------------------------------------------------------------------------
+
+_XC_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@query(
+    "q_xcorr_matrix",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - CAST('1970-01-01' AS DATE)
+                  AS BIGINT) AS dn
+      FROM events
+    ), daily AS (
+      SELECT event_type, dn, CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(dn) AS d0, MAX(dn) AS d1 FROM ev
+    ), spine AS (
+      SELECT t.event_type, g.dn
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (SELECT UNNEST(generate_series(d0, d1)) AS dn
+                  FROM bounds) g
+    ), dense AS (
+      SELECT s.event_type, s.dn, COALESCE(d.c, 0) AS c
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.dn = s.dn
+    ), al AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             l.lag, a.c AS ca, b.c AS cb
+      FROM dense a
+      CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _XC_LAGS))}])
+                  AS lag) l
+      JOIN dense b ON b.event_type > a.event_type
+                  AND b.dn = a.dn + l.lag
+    ), agg AS (
+      SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS sa,
+             CAST(SUM(cb) AS BIGINT) AS sb,
+             CAST(SUM(ca * cb) AS BIGINT) AS sab,
+             CAST(SUM(ca * ca) AS BIGINT) AS saa,
+             CAST(SUM(cb * cb) AS BIGINT) AS sbb
+      FROM al GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, lag, n,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / NULLIF(sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 0),
+                 6) AS xcorr
+    FROM agg
+    """,
+)
+def q_xcorr_matrix(spark, sf_dir):
+    """Lagged cross-correlation MATRIX between per-type daily event
+    series — the matrix form q_lead_lag's single pair gestured at
+    (VERDICT r13 #8): every unordered type pair × lags −3..+3, Pearson
+    r between count(a, day d) and count(b, day d+ℓ) over the dense
+    calendar spine (absent days count 0 — real co-movement, not
+    presence correlation). The lead-lag sign convention: positive r at
+    positive ℓ means type_a leads type_b by ℓ days.
+
+    Engine parity: all five sufficient statistics (Σa, Σb, Σab, Σa²,
+    Σb², n) are BIGINT-exact daily counts; only the final normalized
+    quotient is float, computed by the textually identical
+    two-sqrt expression in both engines and ROUND(6)-ed — the
+    established exact-sums/float-tail discipline. NULLIF guards the
+    constant-series zero variance.
+
+    Scale shape: ONE fact-table shuffle (the (type, day) grouped
+    count); the spine/alignment/aggregation all run at series grain
+    (types × days), and the lag fan-out multiplies the SERIES frame,
+    never the event stream. Series-key partitioning carries the
+    window-free alignment joins."""
+    events = load_table(spark, sf_dir, "events")
+    dn = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    ev = events.select("event_type", dn.alias("dn"))
+    daily = ev.groupBy("event_type", "dn").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = ev.agg(F.min("dn").alias("d0"), F.max("dn").alias("d1"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("dn"),
+    )
+    dense = (
+        spine.join(daily, ["event_type", "dn"], "left")
+        .select(
+            "event_type", "dn", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .localCheckpoint(eager=False)  # both sides of the lag join
+    )
+    lags = F.explode(
+        F.array(*[F.lit(v).cast("long") for v in _XC_LAGS])
+    ).alias("lag")
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("dn").alias("da"),
+        F.col("c").alias("ca"),
+        lags,
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("dn").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    al = a.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & (F.col("db") == F.col("da") + F.col("lag")),
+    )
+    agg = al.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ca").cast("long").alias("sa"),
+        F.sum("cb").cast("long").alias("sb"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sab"),
+        F.sum(F.col("ca") * F.col("ca")).cast("long").alias("saa"),
+        F.sum(F.col("cb") * F.col("cb")).cast("long").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.round(num / den, 6).alias("xcorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 118: KMV resemblance (direct Jaccard sketch for set operations)
+# ---------------------------------------------------------------------------
+
+_KR_K = 256
+_KR_A = "click"
+_KR_B = "view"
+
+
+def _sql_kr() -> str:
+    from ..operators.sketches import _sql_fold8
+
+    num = _sql_fold8("hx")
+    return f"""
+    WITH ua AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || ':' ||
+               CAST(CAST(ts AS DATE) - CAST('1970-01-01' AS DATE)
+                    AS VARCHAR)) AS hx
+      FROM events WHERE event_type = '{_KR_A}'
+    ), ub AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || ':' ||
+               CAST(CAST(ts AS DATE) - CAST('1970-01-01' AS DATE)
+                    AS VARCHAR)) AS hx
+      FROM events WHERE event_type = '{_KR_B}'
+    ), hu AS (
+      SELECT hx FROM ua UNION SELECT hx FROM ub
+    ), bk AS (
+      SELECT hx FROM hu ORDER BY hx LIMIT {_KR_K}
+    ), flags AS (
+      SELECT b.hx,
+             CASE WHEN b.hx IN (SELECT hx FROM ua)
+                   AND b.hx IN (SELECT hx FROM ub)
+                  THEN 1 ELSE 0 END AS both_f,
+             CAST({num} AS DOUBLE) AS numv
+      FROM bk b
+    ), sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(both_f) AS BIGINT) AS k_both,
+             MAX(numv) AS kth_num
+      FROM flags
+    ), ex AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hu) AS exact_union,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM ua JOIN ub USING (hx)) AS exact_inter
+    ), est AS (
+      SELECT s.k_used, s.k_both,
+             CASE WHEN s.k_used < {_KR_K}
+                  THEN CAST(s.k_used AS DOUBLE)
+                  ELSE {float(_KR_K - 1)}
+                       / (GREATEST(s.kth_num, 1.0) / {float(1 << 32)})
+             END AS union_est,
+             e.exact_union, e.exact_inter
+      FROM sk s CROSS JOIN ex e
+    )
+    SELECT k_used, k_both,
+           ROUND(CAST(k_both AS DOUBLE) / k_used, 6) AS jaccard_est,
+           ROUND(union_est, 2) AS union_est,
+           ROUND(union_est * k_both / k_used, 2) AS inter_est,
+           exact_union, exact_inter,
+           ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6)
+             AS jaccard_exact,
+           ROUND(1.0 / sqrt(CAST(k_used AS DOUBLE)), 6) AS err_bound
+    FROM est
+    """
+
+
+@query("q_kmv_resemblance", _sql_kr())
+def q_kmv_resemblance(spark, sf_dir):
+    """Direct KMV resemblance estimator for sketch SET OPERATIONS
+    (VERDICT r13 #8's set-ops lead): the bottom-k sketch of A∪B is
+    bottom-k of the merged hash stream (KMV mergeability), and the
+    fraction of those k minima that belong to BOTH sets is an unbiased
+    Jaccard estimate (Broder's min-hash resemblance at sketch grain) —
+    intersection ≈ Ĵ · |A∪B|̂, difference by subtraction. This
+    complements q_join_card_est's inclusion-exclusion route, whose
+    error is ABSOLUTE in the set sizes (catastrophic for small
+    intersections); the resemblance route's error is relative to the
+    union (±1/√k, emitted as err_bound) — the estimator a sketch
+    catalog should reach for first.
+
+    Everything is md5-portable and deterministic: both engines rank
+    identical lowercase-hex digests, so the ESTIMATES (not just the
+    exact reference columns computed alongside) hash-match the oracle —
+    the q_kmv_distinct discipline extended to the two-set algebra.
+
+    Scale shape: two distinct pre-passes at key grain (the only
+    data-sized shuffles), bottom-k via TakeOrdered (per-partition
+    top-k, O(k) to one reducer), membership flags as two broadcast-k
+    semi-join probes; per-shard sketches union without rescanning."""
+    from ..operators.sketches import _fold8
+
+    events = load_table(spark, sf_dir, "events")
+
+    def hset(t):
+        # (user, active-day) grain: user-grain sets saturate on the
+        # fixture (every user hits every type), so the sketch compares
+        # ACTIVITY sets — users' click-days vs view-days overlap
+        # partially and the resemblance estimate is non-degenerate
+        dn = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        return (
+            events.filter(F.col("event_type") == t)
+            .select(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    dn.cast("string"),
+                ).alias("s")
+            )
+            .distinct()
+            .select(F.md5("s").alias("hx"))
+        )
+
+    ua = hset(_KR_A).persist()
+    ub = hset(_KR_B).persist()
+    hu = ua.unionByName(ub).distinct().persist()
+    bk = hu.orderBy("hx").limit(_KR_K)
+    flags = (
+        bk.join(ua.select("hx", F.lit(1).alias("ia")), "hx", "left")
+        .join(ub.select("hx", F.lit(1).alias("ib")), "hx", "left")
+        .select(
+            "hx",
+            F.when(
+                F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("both_f"),
+            _fold8(F.col("hx")).cast("double").alias("numv"),
+        )
+    )
+    sk = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("both_f").cast("long").alias("k_both"),
+        F.max("numv").alias("kth_num"),
+    )
+    ex = hu.agg(F.count(F.lit(1)).cast("long").alias("exact_union")).crossJoin(
+        ua.join(ub, "hx")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    union_est = F.when(
+        F.col("k_used") < _KR_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(_KR_K - 1))
+        / (F.greatest(F.col("kth_num"), F.lit(1.0)) / F.lit(float(1 << 32)))
+    )
+    return (
+        sk.crossJoin(ex)  # two 1-row aggregates
+        .select(
+            "k_used",
+            "k_both",
+            F.round(
+                F.col("k_both").cast("double") / F.col("k_used"), 6
+            ).alias("jaccard_est"),
+            F.round(union_est, 2).alias("union_est"),
+            F.round(
+                union_est * F.col("k_both") / F.col("k_used"), 2
+            ).alias("inter_est"),
+            "exact_union",
+            "exact_inter",
+            F.round(
+                F.col("exact_inter").cast("double") / F.col("exact_union"),
+                6,
+            ).alias("jaccard_exact"),
+            F.round(
+                F.lit(1.0) / F.sqrt(F.col("k_used").cast("double")), 6
+            ).alias("err_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 119: file-source rate-limit census (maxFilesPerTrigger backpressure)
+# ---------------------------------------------------------------------------
+
+_RL_FILES = 12
+
+
+@query("q_stream_rate_limit")  # runs real availableNow streams → rows-only
+def q_stream_rate_limit(spark, sf_dir):
+    """File-source RATE-LIMIT certificate (VERDICT r13 #8's
+    backpressure lead): lands the event stream as exactly 12 files,
+    then drives the SAME aggregation through availableNow with
+    maxFilesPerTrigger 1, 4, and unlimited, reading the micro-batch
+    ledger from query progress. The certificate: batch count obeys
+    ceil(files / limit) — 12/1 → 12 batches, 12/4 → 3, unlimited →
+    1 — and every configuration lands the IDENTICAL result rows
+    (rate limiting must change scheduling, never semantics).
+
+    Why it matters at 100 TB: availableNow + maxFilesPerTrigger is the
+    knob that turns a catch-up backlog (a weekend of landed files)
+    into bounded micro-batches instead of one executor-OOM mega-batch;
+    this census proves the engine honors the bound and that state
+    survives across the induced batch boundaries (the final counts
+    aggregate rows from EVERY batch).
+
+    Wall time is micro-batch overhead by nature → rows-only with
+    pytest pins (the stream-census discipline)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.events import _census_stream_confs
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q_stream_rate_limit_")
+    try:
+        json_dir = f"{tmp}/events_json"
+        (
+            events.select("event_id", "ts", "event_type")
+            .repartition(_RL_FILES)
+            .write.json(json_dir)
+        )
+        landed_schema = "event_id long, ts timestamp, event_type string"
+
+        results = {}
+        for label, mft in (("mft1", 1), ("mft4", 4), ("nolimit", None)):
+            reader = (
+                spark.readStream.format("json")
+                .schema(landed_schema)
+            )
+            if mft is not None:
+                reader = reader.option("maxFilesPerTrigger", mft)
+            stream_df = reader.load(json_dir)
+            agg = stream_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            name = f"q_stream_rate_{label}_" + _uuid.uuid4().hex[:8]
+            with _census_stream_confs(spark, "8"):
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("complete")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(180):
+                    q.stop()
+                    raise RuntimeError(
+                        f"rate-limit census stream {label} did not "
+                        f"finish within 180s"
+                    )
+            n_batches = sum(
+                1
+                for p in q.recentProgress
+                if int(p.get("numInputRows", 0) or 0) > 0
+            )
+            rows = {
+                r["event_type"]: r["n"]
+                for r in spark.table(name).collect()
+            }
+            results[label] = (n_batches, rows)
+
+        nb1, r1 = results["mft1"]
+        nb4, r4 = results["mft4"]
+        nbu, ru = results["nolimit"]
+        rows_total = sum(r1.values())
+        return spark.createDataFrame(
+            [
+                (
+                    _RL_FILES,
+                    int(nb1),
+                    int(nb4),
+                    int(nbu),
+                    int(rows_total),
+                    int(r1 == r4 == ru),
+                    int(
+                        nb1 == _RL_FILES
+                        and nb4 == (_RL_FILES + 3) // 4
+                        and nbu == 1
+                    ),
+                )
+            ],
+            "n_files int, n_batches_mft1 int, n_batches_mft4 int,"
+            " n_batches_nolimit int, rows_total long,"
+            " results_agree int, backpressure_holds int",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
