@@ -62,6 +62,8 @@ _WINDOW = [
     "q_xcorr_matrix",
     "q_kmv_resemblance",
     "q_stream_rate_limit",
+    "q_matrix_profile",
+    "q_ivm_agg",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -101,8 +103,6 @@ _WINDOW = [
     "q_cumulative_users",
     "q_cusum",
     "q_degree_distribution",
-    "q_did",
-    "q_doc_keyphrases",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

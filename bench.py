@@ -550,6 +550,9 @@ HEADLINE = [
     "q_luby_mis",
     "q_xcorr_matrix",
     "q_kmv_resemblance",
+    # round-14 phases 120-121: banded matrix profile, IVM aggregate
+    "q_matrix_profile",
+    "q_ivm_agg",
 ]
 
 

@@ -1178,3 +1178,361 @@ def q_stream_rate_limit(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# phase 120: banded matrix profile (exact subsequence motifs + discords)
+# ---------------------------------------------------------------------------
+
+_MP_M = 4    # subsequence length (days)
+_MP_B = 90   # band: candidate neighbors within this many positions
+
+
+@query(
+    "q_matrix_profile",
+    f"""
+    WITH daily AS (
+      SELECT n.n_name, o.o_orderdate AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), pos AS (
+      SELECT n_name, rev,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d) - 1 AS p
+      FROM daily
+    ), sub AS (
+      SELECT n_name, p,
+             rev AS r0,
+             LEAD(rev, 1) OVER w AS r1,
+             LEAD(rev, 2) OVER w AS r2,
+             LEAD(rev, 3) OVER w AS r3
+      FROM pos
+      WINDOW w AS (PARTITION BY n_name ORDER BY p)
+      QUALIFY LEAD(rev, {_MP_M - 1}) OVER w IS NOT NULL
+    ), pairs AS (
+      SELECT a.n_name, a.p AS i, b.p AS j,
+             (a.r0 - b.r0) * (a.r0 - b.r0)
+           + (a.r1 - b.r1) * (a.r1 - b.r1)
+           + (a.r2 - b.r2) * (a.r2 - b.r2)
+           + (a.r3 - b.r3) * (a.r3 - b.r3) AS d2
+      FROM sub a JOIN sub b
+        ON a.n_name = b.n_name
+       AND b.p BETWEEN a.p + {_MP_M} AND a.p + {_MP_B}
+    ), bidir AS (
+      SELECT n_name, i, j, d2 FROM pairs
+      UNION ALL
+      SELECT n_name, j AS i, i AS j, d2 FROM pairs
+    ), prof AS (
+      SELECT n_name, i, j AS nn, d2
+      FROM (SELECT n_name, i, j, d2,
+                   ROW_NUMBER() OVER (PARTITION BY n_name, i
+                                      ORDER BY d2, j) AS rn
+            FROM bidir)
+      WHERE rn = 1
+    ), motif AS (
+      SELECT n_name, i AS motif_i, nn AS motif_nn, d2 AS motif_d2
+      FROM (SELECT n_name, i, nn, d2,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY d2, i, nn) AS rn
+            FROM prof)
+      WHERE rn = 1
+    ), discord AS (
+      SELECT n_name, i AS discord_i, nn AS discord_nn,
+             d2 AS discord_d2
+      FROM (SELECT n_name, i, nn, d2,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY d2 DESC, i, nn) AS rn
+            FROM prof)
+      WHERE rn = 1
+    ), nsub AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_sub FROM sub
+      GROUP BY 1
+    )
+    SELECT n.n_name, n.n_sub,
+           m.motif_i, m.motif_nn, m.motif_d2,
+           d.discord_i, d.discord_nn, d.discord_d2
+    FROM nsub n
+    JOIN motif m ON m.n_name = n.n_name
+    JOIN discord d ON d.n_name = n.n_name
+    """,
+)
+def q_matrix_profile(spark, sf_dir):
+    """Banded MATRIX PROFILE (Yeh et al. 2016) over the per-nation
+    daily revenue series — the exact-distance completion of the motif
+    family q_sax_motifs opened with symbols: for every length-4
+    subsequence, the nearest other subsequence within a ±90-position
+    band (exclusion zone |i−j| ≥ m kills trivial self-matches), then
+    per series the MOTIF (globally closest pair — the recurring shape)
+    and the DISCORD (the subsequence FARTHEST from its own nearest
+    neighbor — the classic series anomaly).
+
+    Engine parity: integer-cents subsequence vectors, BIGINT squared
+    euclidean (non-normalized profile — absolute-shape motifs; diff²
+    ≤ 1.4e16·4 at sf1, inside BIGINT), and every min/argmin is a
+    deterministic ROW_NUMBER tie-break, so the whole profile
+    hash-matches the DuckDB twin.
+
+    Scale shape (why BANDED): the full profile is O(n²) per series —
+    the all-pairs cliff every exact family here refuses. The band
+    bounds candidates at 2·90 per position (O(n·90) pairs, one
+    series-partitioned self-join with a range predicate on the ALREADY
+    co-partitioned position key), the standard banded-MP trade:
+    motifs/discords are certified within a 90-day recurrence horizon,
+    and the band widens linearly, never quadratically. Series
+    parallelism is unbounded; per-task state is band-window rows."""
+    from ..io import load_tables
+
+    orders, customer, nation = load_tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("rev"))
+    )
+    wpos = Window.partitionBy("n_name").orderBy("d")
+    pos = daily.select(
+        "n_name",
+        "rev",
+        (F.row_number().over(wpos) - 1).cast("long").alias("p"),
+    )
+    wseq = Window.partitionBy("n_name").orderBy("p")
+    sub = (
+        pos.select(
+            "n_name",
+            "p",
+            F.col("rev").alias("r0"),
+            F.lead("rev", 1).over(wseq).alias("r1"),
+            F.lead("rev", 2).over(wseq).alias("r2"),
+            F.lead("rev", 3).over(wseq).alias("r3"),
+        )
+        .filter(F.col(f"r{_MP_M - 1}").isNotNull())
+        .localCheckpoint(eager=False)  # both sides of the band join
+    )
+    a = sub.select(
+        "n_name",
+        F.col("p").alias("i"),
+        *[F.col(f"r{k}").alias(f"a{k}") for k in range(_MP_M)],
+    )
+    b = sub.select(
+        F.col("n_name").alias("nb"),
+        F.col("p").alias("j"),
+        *[F.col(f"r{k}").alias(f"b{k}") for k in range(_MP_M)],
+    )
+    d2 = None
+    for k in range(_MP_M):
+        t = (F.col(f"a{k}") - F.col(f"b{k}")) * (
+            F.col(f"a{k}") - F.col(f"b{k}")
+        )
+        d2 = t if d2 is None else d2 + t
+    pairs = a.join(
+        b,
+        (F.col("n_name") == F.col("nb"))
+        & (F.col("j") >= F.col("i") + _MP_M)
+        & (F.col("j") <= F.col("i") + _MP_B),
+    ).select("n_name", "i", "j", d2.alias("d2"))
+    bidir = pairs.unionByName(
+        pairs.select(
+            "n_name",
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "d2",
+        )
+    )
+    wprof = Window.partitionBy("n_name", "i").orderBy("d2", "j")
+    prof = (
+        bidir.withColumn("rn", F.row_number().over(wprof))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "i", F.col("j").alias("nn"), "d2")
+        .localCheckpoint(eager=False)  # motif + discord heads
+    )
+    wmot = Window.partitionBy("n_name").orderBy("d2", "i", "nn")
+    motif = (
+        prof.withColumn("rn", F.row_number().over(wmot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("i").alias("motif_i"),
+            F.col("nn").alias("motif_nn"),
+            F.col("d2").alias("motif_d2"),
+        )
+    )
+    wdis = Window.partitionBy("n_name").orderBy(
+        F.col("d2").desc(), F.col("i"), F.col("nn")
+    )
+    discord = (
+        prof.withColumn("rn", F.row_number().over(wdis))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("i").alias("discord_i"),
+            F.col("nn").alias("discord_nn"),
+            F.col("d2").alias("discord_d2"),
+        )
+    )
+    nsub = sub.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sub")
+    )
+    return (
+        nsub.join(motif, "n_name")
+        .join(discord, "n_name")
+        .select(
+            "n_name", "n_sub",
+            "motif_i", "motif_nn", "motif_d2",
+            "discord_i", "discord_nn", "discord_d2",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 121: incremental aggregate maintenance with retractions (IVM agg)
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT = "1997-01-01"  # base = orders before; inserts = orders from
+
+
+@query(
+    "q_ivm_agg",
+    f"""
+    WITH base AS (
+      SELECT o_custkey % 25 AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders WHERE o_orderdate < DATE '{_IVM_SPLIT}'
+    ), base_agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM base GROUP BY 1
+    ), delta AS (
+      SELECT o_custkey % 25 AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(1 AS BIGINT) AS sgn
+      FROM orders WHERE o_orderdate >= DATE '{_IVM_SPLIT}'
+      UNION ALL
+      SELECT grp, cents, CAST(-1 AS BIGINT) AS sgn
+      FROM base WHERE o_orderkey % 10 = 0
+    ), delta_agg AS (
+      SELECT grp, CAST(SUM(sgn) AS BIGINT) AS dn,
+             CAST(SUM(sgn * cents) AS BIGINT) AS ds
+      FROM delta GROUP BY 1
+    ), maint AS (
+      SELECT COALESCE(b.grp, d.grp) AS grp,
+             COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n_maint,
+             COALESCE(b.s, 0) + COALESCE(d.ds, 0) AS s_maint
+      FROM base_agg b FULL OUTER JOIN delta_agg d ON b.grp = d.grp
+    ), recompute AS (
+      SELECT o_custkey % 25 AS grp,
+             CAST(count(*) AS BIGINT) AS n_rec,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS s_rec
+      FROM orders
+      WHERE NOT (o_orderdate < DATE '{_IVM_SPLIT}'
+                 AND o_orderkey % 10 = 0)
+      GROUP BY 1
+    )
+    SELECT m.grp, m.n_maint, m.s_maint, r.n_rec, r.s_rec,
+           CAST(CASE WHEN m.n_maint = r.n_rec AND m.s_maint = r.s_rec
+                THEN 1 ELSE 0 END AS INTEGER) AS agree
+    FROM maint m JOIN recompute r ON m.grp = r.grp
+    WHERE m.n_maint > 0
+    """,
+)
+def q_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance for AGGREGATES with RETRACTIONS —
+    the signed-delta algebra q_ivm_join certified for joins, completed
+    at aggregate grain: a maintained group-by view absorbs a delta
+    stream of inserts (+1: the post-split orders) AND deletes (−1: a
+    deterministic 10% retraction of the base — cancellations/GDPR
+    erasure), merging count and sum as SIGNED partial aggregates in a
+    group-grain FULL OUTER join, groups whose count hits zero dropping
+    out. The certificate recomputes the view from scratch over the
+    equivalent row set and emits an agree bit per group — maintained ≡
+    recomputed, hash-certified (counts and exact integer cents).
+
+    Why it matters at 100 TB: recomputing a corpus-wide aggregate on
+    every ingest batch is a full scan; the maintained path touches
+    ONLY the delta (one group-grain merge join against the stored
+    view) — this is the algebra every streaming-warehouse sum/count
+    view runs on, proven equal to recompute under deletes, the hard
+    half (insert-only maintenance is trivial; retractions are where
+    sign errors hide).
+
+    Scale shape: delta side is delta-sized end to end; the recompute
+    side exists only as this query's certificate and carries the cost
+    the maintained path avoids — the asymmetry IS the measurement."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    grp = (F.col("o_custkey") % 25).alias("grp")
+    split = F.lit(_IVM_SPLIT).cast("date")
+    base = orders.filter(F.col("o_orderdate") < split).select(
+        grp, cents.alias("cents"), "o_orderkey"
+    )
+    base_agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= split).select(
+        grp, cents.alias("cents"), F.lit(1).cast("long").alias("sgn")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "grp", "cents", F.lit(-1).cast("long").alias("sgn")
+    )
+    delta_agg = (
+        inserts.unionByName(deletes)
+        .groupBy("grp")
+        .agg(
+            F.sum("sgn").cast("long").alias("dn"),
+            F.sum(F.col("sgn") * F.col("cents")).cast("long").alias("ds"),
+        )
+    )
+    maint = (
+        base_agg.join(delta_agg, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_maint"),
+            (
+                F.coalesce(F.col("s"), F.lit(0))
+                + F.coalesce(F.col("ds"), F.lit(0))
+            ).alias("s_maint"),
+        )
+    )
+    recompute = (
+        orders.filter(
+            ~(
+                (F.col("o_orderdate") < split)
+                & (F.col("o_orderkey") % 10 == 0)
+            )
+        )
+        .groupBy(grp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rec"),
+            F.sum(cents).cast("long").alias("s_rec"),
+        )
+    )
+    return (
+        maint.join(recompute, "grp")
+        .filter(F.col("n_maint") > 0)
+        .select(
+            "grp",
+            "n_maint",
+            "s_maint",
+            "n_rec",
+            "s_rec",
+            F.when(
+                (F.col("n_maint") == F.col("n_rec"))
+                & (F.col("s_maint") == F.col("s_rec")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("agree"),
+        )
+    )
