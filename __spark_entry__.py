@@ -64,6 +64,7 @@ _WINDOW = [
     "q_stream_rate_limit",
     "q_matrix_profile",
     "q_ivm_agg",
+    "q_runtime_filter_census",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -102,7 +103,6 @@ _WINDOW = [
     "q_corr_matrix",
     "q_cumulative_users",
     "q_cusum",
-    "q_degree_distribution",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -553,6 +553,9 @@ HEADLINE = [
     # round-14 phases 120-121: banded matrix profile, IVM aggregate
     "q_matrix_profile",
     "q_ivm_agg",
+    # round-14 phase 122: runtime bloom-filter census (runs the join
+    # twice, on/off — the q_aqe_skew_census precedent)
+    "q_runtime_filter_census",
 ]
 
 

@@ -1536,3 +1536,102 @@ def q_ivm_agg(spark, sf_dir):
             .alias("agree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 122: runtime bloom-filter join census (InjectRuntimeFilter)
+# ---------------------------------------------------------------------------
+
+
+@query("q_runtime_filter_census")  # engine-physical → rows-only
+def q_runtime_filter_census(spark, sf_dir):
+    """Runtime FILTER certificate (SPARK-32268 InjectRuntimeFilter) —
+    the fourth rung of the shuffle-reduction ladder (WindowGroupLimit,
+    exchange reuse, agg pushdown, THIS): when a shuffle join's build
+    side is small and selective, Spark plans a bloom filter OVER the
+    build side's join keys and injects might_contain on the probe side
+    BEFORE its exchange, so non-matching fact rows never cross the
+    wire. Selective dim (one p_size class of part) ⋈ lineitem, forced
+    to a shuffle join (broadcast thresholds −1, scoped + restored —
+    broadcast joins already hand the probe side an exact filter; the
+    bloom matters precisely when the build side is too big to
+    broadcast but its KEY SET still fits a sketch).
+
+    Per mode (bloom on / off): total shuffleRecordsWritten read from
+    the EXECUTED plan (collect first, then walk that plan's metrics —
+    the r13 discipline), might_contain node count, result rows, exact
+    cents (value parity: a runtime filter is an execution strategy,
+    never semantics). applicationSideScanSizeThreshold is scoped to 0
+    because the default (10 GB) correctly refuses to spend a bloom on
+    a bench-sized probe — the census certifies the MECHANISM the 100 TB
+    plan relies on, where the probe side is the whole fact table and
+    this filter is the difference between shuffling matching rows and
+    shuffling everything. Engine-physical → rows-only; asymmetry and
+    parity pinned in pytest."""
+    from ..io import load_tables
+
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    dim = part.filter(F.col("p_size") == 1).select("p_partkey")
+    fact = lineitem.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def measure():
+        j = fact.join(dim, fact.l_partkey == dim.p_partkey)
+        got = j.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("c"),
+        )
+        row = got.collect()[0]
+        ep = got._jdf.queryExecution().executedPlan()
+        shuffled = 0
+
+        def walk(node):
+            nonlocal shuffled
+            name = node.nodeName()
+            if "AdaptiveSparkPlan" in name:
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in name:
+                walk(node.plan())
+                return
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    shuffled += int(kv._2().value())
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(ep)
+        n_bloom = ep.toString().count("might_contain")
+        return shuffled, n_bloom, int(row.nr), int(row.c)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev = {k: spark.conf.get(k, None) for k in (*confs, key)}
+    rows = []
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.conf.set(key, "true")
+        rows.append(("bloom-on", *map(int, measure())))
+        spark.conf.set(key, "false")
+        rows.append(("bloom-off", *map(int, measure())))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows,
+        "mode string, shuffle_records long, n_bloom_nodes long,"
+        " result_rows long, cents long",
+    )

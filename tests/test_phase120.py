@@ -84,3 +84,23 @@ class TestIvmAgg:
             for r in QUERIES["q_ivm_agg"](spark, SF01).collect()
         )
         assert 0 < kept < total  # deletes bit, inserts preserved
+
+
+class TestRuntimeFilterCensus:
+    def test_bloom_cuts_shuffle_not_semantics(self, spark):
+        from legislative_bills_database_spark.plans import QUERIES
+
+        got = {
+            r.mode: r
+            for r in QUERIES["q_runtime_filter_census"](
+                spark, SF01
+            ).collect()
+        }
+        on, off = got["bloom-on"], got["bloom-off"]
+        # value parity: a runtime filter is an execution strategy
+        assert (on.result_rows, on.cents) == (off.result_rows, off.cents)
+        assert on.result_rows > 0
+        # mechanism: filter present only when enabled, and it cuts the
+        # wire traffic (sf0.01 measured ~49x: 1,214 vs 60,039)
+        assert on.n_bloom_nodes >= 1 and off.n_bloom_nodes == 0
+        assert on.shuffle_records < off.shuffle_records / 2
