@@ -65,6 +65,9 @@ _WINDOW = [
     "q_matrix_profile",
     "q_ivm_agg",
     "q_runtime_filter_census",
+    "q_uplift_qini",
+    "q_quantile_merge",
+    "q_bitemporal_asof",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -100,9 +103,6 @@ _WINDOW = [
     "q_capped_runsum",
     "q_cdc_extract",
     "q_closeness",
-    "q_corr_matrix",
-    "q_cumulative_users",
-    "q_cusum",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

@@ -556,6 +556,11 @@ HEADLINE = [
     # round-14 phase 122: runtime bloom-filter census (runs the join
     # twice, on/off — the q_aqe_skew_census precedent)
     "q_runtime_filter_census",
+    # round-14 phases 123-125: uplift/Qini, mergeable quantiles,
+    # bitemporal as-of
+    "q_uplift_qini",
+    "q_quantile_merge",
+    "q_bitemporal_asof",
 ]
 
 

@@ -1635,3 +1635,458 @@ def q_runtime_filter_census(spark, sf_dir):
         "mode string, shuffle_records long, n_bloom_nodes long,"
         " result_rows long, cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 123: uplift deciles + Qini curve (experimentation completion)
+# ---------------------------------------------------------------------------
+
+
+def _sql_uplift() -> str:
+    nib = "ascii(substring(md5('uplift:' || CAST(c_custkey AS VARCHAR)), 1, 1))"
+    treat = f"({nib} - CASE WHEN {nib} >= 97 THEN 87 ELSE 48 END) % 2"
+    return f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN o_orderdate < DATE '1996-01-01'
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre_cents,
+             MAX(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                  AND o_orderpriority = '1-URGENT'
+                 THEN 1 ELSE 0 END) AS converted
+      FROM orders GROUP BY 1
+    ), pop AS (
+      SELECT c.c_custkey, CAST({treat} AS BIGINT) AS t,
+             COALESCE(s.pre_cents, 0) AS score,
+             COALESCE(s.converted, 0) AS y
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ), dec AS (
+      SELECT t, y,
+             CAST(NTILE(10) OVER (ORDER BY score DESC, c_custkey)
+                  AS BIGINT) AS decile
+      FROM pop
+    ), agg AS (
+      SELECT decile,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(t * y) AS BIGINT) AS conv_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS conv_c
+      FROM dec GROUP BY 1
+    ), cum AS (
+      SELECT decile, n_t, conv_t, n_c, conv_c,
+             SUM(n_t) OVER w AS cnt, SUM(conv_t) OVER w AS cct,
+             SUM(n_c) OVER w AS cnc, SUM(conv_c) OVER w AS ccc
+      FROM agg WINDOW w AS (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+    )
+    SELECT decile, n_t, conv_t, n_c, conv_c,
+           ROUND(CAST(conv_t AS DOUBLE) / NULLIF(n_t, 0)
+                 - CAST(conv_c AS DOUBLE) / NULLIF(n_c, 0), 6) AS uplift,
+           ROUND(CAST(cct AS DOUBLE)
+                 - CAST(ccc AS DOUBLE) * cnt / NULLIF(cnc, 0), 6)
+             AS qini_cum
+    FROM cum
+    """
+
+
+@query("q_uplift_qini", _sql_uplift())
+def q_uplift_qini(spark, sf_dir):
+    """Uplift-by-decile + Qini curve — the experimentation family's
+    missing targeting readout (q_ab_test says DID the treatment work;
+    THIS says WHO to treat): customers ranked by a targeting score
+    (pre-period spend), cut into NTILE deciles, per-decile incremental
+    conversion (treated rate − control rate) and the cumulative Qini
+    value cum_conv_t − cum_conv_c · cum_n_t/cum_n_c — the area under
+    this curve is the standard uplift-model comparison metric; a
+    useless score gives a straight line to the corner.
+
+    Treatment assignment is the portable md5-parity coin
+    (q_ab_srm_check's discipline — no RNG at query time), outcome =
+    an urgent post-period order, so every count is BIGINT-exact and
+    both engines produce the identical decile table; only the two
+    final rate expressions are float (identical shape, ROUND 6,
+    NULLIF-guarded).
+
+    Scale shape: one orders scan folded to customer grain (conditional
+    aggregates, map-side combined), one broadcast-dim left join, ONE
+    global NTILE window over the customer frame (the decile cut is
+    customer-grain, never event-grain), then decile-grain windows."""
+    from ..io import load_tables
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit("1996-01-01").cast("date")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre_cents"),
+        F.max(
+            F.when(
+                (F.col("o_orderdate") >= split)
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    a = F.ascii(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("uplift:"), F.col("c_custkey").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+    )
+    treat = (
+        (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))) % 2
+    ).cast("long")
+    pop = customer.join(
+        spend, customer.c_custkey == spend.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        treat.alias("t"),
+        F.coalesce(F.col("pre_cents"), F.lit(0)).alias("score"),
+        F.coalesce(F.col("converted"), F.lit(0)).alias("y"),
+    )
+    wd = Window.orderBy(F.col("score").desc(), F.col("c_custkey"))
+    dec = pop.select(
+        "t", "y", F.ntile(10).over(wd).cast("long").alias("decile")
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("conv_t"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y"))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "decile", "n_t", "conv_t", "n_c", "conv_c",
+        F.sum("n_t").over(wc).alias("cnt"),
+        F.sum("conv_t").over(wc).alias("cct"),
+        F.sum("n_c").over(wc).alias("cnc"),
+        F.sum("conv_c").over(wc).alias("ccc"),
+    )
+    return cum.select(
+        "decile", "n_t", "conv_t", "n_c", "conv_c",
+        F.round(
+            F.col("conv_t").cast("double") / F.nullif(F.col("n_t"), F.lit(0))
+            - F.col("conv_c").cast("double")
+            / F.nullif(F.col("n_c"), F.lit(0)),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.col("cct").cast("double")
+            - F.col("ccc").cast("double")
+            * F.col("cnt")
+            / F.nullif(F.col("cnc"), F.lit(0)),
+            6,
+        ).alias("qini_cum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 124: mergeable quantile summaries (per-shard sketch -> global)
+# ---------------------------------------------------------------------------
+
+_QM_SHARDS = 8
+_QM_S = 32              # summary points per shard
+_QM_PS = (50, 90, 99)   # percentiles certified
+
+
+def _sql_qmerge() -> str:
+    ps = ", ".join(map(str, _QM_PS))
+    return f"""
+    WITH vals AS (
+      SELECT o_orderkey % {_QM_SHARDS} AS shard,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey AS k
+      FROM orders
+    ), nper AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_s FROM vals GROUP BY 1
+    ), ranked AS (
+      SELECT shard, v,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, k) - 1
+               AS r
+      FROM vals
+    ), pos AS (
+      SELECT DISTINCT n.shard, n.n_s,
+             ((n.n_s - 1) * j.j) // {_QM_S - 1} AS p
+      FROM nper n
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_QM_S - 1})) AS j) j
+    ), summ AS (
+      SELECT p.shard, r.v, p.n_s AS w, p.p
+      FROM pos p JOIN ranked r ON r.shard = p.shard AND r.r = p.p
+    ), cum AS (
+      SELECT v, shard, w,
+             SUM(w) OVER (ORDER BY v, shard, p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumw
+      FROM summ
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+             CAST(SUM(n_s) * {_QM_S} AS BIGINT) AS w_tot
+      FROM nper
+    ), targets AS (
+      SELECT pq.p, t.n, t.w_tot,
+             (pq.p * (t.w_tot - 1)) // 100 AS t_w,
+             (pq.p * (t.n - 1)) // 100 AS t_n
+      FROM (SELECT UNNEST([{ps}]) AS p) pq CROSS JOIN tot t
+    ), est AS (
+      SELECT tg.p, MIN(c.v) AS est_cents
+      FROM targets tg JOIN cum c ON c.cumw >= tg.t_w + 1
+      GROUP BY 1
+    ), gre AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, shard, k) - 1 AS gr
+      FROM vals
+    ), exact AS (
+      SELECT tg.p, g.v AS exact_cents
+      FROM targets tg JOIN gre g ON g.gr = tg.t_n
+    ), rerr AS (
+      SELECT e.p,
+             CAST((SELECT count(*) FROM vals x WHERE x.v < e.est_cents)
+                  AS BIGINT) AS below
+      FROM est e
+    )
+    SELECT CAST(tg.p AS BIGINT) AS p, tg.n AS n_total,
+           e.est_cents, x.exact_cents,
+           CAST(ABS(r.below - tg.t_n) AS BIGINT) AS rank_err,
+           CAST(tg.n // {_QM_S - 1} + {_QM_SHARDS} AS BIGINT) AS bound
+    FROM targets tg
+    JOIN est e ON e.p = tg.p
+    JOIN exact x ON x.p = tg.p
+    JOIN rerr r ON r.p = tg.p
+    """
+
+
+@query("q_quantile_merge", _sql_qmerge())
+def q_quantile_merge(spark, sf_dir):
+    """Mergeable quantile-summary certificate — the sketch-algebra
+    story (q_kmv_distinct, q_hll_merge, q_join_card_est) extended to
+    QUANTILES, the aggregate approx_percentile answers but whose
+    sketch no other engine reproduces: each shard keeps only its
+    32-point equi-spaced order-statistic summary (the classic
+    mergeable reduction — per-shard rank error ≤ n_s/(32−1)), the
+    summaries merge by weighted concatenation (point weight = its
+    shard's row count, all ×32-scaled so weights stay BIGINT), and
+    global p50/p90/p99 come off the merged cumulative-weight walk with
+    a deterministic first-point-past-target rule. Alongside: the exact
+    global order statistic, the MEASURED rank error of the estimate,
+    and the theoretical bound N/(32−1)+shards it must stay under
+    (pinned) — everything integer, so the whole certificate
+    hash-matches the oracle.
+
+    100 TB shape: per-shard summaries are computed where the data
+    lives (one shard-partitioned rank window), and only shards×32
+    points ever merge — the pattern that answers percentile questions
+    over yesterday's shards without rescanning them; the exact side
+    exists purely as this query's reference."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        (F.col("o_orderkey") % _QM_SHARDS).alias("shard"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.col("o_orderkey").alias("k"),
+    ).localCheckpoint(eager=False)  # ranked + global rank + rank_err scans
+    nper = vals.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    wsh = Window.partitionBy("shard").orderBy("v", "k")
+    ranked = vals.select(
+        "shard", "v",
+        (F.row_number().over(wsh) - 1).cast("long").alias("r"),
+    )
+    pos = (
+        nper.select(
+            "shard",
+            "n_s",
+            F.explode(F.sequence(F.lit(0), F.lit(_QM_S - 1))).alias("j"),
+        )
+        .select(
+            "shard",
+            "n_s",
+            F.expr(f"((n_s - 1) * j) div {_QM_S - 1}").alias("p"),
+        )
+        .distinct()
+    )
+    summ = pos.join(
+        ranked, (pos.shard == ranked.shard) & (pos.p == ranked.r)
+    ).select(pos.shard.alias("shard"), "v", F.col("n_s").alias("w"), "p")
+    wcum = Window.orderBy("v", "shard", "p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summ.select("v", F.sum("w").over(wcum).alias("cumw"))
+    tot = nper.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        (F.sum("n_s") * _QM_S).cast("long").alias("w_tot"),
+    )
+    targets = (
+        tot.select(
+            "n",
+            "w_tot",
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in _QM_PS])
+            ).alias("p"),
+        )
+        .select(
+            "p",
+            "n",
+            F.expr("(p * (w_tot - 1)) div 100").alias("t_w"),
+            F.expr("(p * (n - 1)) div 100").alias("t_n"),
+        )
+        .localCheckpoint(eager=False)  # est + exact + final joins
+    )
+    est = (
+        cum.join(F.broadcast(targets), F.col("cumw") >= F.col("t_w") + 1)
+        .groupBy("p")
+        .agg(F.min("v").alias("est_cents"))
+    )
+    wgl = Window.orderBy("v", "shard", "k")
+    gre = vals.select(
+        "v", (F.row_number().over(wgl) - 1).cast("long").alias("gr")
+    )
+    exact = gre.join(
+        F.broadcast(targets), F.col("gr") == F.col("t_n")
+    ).select("p", F.col("v").alias("exact_cents"))
+    below = (
+        vals.crossJoin(F.broadcast(est))
+        .filter(F.col("v") < F.col("est_cents"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("below"))
+    )
+    return (
+        targets.join(est, "p")
+        .join(exact, "p")
+        .join(below, "p")
+        .select(
+            "p",
+            F.col("n").alias("n_total"),
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("below") - F.col("t_n"))
+            .cast("long")
+            .alias("rank_err"),
+            (
+                F.expr(f"n div {_QM_S - 1}") + F.lit(_QM_SHARDS)
+            )
+            .cast("long")
+            .alias("bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 125: bitemporal as-of reconstruction (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+_BT_T1 = "1996-07-01"
+_BT_T2 = "1998-12-31"
+
+
+@query(
+    "q_bitemporal_asof",
+    f"""
+    WITH v AS (
+      SELECT o_orderkey AS k, o_orderdate AS vd,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS tx_from, 1 AS ver
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500,
+             o_orderdate + INTERVAL 30 DAY, 2
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), t AS (
+      SELECT UNNEST([DATE '{_BT_T1}', DATE '{_BT_T2}']) AS asof_d
+    ), vis AS (
+      SELECT t.asof_d, v.k, v.vd, v.cents, v.ver,
+             ROW_NUMBER() OVER (PARTITION BY t.asof_d, v.k
+                                ORDER BY v.tx_from DESC, v.ver DESC)
+               AS rn
+      FROM t JOIN v ON v.tx_from <= t.asof_d
+    )
+    SELECT strftime(asof_d, '%Y-%m-%d') AS asof_date,
+           CAST(EXTRACT(year FROM vd) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrected
+    FROM vis WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def q_bitemporal_asof(spark, sf_dir):
+    """Bitemporal as-of reconstruction — the two-axis warehouse classic
+    q_scd2_asof_enrich (one time axis) builds toward: facts carry
+    VALID time (when the order happened) and TRANSACTION time (when
+    the warehouse learned each version — here every 7th order receives
+    a +$5 correction landing 30 days after the fact), and a report
+    "as known at T" must pick, per key, the latest version whose
+    tx_from ≤ T while excluding facts not yet recorded at T. Two
+    reconstruction instants (1996-07-01: mid-history, corrections still in
+    flight; 1998-12-31: everything known) roll up to valid-YEAR grain with
+    an n_corrected audit column — restated-revenue reporting,
+    hash-certified end to end (exact integer cents; the version pick
+    is a deterministic tx-desc ROW_NUMBER).
+
+    The restatement property pinned in pytest: at 1998-12-31 every %7 order
+    reports its corrected value (total = base + 500·n_corrected), at
+    1996-07-01 only corrections whose tx landed by then do, and that
+    frame contains NO order dated after it.
+
+    Scale shape: the version union is fact-sized, the as-of fan-out
+    is ×|instants| (2), and both the version pick and the rollup ride
+    ONE (asof, key)-partitioned window + one grouped aggregate; at
+    100 TB the tx filter prunes version files before the window when
+    versions land tx-partitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("vd"),
+        cents.alias("cents"),
+        F.col("o_orderdate").alias("tx_from"),
+        F.lit(1).alias("ver"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("vd"),
+        (cents + 500).alias("cents"),
+        F.date_add(F.col("o_orderdate"), 30).alias("tx_from"),
+        F.lit(2).alias("ver"),
+    )
+    v = v1.unionByName(v2)
+    ts = F.explode(
+        F.array(
+            F.lit(_BT_T1).cast("date"), F.lit(_BT_T2).cast("date")
+        )
+    ).alias("asof_d")
+    vis = (
+        v.select("k", "vd", "cents", "tx_from", "ver", ts)
+        .filter(F.col("tx_from") <= F.col("asof_d"))
+    )
+    wpick = Window.partitionBy("asof_d", "k").orderBy(
+        F.col("tx_from").desc(), F.col("ver").desc()
+    )
+    return (
+        vis.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.date_format("asof_d", "yyyy-MM-dd").alias("asof_date"),
+            F.year("vd").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.when(F.col("ver") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrected"),
+        )
+    )
