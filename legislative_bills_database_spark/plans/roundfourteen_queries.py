@@ -1947,6 +1947,11 @@ def q_quantile_merge(spark, sf_dir):
         cum.join(F.broadcast(targets), F.col("cumw") >= F.col("t_w") + 1)
         .groupBy("p")
         .agg(F.min("v").alias("est_cents"))
+        # EAGER: est feeds both the output row and the rank_err probe —
+        # a lazy checkpoint leaves the non-equi subtree duplicated in
+        # the composed plan (3 BNLJ, breaching the ≤2 census rule);
+        # materializing the 3-row frame here keeps one BNLJ per probe
+        .localCheckpoint(eager=True)
     )
     wgl = Window.orderBy("v", "shard", "k")
     gre = vals.select(
