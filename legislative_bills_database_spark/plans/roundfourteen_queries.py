@@ -1314,14 +1314,28 @@ def q_matrix_profile(spark, sf_dir):
         .filter(F.col(f"r{_MP_M - 1}").isNotNull())
         .localCheckpoint(eager=False)  # both sides of the band join
     )
+    # Bucketed band join: equi-joining on n_name alone would cross
+    # each series against itself (n² candidates per series — 144M at
+    # sf0.1) and filter the band afterwards. Bucketing positions at
+    # band width B makes it an EQUI join on (series, bucket): j ∈
+    # [i+m, i+B] implies bucket(j) ∈ {bucket(i), bucket(i)+1}, so the
+    # probe side explodes two bucket keys and candidates drop to
+    # O(n·B) — the range_join binning discipline.
     a = sub.select(
         "n_name",
         F.col("p").alias("i"),
+        F.explode(
+            F.array(
+                F.expr(f"p div {_MP_B}"),
+                F.expr(f"p div {_MP_B} + 1"),
+            )
+        ).alias("kb"),
         *[F.col(f"r{k}").alias(f"a{k}") for k in range(_MP_M)],
     )
     b = sub.select(
         F.col("n_name").alias("nb"),
         F.col("p").alias("j"),
+        F.expr(f"p div {_MP_B}").alias("jb"),
         *[F.col(f"r{k}").alias(f"b{k}") for k in range(_MP_M)],
     )
     d2 = None
@@ -1330,12 +1344,19 @@ def q_matrix_profile(spark, sf_dir):
             F.col(f"a{k}") - F.col(f"b{k}")
         )
         d2 = t if d2 is None else d2 + t
-    pairs = a.join(
-        b,
-        (F.col("n_name") == F.col("nb"))
-        & (F.col("j") >= F.col("i") + _MP_M)
-        & (F.col("j") <= F.col("i") + _MP_B),
-    ).select("n_name", "i", "j", d2.alias("d2"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("n_name") == F.col("nb"))
+            & (F.col("kb") == F.col("jb"))
+            & (F.col("j") >= F.col("i") + _MP_M)
+            & (F.col("j") <= F.col("i") + _MP_B),
+        )
+        .select("n_name", "i", "j", d2.alias("d2"))
+        # both union legs read this — Spark replays the band join per
+        # leg otherwise (no common-subplan reuse across union inputs)
+        .localCheckpoint(eager=False)
+    )
     bidir = pairs.unionByName(
         pairs.select(
             "n_name",
@@ -1344,11 +1365,19 @@ def q_matrix_profile(spark, sf_dir):
             "d2",
         )
     )
-    wprof = Window.partitionBy("n_name", "i").orderBy("d2", "j")
+    # per-position nearest neighbor as a min-STRUCT aggregate (map-side
+    # partial combine over the O(n·band) pair stream) — the lexicographic
+    # (d2, j) minimum is exactly the ROW_NUMBER(ORDER BY d2, j) = 1 pick
+    # the DuckDB twin makes, without sorting the pair frame in a window
     prof = (
-        bidir.withColumn("rn", F.row_number().over(wprof))
-        .filter(F.col("rn") == 1)
-        .select("n_name", "i", F.col("j").alias("nn"), "d2")
+        bidir.groupBy("n_name", "i")
+        .agg(F.min(F.struct("d2", "j")).alias("m"))
+        .select(
+            "n_name",
+            "i",
+            F.col("m.j").alias("nn"),
+            F.col("m.d2").alias("d2"),
+        )
         .localCheckpoint(eager=False)  # motif + discord heads
     )
     wmot = Window.partitionBy("n_name").orderBy("d2", "i", "nn")
