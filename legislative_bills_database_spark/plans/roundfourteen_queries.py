@@ -1194,7 +1194,7 @@ _MP_B = 90   # band: candidate neighbors within this many positions
     WITH daily AS (
       SELECT n.n_name, o.o_orderdate AS d,
              CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
-                  AS BIGINT) AS rev
+                  AS BIGINT) // 100 AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1270,8 +1270,10 @@ def q_matrix_profile(spark, sf_dir):
     neighbor — the classic series anomaly).
 
     Engine parity: integer-cents subsequence vectors, BIGINT squared
-    euclidean (non-normalized profile — absolute-shape motifs; diff²
-    ≤ 1.4e16·4 at sf1, inside BIGINT), and every min/argmin is a
+    euclidean (non-normalized profile over whole-DOLLAR daily sums —
+    absolute-shape motifs; dollars bound the 4-term diff² sum by
+    ~2.6e14 at sf1 where cents overflowed BIGINT on the clustered
+    replication fixture), and every min/argmin is a
     deterministic ROW_NUMBER tie-break, so the whole profile
     hash-matches the DuckDB twin.
 
@@ -1293,7 +1295,14 @@ def q_matrix_profile(spark, sf_dir):
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.col("o_orderdate").alias("d"))
-        .agg(F.sum(cents).cast("long").alias("rev"))
+        # distance arithmetic runs on whole DOLLARS (exact floor-div of
+        # the non-negative cents sum, identical in both engines): at
+        # cents grain a replicated/clustered fixture can push the
+        # 4-term diff² sum past 2^63 (measured: ARITHMETIC_OVERFLOW at
+        # sf1) — dollars bound diff²·4 by ~2.6e14 at sf1, four orders
+        # of magnitude of headroom
+        .agg(F.expr("CAST(sum(CAST(ROUND(o_totalprice * 100) AS LONG))"
+                    " AS LONG) div 100").alias("rev"))
     )
     wpos = Window.partitionBy("n_name").orderBy("d")
     pos = daily.select(

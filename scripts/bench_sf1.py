@@ -104,6 +104,20 @@ EXTRA_HEAVY = [
     # is CAPPED at vec_id < 1500 by design, so the sf1 point measures
     # the cap, not scaling; the ANN candidate path is the documented
     # scale story, certified by the recall family)
+    # round-14 newcomers with data-sized plans: the ER composition
+    # (blocked self-join + CC + survivorship window), the SAX/matrix-
+    # profile series pipelines (banded self-join for the latter), the
+    # cell-capped DBSCAN + its two-pipeline agreement certificate, the
+    # MIS loop, the series xcorr + IVM/uplift/bitemporal fact scans,
+    # the shard-rank quantile merge, the KMV distinct pre-passes, and
+    # the runtime-filter census (runs its join twice per invocation).
+    # (q_stream_rate_limit ABSENT like the other stream censuses —
+    # wall time is micro-batch overhead by design.)
+    "q_er_clusters", "q_sax_motifs", "q_dbscan_capped",
+    "q_dbscan_recall", "q_luby_mis", "q_xcorr_matrix",
+    "q_kmv_resemblance", "q_matrix_profile", "q_ivm_agg",
+    "q_runtime_filter_census", "q_uplift_qini", "q_quantile_merge",
+    "q_bitemporal_asof",
 ]
 BASELINE_21 = [
     "q_pivot_count", "q_rowwise_total", "q_fallback_join",

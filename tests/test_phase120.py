@@ -45,7 +45,7 @@ class TestMatrixProfile:
         assert {r.motif_i, r.motif_nn} == {10, 30}
         # discord: a subsequence covering the spike (positions 47-50)
         assert 47 <= r.discord_i <= 50
-        assert r.discord_d2 > 10**14  # ~ (1e6 cents-diff)² scale
+        assert r.discord_d2 > 10**11  # ~ (1e6 dollar-diff)² scale
 
     def test_profile_band_and_exclusion(self, spark):
         """Fixture sanity at sf0.01: motif/discord positions within the
