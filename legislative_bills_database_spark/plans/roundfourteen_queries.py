@@ -37,7 +37,45 @@ def _fs_match_pairs(cust: DataFrame) -> DataFrame:
     at PAIR grain instead of score-histogram grain. Same blocking
     (nation × segment × $1000 band), same four-field integer weights,
     so the pair set is exactly the one the blocked scorer's pinned
-    histogram counts."""
+    histogram counts.
+
+    Scale interlock (the basket.MAX_EXACT_PAIRS discipline): ANY
+    fixed-cardinality block key leaves pair growth quadratic in |C|
+    with a smaller constant — measured 30.9× for the whole ER
+    composition at sf1 (BENCH_SF1) on top of q_fellegi_blocked's own
+    12.6×. Blocking finer on any single FS field is NOT a valid
+    escape here: the weights are such that a pair disagreeing on one
+    field still clears the match threshold, so a finer single-field
+    block provably loses real matches. Past the pair cliff the
+    documented route is a candidate generator whose key count grows
+    with the data — the banded-MinHash machinery (operators/dedup)
+    with FS as the scorer — and this helper REFUSES rather than run
+    the quadratic, naming that route."""
+    from ..operators.basket import MAX_EXACT_PAIRS, refuse_excess_fanout
+
+    refuse_excess_fanout(
+        cust.select(
+            F.concat_ws(
+                "|",
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+                (
+                    (
+                        F.round(F.col("c_acctbal") * 100).cast("long")
+                        - F.round(F.col("c_acctbal") * 100).cast("long")
+                        % F.lit(100_000).cast("long")
+                    )
+                    / F.lit(100_000).cast("long")
+                )
+                .cast("long")
+                .cast("string"),
+            ).alias("__blk")
+        ),
+        "__blk",
+        MAX_EXACT_PAIRS,
+        "LSH-blocked candidate generation (operators/dedup banded "
+        "MinHash) scored by the same FS weights",
+    )
     a = cust.alias("a")
     b = cust.alias("b")
     pa = F.round(F.col("a.c_acctbal") * 100).cast("long")

@@ -99,8 +99,8 @@ def main() -> None:
         doc["sf0.1_per_plan_denominators"][name] = t01
         doc["ratio_vs_sf0.1"][name] = ratio
         doc.setdefault("ratio_vs_sf0.1_calibadj", {})[name] = ratio
-        if name not in doc.get("extra_heavy", []):
-            doc.setdefault("extra_heavy", []).append(name)
+        # extra_heavy maps name -> sf1 seconds in the standing artifact
+        doc.setdefault("extra_heavy", {})[name] = t1
     doc["value"] = round(sum(doc["queries"].values()), 3)
     doc.setdefault("merged_cells", {})["r14_newcomers"] = {
         "names": names,

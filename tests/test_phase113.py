@@ -102,3 +102,24 @@ class TestErClusters:
         rows = QUERIES["q_er_clusters"](spark, SF01).collect()
         got = Counter(r.n_members for r in rows)
         assert got == expected
+
+
+def test_er_pair_generation_refuses_past_cliff(spark, monkeypatch):
+    """The ER candidate generator is interlocked (r14 BENCH_SF1: the
+    composition measured 30.9x at sf1): past the predicted-pair budget
+    it must refuse, naming the LSH-blocked route — never run the
+    quadratic silently."""
+    import pytest
+
+    from legislative_bills_database_spark.io import load_table
+    from legislative_bills_database_spark.plans import (
+        roundfourteen_queries as r14,
+    )
+    from legislative_bills_database_spark.operators import basket
+
+    cust = load_table(spark, SF01, "customer")
+    # the helper from-imports the constant at CALL time, so patching
+    # the module attribute is seen by the next invocation
+    monkeypatch.setattr(basket, "MAX_EXACT_PAIRS", 10)
+    with pytest.raises(ValueError, match="LSH-blocked"):
+        r14._fs_match_pairs(cust)
