@@ -68,6 +68,7 @@ _WINDOW = [
     "q_uplift_qini",
     "q_quantile_merge",
     "q_bitemporal_asof",
+    "q_ppr",
     "q_orc_roundtrip",
     "q_pack_chunks",
     "q_pagerank",
@@ -102,7 +103,6 @@ _WINDOW = [
     "q_bucketed_join",
     "q_capped_runsum",
     "q_cdc_extract",
-    "q_closeness",
 ]
 assert len(_WINDOW) <= 50, f"driver window overflow: {len(_WINDOW)}"
 

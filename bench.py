@@ -561,6 +561,8 @@ HEADLINE = [
     "q_uplift_qini",
     "q_quantile_merge",
     "q_bitemporal_asof",
+    # round-14 phase 126: personalized PageRank (8-round loop)
+    "q_ppr",
 ]
 
 

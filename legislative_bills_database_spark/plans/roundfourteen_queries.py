@@ -2171,3 +2171,148 @@ def q_bitemporal_asof(spark, sf_dir):
             .alias("n_corrected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# phase 126: personalized PageRank (seed-restart fixed-point, exact)
+# ---------------------------------------------------------------------------
+
+_PPR_TOTAL = 100_000_000
+_PPR_DAMP_PPM = 850_000
+_PPR_ROUNDS = 8
+_PPR_SEED_MOD = 10  # seeds: node % 10 == 0
+
+
+def _sql_ppr(rounds: int) -> str:
+    seed = f"node % {_PPR_SEED_MOD} = 0"
+    steps = [
+        f"""
+    p0 AS (
+      SELECT node,
+             CAST(CASE WHEN {seed}
+                  THEN {_PPR_TOTAL} // (SELECT n FROM nseed)
+                  ELSE 0 END AS BIGINT) AS v
+      FROM nodes
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node % {_PPR_SEED_MOD} = 0
+                  THEN (SELECT b FROM baseseed) ELSE 0 END
+                  + COALESCE(SUM(((r.v * {_PPR_DAMP_PPM}) // 1000000)
+                                 // w.deg), 0) AS BIGINT) AS v
+      FROM nodes n
+      LEFT JOIN ws w ON w.dst = n.node
+      LEFT JOIN p{i - 1} r ON r.node = w.src
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 97 = 0 GROUP BY 1, 2
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    edges AS (SELECT DISTINCT src, dst FROM sym),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nseed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes WHERE {seed}
+    ),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+    ),
+    ws AS (SELECT e2.src, e2.dst, d.deg
+           FROM edges e2 JOIN outdeg d USING (src)),
+    baseseed AS (
+      SELECT CAST((({_PPR_TOTAL} // (SELECT n FROM nseed)) * 150000)
+                  // 1000000 AS BIGINT) AS b
+    ),
+    {",".join(steps)}
+    SELECT node, v AS ppr_scaled,
+           ROUND(CAST(v AS DOUBLE) / (SELECT SUM(v) FROM p{rounds}), 6)
+             AS ppr
+    FROM p{rounds} WHERE v > 0
+    """
+
+
+@query("q_ppr", _sql_ppr(_PPR_ROUNDS))
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (seed-restart random walk) over the
+    co-purchase graph — q_pagerank_exact's recommendation-flavored
+    sibling: teleport mass returns ONLY to a seed set (every 10th
+    part), so the fixed point measures proximity TO THE SEEDS — the
+    "customers who bought these also gravitate to…" primitive behind
+    graph-based recommendation and local community scoring, where
+    global PageRank measures overall centrality.
+
+    Same hash-certification discipline as q_pagerank_exact: rank mass
+    quantized to 1e8 BIGINTs, damping in ppm, eight power sweeps of
+    integer floor-divided gathers, the DuckDB twin a chained CTE —
+    bit-identical in any engine and summation order. The symmetric
+    graph has no dangling nodes, so walk mass only leaks through
+    floor-division and the restart term re-concentrates on seeds;
+    nodes never reached (v = 0 — unreachable from every seed under 8
+    sweeps) drop from the output in both engines.
+
+    Scale shape: per-round one key-join of the rank vector against
+    the (src, dst, deg) edge list + one sum — the distributed PageRank
+    shape; rounds checkpoint eagerly (O(1) plan depth); seed count
+    scales with the graph, the walk frontier with the seeds."""
+    from ..session import release_checkpoint
+
+    from .roundfive_queries import _copurchase_edges
+
+    canon = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    edges = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    ws = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = ws.select(F.col("src").alias("node")).distinct()
+    is_seed = F.col("node") % _PPR_SEED_MOD == 0
+    n_seeds = nodes.filter(is_seed).count()  # bounded: |sampled parts|
+    seed_v = _PPR_TOTAL // n_seeds
+    seed_base = (seed_v * 150_000) // 1_000_000
+    v = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(seed_v)).otherwise(0).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_PPR_ROUNDS):
+        contrib = (
+            v.join(ws, v.node == ws.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"((v * {_PPR_DAMP_PPM}) div 1000000) div deg"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("cs"))
+        )
+        new_v = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(seed_base)).otherwise(0)
+                    + F.coalesce(F.col("cs"), F.lit(0))
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(v)
+        v = new_v
+    v = v.filter(F.col("v") > 0)
+    tot = v.agg(F.sum("v").alias("tv"))
+    return v.join(F.broadcast(tot)).select(
+        "node",
+        F.col("v").alias("ppr_scaled"),
+        F.round(F.col("v").cast("double") / F.col("tv"), 6).alias("ppr"),
+    )

@@ -100,3 +100,25 @@ class TestBitemporalAsof:
         for y, r in t1.items():
             assert r.n_corrected <= t2[y].n_corrected
             assert r.n_orders <= t2[y].n_orders
+
+
+class TestPpr:
+    def test_seed_localization_and_floor(self, spark):
+        """PPR must concentrate mass toward the seed set: every seed
+        keeps at least its teleport floor, and the seeds' mass share
+        strictly exceeds their population share (the localization that
+        distinguishes PPR from global PageRank)."""
+        from legislative_bills_database_spark.plans import QUERIES
+        from legislative_bills_database_spark.plans.roundfourteen_queries import (
+            _PPR_SEED_MOD,
+        )
+
+        rows = QUERIES["q_ppr"](spark, SF01).collect()
+        assert rows and all(r.ppr_scaled > 0 for r in rows)
+        total = sum(r.ppr for r in rows)
+        assert abs(total - 1.0) < 0.001
+        seeds = [r for r in rows if r.node % _PPR_SEED_MOD == 0]
+        assert seeds
+        seed_share = sum(r.ppr for r in seeds)
+        pop_share = len(seeds) / len(rows)
+        assert seed_share > pop_share
