@@ -257,6 +257,11 @@ def bfs_hops(
     )
     levels: list[DataFrame] = [f0]
     try:
+        # r14 optimization: the emptiness probe rides the eager
+        # checkpoint as an observe() metric (the k_core trick) — one
+        # job per round instead of checkpoint + isEmpty probe.
+        from pyspark.sql import Observation
+
         prev, cur = None, f0
         for _h in range(1, max_hops + 1):
             nxt = (
@@ -267,8 +272,11 @@ def bfs_hops(
             )
             if prev is not None:
                 nxt = nxt.join(prev, "node", "left_anti")
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            obs = Observation()
+            nxt = nxt.observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            if obs.get["n"] == 0:
                 release_checkpoint(nxt)
                 break
             levels.append(nxt)
@@ -574,6 +582,10 @@ def _msbfs_mask_chunk(
         [(s, 1 << i) for i, s in enumerate(chunk)], mask_schema
     ).localCheckpoint(eager=True)
     levels: list[DataFrame] = [f0]
+    # r14 optimization: emptiness probe rides the eager checkpoint as
+    # an observe() metric — one job per round instead of two.
+    from pyspark.sql import Observation
+
     prev, cur = None, f0
     for _h in range(1, max_hops + 1):
         cand = (
@@ -583,6 +595,7 @@ def _msbfs_mask_chunk(
         )
         vis = cur if prev is None else cur.unionByName(prev)
         vn = vis.groupBy("node").agg(F.bit_or("mask").alias("vmask"))
+        obs = Observation()
         nxt = (
             cand.join(vn, "node", "left")
             .select(
@@ -594,9 +607,10 @@ def _msbfs_mask_chunk(
                 .alias("mask"),
             )
             .filter(F.col("mask") != 0)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             release_checkpoint(nxt)
             break
         levels.append(nxt)
@@ -837,9 +851,13 @@ def betweenness_sampled(
             F.lit(1).cast("long").alias("sigma"),
         ).localCheckpoint(eager=True)
     }
-    visited = lvl[0].select("seed", "node").localCheckpoint(eager=True)
+    # r14 optimization: the visited set is a LAZY union of the (already
+    # materialized) level checkpoints instead of its own re-checkpointed
+    # union every level — the anti-join reads the same blocks either
+    # way, and one eager-checkpoint job per level disappears (forward
+    # pass 2 jobs/level → 1).
+    visited = lvl[0].select("seed", "node")
     for k in range(1, max_depth + 1):
-        prev_visited = visited
         cand = (
             lvl[k - 1]
             .join(sym, lvl[k - 1]["node"] == sym["src"])
@@ -851,11 +869,7 @@ def betweenness_sampled(
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .localCheckpoint(eager=True)
         )
-        visited = (
-            visited.unionByName(lvl[k].select("seed", "node"))
-            .localCheckpoint(eager=True)
-        )
-        release_checkpoint(prev_visited)
+        visited = visited.unionByName(lvl[k].select("seed", "node"))
     delta: dict[int, DataFrame] = {
         max_depth: lvl[max_depth].withColumn(
             "delta", F.lit(0).cast("long")
@@ -901,7 +915,12 @@ def betweenness_sampled(
                 .cast("long")
                 .alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            # r14: lazy — the backward chain has no driver decisions,
+            # so the final aggregate materializes all levels in ONE job
+            # (each level's blocks cached when computed, reused by the
+            # level below and by the output union). Plan stays compact:
+            # a lazy localCheckpoint is already a LogicalRDD leaf.
+            .localCheckpoint(eager=False)
         )
     out = None
     for k in range(1, max_depth + 1):
@@ -1103,7 +1122,16 @@ def boruvka_msf(
         "node", F.col("node").alias("comp")
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
-    forest = spark.createDataFrame([], "src long, dst long, w long")
+    # r14 optimization (the greedy_maximal_matching restructure): the
+    # cross-edge emptiness probe rides the cross checkpoint as an
+    # observe() metric; the per-round selection is a LAZY checkpoint
+    # materialized by the contraction's own actions; the forest
+    # accumulates as a lazy union of the materialized selections
+    # (≤ |V|−1 rows total — result-sized) instead of re-checkpointing
+    # a growing union every round. ~3 fewer jobs per round.
+    from pyspark.sql import Observation
+
+    picks: list[DataFrame] = []
     converged = False
     try:
         for _ in range(max_rounds):
@@ -1113,13 +1141,15 @@ def boruvka_msf(
             cd = lab.select(
                 F.col("node").alias("dst"), F.col("comp").alias("cd")
             )
+            obs = Observation()
             cross = (
                 e.join(cs, "src")
                 .join(cd, "dst")
                 .filter(F.col("cs") != F.col("cd"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            if cross.limit(1).count() == 0:
+            if obs.get["n"] == 0:
                 release_checkpoint(cross)
                 converged = True
                 break
@@ -1137,11 +1167,11 @@ def boruvka_msf(
                     F.col("e.dst").alias("dst"),
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
+                # lazy: materialized by the contraction below (selpairs
+                # feeds connected_components, whose first action
+                # computes it); blocks held for the final forest union
+                .localCheckpoint(eager=False)
             )
-            prev_forest = forest
-            forest = forest.unionByName(sel).localCheckpoint(eager=True)
-            release_checkpoint(prev_forest)
             # contract: CC over the component-grain selection graph
             selpairs = sel.join(
                 cross.select("src", "dst", "cs", "cd"), ["src", "dst"]
@@ -1159,9 +1189,9 @@ def boruvka_msf(
                 )
                 .localCheckpoint(eager=True)
             )
+            picks.append(sel)
             release_checkpoint(lab)
             release_checkpoint(cross)
-            release_checkpoint(sel)
             lab = newlab
         if not converged:
             # the final round's contraction may have finished the job;
@@ -1188,6 +1218,9 @@ def boruvka_msf(
     finally:
         release_checkpoint(lab)
         release_checkpoint(e)
+    forest = spark.createDataFrame([], "src long, dst long, w long")
+    for sel in picks:
+        forest = forest.unionByName(sel)
     return forest
 
 
@@ -1226,18 +1259,35 @@ def greedy_maximal_matching(
     localCheckpoint-ed and released per round, O(1) plan depth.
     Returns the matched edges (src, dst, w); weights cast to long so
     min-structs are exact and engine-portable.
+
+    r14 optimization (guide §1.2 "remove passes" applied to driver
+    actions): each round is now ONE Spark job instead of five. The
+    surviving-edge count rides the round's eager checkpoint as an
+    ``observe()`` metric (the k_core trick — kills the
+    ``limit(1).count()`` probe job); the per-round pick frame is
+    localCheckpoint(eager=False)-ed and materialized as a side effect
+    of the same job (its blocks are pinned when the anti-join computes
+    it), and the matching accumulates as a LAZY union of those
+    materialized pick frames instead of re-checkpointing a growing
+    union every round (measured before: 91 jobs at sf0.1; after: ~1 +
+    rounds). Pick frames total ≤ |V|/2 rows across ALL rounds — the
+    same order as the result itself — so holding their blocks to the
+    end costs what the old single matching checkpoint cost.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).localCheckpoint(eager=True)
     spark = edges.sparkSession
-    matching = spark.createDataFrame([], "src long, dst long, w long")
+    picks: list[DataFrame] = []
+    n_edges = None  # None = unknown (first round probes via the ckpt)
     converged = False
     try:
         for _ in range(max_rounds):
-            if e.limit(1).count() == 0:
+            if n_edges == 0:
                 converged = True
                 break
             est = F.struct("w", "src", "dst")
@@ -1260,18 +1310,16 @@ def greedy_maximal_matching(
                 .join(md, "dst")
                 .filter((est == F.col("m_src")) & (est == F.col("m_dst")))
                 .select("src", "dst", "w")
-                .localCheckpoint(eager=True)
+                # lazy: materialized (and lineage-truncated) inside the
+                # nxt checkpoint job below, which reads it twice
+                .localCheckpoint(eager=False)
             )
-            prev_matching = matching
-            matching = matching.unionByName(sel).localCheckpoint(
-                eager=True
-            )
-            release_checkpoint(prev_matching)
             matched = (
                 sel.select(F.col("src").alias("node"))
                 .unionByName(sel.select(F.col("dst").alias("node")))
                 .distinct()
             )
+            obs = Observation()
             nxt = (
                 e.join(
                     matched.select(F.col("node").alias("src")),
@@ -1283,12 +1331,14 @@ def greedy_maximal_matching(
                     "dst",
                     "left_anti",
                 )
+                .observe(obs, F.count(F.lit(1)).alias("edges"))
                 .localCheckpoint(eager=True)
             )
+            n_edges = obs.get["edges"]
+            picks.append(sel)
             release_checkpoint(e)
-            release_checkpoint(sel)
             e = nxt
-        if not converged and e.limit(1).count() > 0:
+        if not converged and n_edges != 0:
             raise RuntimeError(
                 f"greedy_maximal_matching: edges remain after "
                 f"{max_rounds} rounds — matching would be non-maximal; "
@@ -1296,6 +1346,9 @@ def greedy_maximal_matching(
             )
     finally:
         release_checkpoint(e)
+    matching = spark.createDataFrame([], "src long, dst long, w long")
+    for sel in picks:
+        matching = matching.unionByName(sel)
     return matching
 
 
@@ -1359,11 +1412,22 @@ def luby_mis(
     # all_nodes' blocks
     active = all_nodes.select("node", "pr").localCheckpoint(eager=True)
     e = sym.localCheckpoint(eager=True)
-    mis = spark.createDataFrame([], "node long")
+    # r14 optimization (guide §1.2 on driver actions — the
+    # greedy_maximal_matching restructure): 5 jobs/round → 2. The
+    # emptiness probe rides nxt_active's eager checkpoint as an
+    # observe() metric; winners is a LAZY checkpoint materialized as a
+    # side effect of that same job (nxt_active anti-joins the dead set
+    # derived from it); the MIS accumulates as a lazy union of the
+    # materialized winner frames (≤ |V| rows total — result-sized)
+    # instead of re-checkpointing a growing union every round.
+    from pyspark.sql import Observation
+
+    winner_frames: list[DataFrame] = []
+    n_active = None  # None = unknown before the first round
     converged = False
     try:
         for _ in range(max_rounds):
-            if active.limit(1).count() == 0:
+            if n_active == 0:
                 converged = True
                 break
             nbr_min = (
@@ -1386,11 +1450,8 @@ def luby_mis(
                     F.col("pr") < F.coalesce(F.col("nbr_min"), F.lit("~"))
                 )
                 .select("node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            prev_mis = mis
-            mis = mis.unionByName(winners).localCheckpoint(eager=True)
-            release_checkpoint(prev_mis)
             dead = (
                 winners.unionByName(
                     e.join(
@@ -1399,9 +1460,14 @@ def luby_mis(
                 )
                 .distinct()
             )
-            nxt_active = active.join(dead, "node", "left_anti").localCheckpoint(
-                eager=True
+            obs = Observation()
+            nxt_active = (
+                active.join(dead, "node", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("active"))
+                .localCheckpoint(eager=True)
             )
+            n_active = obs.get["active"]
+            winner_frames.append(winners)
             nxt_e = (
                 e.join(
                     dead.select(F.col("node").alias("src")), "src", "left_anti"
@@ -1413,14 +1479,16 @@ def luby_mis(
             )
             release_checkpoint(active)
             release_checkpoint(e)
-            release_checkpoint(winners)
             active, e = nxt_active, nxt_e
-        if not converged and active.limit(1).count() > 0:
+        if not converged and n_active != 0:
             raise RuntimeError(
                 f"luby_mis: active nodes remain after {max_rounds} "
                 f"rounds — the set would be non-maximal; raise "
                 f"max_rounds"
             )
+        mis = spark.createDataFrame([], "node long")
+        for w_ in winner_frames:
+            mis = mis.unionByName(w_)
         return all_nodes.join(
             mis.select(F.col("node").alias("m"), F.lit(1).alias("f")),
             all_nodes["node"] == F.col("m"),

@@ -1134,7 +1134,17 @@ def q_random_walk(spark, sf_dir):
     neighbor fan-out — the hot-node cost is one window sort, never a
     pair blowup. At corpus scale you'd run thousands of walks per
     node: same plan, wider frontier, the per-(walk, step) argmin stays
-    one combined window pass."""
+    one combined window pass.
+
+    r14 optimization (guide §2.4/§3.1): each step's frontier is
+    localCheckpoint(eager=False)-ed — without it the step-t union leg
+    AND the step-t+1 join each replay the whole t-step join chain
+    (measured: 62 Exchanges / 178 operators in the final plan, the
+    census's worst row), vs computed-once frontiers (plan drops to one
+    window exchange per step). The ≤|seeds|-row frontier is explicitly
+    broadcast into the edge join — size estimates on an ExistingRDD
+    leaf made Catalyst pick a SortMergeJoin that shuffled the FULL
+    edge layout every step."""
     orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
     edges = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
@@ -1159,11 +1169,13 @@ def q_random_walk(spark, sf_dir):
         )
         w = Window.partitionBy("seed").orderBy(h.asc(), F.col("dst").asc())
         cur = (
-            cur.join(sym, cur.node == sym.src)
+            F.broadcast(cur)
+            .join(sym, cur.node == sym.src)
             .select("seed", "dst")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("seed", F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             cur.select("seed", F.lit(t).cast("long").alias("step"), "node")
