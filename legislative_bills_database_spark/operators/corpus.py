@@ -331,6 +331,13 @@ def substr_dup_spans(
         docs.filter(n >= k)
         .select(F.col(id_col), F.posexplode(dg_arr).alias("pos", "dg"))
         .select(id_col, F.col("pos").cast("long").alias("pos"), "dg")
+        # r14 optimization (guide §2.3/§5): the shingle frame feeds BOTH
+        # the digest aggregate and the join-back, and the two exchanges
+        # are not reuse-identical (one has a partial agg below it), so
+        # without this the sha2-per-position scan — the operator's
+        # dominant compute — ran twice per invocation. Lazy checkpoint:
+        # computed once, cached (MEMORY_AND_DISK) at digest grain.
+        .localCheckpoint(eager=True)
     )
     dgc = (
         sh.groupBy("dg")
@@ -523,6 +530,10 @@ def substr_dedup_strip(
         docs.filter(n >= k)
         .select(F.col(id_col), F.posexplode(dg_arr).alias("pos", "dg"))
         .select(id_col, F.col("pos").cast("long").alias("pos"), "dg")
+        # r14 optimization: same double-computation as substr_dup_spans
+        # (self-join on the digest aggregate) — sha2 shingling now runs
+        # once, cached at digest grain.
+        .localCheckpoint(eager=True)
     )
     dup = sh.join(
         sh.groupBy("dg")

@@ -176,7 +176,8 @@ def incremental_lsh_pairs(
     """
     batch_index = minhash_band_index(
         batch, id_col, text_col, num_hashes, bands, shingle_n
-    )
+    ).localCheckpoint(eager=False)  # r14: batch shingling feeds the
+    # union AND the probe side — compute once (minhash_lsh_pairs note)
     all_index = corpus_index.unionByName(batch_index)
 
     slim = all_index.select(
@@ -249,7 +250,16 @@ def minhash_lsh_pairs(
     """
     sig = minhash_band_index(
         df, id_col, text_col, num_hashes, bands, shingle_n
-    )
+    ).localCheckpoint(eager=True)
+    # r14 optimization (guide §2.3): the band index feeds BOTH sides of
+    # the bucket self-join AND the signature verification join-backs —
+    # with no common-subplan reuse across those consumers the shingle
+    # explode + 16 min-aggregates (the pipeline's dominant compute) ran
+    # ~4× per invocation (measured: 8 Generate-explode nodes, 0
+    # ReusedExchange in the executed plan). The lazy checkpoint computes
+    # it once and caches exactly the num_hashes-longs-per-doc index a
+    # production pipeline would materialize anyway (see
+    # minhash_band_index docstring) — text is never re-shingled.
     slim = sig.select(
         F.col(id_col),
         F.col("__band.band").alias("band"),

@@ -1131,12 +1131,15 @@ def q_bh_fdr(spark, sf_dir):
         ),
         "cust",
     )
-    perm = u.crossJoin(seeds).select(
-        "seed", "v", F.row_number().over(wp).alias("rn")
-    )
-    wc = Window.partitionBy("seed").orderBy("rn")
-    cum = perm.select(
-        "seed", "rn", F.sum("v").over(wc).cast("long").alias("cv")
+    # r14 optimization (guide §2.4): rn and the cumulative sum share
+    # ONE window pass — the old second window ordered by rn re-sorted
+    # the B×N frame, but rn is itself minted by wp's order and (seed,
+    # cust) keys are unique, so the default RANGE frame over wp equals
+    # the ROWS-cumulative over rn exactly. One Sort instead of two.
+    cum = u.crossJoin(seeds).select(
+        "seed",
+        F.row_number().over(wp).alias("rn"),
+        F.sum("v").over(wp).cast("long").alias("cv"),
     )
     ps = cum.join(gt, cum["rn"] == gt["n1"]).crossJoin(
         F.broadcast(tot)
