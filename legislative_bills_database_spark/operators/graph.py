@@ -770,11 +770,18 @@ def k_core_fixed(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.filter(F.col("degree") >= k)
-        ka = keep.select(F.col("n").alias("a"))
-        kb = keep.select(F.col("n").alias("b"))
+        # r14 optimization (guide §3.1): anti-join on the WEAK set
+        # instead of semi-join on the keep set — identical result
+        # (every node of und has a degree row, so keep ≡ complement of
+        # weak), but weak shrinks to a handful of nodes per round after
+        # the first peel, and AQE's runtime stats convert the anti-join
+        # to a broadcast automatically; the semi-join's keep side was
+        # most of the graph and forced a sort-merge of und every round.
+        weak = deg.filter(F.col("degree") < k)
+        wa = weak.select(F.col("n").alias("a"))
+        wb = weak.select(F.col("n").alias("b"))
         und = _ckpt(
-            und.join(ka, "a", "left_semi").join(kb, "b", "left_semi"),
+            und.join(wa, "a", "left_anti").join(wb, "b", "left_anti"),
             edge_counts,
         )
         release_checkpoint(prev)
@@ -842,7 +849,17 @@ def betweenness_sampled(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)  # reused by every level, both passes
+        # r14 optimization (guide §2.4): hash-partition ON THE JOIN KEY
+        # once and persist — the un-partitioned checkpoint layout was
+        # re-shuffled by every forward level AND every backward level
+        # (8 exchanges of the full edge list per invocation; measured
+        # 2-4 s per level at sf0.1). persist(), NOT localCheckpoint:
+        # a LogicalRDD drops outputPartitioning (verified — the join
+        # re-added an Exchange above the scan), while the cached
+        # relation keeps it, so per-level joins shuffle only the
+        # frontier (the bfs_hops/multi_source_bfs layout discipline).
+        .repartition("src")
+        .persist()
     )
     lvl: dict[int, DataFrame] = {
         0: seeds.select(
@@ -877,9 +894,13 @@ def betweenness_sampled(
     }
     for k in range(max_depth, 0, -1):
         succ = delta[k]
-        contrib = succ.join(sym, succ["node"] == sym["dst"]).select(
+        # join on sym.src (not dst) and project dst as the predecessor:
+        # sym is symmetric (edges ∪ reversed, distinct), so the (src→dst)
+        # and (dst→src) row sets are identical — this keeps the probe on
+        # the src-partitioned checkpoint layout (zero sym re-shuffle).
+        contrib = succ.join(sym, succ["node"] == sym["src"]).select(
             "seed",
-            F.col("src").alias("pnode"),
+            F.col("dst").alias("pnode"),
             F.col("sigma").alias("sigma_w"),
             "delta",
         )
@@ -1108,11 +1129,20 @@ def boruvka_msf(
     """
     from .dedup import connected_components
 
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
+    # r14 optimization (guide §2.4): the edge frame is FIXED across all
+    # rounds and joined on src every round — hash-partition it on src
+    # once and persist (persist, not localCheckpoint, preserves the
+    # partitioning; the betweenness_sampled lesson), so per-round label
+    # joins shuffle only the node-grain label frame.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1217,7 +1247,7 @@ def boruvka_msf(
                 )
     finally:
         release_checkpoint(lab)
-        release_checkpoint(e)
+        e.unpersist()
     forest = spark.createDataFrame([], "src long, dst long, w long")
     for sel in picks:
         forest = forest.unionByName(sel)

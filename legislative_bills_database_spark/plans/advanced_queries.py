@@ -319,23 +319,39 @@ def q_frequent_triples(spark, sf_dir):
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
-    ).localCheckpoint(eager=False)
+        # r14: eager, not lazy — AQE materializes independent query
+        # stages concurrently, and a lazy checkpoint shared by three
+        # consumers is recomputed in parallel before its cache fills
+        # (the minhash_lsh_pairs lesson)
+    ).localCheckpoint(eager=True)
     minsup = items.agg(
         F.ceil(F.count_distinct("oid") * 0.003).cast("long").alias("s")
     )
+    # l1 is eagerly checkpointed so its 1-row minsup BNLJ executes once
+    # and stays OUT of freq's lineage (the persisted freq below is
+    # referenced three times, which would replicate the BNLJ subtree in
+    # the plan — the test_plan_audit BNLJ budget)
     l1 = (
         items.groupBy("item")
         .agg(F.count("*").alias("n"))
         .join(F.broadcast(minsup))
         .filter(F.col("n") >= F.col("s"))
         .select("item")
+        .localCheckpoint(eager=True)
     )
     # localCheckpoint truncates the 1-row minsup broadcast out of freq's
     # lineage (BNLJ budget; the triple self-join references freq three
     # times and would replay it otherwise)
+    # repartition("oid")+persist rather than a checkpoint: the triple
+    # self-join probes freq three times on oid, and the persisted
+    # layout keeps its hash partitioning (a checkpoint drops it), so
+    # the candidate joins run exchange-free (guide §2.4)
     freq = (
-        items.join(F.broadcast(l1), "item").select("oid", "item")
-    ).localCheckpoint(eager=False)
+        items.join(F.broadcast(l1), "item")
+        .select("oid", "item")
+        .repartition("oid")
+        .persist()
+    )
     return (
         cooccurrence_triples(freq, "oid", "item")
         .join(F.broadcast(minsup))
@@ -1417,11 +1433,24 @@ def q_bootstrap_ci(spark, sf_dir):
     in the scan stage), decimal-exact weighted sums, one |reps|-row
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r14 optimization (guide §2.3 "narrower types"): quantities ride as
+    # exact LONG micro-units instead of decimal(18,6) — Spark's decimal
+    # sum was 3.6× the long sum on the 30M-row exploded frame (measured
+    # 6.7 s vs 1.9 s with the noop sink). The micro-unit sum converts to
+    # double and divides by 1e6 before the weight division: long→double
+    # is exact below 2^53 and the /1e6 is one correctly-rounded IEEE op,
+    # which equals BigDecimal(18,6).doubleValue() of the same exact
+    # rational — mean_b is BIT-IDENTICAL to the decimal path (verified
+    # at sf0.001/0.01/0.1), and the DuckDB twin is untouched. Bound:
+    # exact while Σ(v·w) per replicate < 2^53 µ-units (≈ sf 30); the
+    # fixture sums are ~1.5e12 at sf0.1.
     x = li.select(
         (
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 2147483647
         ).alias("rid"),
-        F.col("l_quantity").cast("decimal(18,6)").alias("v"),
+        (F.col("l_quantity").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v"),
     )
     reps = x.select(
         "rid",
@@ -1440,7 +1469,9 @@ def q_bootstrap_ci(spark, sf_dir):
     weighted = reps.select("b", "v", w.alias("w")).filter(F.col("w") > 0)
     means = weighted.groupBy("b").agg(
         (
-            F.sum(F.col("v") * F.col("w")).cast("double") / F.sum("w")
+            F.sum(F.col("v") * F.col("w")).cast("double")
+            / F.lit(1000000.0)
+            / F.sum("w")
         ).alias("mean_b")
     )
     return means.agg(

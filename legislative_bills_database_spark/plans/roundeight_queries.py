@@ -2120,12 +2120,16 @@ def q_levene_test(spark, sf_dir):
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # r14 optimization (guide §2.4): per-segment totals come from a
+    # 5-row aggregate broadcast back, not a second whole-partition
+    # Window (which buffers every partition's rows a second time in
+    # WindowExec); the running sum keeps the one seg-sorted pass.
+    n_by_seg = cnt.groupBy("seg").agg(F.sum("t").alias("n"))
     cum = cnt.select(
         "seg",
         "v",
         F.sum("t").over(wci).alias("ci"),
-        F.sum("t").over(Window.partitionBy("seg")).alias("n"),
-    )
+    ).join(F.broadcast(n_by_seg), "seg")
     med = (
         cum.filter(F.col("ci") >= F.expr("(n + 1) DIV 2"))
         .groupBy("seg")
