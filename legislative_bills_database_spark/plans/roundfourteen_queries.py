@@ -2272,8 +2272,19 @@ def q_ppr(spark, sf_dir):
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("deg")
     )
+    # r14 optimization (guide §2.4, the pagerank layout discipline):
+    # the weighted edge list is joined on src every round — partition
+    # it once and persist (persist keeps the partitioning where a
+    # checkpoint drops it); nodes is persisted too, else the lazy
+    # distinct re-ran an edge-grain shuffle inside every round's
+    # checkpoint job (its post-distinct hash partitioning on node also
+    # co-locates the per-round left join with contrib).
     ws = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    nodes = ws.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        ws.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     is_seed = F.col("node") % _PPR_SEED_MOD == 0
     n_seeds = nodes.filter(is_seed).count()  # bounded: |sampled parts|
     seed_v = _PPR_TOTAL // n_seeds
