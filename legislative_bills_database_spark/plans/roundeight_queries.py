@@ -905,7 +905,11 @@ def q_clustering_coeff(spark, sf_dir):
     e = (
         embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.3)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint(eager=False)
+        # r14: eager — the pair generator feeds deg (2 legs) + all three
+        # wedge-join sides; a lazy checkpoint is recomputed concurrently
+        # by AQE's parallel stage materialization before the cache fills
+        # (the minhash_lsh_pairs lesson)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
