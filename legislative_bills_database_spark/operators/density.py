@@ -194,7 +194,14 @@ def grid_dbscan(
     """
     from .dedup import connected_components
 
-    cells = with_cells(pts, eps, off).localCheckpoint(eager=False)
+    # r15 (VERDICT r14 #5, the r14 multi-consumer checkpoint rule):
+    # cells feeds BOTH sides of the stencil self-join (plus the price
+    # check); nbrs feeds deg, the core-core edge join and the border
+    # attach; core feeds both edge-filter sides and the border
+    # anti-join. All three were LAZY checkpoints — AQE materializes
+    # independent query stages concurrently, so each consumer could
+    # recompute the un-filled cache. EAGER computes each exactly once.
+    cells = with_cells(pts, eps, off).localCheckpoint(eager=True)
     if max_candidates is not None:
         pred = predicted_candidates(cells)
         if pred > max_candidates:
@@ -208,14 +215,14 @@ def grid_dbscan(
                 f"or pass max_candidates=None to force the exact plan "
                 f"deliberately."
             )
-    nbrs = stencil_neighbors(cells, eps2).localCheckpoint(eager=False)
+    nbrs = stencil_neighbors(cells, eps2).localCheckpoint(eager=True)
     deg = nbrs.groupBy("a_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_nb")
     )
     core = (
         deg.filter(F.col("n_nb") >= min_nb)
         .select(F.col("a_id").alias("vec_id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     core_a = core.select(F.col("vec_id").alias("a_id"))
     core_b = core.select(F.col("vec_id").alias("b_id"))
@@ -285,8 +292,9 @@ def cell_cap_split(
             F.col("vec_id"),
         )
     )
+    # r15: ranked feeds kept AND dropped — eager (multi-consumer rule)
     ranked = cells.select("vec_id", "x", "y", rk.alias("rk")).localCheckpoint(
-        eager=False
+        eager=True
     )
     kept = ranked.filter(F.col("rk") <= cap).select("vec_id", "x", "y")
     dropped = ranked.filter(F.col("rk") > cap).select("vec_id", "x", "y")

@@ -452,12 +452,39 @@ def k_core(
     )
 
 
+def symmetrized_layout(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Deduplicated symmetric (src, dst) adjacency, hash-partitioned on
+    ``src`` and persisted — the layout every level-synchronous frontier
+    join probes (persist, NOT localCheckpoint: a LogicalRDD drops
+    outputPartitioning, a cached relation keeps it — the r14
+    betweenness finding). NOT materialized here; callers that share the
+    layout across consumers should run one action (e.g. ``count()``)
+    before fan-out, and callers own the ``unpersist``."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+
+
 def multi_source_bfs(
     edges: DataFrame,
     seeds: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 6,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Per-seed minimum hop distances from EVERY seed simultaneously —
     the primitive under sampled closeness centrality, blast-radius
@@ -501,28 +528,29 @@ def multi_source_bfs(
     localCheckpoint + release keeps lineage and executor storage O(1)
     in rounds.
 
+    ``sym_layout``: an optional CALLER-OWNED symmetric (src, dst)
+    adjacency layout, already deduplicated, src-partitioned and
+    persisted (build it with :func:`symmetrized_layout`) — r15: the two
+    centrality queries over the purchase graph rebuilt + re-persisted
+    the identical 1.17 M-row layout per call (and unpersisted it on
+    return), so a per-(app, sf_dir) memo now shares ONE materialization
+    per session; the operator then neither builds nor unpersists it.
+
     Returns (seed, node, dist); each seed appears at dist 0.
     """
-    # distinct before the loop: see bfs_hops — duplicate adjacency on a
-    # hot node re-enters the frontier join every round (2.6× closeness
-    # degradation on the Zipf-skewed bench before this). Normalizing to
-    # (least, greatest) undirected pairs FIRST halves the distinct's
-    # exchange (|E| rows instead of 2|E|) and also merges (a,b)/(b,a)
-    # duplicates that per-direction distinct would keep.
-    und = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .repartition("src")
-        .persist()
-    )
+    if sym_layout is not None:
+        sym = sym_layout
+        owns_sym = False
+    else:
+        # distinct before the loop: see bfs_hops — duplicate adjacency
+        # on a hot node re-enters the frontier join every round (2.6×
+        # closeness degradation on the Zipf-skewed bench before this).
+        # Normalizing to (least, greatest) undirected pairs FIRST halves
+        # the distinct's exchange (|E| rows instead of 2|E|) and also
+        # merges (a,b)/(b,a) duplicates that per-direction distinct
+        # would keep.
+        sym = symmetrized_layout(edges, src_col, dst_col)
+        owns_sym = True
     spark = edges.sparkSession
     seed_vals = [
         r["seed"]
@@ -534,7 +562,8 @@ def multi_source_bfs(
     if not seed_vals:  # empty panel → empty result, correct schema
         from pyspark.sql.types import LongType, StructField, StructType
 
-        sym.unpersist()
+        if owns_sym:
+            sym.unpersist()
         return spark.createDataFrame(
             [],
             StructType(
@@ -558,7 +587,11 @@ def multi_source_bfs(
             out = out.unionByName(o)
         return out
     finally:
-        sym.unpersist()
+        # (safe pre-action: every level inside the chunk loop is an
+        # eager checkpoint, so the returned frame reads only checkpoint
+        # blocks + the broadcast seed map — never sym)
+        if owns_sym:
+            sym.unpersist()
 
 
 def _msbfs_mask_chunk(
@@ -810,6 +843,7 @@ def betweenness_sampled(
     seeds: DataFrame,
     max_depth: int = 4,
     scale: int = 1_000_000,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Sampled-source Brandes betweenness (Brandes 2001; sampling per
     Riondato & Kornaropoulos) with a FLOOR-QUANTIZED integer dependency
@@ -840,27 +874,42 @@ def betweenness_sampled(
     for sampled centrality; the purchase graph's eccentricity is 3 at
     every test SF, so 4 is exhaustive there). Returns (node,
     betweenness_q) for nodes with positive accumulated dependency;
-    divide by ``scale`` for the Brandes value."""
-    sym = (
-        edges.select("src", "dst")
-        .union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+    divide by ``scale`` for the Brandes value.
+
+    ``sym_layout``: optional CALLER-OWNED symmetric adjacency layout
+    (see :func:`multi_source_bfs` — same contract; only valid for
+    self-loop-free edge lists, where edges ∪ reversed ≡ the normalized
+    und ∪ reversed the shared builder produces). r15: without it each
+    invocation built AND leaked one persisted 1.17 M-row layout per
+    call (ADVICE r14 — no unpersist is possible in-function because
+    the returned lazy backward chain still reads sym at the caller's
+    first action); the per-(app, sf_dir) memo bounds that to one
+    documented session-lifetime layout shared with q_closeness /
+    q_harmonic_centrality."""
+    if sym_layout is not None:
+        sym = sym_layout
+    else:
+        sym = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
             )
+            .distinct()
+            # r14 optimization (guide §2.4): hash-partition ON THE JOIN
+            # KEY once and persist — the un-partitioned checkpoint
+            # layout was re-shuffled by every forward level AND every
+            # backward level (8 exchanges of the full edge list per
+            # invocation; measured 2-4 s per level at sf0.1). persist(),
+            # NOT localCheckpoint: a LogicalRDD drops outputPartitioning
+            # (verified — the join re-added an Exchange over the scan),
+            # while the cached relation keeps it, so per-level joins
+            # shuffle only the frontier (the bfs_hops/multi_source_bfs
+            # layout discipline).
+            .repartition("src")
+            .persist()
         )
-        .distinct()
-        # r14 optimization (guide §2.4): hash-partition ON THE JOIN KEY
-        # once and persist — the un-partitioned checkpoint layout was
-        # re-shuffled by every forward level AND every backward level
-        # (8 exchanges of the full edge list per invocation; measured
-        # 2-4 s per level at sf0.1). persist(), NOT localCheckpoint:
-        # a LogicalRDD drops outputPartitioning (verified — the join
-        # re-added an Exchange above the scan), while the cached
-        # relation keeps it, so per-level joins shuffle only the
-        # frontier (the bfs_hops/multi_source_bfs layout discipline).
-        .repartition("src")
-        .persist()
-    )
     lvl: dict[int, DataFrame] = {
         0: seeds.select(
             F.col("seed"),

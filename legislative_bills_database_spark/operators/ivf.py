@@ -193,3 +193,116 @@ def ivf_recall(
     if n_exact == 0:
         return 1.0
     return exact.join(approx, ["qid", "nid"], "left_semi").count() / n_exact
+
+
+def ivf_recall_sweep(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobes: list[int],
+    k: int = 5,
+) -> list[tuple[int, float]]:
+    """Recall@k for SEVERAL nprobe values from ONE shared set of frames
+    — the r15 optimization of the q_ivf_sweep shape (guide §2.3 shared
+    subplans). Per-point :func:`ivf_recall` recomputed the brute-force
+    exact side TWICE per call (its count and semi-join are separate
+    actions over a lazy frame) and re-assigned every vector to its
+    posting list per call — 6 exact-side executions and 3 assignment
+    passes for a 3-point sweep. Here:
+
+    - the exact top-k pair set is computed ONCE and eager-checkpointed
+      (≤ |queries|·k rows);
+    - vector posting assignments (nprobe=1) run ONCE;
+    - query probes run ONCE at max(nprobes) with their probe RANK kept
+      (``posexplode`` of the argsort order), because probed posting
+      lists are NESTED: the nprobe=n probe set is exactly the
+      rank ≤ n prefix of the max-nprobe argsort — same permutation,
+      same prefix — so every sweep point filters the same scored
+      candidate frame instead of rebuilding it;
+    - all sweep points then resolve in ONE job: union the rank-prefix
+      subsets labeled by nprobe, one window top-k per (nprobe, qid),
+      one semi-join against the exact pairs, one grouped count.
+
+    Returns [(nprobe, recall)] in input order — values IDENTICAL to
+    per-point ivf_recall (pinned in tests/test_ivf.py)."""
+    from .similarity import cosine_topk
+
+    cents = np.ascontiguousarray(centroids.astype(np.float64))
+    cent_sq = (cents**2).sum(axis=1)
+    max_np = min(max(nprobes), len(cents))
+
+    exact = (
+        cosine_topk(vectors, queries, id_col, vec_col, k=k)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    if n_exact == 0:
+        return [(int(n), 1.0) for n in nprobes]
+
+    @F.pandas_udf("array<int>")
+    def _nearest_ranked(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        dist = cent_sq[None, :] - 2.0 * (mat @ cents.T)
+        idx = np.argsort(dist, axis=1)[:, :max_np]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    q_assign = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(_nearest_ranked(F.col(vec_col))).alias(
+            "probe_pos", "centroid"
+        ),
+    )
+    v_assign = ivf_assignments(
+        vectors, id_col, vec_col, centroids, nprobe=1
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        l2_norm(F.col(vec_col)).alias("__nn"),
+    ).join(v_assign.select(F.col(id_col).alias("nid"), "centroid"), "nid")
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).join(q_assign, "qid")
+    scored = (
+        F.broadcast(q)
+        .join(v, "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "probe_pos",
+            (
+                dot(F.col("qv"), F.col("nv"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos"),
+        )
+        # EAGER: one consumer per sweep point (the r14 multi-consumer
+        # checkpoint rule); the frame is candidate-pair-grain, bounded
+        # by |queries| × probed posting lists
+        .localCheckpoint(eager=True)
+    )
+    labeled = None
+    for n in nprobes:
+        part = scored.filter(F.col("probe_pos") < int(n)).withColumn(
+            "np", F.lit(int(n))
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    w = Window.partitionBy("np", "qid").orderBy(F.desc("cos"), F.asc("nid"))
+    topk = (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("np", "qid", "nid")
+    )
+    hits = {
+        r["np"]: r["h"]
+        for r in topk.join(exact, ["qid", "nid"], "left_semi")
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .collect()
+    }
+    return [(int(n), hits.get(n, 0) / n_exact) for n in nprobes]

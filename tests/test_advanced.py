@@ -1027,3 +1027,39 @@ def test_skyline_two_level_fan_in_reduces_final_task_input(spark):
     assert n_level1 < n_candidates, (n_level1, n_candidates)
     # the final task sees at most fan_in already-reduced frontiers
     assert level1.rdd.getNumPartitions() <= 4
+
+
+def test_msbfs_shared_sym_layout_parity(spark):
+    """r15: multi_source_bfs with a caller-owned symmetrized_layout
+    must equal the self-built path (the q_closeness/q_harmonic shared
+    purchase-graph memo rides this contract)."""
+    import random
+
+    from legislative_bills_database_spark.operators.graph import (
+        multi_source_bfs,
+        symmetrized_layout,
+    )
+
+    rng = random.Random(11)
+    edges = [
+        (f"n{rng.randrange(30)}", f"m{rng.randrange(30)}")
+        for _ in range(90)
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("n1",), ("m2",)], "seed string")
+    want = sorted(
+        (r.seed, r.node, r.dist)
+        for r in multi_source_bfs(edf, seeds, max_hops=4).collect()
+    )
+    sym = symmetrized_layout(edf)
+    sym.count()
+    try:
+        got = sorted(
+            (r.seed, r.node, r.dist)
+            for r in multi_source_bfs(
+                edf, seeds, max_hops=4, sym_layout=sym
+            ).collect()
+        )
+    finally:
+        sym.unpersist()
+    assert got == want

@@ -48,3 +48,29 @@ def test_ivf_topk_recall(spark):
     recall = ivf_recall(emb, queries, "vec_id", "embedding", cents, nprobe=2, k=5)
     print(f"ivf_recall@top5 nprobe=2: {recall:.3f}")
     assert recall >= 0.5
+
+
+def test_ivf_recall_sweep_matches_per_point(spark):
+    """r15: ivf_recall_sweep shares one exact pass + one scored
+    candidate frame across all nprobe points — its values must be
+    IDENTICAL to per-point ivf_recall (nested-prefix equivalence), and
+    monotone non-decreasing in nprobe (nested posting lists)."""
+    from legislative_bills_database_spark.operators.ivf import (
+        ivf_recall_sweep,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, "embedding", k=8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    nprobes = [1, 2, 4]
+    swept = ivf_recall_sweep(
+        emb, queries, "vec_id", "embedding", cents, nprobes=nprobes, k=5
+    )
+    assert [n for n, _ in swept] == nprobes
+    for n, r in swept:
+        solo = ivf_recall(
+            emb, queries, "vec_id", "embedding", cents, nprobe=n, k=5
+        )
+        assert r == solo, (n, r, solo)
+    vals = [r for _, r in swept]
+    assert vals == sorted(vals)  # monotone in nprobe
