@@ -1505,12 +1505,35 @@ def q_bootstrap_ci(spark, sf_dir):
         .otherwise(3)
     )
     weighted = reps.select("b", "v", w.alias("w")).filter(F.col("w") > 0)
-    means = weighted.groupBy("b").agg(
-        (
-            F.sum(F.col("v") * F.col("w")).cast("double")
-            / F.lit(1000000.0)
-            / F.sum("w")
-        ).alias("mean_b")
+    # r15 (ADVICE r14): the long→double exactness bound (Σ(v·w) per
+    # replicate < 2^53 µ-units) now fails LOUDLY instead of silently
+    # diverging from the decimal-exact oracle past ~sf 30 — assert_true
+    # over the B≈50 replicate sums costs nothing; the guarded value is
+    # the identical expression (same casts, same division order).
+    guard = F.assert_true(
+        F.col("s_micro") < F.lit(1 << 53),
+        F.lit(
+            "q_bootstrap_ci: per-replicate micro-unit sum reached 2^53;"
+            " the long fast path is no longer bit-identical to the"
+            " decimal oracle — restore the decimal(18,6) sum for this"
+            " scale"
+        ),
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("s_micro"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "b",
+            F.when(
+                guard.isNull(),
+                F.col("s_micro").cast("double")
+                / F.lit(1000000.0)
+                / F.col("sw"),
+            ).alias("mean_b"),
+        )
     )
     return means.agg(
         F.count("*").cast("long").alias("n_reps"),
