@@ -201,6 +201,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 7,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over the UNDIRECTED graph —
     frontier-expansion BFS, the reachability primitive under "how far is
@@ -228,6 +229,10 @@ def bfs_hops(
     rows. True BFS reaches each node first at its minimum distance, so
     no min-aggregation pass is needed.
 
+    ``sym_layout``: optional CALLER-OWNED symmetric adjacency layout
+    (see :func:`multi_source_bfs` — same contract); skips the build
+    below and the end-of-call unpersist.
+
     Returns (node, dist) for every node within max_hops of a seed.
     """
     raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -241,7 +246,8 @@ def bfs_hops(
     # degrading closeness 2.6×. BFS ignores multiplicity, so one global
     # distinct bounds any node's adjacency at its distinct degree and
     # the rounds join a strictly smaller layout.
-    sym = (
+    owns_sym = sym_layout is None
+    sym = sym_layout if sym_layout is not None else (
         raw.union(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -292,7 +298,8 @@ def bfs_hops(
             )
         return out
     finally:
-        sym.unpersist()
+        if owns_sym:
+            sym.unpersist()
 
 
 def label_propagation(
