@@ -24,6 +24,7 @@ from conftest import SF_DIR
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_bloom_no_false_negatives(spark):
     """Every inserted key passes the membership test — the guarantee the
     pruned-join oracle hash rests on."""
@@ -51,6 +52,7 @@ def test_bloom_false_positive_rate_bounded(spark):
     assert fp / 20000 <= 2 * bound + 0.002
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_bloom_pruned_join_equals_plain_join(spark):
     """Pruned join ≡ plain join, row for row (inner, with dup keys on
     both sides so multiplicity is exercised too)."""
@@ -227,6 +229,7 @@ def test_woe_iv_identities(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_stream_join_parity(spark):
     """Append-mode stream-stream self-join over 4 time-ordered
     micro-batches reproduces the batch join exactly — cross-batch
@@ -335,6 +338,7 @@ def test_doc_keyphrases_ranked_within_doc(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_multi_source_bfs_matches_per_seed_bfs(spark):
     """One (seed, node)-keyed loop == |seeds| independent bfs_hops runs."""
     from legislative_bills_database_spark.operators.graph import (
@@ -980,6 +984,7 @@ def test_partition_skew_census_is_balanced_enough(spark):
     assert row.skew_ratio >= 1.0
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_skyline_two_level_fan_in_reduces_final_task_input(spark):
     """VERDICT r5 #4: the global phase is a bounded fan-in tree, not a
     single coalesce(1) funnel. With 32 scan partitions each holding a
@@ -1029,6 +1034,7 @@ def test_skyline_two_level_fan_in_reduces_final_task_input(spark):
     assert level1.rdd.getNumPartitions() <= 4
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_msbfs_shared_sym_layout_parity(spark):
     """r15: multi_source_bfs with a caller-owned symmetrized_layout
     must equal the self-built path (the q_closeness/q_harmonic shared

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -50,6 +52,7 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.5
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_ivf_recall_sweep_matches_per_point(spark):
     """r15: ivf_recall_sweep shares one exact pass + one scored
     candidate frame across all nprobe points — its values must be

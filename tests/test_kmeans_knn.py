@@ -3,6 +3,8 @@ k-NN accuracy known-answer checks."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ def _numpy_lloyd(X, init, iters):
     return d.argmin(axis=1), d.min(axis=1)
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_lloyd_matches_numpy_reference(spark):
     emb = load_table(spark, SF_DIR, "embeddings").limit(200)
     assigned, cents, iters = lloyd_kmeans(emb, k=4, max_iter=5, seed=42)
@@ -61,6 +64,7 @@ def test_lloyd_matches_numpy_reference(spark):
     assert sq_err < 1e-6
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_kmeans_summary_deterministic_and_total(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     a = kmeans_summary(emb, k=4, max_iter=4).collect()

@@ -5,6 +5,8 @@ rests on."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 
@@ -52,6 +54,7 @@ class TestSaxMotifs:
         assert r.n_occur == 2
         assert r.n_name == "NATION_A"
 
+    @pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
     def test_symbolization_affine_invariant(self, spark, tmp_path):
         """Equi-depth breakpoints are equivariant under a positive
         affine map of the series (the docstring's z-normalization

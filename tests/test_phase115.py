@@ -18,6 +18,7 @@ def _pts_df(spark, coords):
 
 
 class TestDbscanCapped:
+    @pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
     def test_capped_equals_exact_when_cap_unbound(self, spark):
         """sf0.01 max cell occupancy is far below the cap, so the
         capped plan must BE q_dbscan, row for row."""

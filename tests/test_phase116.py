@@ -5,6 +5,8 @@ bound, and the file-source rate-limit certificate."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 SF01 = "/root/testdata/sf0.01"
@@ -98,6 +100,7 @@ class TestKmvResemblance:
 
 
 class TestStreamRateLimit:
+    @pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
     def test_backpressure_certificate(self, spark):
         from legislative_bills_database_spark.plans import QUERIES
 

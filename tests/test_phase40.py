@@ -11,6 +11,8 @@ regeneration, not algorithm drift.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from legislative_bills_database_spark.operators.basket import (
@@ -111,6 +113,7 @@ def test_kcore_exact_matches_converged_kcore(spark):
             assert all(r["converged"] == 1 for r in exact)
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_label_prop_exact_matches_label_prop(spark):
     """The certified twin runs the SAME operator — the oracle certifies
     what q_label_prop always computed."""

@@ -10,6 +10,8 @@ and an all-gap lower bound holds.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 import duckdb
@@ -274,6 +276,7 @@ def test_approx_ind_brackets(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_stream_state_scale_sweep(spark):
     out = QUERIES["q_stream_state_scale"](spark, SF).collect()
     assert len(out) == 6

@@ -12,12 +12,18 @@ depends on:
 - BroadcastNestedLoopJoin only in the known 1-row-broadcast pattern
   (scalar aggregate cross-joined back), bounded per plan.
 
-Plan BUILDING only — no job runs, so the sweep stays cheap.
+Plan building only for most queries — but queries whose construction
+runs eager actions (the iterative graph loops) EXECUTE those loops, so
+the full 480-query sweep costs ~6 min; the default lane runs a
+deterministic quarter sample, the slow-marked full sweep stays the
+end-of-round gate (r15, VERDICT r14 #1).
 """
 
 from __future__ import annotations
 
 import sys
+
+import pytest
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
@@ -56,16 +62,16 @@ PYTHON_ALLOWED = {
 }
 
 
-def _all_census(spark):
+def _census_over(spark, names):
     out = {}
-    for name, fn in QUERIES.items():
+    for name in names:
+        fn = QUERIES[name]
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         out[name] = census(plan)
     return out
 
 
-def test_global_plan_invariants(spark):
-    stats = _all_census(spark)
+def _assert_invariants(stats):
     cartesian = {n for n, c in stats.items() if c["cartesian"]}
     assert not cartesian, f"CartesianProduct in: {sorted(cartesian)}"
 
@@ -85,3 +91,19 @@ def test_global_plan_invariants(spark):
     # one plan means a real join degraded
     heavy_bnlj = {n: c["bnlj"] for n, c in stats.items() if c["bnlj"] > 2}
     assert not heavy_bnlj, f"nested-loop-join count exceeds pattern: {heavy_bnlj}"
+
+
+def test_global_plan_invariants_sampled(spark):
+    """Fast-lane census (r15, VERDICT r14 #1): a deterministic quarter
+    of the registry (every 4th name, sorted) UNION the whole Python
+    allowlist — the full 480-query sweep takes ~6 min because queries
+    with construction-time loops EXECUTE them, and is slow-marked
+    below; this keeps default-lane coverage of the same invariants."""
+    names = sorted(QUERIES)
+    sample = set(names[::4]) | {n for n in PYTHON_ALLOWED if n in QUERIES}
+    _assert_invariants(_census_over(spark, sorted(sample)))
+
+
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
+def test_global_plan_invariants(spark):
+    _assert_invariants(_census_over(spark, sorted(QUERIES)))

@@ -11,6 +11,8 @@ boundary years.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -37,6 +39,7 @@ YEARS = [2000, 2001, 2002]
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_pivot_row_total_equals_group_count(spark, rows):
     df = spark.createDataFrame(rows, "g string, y int")
     wide = row_total(
@@ -60,6 +63,7 @@ def test_pivot_row_total_equals_group_count(spark, rows):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_keep_latest_deterministic_and_idempotent(spark, rows):
     df = spark.createDataFrame(rows, "k int, v int, payload int")
     order = [F.desc("v"), F.desc("payload")]  # total order → deterministic
@@ -126,6 +130,7 @@ def test_shingle_count_formula(spark, words, n):
     chunk=st.integers(min_value=1, max_value=7),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_ewma_chunked_equals_sequential_property(spark, vals, chunk):
     """For ANY series and ANY chunk size, the chunked affine composition
     equals the one-pass fold (within float tolerance)."""
@@ -163,6 +168,7 @@ def test_ewma_chunked_equals_sequential_property(spark, vals, chunk):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_cdc_apply_matches_dict_replay(spark, ops):
     """cdc_apply == a per-key latest-op dict replay for ANY changelog
     with unique (key, seq)."""
@@ -202,6 +208,7 @@ def test_cdc_apply_matches_dict_replay(spark, ops):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_max_concurrency_matches_python_sweep(spark, iv):
     """Distributed +1/−1 sweep == the obvious single-threaded sweep for
     ANY interval multiset (ends close before starts at the same day)."""
@@ -246,6 +253,7 @@ def test_max_concurrency_matches_python_sweep(spark, iv):
     chunk=st.sampled_from([1, 3, 16]),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_capped_runsum_chunked_equals_sequential(spark, deltas, chunk):
     """Any chunking of the (s,m) transform composition reproduces the
     sequential clamp fold exactly (integer arithmetic — no tolerance)."""
@@ -279,6 +287,7 @@ def test_capped_runsum_chunked_equals_sequential(spark, deltas, chunk):
     total=st.integers(0, 10**9),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_largest_remainder_allocation_properties(spark, items, total):
     """Allocation sums exactly to the total; every part is within 1 cent
     of its unrounded proportional share (the largest-remainder

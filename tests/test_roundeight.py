@@ -78,6 +78,7 @@ def test_exact_graph_queries_run_unchanged_on_fixtures(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_multi_source_bfs_chunks_past_62_seeds(spark):
     """70 seeds forces two mask passes; the union must equal per-seed
     BFS exactly (the chunking is invisible in the result)."""

@@ -4,6 +4,8 @@ star join / survivorship / embedding drift / feature hashing."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -481,6 +483,7 @@ def test_tree_rollup_parent_contains_children(spark):
             assert r.subtree_rev >= sum(k.subtree_rev for k in kids) - 0.05
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_dp_counts_noise_distribution(spark):
     from legislative_bills_database_spark.plans.roundfive_queries import (
         q_dp_counts,

@@ -6,6 +6,8 @@ share a bug with this path.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from tests.conftest import SF_DIR
@@ -534,6 +536,7 @@ def test_table_fingerprint_row_hash_matches_hashlib(spark):
         assert r.hash_xor == xors[b], b
 
 
+@pytest.mark.slow  # r15 fast-lane: measured-heavy (see pytest.ini)
 def test_stream_state_census_certifies_store_size(spark):
     """The windowed-agg state store must hold exactly one row per
     (hour, event_type) group after the last micro-batch under BOTH
